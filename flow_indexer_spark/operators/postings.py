@@ -1,0 +1,93 @@
+"""Inverted-index build: entity -> sorted posting list of (conv_id, turn_idx).
+
+Reference analogue: ``store.AddDocument`` read-modify-write of per-entity
+bitsets in LevelDB (/root/reference/store/leveldb.go:70-96, 261-278), with
+codecs in store/codec.go. In Spark the index is a **recomputed aggregate**,
+not a mutable store: one salted two-phase groupBy produces the whole table,
+and Parquet/Iceberg delta+RLE encodings on the sorted arrays replace the
+hand-rolled bitset/msgpack codecs (store/codec.go:25-220 — measured ~2-3.5x
+there; free here).
+
+Skew: a hot entity present in ~every turn (the dense-bitset case the
+reference documents in experiments/convert_to_msgpack.go:10-12) would put
+one groupBy key on one reducer. The two-phase salted aggregate bounds the
+per-task state: phase 1 groups on (entity, salt) with partial collect_set,
+phase 2 merges the <= n_salt partial arrays per entity. Map-side partial
+aggregation applies in both phases.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+POSTING_STRUCT = "struct(conv_id, turn_idx)"
+
+
+def build_postings(
+    extracted: DataFrame,
+    *,
+    n_salt: int = 16,
+    chunk_size: int | None = None,
+) -> DataFrame:
+    """Salted skew-aware inverted-index aggregate.
+
+    Input: long-format entity rows (one per (turn, entity), already deduped
+    per turn). Output schema:
+      entity_class, entity_key, postings: array<struct<conv_id,turn_idx>>,
+      ndocs, ts_min, ts_max.
+
+    ``postings`` is sorted by (conv_id, turn_idx) — the stable-turn-ordering
+    invariant; array_sort on structs orders by fields left-to-right, which
+    matches the reference's sorted doc-id bitsets.
+
+    With ``chunk_size`` set, giant posting lists are split into fixed-size
+    chunks (entity_key, chunk_id, postings) to bound row size — the analogue
+    of the reference's "partition dbs so unique-ips/day fits" guidance
+    (/root/reference/README.md:44-48).
+    """
+    salted = extracted.withColumn(
+        "_salt", F.pmod(F.hash("conv_id", "turn_idx"), F.lit(n_salt))
+    )
+    partial = salted.groupBy("entity_class", "entity_key", "_salt").agg(
+        F.collect_set(F.expr(POSTING_STRUCT)).alias("_p"),
+        F.min("ts").alias("_ts_min"),
+        F.max("ts").alias("_ts_max"),
+    )
+    final = partial.groupBy("entity_class", "entity_key").agg(
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("_p")))).alias("postings"),
+        F.min("_ts_min").alias("ts_min"),
+        F.max("_ts_max").alias("ts_max"),
+    )
+    out = final.withColumn("ndocs", F.size("postings"))
+    if chunk_size:
+        # slice the sorted array into chunks; chunk_id preserves global order
+        n_chunks = F.ceil(F.size("postings") / F.lit(chunk_size)).cast("int")
+        out = (
+            out.withColumn("chunk_id", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+            .withColumn(
+                "postings",
+                F.slice("postings", F.col("chunk_id") * chunk_size + 1, chunk_size),
+            )
+            .withColumn("ndocs", F.size("postings"))
+        )
+    return out
+
+
+def write_postings(postings: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Routed, sorted sink for the postings table.
+
+    Layout = the reference's per-class LevelDB roots + sorted keys
+    (/root/reference/example_config.json:5-46, store/leveldb.go:85):
+    partitioned by entity_class, files sorted by entity_key so Parquet
+    min/max stats (and Iceberg sort order in production) make point/range
+    lookups file-skipping scans. repartition on entity_key ranges keeps one
+    writer per key range -> non-overlapping min/max across files.
+    """
+    (
+        postings.repartitionByRange("entity_class", "entity_key")
+        .sortWithinPartitions("entity_key")
+        .write.mode(mode)
+        .option("parquet.bloom.filter.enabled#entity_key", "true")
+        .partitionBy("entity_class")
+        .parquet(path)
+    )

@@ -1,0 +1,139 @@
+"""End-to-end ingest pipeline: parse -> enrich -> route -> index.
+
+The Spark re-expression of the reference's indexall lifecycle
+(/root/reference/cmd/indexall.go:8-19 ->
+/root/reference/flowindexer/flowindexer.go:422-437 ->
+/root/reference/flowindexer/index.go:16-53):
+
+transcripts
+  -> derive src_partition, anti-join ingest manifest        [resume, J2/T3]
+  -> extract_entities (native regex + Arrow UDF normalize)  [S5/S6]
+  -> enrich (broadcast dims)                                [J4]
+  -> routed sink: parquet/Iceberg partitioned by entity_class  [K2]
+  -> postings: salted groupBy -> sorted posting lists          [A2]
+  -> manifest append with per-partition lineage metrics     [north_rule]
+
+One linear DataFrame job graph with a single wide shuffle (the postings
+groupBy); the routed sink reuses the extraction output before the shuffle.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from flow_indexer_spark.functions.extractors import extract_entities
+from flow_indexer_spark.operators.enrich import enrich
+from flow_indexer_spark.operators.postings import build_postings, write_postings
+from flow_indexer_spark.sources.manifest import (
+    StageTimer,
+    commit_partitions,
+    pending_partitions,
+    read_manifest,
+    with_src_partition,
+)
+
+
+@dataclass
+class PipelineConfig:
+    """One 'indexer' in reference terms
+    (/root/reference/flowindexer/flowindexer.go:26-37): where to read,
+    where to route, how to aggregate."""
+
+    output_root: str
+    n_salt: int = 16
+    chunk_size: int | None = None
+    use_pandas_ip_extractor: bool = False
+    incremental: bool = True
+    extra: dict = field(default_factory=dict)
+
+    @property
+    def routed_path(self) -> str:
+        return f"{self.output_root}/routed"
+
+    @property
+    def postings_path(self) -> str:
+        return f"{self.output_root}/postings"
+
+    @property
+    def manifest_path(self) -> str:
+        return f"{self.output_root}/manifest"
+
+
+def run_ingest(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    config: PipelineConfig,
+    tool_registry: DataFrame | None = None,
+    role_taxonomy: DataFrame | None = None,
+) -> dict:
+    """Run one ingest batch. Returns metrics dict (turns/entities/wall_ms).
+
+    Idempotent: partitions already 'done' in the manifest are skipped via
+    anti-join; a re-run over the same input is a no-op. Output tables are
+    rebuilt per batch from pending partitions and appended; at 100 TB scale
+    the same topology appends new Iceberg partitions and MERGEs postings
+    for affected entity ranges.
+    """
+    timer = StageTimer()
+    src = with_src_partition(transcripts)
+    if config.incremental:
+        manifest = read_manifest(spark, config.manifest_path)
+        src = pending_partitions(src, manifest)
+
+    n_turns_by_part = {
+        r["src_partition"]: r["n"]
+        for r in src.groupBy("src_partition").agg(F.count("*").alias("n")).collect()
+    }
+    if not n_turns_by_part:
+        return {"skipped": True, "n_turns": 0, "n_entities": 0, "wall_ms": timer.ms()}
+
+    extracted = extract_entities(
+        src,
+        use_pandas_ip_extractor=config.use_pandas_ip_extractor,
+        carry_cols=("conv_id", "turn_idx", "role", "text", "tool", "ts", "src_partition"),
+    )
+    routed = enrich(extracted, tool_registry, role_taxonomy)
+
+    # Routed sink first (pre-shuffle reuse of the extraction output).
+    (
+        routed.write.mode("append")
+        .partitionBy("entity_class")
+        .parquet(config.routed_path)
+    )
+
+    # Postings index: read the routed rows back (columnar, pruned to the 5
+    # needed columns) so extraction isn't recomputed for the second sink.
+    routed_back = spark.read.parquet(config.routed_path).select(
+        "entity_class", "entity_key", "conv_id", "turn_idx", "ts"
+    )
+    postings = build_postings(routed_back, n_salt=config.n_salt, chunk_size=config.chunk_size)
+    write_postings(postings, config.postings_path, mode="overwrite")
+
+    ent_by_part = {
+        r["src_partition"]: r["n"]
+        for r in extracted.groupBy("src_partition").agg(F.count("*").alias("n")).collect()
+    }
+    wall = timer.ms()
+    metrics = [
+        {
+            "src_partition": p,
+            "n_turns": n_turns_by_part[p],
+            "n_entities": ent_by_part.get(p, 0),
+            "wall_ms": wall,
+        }
+        for p in sorted(n_turns_by_part)
+    ]
+    run_id = commit_partitions(spark, config.manifest_path, metrics)
+    total_turns = sum(n_turns_by_part.values())
+    total_entities = sum(ent_by_part.values())
+    return {
+        "skipped": False,
+        "run_id": run_id,
+        "n_partitions": len(metrics),
+        "n_turns": total_turns,
+        "n_entities": total_entities,
+        "wall_ms": wall,
+        "turns_per_sec": total_turns / max(wall / 1000.0, 1e-9),
+    }
