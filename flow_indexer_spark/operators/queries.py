@@ -124,10 +124,10 @@ def stats(
     Returns one row per coarse bucket: (bucket, hits) plus total-matched
     min/max available via ``stats_summary``.
     """
+    if group_by not in GRANULARITIES or count not in (*GRANULARITIES, None):
+        raise ValueError(f"bucket granularity must be one of {GRANULARITIES}")
     if count is None:
         count = DEFAULT_COUNT_FOR[group_by]
-    if group_by not in GRANULARITIES or count not in GRANULARITIES:
-        raise ValueError(f"bucket granularity must be one of {GRANULARITIES}")
     matched = search_turns(postings, transcripts, query)
     return (
         matched.groupBy(F.date_trunc(group_by, "ts").alias("bucket"))
