@@ -7,14 +7,20 @@ Reference analogues:
   (/root/reference/backend/bro_json.go:25-58).
 - backend registry: name -> extractor factory
   (/root/reference/backend/backend.go:12-30).
+- per-document entity set dedup (/root/reference/ipset/ipset.go:56-76).
 
 Spark design: extraction is **native** ``regexp_extract_all`` (JVM-side,
-whole-stage codegen) producing candidate token arrays, exploded and then
-validated/normalized. Only IPv6 canonicalization needs Python, as an
-Arrow-batched pandas UDF. A pandas-UDF implementation of the same
-extraction exists purely for the differential test (the reference keeps two
-nfdump implementations and cross-checks them,
-/root/reference/backend/nfdump_test.go:30-55).
+whole-stage codegen) producing candidate token arrays per turn. The
+reference's per-document dedup hash set becomes per-row ``array_distinct``
+on those arrays — dedup happens *inside the row*, so the whole parse stage
+is a single pipelined projection + one explode: **no shuffle, no union
+re-scan of the input**. Only IPv6 canonicalization needs Python, as an
+Arrow-batched pandas UDF over the candidate array (one batch call per
+~10k rows, not per row).
+
+A pandas-UDF twin of the candidate extraction exists purely for the
+differential test (the reference keeps two nfdump implementations and
+cross-checks them, /root/reference/backend/nfdump_test.go:30-55).
 
 The same ``IP_PATTERN`` string is used by both engines (java.util.regex and
 Python ``re``); it deliberately over-matches IPv6 candidates and lets
@@ -23,14 +29,13 @@ Python ``re``); it deliberately over-matches IPv6 candidates and lets
 
 from __future__ import annotations
 
+import ipaddress
 import re
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, StringType
-
-from flow_indexer_spark.functions.keys import normalize_ip_udf
 
 # --- patterns (portable: Java regex + Python re) -------------------------
 
@@ -50,7 +55,32 @@ IP_PATTERN = r"(?<![\w.:])(?:" + _IPV4 + "|" + _IPV6 + r")(?![\w.:])"
 TOOL_MARKER_PATTERN = r"<tool:([A-Za-z0-9_\-.]+)>"
 ROLE_MARKER_PATTERN = r"(?<![\w@])@([a-z][a-z0-9_]*)"
 
-ENTITY_COLS = ["entity_class", "entity_key", "entity_raw"]
+ENTITY_COLS = ["entity_class", "entity_key"]
+
+
+@pandas_udf(ArrayType(StringType()))
+def normalize_ip_array_udf(cands: pd.Series) -> pd.Series:
+    """Candidate-token array -> array of distinct canonical hex keys.
+
+    Arrow-batched; validation drops non-IPs (the empty-field guard,
+    /root/reference/backend/syslog.go:50-56); output order = first
+    occurrence (order is irrelevant downstream — postings re-sort)."""
+
+    def norm(arr):
+        if arr is None:
+            return []
+        out, seen = [], set()
+        for tok in arr:
+            try:
+                key = ipaddress.ip_address(tok).packed.hex()
+            except ValueError:
+                continue
+            if key not in seen:
+                seen.add(key)
+                out.append(key)
+        return out
+
+    return cands.map(norm)
 
 
 def extract_ip_candidates_native(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -62,13 +92,18 @@ def extract_ip_candidates_native(df: DataFrame, text_col: str = "text") -> DataF
 
 @pandas_udf(ArrayType(StringType()))
 def _extract_ips_pandas(text: pd.Series) -> pd.Series:
-    """Differential twin of the native path (same pattern, Python re)."""
+    """Differential twin of the native candidate path (same pattern, Python re)."""
     rx = re.compile(IP_PATTERN)
     return text.map(lambda t: rx.findall(t) if isinstance(t, str) else [])
 
 
 def extract_ip_candidates_pandas(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("entity_raw", F.explode(_extract_ips_pandas(F.col(text_col))))
+
+
+def _clean_distinct(arr):
+    """array -> distinct non-null non-empty elements (in-row dedup)."""
+    return F.array_distinct(F.filter(arr, lambda x: x.isNotNull() & (x != "")))
 
 
 def extract_entities(
@@ -79,59 +114,57 @@ def extract_entities(
 ) -> DataFrame:
     """transcripts -> long-format entity rows, deduped per turn.
 
-    Output: carry_cols + (entity_class, entity_key, entity_raw).
+    Output: carry_cols + (entity_class, entity_key).
 
     - class 'ip':   IP-like tokens in ``text``; key = fixed-width hex
-      (invalid candidates dropped — the empty-field guard,
-      /root/reference/backend/syslog.go:50-56).
+      (invalid candidates dropped).
     - class 'tool': the ``tool`` column (plain name, or JSON payload with a
       ``tool`` field — bro_json analogue) plus ``<tool:NAME>`` markers in text.
     - class 'role': the ``role`` column plus ``@marker`` tokens in text.
 
-    Per-turn dedup (= the reference's per-document ipset,
-    /root/reference/ipset/ipset.go:56-76) is a dropDuplicates on the full
-    key — Catalyst plans it as a partial+final hash aggregate.
+    Single pipelined projection: per-class key arrays are built and deduped
+    in-row, concatenated into one array<struct<entity_class,entity_key>>,
+    and exploded once. The plan has no shuffle and scans the input once.
     """
     base = df.select(*carry_cols)
 
-    ip_extract = (
-        extract_ip_candidates_pandas(base) if use_pandas_ip_extractor else extract_ip_candidates_native(base)
+    # null text must not null-propagate through concat and drop the row
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    ip_cands = (
+        _extract_ips_pandas(txt)
+        if use_pandas_ip_extractor
+        else F.regexp_extract_all(txt, F.lit(IP_PATTERN), F.lit(0))
     )
-    ips = (
-        ip_extract.withColumn("entity_key", normalize_ip_udf(F.col("entity_raw")))
-        .filter(F.col("entity_key").isNotNull())
-        .withColumn("entity_class", F.lit("ip"))
-    )
+    ip_keys = normalize_ip_array_udf(ip_cands)
 
-    tool_col = F.when(
+    tool_from_col = F.when(
         F.col("tool").startswith("{"), F.get_json_object(F.col("tool"), "$.tool")
     ).otherwise(F.col("tool"))
-    tools_col_df = base.withColumn("entity_raw", tool_col).filter(
-        F.col("entity_raw").isNotNull() & (F.col("entity_raw") != "")
+    tool_keys = _clean_distinct(
+        F.concat(
+            F.array(tool_from_col),
+            F.regexp_extract_all(txt, F.lit(TOOL_MARKER_PATTERN), F.lit(1)),
+        )
     )
-    tools_marker_df = base.withColumn(
-        "entity_raw",
-        F.explode(F.regexp_extract_all(F.col("text"), F.lit(TOOL_MARKER_PATTERN), F.lit(1))),
-    )
-    tools = (
-        tools_col_df.unionByName(tools_marker_df)
-        .withColumn("entity_key", F.col("entity_raw"))
-        .withColumn("entity_class", F.lit("tool"))
-    )
-
-    roles_col_df = base.withColumn("entity_raw", F.col("role")).filter(
-        F.col("entity_raw").isNotNull() & (F.col("entity_raw") != "")
-    )
-    roles_marker_df = base.withColumn(
-        "entity_raw",
-        F.explode(F.regexp_extract_all(F.col("text"), F.lit(ROLE_MARKER_PATTERN), F.lit(1))),
-    )
-    roles = (
-        roles_col_df.unionByName(roles_marker_df)
-        .withColumn("entity_key", F.col("entity_raw"))
-        .withColumn("entity_class", F.lit("role"))
+    role_keys = _clean_distinct(
+        F.concat(
+            F.array(F.col("role")),
+            F.regexp_extract_all(txt, F.lit(ROLE_MARKER_PATTERN), F.lit(1)),
+        )
     )
 
-    out = ips.unionByName(tools).unionByName(roles)
-    # per-turn distinct entity set (A1)
-    return out.dropDuplicates(["conv_id", "turn_idx", "entity_class", "entity_key"])
+    def tag(klass: str, keys):
+        return F.transform(
+            keys,
+            lambda k: F.struct(
+                F.lit(klass).alias("entity_class"), k.alias("entity_key")
+            ),
+        )
+
+    entities = F.concat(tag("ip", ip_keys), tag("tool", tool_keys), tag("role", role_keys))
+    return (
+        base.withColumn("_e", F.explode(entities))
+        .withColumn("entity_class", F.col("_e.entity_class"))
+        .withColumn("entity_key", F.col("_e.entity_key"))
+        .drop("_e")
+    )

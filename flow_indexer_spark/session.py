@@ -43,6 +43,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # collect_list/collect_set run as ObjectHashAggregate; the default
+        # sort-based fallback threshold (128 distinct keys per task) turns
+        # the postings build into a full sort — raise it so hash aggregation
+        # survives high-cardinality entity keys (spills still protect memory).
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", str(1 << 22))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Parquet bloom filters on the posting key column: the analogue of
         # the reference's LevelDB bloom filter (store/leveldb.go:35).
