@@ -505,12 +505,10 @@ def _q_topk(spark, sf_dir):
     """,
 )
 def _q_dedup_exact(spark, sf_dir):
+    from flow_indexer_spark.operators.dedup import exact_dedup_groups
+
     d = _t(spark, sf_dir, "documents")
-    return (
-        d.groupBy(F.md5("text").alias("text_hash"))
-        .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n_copies"))
-        .orderBy("text_hash")
-    )
+    return exact_dedup_groups(d).orderBy("text_hash")
 
 
 @_register(
@@ -523,13 +521,10 @@ def _q_dedup_exact(spark, sf_dir):
     """,
 )
 def _q_fingerprint(spark, sf_dir):
+    from flow_indexer_spark.operators.textstats import fingerprint
+
     d = _t(spark, sf_dir, "documents")
-    toks = F.array_sort(
-        F.array_distinct(F.filter(F.split("text", " "), lambda x: x != ""))
-    )
-    return d.select(
-        "doc_id", F.md5(F.concat_ws(" ", toks)).alias("fp")
-    ).orderBy("doc_id")
+    return d.select("doc_id", fingerprint("text").alias("fp")).orderBy("doc_id")
 
 
 @_register(
@@ -552,10 +547,10 @@ def _q_fingerprint(spark, sf_dir):
 def _q_minhash(spark, sf_dir):
     """MinHash band signature -> LSH buckets with >1 member (near-dup
     candidates). md5-based hash family so both engines agree exactly."""
+    from flow_indexer_spark.operators.dedup import minhash_signature
+
     d = _t(spark, sf_dir, "documents")
-    tok = F.filter(F.split("text", " "), lambda x: x != "")
-    band0 = F.array_min(F.transform(tok, lambda x: F.md5(F.concat(F.lit("b0"), x))))
-    sigs = d.select("doc_id", band0.alias("band0"))
+    sigs = d.select("doc_id", minhash_signature("text", n_bands=1)[0])
     return (
         sigs.groupBy(F.col("band0").alias("bucket"))
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc"))
@@ -576,16 +571,14 @@ def _q_minhash(spark, sf_dir):
     """,
 )
 def _q_text_quality(spark, sf_dir):
+    from flow_indexer_spark.operators.textstats import stopword_count, token_count
+
     d = _t(spark, sf_dir, "documents")
-    toks = F.filter(F.split("text", " "), lambda x: x != "")
-    stop = F.array(*[F.lit(w) for w in ["the", "a", "of", "and", "to"]])
     return d.select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
+        token_count("text").alias("n_tokens"),
         F.length("text").alias("n_chars_raw"),
-        F.size(F.filter(toks, lambda x: F.array_contains(stop, x))).cast("bigint").alias(
-            "n_stopwords"
-        ),
+        stopword_count("text").alias("n_stopwords"),
     ).orderBy("doc_id")
 
 
@@ -598,13 +591,12 @@ def _q_text_quality(spark, sf_dir):
     """,
 )
 def _q_token_count(spark, sf_dir):
+    from flow_indexer_spark.operators.textstats import bpe_token_count
+
     d = _t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.size(
-            F.regexp_extract_all("text", F.lit(r"[a-z]+|[0-9]+|[^a-z0-9 ]"), F.lit(0))
-        ).alias("n_bpe_tokens"),
-    ).orderBy("doc_id")
+    return d.select("doc_id", bpe_token_count("text").alias("n_bpe_tokens")).orderBy(
+        "doc_id"
+    )
 
 
 @_register(
@@ -618,14 +610,11 @@ def _q_token_count(spark, sf_dir):
     """,
 )
 def _q_lang_id(spark, sf_dir):
+    from flow_indexer_spark.operators.textstats import lang_id
+
     d = _t(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    stop = F.array(*[F.lit(w) for w in ["the", "a", "and", "of"]])
-    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop, x)))
     return (
-        d.select(
-            F.when(n_stop >= 2, "en_like").otherwise("other").alias("pred_lang")
-        )
+        d.select(lang_id("text").alias("pred_lang"))
         .groupBy("pred_lang")
         .agg(F.count("*").alias("n_docs"))
         .orderBy("pred_lang")
@@ -732,6 +721,231 @@ def _q_union_classes(spark, sf_dir):
         .select(F.lit("event_type").alias("entity_class"), "entity_key", "n")
     )
     return tok.unionByName(et).orderBy("entity_class", "entity_key")
+
+
+# --- dedup suite: SimHash / n-gram Jaccard / embedding cosine ---------------
+
+def _simhash_votes_sql(bits: int = 32) -> str:
+    """DuckDB twin of operators.dedup.simhash: portable md5-derived 32-bit
+    token hash, per-bit +1/-1 votes over distinct tokens."""
+    votes = ",\n             ".join(
+        f"SUM(CASE WHEN (th >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(bits)
+    )
+    return f"""
+    toks AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS tok
+      FROM documents
+    ),
+    h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS th FROM toks),
+    votes AS (SELECT doc_id,
+             {votes}
+             FROM h GROUP BY doc_id),
+    sigs AS (SELECT doc_id, {sig} AS simhash FROM votes)
+    """
+
+
+@_register(
+    "dedup_simhash",
+    f"WITH {_simhash_votes_sql()} SELECT doc_id, simhash FROM sigs ORDER BY doc_id",
+)
+def _q_dedup_simhash(spark, sf_dir):
+    """Per-doc 32-bit SimHash fingerprint (in-row, no shuffle)."""
+    from flow_indexer_spark.operators.dedup import simhash, tokens
+
+    d = _t(spark, sf_dir, "documents").filter(F.size(tokens("text")) > 0)
+    return simhash(d).orderBy("doc_id")
+
+
+_SIMHASH_BAND_JOIN = " OR ".join(
+    f"((a.simhash >> {b * 8}) & 255) = ((b.simhash >> {b * 8}) & 255)" for b in range(4)
+)
+
+
+@_register(
+    "dedup_simhash_pairs",
+    f"""
+    WITH {_simhash_votes_sql()},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS sa, b.simhash AS sb
+      FROM sigs a JOIN sigs b
+        ON a.doc_id < b.doc_id AND ({_SIMHASH_BAND_JOIN})
+    )
+    SELECT id_a, id_b, bit_count(xor(sa, sb)) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+    ORDER BY id_a, id_b
+    """,
+)
+def _q_dedup_simhash_pairs(spark, sf_dir):
+    """Banded SimHash near-dup pairs (pigeonhole candidate join)."""
+    from flow_indexer_spark.operators.dedup import (
+        simhash,
+        simhash_near_pairs,
+        tokens,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.size(tokens("text")) > 0)
+    return simhash_near_pairs(simhash(d), max_hamming=3).orderBy("id_a", "id_b")
+
+
+@_register(
+    "dedup_ngram_jaccard",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(tok) - 1, 1)),
+                 i -> array_to_string(list_slice(tok, i, i + 2), ' '))) AS grams
+      FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tok
+            FROM documents)
+      WHERE len(tok) >= 3
+    ),
+    e AS (SELECT doc_id, unnest(grams) AS gr FROM g),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM e a JOIN e b ON a.gr = b.gr AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+             / len(list_distinct(ga.grams || gb.grams)) AS jaccard
+    FROM cand JOIN g ga ON cand.id_a = ga.doc_id JOIN g gb ON cand.id_b = gb.doc_id
+    WHERE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+             / len(list_distinct(ga.grams || gb.grams)) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
+def _q_dedup_ngram_jaccard(spark, sf_dir):
+    """Token-3-gram Jaccard near-dup pairs via inverted-index candidates."""
+    from flow_indexer_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, n=3, threshold=0.5).orderBy("id_a", "id_b")
+
+
+@_register(
+    "dedup_embedding_cosine",
+    """
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_inner_product(a.e, b.e)
+            / (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e)))
+          >= 0.45
+    ORDER BY id_a, id_b
+    """,
+)
+def _q_dedup_embedding_cosine(spark, sf_dir):
+    """Exact embedding-cosine near-dup pairs (brute-force baseline; the
+    sign-LSH bucketed variant is the scale path, tested in pytest)."""
+    from flow_indexer_spark.operators.dedup import embedding_near_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        embedding_near_pairs(e, threshold=0.45)
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    )
+
+
+_SIGN_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN e[{j + 1}] > 0 THEN {1 << j} ELSE 0 END)" for j in range(8)
+)
+
+
+@_register(
+    "ann_topk_bucketed",
+    f"""
+    WITH v AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings),
+    b AS (SELECT vec_id, label, e, {_SIGN_BUCKET_SQL} AS bkt FROM v),
+    q AS (SELECT e AS qe, bkt AS qbkt FROM b WHERE vec_id = 0)
+    SELECT b.vec_id, b.label
+    FROM b, q
+    WHERE b.vec_id <> 0
+      AND bit_count(xor(CAST(b.bkt AS BIGINT), CAST(q.qbkt AS BIGINT))) <= 1
+    ORDER BY list_inner_product(b.e, q.qe)
+               / (sqrt(list_inner_product(b.e, b.e)) * sqrt(list_inner_product(q.qe, q.qe)))
+             DESC, b.vec_id
+    LIMIT 20
+    """,
+)
+def _q_ann_topk_bucketed(spark, sf_dir):
+    """Sign-LSH bucketed ANN (multiprobe hamming<=1): the partition-pruned
+    scale path next to the exact ann_topk_cosine baseline."""
+    from flow_indexer_spark.operators.similarity import topk_cosine_bucketed
+
+    e = _t(spark, sf_dir, "embeddings")
+    probe = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    hits = topk_cosine_bucketed(
+        e.filter(F.col("vec_id") != 0), list(probe), k=20, multiprobe_hamming=1
+    )
+    return hits.join(e.select("vec_id", "label"), "vec_id").select(
+        "vec_id", "label"
+    )
+
+
+# --- sessionization (window functions) --------------------------------------
+
+@_register(
+    "sessionize_events",
+    """
+    WITH s AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+      FROM s
+    ),
+    per AS (SELECT user_id, session_id, COUNT(*) AS n_events
+            FROM sess GROUP BY user_id, session_id)
+    SELECT user_id, COUNT(*) AS n_sessions, MAX(n_events) AS max_session_events,
+           SUM(n_events) AS total_events
+    FROM per GROUP BY user_id ORDER BY user_id
+    """,
+)
+def _q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30 min) + per-user session stats."""
+    from flow_indexer_spark.operators.sessions import session_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return session_stats(ev, gap_minutes=30).orderBy("user_id")
+
+
+@_register(
+    "quality_ratios",
+    """
+    SELECT doc_id, n_tokens, n_chars_raw, n_stopwords,
+           CAST(n_chars_raw AS DOUBLE) / GREATEST(n_tokens, 1) AS mean_token_len,
+           CAST(n_stopwords AS DOUBLE) / GREATEST(n_tokens, 1) AS stopword_ratio
+    FROM (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+             length(text) AS n_chars_raw,
+             CAST(len(list_filter(string_split(text, ' '),
+                  x -> list_contains(['the','a','of','and','to'], x))) AS BIGINT) AS n_stopwords
+      FROM documents
+    ) ORDER BY doc_id
+    """,
+)
+def _q_quality_ratios(spark, sf_dir):
+    """Full quality-feature projection incl. derived filtering ratios."""
+    from flow_indexer_spark.operators.textstats import quality_features
+
+    d = _t(spark, sf_dir, "documents")
+    return quality_features(d).orderBy("doc_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,289 @@
+"""Deduplication suite for training-data pipelines.
+
+The reference dedups *entities within a document* (ipset hash-set,
+/root/reference/ipset/ipset.go:56-76) and *documents within a store*
+(HasDocument, /root/reference/store/leveldb.go:58-68). A 100 TB corpus
+pipeline needs the document-level generalizations of those: exact
+content dedup, MinHash/LSH and SimHash near-dup, n-gram Jaccard, and
+embedding-cosine near-dup. All are pure DataFrame compositions — one
+hash-shuffle each, no Python in the hot path.
+
+Hash portability: every hash used here is derived from ``md5`` so the
+DuckDB oracle twins in ``__spark_entry__`` compute bit-identical values
+(Spark ``conv(substring(md5(x),1,8),16,10)`` == DuckDB
+``CAST('0x'||substr(md5(x),1,8) AS BIGINT)``). At production scale you'd
+swap in ``xxhash64`` for speed; the topology is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def tokens(text_col: str | Column = "text") -> Column:
+    """Whitespace tokens, empties dropped (the empty-field guard,
+    /root/reference/backend/syslog.go:50-56)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.filter(F.split(c, " "), lambda x: x != "")
+
+
+def md5_int32(c: Column) -> Column:
+    """Portable 32-bit hash: first 8 hex digits of md5 as a bigint."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint")
+
+
+# --- exact dedup -----------------------------------------------------------
+
+def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct content hash with the
+    keeper id (min id — stable) and copy count. Map-side partial agg makes
+    this one shuffle of (hash, id) pairs regardless of corpus size."""
+    return (
+        df.groupBy(F.md5(text_col).alias("text_hash"))
+        .agg(F.min(id_col).alias("keeper"), F.count("*").alias("n_copies"))
+    )
+
+
+def exact_dedup_keep(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """The surviving rows after exact dedup (keeper per content hash).
+    Window-free: aggregate keepers then semi-join — no global sort, and the
+    join key (id) is high-cardinality/unskewed."""
+    keepers = exact_dedup_groups(df, id_col, text_col).select(
+        F.col("keeper").alias(id_col)
+    )
+    return df.join(keepers, id_col, "left_semi")
+
+
+# --- MinHash + LSH ---------------------------------------------------------
+
+def minhash_signature(text_col: str | Column = "text", n_bands: int = 4) -> list[Column]:
+    """One min-hash per band over whitespace-token shingles: band b's hash
+    of token t is md5('b{b}' || t); the signature element is the min over
+    the doc's tokens. In-row (transform + array_min): no shuffle."""
+    tok = tokens(text_col)
+    return [
+        F.array_min(
+            F.transform(tok, lambda x: F.md5(F.concat(F.lit(f"b{b}"), x)))
+        ).alias(f"band{b}")
+        for b in range(n_bands)
+    ]
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_bands: int = 4
+) -> DataFrame:
+    """Near-dup candidate pairs: docs sharing ANY band bucket. The classic
+    shingle->minhash->band->bucket-join: per band, self-join on the band
+    value (shuffle on band hash — uniform by construction), union bands,
+    distinct pairs. Returns (id_a, id_b) with id_a < id_b."""
+    sigs = df.select(F.col(id_col).alias("_id"), *minhash_signature(text_col, n_bands))
+    pairs = None
+    for b in range(n_bands):
+        left = sigs.select(F.col("_id").alias("id_a"), F.col(f"band{b}").alias("_bkt"))
+        right = sigs.select(F.col("_id").alias("id_b"), F.col(f"band{b}").alias("_bkt"))
+        p = left.join(right, "_bkt").filter(F.col("id_a") < F.col("id_b")).drop("_bkt")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.dropDuplicates(["id_a", "id_b"])
+
+
+# --- SimHash ---------------------------------------------------------------
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
+) -> DataFrame:
+    """Per-doc SimHash fingerprint: for each bit j, sum +1/-1 votes of each
+    distinct token's hash bit j; bit j of the signature = (vote > 0).
+
+    Entirely in-row (transform over the token array + fold over bit
+    positions) — a single projection, no shuffle, whole-stage codegen.
+    Output: (id_col, simhash:bigint).
+    """
+    tok = F.array_distinct(tokens(text_col))
+    h = F.transform(tok, lambda x: md5_int32(x))
+    votes = [
+        F.aggregate(
+            h,
+            F.lit(0),
+            lambda acc, th: acc
+            + F.when(th.bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1),
+        )
+        for j in range(bits)
+    ]
+    sig = None
+    for j, v in enumerate(votes):
+        bit = F.when(v > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("bigint")
+        sig = bit if sig is None else sig + bit
+    return df.select(F.col(id_col), sig.alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance via bit_count(xor)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = 32,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Banded SimHash near-pair generation: split the signature into
+    ``n_bands`` contiguous bands; by pigeonhole, two sigs within
+    ``max_hamming <= n_bands - 1`` bits share at least one exact band, so a
+    per-band equality self-join finds all such pairs without a cross join.
+    Exact Hamming filter applied after the candidate join."""
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    s = sigs.select(F.col(id_col).alias("_id"), F.col("simhash"))
+    pairs = None
+    for b in range(n_bands):
+        band = (F.shiftright("simhash", b * band_bits).bitwiseAND(F.lit(mask))).alias("_bkt")
+        left = s.select(F.col("_id").alias("id_a"), F.col("simhash").alias("sim_a"), band)
+        right = s.select(F.col("_id").alias("id_b"), F.col("simhash").alias("sim_b"), band)
+        p = left.join(right, "_bkt").filter(F.col("id_a") < F.col("id_b")).drop("_bkt")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return (
+        pairs.dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", hamming64(F.col("sim_a"), F.col("sim_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# --- n-gram Jaccard --------------------------------------------------------
+
+def token_ngrams(text_col: str | Column = "text", n: int = 3) -> Column:
+    """Distinct token n-grams as joined strings (in-row). Guarded for short
+    docs: Spark's sequence(1, 0) counts DOWN ([1,0]), so the gram transform
+    only applies when the doc has >= n tokens."""
+    tok = tokens(text_col)
+    idx = F.sequence(F.lit(1), F.size(tok) - (n - 1))
+    grams = F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tok, i, n)))
+    )
+    return F.when(F.size(tok) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_ngram_df: int | None = 1000,
+) -> DataFrame:
+    """Near-dup pairs by token-n-gram Jaccard similarity.
+
+    Candidate generation is an inverted-index self-join on shared n-grams
+    (the same posting-list idea as the entity index, A2); Jaccard is then
+    computed exactly from the two in-row n-gram sets. ``max_ngram_df``
+    drops n-grams appearing in more than that many docs from candidate
+    generation — the skew guard: a boilerplate n-gram shared by 1M docs
+    would otherwise create a 10^12-row join. (Pairs whose every shared
+    n-gram is that common are not near-dups at any sane threshold.)
+    """
+    grams = df.select(F.col(id_col).alias("_id"), token_ngrams(text_col, n).alias("_grams"))
+    exploded = grams.select("_id", F.explode("_grams").alias("_g"))
+    if max_ngram_df is not None:
+        rare = (
+            exploded.groupBy("_g")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_ngram_df)
+            .select("_g")
+        )
+        exploded = exploded.join(rare, "_g")
+    cand = (
+        exploded.alias("l")
+        .join(exploded.alias("r"), "_g")
+        .filter(F.col("l._id") < F.col("r._id"))
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .dropDuplicates()
+    )
+    ga = grams.select(F.col("_id").alias("id_a"), F.col("_grams").alias("_ga"))
+    gb = grams.select(F.col("_id").alias("id_b"), F.col("_grams").alias("_gb"))
+    inter = F.size(F.array_intersect("_ga", "_gb")).cast("double")
+    union = F.size(F.array_union("_ga", "_gb")).cast("double")
+    return (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --- embedding cosine near-dup ---------------------------------------------
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+def embedding_near_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Exact cosine near-dup pairs (brute force) — the correctness baseline.
+    O(n^2/2) comparisons; at scale use :func:`sign_lsh_near_pairs` to
+    bucket first. Vectors are cast to double so the fold order (left to
+    right over array elements) gives bit-stable sums."""
+    v = emb.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    a = v.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
+    b = v.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+    cos = _dot(F.col("_va"), F.col("_vb")) / (
+        F.sqrt(_dot(F.col("_va"), F.col("_va"))) * F.sqrt(_dot(F.col("_vb"), F.col("_vb")))
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def sign_lsh_bucket(vec_col: str | Column = "embedding", n_bits: int = 8) -> Column:
+    """Coordinate-sign LSH bucket id: bit j = sign(vec[j]). Deterministic,
+    engine-portable, and a valid random-hyperplane family when upstream
+    embeddings are mean-centered (axis-aligned hyperplanes)."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    bucket = None
+    for j in range(n_bits):
+        bit = F.when(F.element_at(c, j + 1) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket.cast("int")
+
+
+def sign_lsh_near_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_bits: int = 8,
+) -> DataFrame:
+    """Bucketed near-dup pairs: exact cosine computed only within each sign
+    bucket. Recall < 1 (pairs straddling a hyperplane are missed) but the
+    candidate count drops ~2^n_bits-fold; this is the 100 TB path."""
+    v = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        sign_lsh_bucket(vec_col, n_bits).alias("_bkt"),
+    )
+    a = v.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "_bkt")
+    b = v.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "_bkt")
+    cos = _dot(F.col("_va"), F.col("_vb")) / (
+        F.sqrt(_dot(F.col("_va"), F.col("_va"))) * F.sqrt(_dot(F.col("_vb"), F.col("_vb")))
+    )
+    return (
+        a.join(b, "_bkt")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

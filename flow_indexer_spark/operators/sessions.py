@@ -1,0 +1,54 @@
+"""Conversation/event sessionization (gap-based) via window functions.
+
+The reference buckets documents purely by filename time (db-per-month,
+/root/reference/flowindexer/util.go:12-26); a transcript pipeline also
+needs behavioral sessions: split a user's event stream wherever the gap
+between consecutive events exceeds a threshold, then aggregate per
+session. This is the classic lag + cumulative-sum pattern — two window
+passes over the SAME partitioning (user), so Spark shuffles once and both
+windows run in one sort within partitions.
+
+At skew risk: one hyperactive user key. The window partitions by user, so
+a single user's whole history must fit one task — acceptable for human
+users; for bot-scale keys, pre-split by (user, month) first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Assign session_id (0-based per user) by the gap rule."""
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    prev = F.lag(ts_col).over(w)
+    # exact microsecond gap (cast-to-long would truncate sub-second parts
+    # differently than SQL engines that round — unix_micros is unambiguous).
+    # NTZ columns need the cast; session tz is pinned UTC so it's linear.
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    gap_us = us(F.col(ts_col)) - us(prev)
+    new_sess = F.when(prev.isNull() | (gap_us > gap_minutes * 60 * 1_000_000), 1).otherwise(0)
+    return df.withColumn("session_id", F.sum(new_sess).over(w) - 1)
+
+
+def session_stats(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Per-user session summary: session count, longest session (events),
+    total events. One shuffle (the window partition), then an in-partition
+    re-aggregation — map-side combine applies to the final groupBy."""
+    s = sessionize(df, user_col, ts_col, gap_minutes)
+    per_sess = s.groupBy(user_col, "session_id").agg(F.count("*").alias("n_events"))
+    return per_sess.groupBy(user_col).agg(
+        F.count("*").alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+        F.sum("n_events").alias("total_events"),
+    )

@@ -1,0 +1,106 @@
+"""Similarity search over an embedding column (array<float>).
+
+The reference's closest analogue is its range query (CIDR scan over sorted
+keys, /root/reference/store/leveldb.go:154-189): "find neighbors of a probe
+in key space". Here key space is a vector space; the sorted-key range scan
+generalizes to bucketed candidate pruning.
+
+Two paths, same contract:
+- :func:`topk_cosine` — exact brute force. O(n) dots per probe; correct
+  baseline; fine when the probe set is small and the corpus scan is
+  column-pruned to (id, vector).
+- :func:`topk_cosine_bucketed` — coordinate-sign LSH prune with multiprobe
+  fallback; the 100 TB path (scan only matching buckets; bucket id is a
+  partition column of the stored table so Catalyst prunes files).
+
+All dot products are in-row ``zip_with``/``aggregate`` folds — JVM
+codegen, no Python, no shuffle until the final top-k (a TakeOrdered on k
+rows per partition).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from flow_indexer_spark.operators.dedup import sign_lsh_bucket
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def topk_cosine(
+    emb: DataFrame,
+    probe_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine to a literal probe vector.
+
+    The probe is a literal array column (no join at all); ``orderBy.limit``
+    compiles to TakeOrderedAndProject — each partition keeps k rows, the
+    driver merges, so no full sort and no wide shuffle.
+    """
+    q = F.array(*[F.lit(float(x)) for x in probe_vec])
+    v = F.col(vec_col).cast("array<double>")
+    return (
+        emb.withColumn("cosine", cosine(v, q))
+        .select(id_col, "cosine")
+        .orderBy(F.desc("cosine"), id_col)
+        .limit(k)
+    )
+
+
+def topk_cosine_bucketed(
+    emb: DataFrame,
+    probe_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 8,
+    multiprobe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate top-k: score only vectors whose sign-LSH bucket is
+    within ``multiprobe_hamming`` bit flips of the probe's bucket
+    (multiprobe widens recall; 1 + n_bits buckets scanned at distance<=1).
+    With the table partitioned by bucket, the ``isin`` filter becomes
+    partition pruning — the scan touches ~(1+n_bits)/2^n_bits of the data.
+    """
+    probe_bucket = 0
+    for j in range(n_bits):
+        if probe_vec[j] > 0:
+            probe_bucket |= 1 << j
+    buckets = {probe_bucket}
+    if multiprobe_hamming >= 1:
+        for j in range(n_bits):
+            buckets.add(probe_bucket ^ (1 << j))
+    q = F.array(*[F.lit(float(x)) for x in probe_vec])
+    v = F.col(vec_col).cast("array<double>")
+    return (
+        emb.withColumn("_bkt", sign_lsh_bucket(vec_col, n_bits))
+        .filter(F.col("_bkt").isin(*sorted(buckets)))
+        .withColumn("cosine", cosine(v, q))
+        .select(id_col, "cosine")
+        .orderBy(F.desc("cosine"), id_col)
+        .limit(k)
+    )
+
+
+def write_bucketed_embeddings(
+    emb: DataFrame, path: str, vec_col: str = "embedding", n_bits: int = 8
+) -> None:
+    """Materialize the IVF-style layout: embeddings partitioned by sign
+    bucket so bucketed probes are file-pruned scans (the analogue of the
+    postings table's sorted entity_key layout)."""
+    (
+        emb.withColumn("bucket", sign_lsh_bucket(vec_col, n_bits))
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )

@@ -1,0 +1,210 @@
+"""Dedup / similarity / textstats / sessionization operator tests.
+
+Mirrors the reference's differential-test strategy
+(/root/reference/backend/nfdump_test.go:30-55): every approximate /
+bucketed path is cross-checked against an exact brute-force twin on the
+same data, plus golden hand-built cases.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from flow_indexer_spark.operators.dedup import (
+    embedding_near_pairs,
+    exact_dedup_groups,
+    exact_dedup_keep,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    sign_lsh_near_pairs,
+    simhash,
+    simhash_near_pairs,
+    token_ngrams,
+)
+from flow_indexer_spark.operators.sessions import session_stats, sessionize
+from flow_indexer_spark.operators.similarity import topk_cosine, topk_cosine_bucketed
+from flow_indexer_spark.operators.textstats import quality_features
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=2, text="the quick brown fox jumps over the lazy dog"),  # exact dup
+        Row(doc_id=3, text="the quick brown fox jumps over the sleepy dog"),  # near dup
+        Row(doc_id=4, text="completely different content about spark engines"),
+        Row(doc_id=5, text="tiny"),  # < 3 tokens
+        Row(doc_id=6, text="dog lazy the over jumps fox brown quick the"),  # shuffled 1
+    ]
+    return spark.createDataFrame(rows).cache()
+
+
+def test_exact_dedup(docs):
+    groups = exact_dedup_groups(docs).collect()
+    by_hash = {r["text_hash"]: r for r in groups}
+    assert len(by_hash) == 5  # 1&2 collapse
+    dup = [r for r in groups if r["n_copies"] == 2]
+    assert len(dup) == 1 and dup[0]["keeper"] == 1
+    kept = {r["doc_id"] for r in exact_dedup_keep(docs).collect()}
+    assert kept == {1, 3, 4, 5, 6}
+
+
+def test_minhash_lsh_finds_exact_and_shuffled_dups(docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(docs).collect()}
+    # identical token sets hash identically in every band
+    assert (1, 2) in pairs
+    assert (1, 6) in pairs and (2, 6) in pairs  # shuffled copy: same token set
+    assert all(5 not in p for p in pairs)  # tiny doc shares no min-hash
+
+
+def test_simhash_identity_and_locality(docs):
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert sigs[1] == sigs[2] == sigs[6]  # token-set based: order-insensitive
+    ham_near = bin(sigs[1] ^ sigs[3]).count("1")
+    ham_far = bin(sigs[1] ^ sigs[4]).count("1")
+    assert ham_near < ham_far  # one-token edit is closer than disjoint text
+
+
+def test_simhash_banded_pairs_complete_vs_bruteforce(spark, docs):
+    """Pigeonhole: with 4 bands, banded candidates cover ALL pairs at
+    hamming <= 3 — compare against the O(n^2) exact join."""
+    sigs = simhash(docs).cache()
+    banded = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_near_pairs(sigs, max_hamming=3).collect()
+    }
+    a = sigs.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sa"))
+    b = sigs.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sb"))
+    brute = {
+        (r["id_a"], r["id_b"], r["h"])
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("h", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+        .filter(F.col("h") <= 3)
+        .collect()
+    }
+    assert banded == brute
+    sigs.unpersist()
+
+
+def test_token_ngrams_short_doc_guard(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="a b"), Row(doc_id=2, text="a b c d")]
+    )
+    rows = {r["doc_id"]: r["g"] for r in df.select("doc_id", token_ngrams("text", 3).alias("g")).collect()}
+    assert rows[1] == []
+    assert rows[2] == ["a b c", "b c d"]
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and pairs[(1, 3)] < 1.0  # near dup
+    assert all(4 not in k and 5 not in k for k in pairs)
+
+
+def test_ngram_jaccard_df_cap_drops_boilerplate(spark):
+    """Every doc shares the same boilerplate 3-gram; with the df cap below
+    the doc count, no candidates survive (the skew guard)."""
+    rows = [Row(doc_id=i, text=f"common header line unique{i} tail{i} z{i}") for i in range(10)]
+    df = spark.createDataFrame(rows)
+    assert ngram_jaccard_pairs(df, threshold=0.0, max_ngram_df=5).count() == 0
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(6, 16))
+    vecs = list(base)
+    # near-dup of vec 0: perturb only dims 8.. so the 8 sign-LSH bucket bits
+    # are untouched (perturbing dim 0 — value 0.0012 — flips the bucket: a
+    # real recall miss, which test_sign_lsh_subset_of_exact tolerates but
+    # the positive-case assertion must not depend on)
+    near = base[0].copy()
+    near[8:] += rng.normal(scale=0.01, size=8)
+    vecs.append(near)
+    rows = [
+        Row(vec_id=i, embedding=[float(x) for x in v], label=i % 2)
+        for i, v in enumerate(vecs)
+    ]
+    return spark.createDataFrame(rows).cache()
+
+
+def test_embedding_near_pairs_exact(emb):
+    pairs = {(r["id_a"], r["id_b"]) for r in embedding_near_pairs(emb, threshold=0.95).collect()}
+    assert pairs == {(0, 6)}
+
+
+def test_sign_lsh_subset_of_exact_and_finds_near_dup(emb):
+    exact = {(r["id_a"], r["id_b"]) for r in embedding_near_pairs(emb, threshold=0.5).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in sign_lsh_near_pairs(emb, threshold=0.5).collect()}
+    assert lsh <= exact
+    # a perturbed copy keeps every coordinate sign w.h.p. -> same bucket
+    assert (0, 6) in lsh
+
+
+def test_topk_cosine_matches_numpy(emb):
+    import numpy as np
+
+    rows = emb.collect()
+    probe = [float(x) for x in rows[0]["embedding"]]
+    got = [r["vec_id"] for r in topk_cosine(emb, probe, k=3).collect()]
+    m = {r["vec_id"]: np.array(r["embedding"], dtype=float) for r in rows}
+    q = np.array(probe)
+    sims = sorted(
+        ((v @ q) / (np.linalg.norm(v) * np.linalg.norm(q)), -i)
+        for i, v in m.items()
+    )[::-1]
+    want = [-i for _, i in sims[:3]]
+    assert got == want
+
+
+def test_topk_bucketed_contains_near_neighbors(emb):
+    probe = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+    got = [r["vec_id"] for r in topk_cosine_bucketed(emb, probe, k=3, n_bits=8).collect()]
+    assert got[0] == 0 and 6 in got  # self + perturbed copy both in probe bucket
+
+
+def test_sessionize_golden(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    mk = lambda m: t0 + dt.timedelta(minutes=m)  # noqa: E731
+    rows = [
+        Row(user_id=1, ts=mk(0)),
+        Row(user_id=1, ts=mk(10)),   # same session
+        Row(user_id=1, ts=mk(50)),   # 40min gap -> new session
+        Row(user_id=1, ts=mk(60)),
+        Row(user_id=2, ts=mk(5)),    # other user independent
+    ]
+    df = spark.createDataFrame(rows)
+    sess = {
+        (r["user_id"], r["ts"]): r["session_id"]
+        for r in sessionize(df, gap_minutes=30).collect()
+    }
+    assert sess == {
+        (1, mk(0)): 0,
+        (1, mk(10)): 0,
+        (1, mk(50)): 1,
+        (1, mk(60)): 1,
+        (2, mk(5)): 0,
+    }
+    stats = {r["user_id"]: r for r in session_stats(df, gap_minutes=30).collect()}
+    assert stats[1]["n_sessions"] == 2
+    assert stats[1]["max_session_events"] == 2
+    assert stats[1]["total_events"] == 4
+    assert stats[2]["n_sessions"] == 1
+
+
+def test_quality_features_ratios(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="the cat sat on the mat")])
+    r = quality_features(df).head()
+    assert r["n_tokens"] == 6
+    assert r["n_stopwords"] == 2  # 'the' twice
+    assert math.isclose(r["stopword_ratio"], 2 / 6)
+    assert math.isclose(r["mean_token_len"], len("the cat sat on the mat") / 6)
