@@ -1,0 +1,199 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Reference analogue: the pcap backend — binary payload decode to typed
+records (/root/reference/backend/pcap.go:17-54) and the subprocess
+backends that stream bytes through an external tool
+(/root/reference/backend/nfdump.go:16-51). A training-data pipeline holds
+media as opaque ``binary`` columns with typed metadata and runs decode /
+feature-extract / resize / frame-sample as Arrow-batched ``mapInPandas``
+stages.
+
+The actual codec work (PIL/ffmpeg/librosa) is NOT available in this
+environment, so the decode kernel is pluggable: ``real_decoder`` raises
+``NotImplementedError`` (clearly-marked stub), and
+``deterministic_fake_decoder`` derives stable pseudo-features from the
+payload bytes so the Spark-side plumbing — schema, batch shape,
+partitioning, UDF signature — is real and fully tested.
+
+Scale notes baked in:
+- media rows are wildly size-skewed (a 4 KB icon vs a 2 GB video);
+  :func:`repartition_by_payload_size` splits on cumulative byte budget so
+  one task never holds many giant blobs.
+- ``mapInPandas`` streams an *iterator* of Arrow batches — constant memory
+  per task regardless of partition row count; never collect the iterator.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: media table schema: opaque payload + typed metadata
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("kind", StringType(), False),  # image | audio | video
+        StructField("payload", BinaryType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("duration_ms", LongType(), True),
+        StructField("format", StringType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("kind", StringType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("payload_md5", StringType(), False),
+        StructField("mean_byte", DoubleType(), True),
+        StructField("feat_dim0", DoubleType(), True),
+        StructField("feat_dim1", DoubleType(), True),
+    ]
+)
+
+
+def real_decoder(payload: bytes, kind: str) -> dict:
+    """STUB — the genuine codec path. Needs PIL / ffmpeg / librosa, which
+    are not installed in this container. The signature and the schema it
+    must fill are fixed by FEATURE_SCHEMA."""
+    raise NotImplementedError(
+        "media codecs (PIL/ffmpeg/librosa) unavailable in this environment; "
+        "use deterministic_fake_decoder for plumbing tests"
+    )
+
+
+def deterministic_fake_decoder(payload: bytes, kind: str) -> dict:
+    """Deterministic stand-in: features derived purely from payload bytes
+    (stable across runs/machines), same output shape as real_decoder."""
+    import hashlib
+
+    md5 = hashlib.md5(payload).hexdigest()
+    mean = sum(payload) / len(payload) if payload else 0.0
+    return {
+        "mean_byte": mean,
+        "feat_dim0": int(md5[:8], 16) / 0xFFFFFFFF,
+        "feat_dim1": int(md5[8:16], 16) / 0xFFFFFFFF,
+    }
+
+
+def extract_media_features(
+    df: DataFrame,
+    decoder: Callable[[bytes, str], dict] = deterministic_fake_decoder,
+) -> DataFrame:
+    """Arrow-batched decode/feature-extract over the media table.
+
+    ``mapInPandas`` (not a scalar UDF) because decode is one-row-to-one-row
+    but needs whole-row access and per-batch amortized setup; the iterator
+    signature keeps memory at one Arrow batch per task.
+    """
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                decoder(bytes(p) if p is not None else b"", k)
+                for p, k in zip(pdf["payload"], pdf["kind"])
+            ]
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
+                    "payload_md5": [
+                        __import__("hashlib").md5(
+                            bytes(p) if p is not None else b""
+                        ).hexdigest()
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+            for c in ("mean_byte", "feat_dim0", "feat_dim1"):
+                out[c] = [f[c] for f in feats]
+            yield out
+
+    return df.mapInPandas(_decode, FEATURE_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: explode (media_id, frame_idx, frame_ms)
+    rows from metadata only — pure column math, no decode, no Python. The
+    actual frame grab would join this plan back to payloads inside a
+    mapInPandas decode stage."""
+    n_frames = (F.col("duration_ms") / every_ms).cast("int")
+    return (
+        df.filter(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
+        )
+        .withColumn("frame_ms", F.col("frame_idx") * every_ms)
+    )
+
+
+def resize_plan(df: DataFrame, max_side: int = 512) -> DataFrame:
+    """Resize *plan* for images: target dims preserving aspect ratio —
+    metadata-only column math; the pixel work is decoder territory."""
+    scale = F.least(
+        F.lit(1.0),
+        F.lit(max_side) / F.greatest(F.col("width"), F.col("height")).cast("double"),
+    )
+    return df.filter(F.col("kind") == "image").select(
+        "media_id",
+        "width",
+        "height",
+        F.round(F.col("width") * scale).cast("int").alias("target_width"),
+        F.round(F.col("height") * scale).cast("int").alias("target_height"),
+    )
+
+
+def repartition_by_payload_size(
+    df: DataFrame, target_bytes_per_partition: int = 128 * 1024 * 1024
+) -> DataFrame:
+    """Byte-budget repartitioning for size-skewed binary rows: total payload
+    bytes / budget -> partition count, then a round-robin repartition so
+    giant blobs spread instead of hashing into the same partition. (At
+    Iceberg scale the equivalent is write.target-file-size + a sort on
+    n_bytes descending for first-fit packing.)"""
+    total = df.select(F.sum(F.length("payload")).alias("b")).head()["b"] or 0
+    n = max(1, int(total // target_bytes_per_partition) + 1)
+    return df.repartition(n)
+
+
+def make_fake_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic synthetic media table (payload bytes from a seeded
+    generator) — the loggen analogue for the binary domain."""
+    import random
+
+    rng = random.Random(seed)
+    kinds = ["image", "audio", "video"]
+    rows = []
+    for i in range(n):
+        kind = kinds[i % 3]
+        size = rng.randint(64, 4096)
+        payload = bytes(rng.getrandbits(8) for _ in range(size))
+        rows.append(
+            {
+                "media_id": f"m{i:05d}",
+                "kind": kind,
+                "payload": payload,
+                "width": rng.choice([640, 1024, 1920]) if kind == "image" else None,
+                "height": rng.choice([480, 768, 1080]) if kind == "image" else None,
+                "sample_rate": 16000 if kind == "audio" else None,
+                "duration_ms": rng.randint(1000, 20000) if kind != "image" else None,
+                "format": {"image": "png", "audio": "wav", "video": "mp4"}[kind],
+            }
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

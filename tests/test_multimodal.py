@@ -1,0 +1,83 @@
+"""Multimodal plumbing tests: schema, Arrow batch shape, deterministic
+features, metadata-only plans, size-aware partitioning, and the
+clearly-marked real-decoder stub."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from flow_indexer_spark.operators.multimodal import (
+    FEATURE_SCHEMA,
+    MEDIA_SCHEMA,
+    deterministic_fake_decoder,
+    extract_media_features,
+    frame_sample_plan,
+    make_fake_media,
+    real_decoder,
+    repartition_by_payload_size,
+    resize_plan,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return make_fake_media(spark, n=48).cache()
+
+
+def test_media_schema(media):
+    assert media.schema == MEDIA_SCHEMA
+    assert media.count() == 48
+
+
+def test_feature_extraction_deterministic(spark, media):
+    feats = extract_media_features(media)
+    assert feats.schema == FEATURE_SCHEMA
+    rows = {r["media_id"]: r for r in feats.collect()}
+    assert len(rows) == 48
+    # cross-check one row against a local recompute (payload round-trips
+    # through Arrow binary unchanged)
+    src = {r["media_id"]: r for r in media.collect()}
+    for mid in ["m00000", "m00031"]:
+        payload = bytes(src[mid]["payload"])
+        want = deterministic_fake_decoder(payload, src[mid]["kind"])
+        got = rows[mid]
+        assert got["payload_md5"] == hashlib.md5(payload).hexdigest()
+        assert got["n_bytes"] == len(payload)
+        assert got["mean_byte"] == pytest.approx(want["mean_byte"])
+        assert got["feat_dim0"] == pytest.approx(want["feat_dim0"])
+
+
+def test_real_decoder_is_marked_stub():
+    with pytest.raises(NotImplementedError):
+        real_decoder(b"\x89PNG", "image")
+
+
+def test_frame_sample_plan_counts(spark, media):
+    plan = frame_sample_plan(media, every_ms=1000)
+    per = {r["media_id"]: r["n"] for r in plan.groupBy("media_id").count().withColumnRenamed("count", "n").collect()}
+    src = {r["media_id"]: r for r in media.filter("kind = 'video'").collect()}
+    assert set(per) == set(src)
+    for mid, r in src.items():
+        assert per[mid] == r["duration_ms"] // 1000
+    one = plan.filter("media_id = '" + next(iter(src)) + "'").orderBy("frame_idx").collect()
+    assert [r["frame_ms"] for r in one[:3]] == [0, 1000, 2000]
+
+
+def test_resize_plan_aspect_ratio(spark, media):
+    plans = resize_plan(media, max_side=512).collect()
+    assert plans  # images exist
+    for r in plans:
+        assert max(r["target_width"], r["target_height"]) <= 512
+        # aspect preserved within rounding
+        assert abs(
+            r["target_width"] / r["target_height"] - r["width"] / r["height"]
+        ) < 0.02
+
+
+def test_repartition_by_payload_size(spark, media):
+    # tiny budget -> many partitions; rows preserved
+    out = repartition_by_payload_size(media, target_bytes_per_partition=16 * 1024)
+    assert out.count() == 48
+    assert out.rdd.getNumPartitions() > 1
