@@ -50,11 +50,17 @@ def _key_range_filter(query: str):
                               (the reference's same-byte-length filter,
                               /root/reference/store/leveldb.go:170-174)
     'tool:NAME'/'role:NAME'-> point lookup in that class
+    'tool:PRE*'            -> prefix range scan (the CIDR-range analogue for
+                              name-keyed classes; StringStartsWith pushes
+                              down to the parquet scan like `between` does)
     """
-    if query.startswith("tool:"):
-        return F.col("entity_key") == query[5:], "tool"
-    if query.startswith("role:"):
-        return F.col("entity_key") == query[5:], "role"
+    for klass in ("tool", "role"):
+        prefix = f"{klass}:"
+        if query.startswith(prefix):
+            name = query[len(prefix):]
+            if name.endswith("*"):
+                return F.col("entity_key").startswith(name[:-1]), klass
+            return F.col("entity_key") == name, klass
     if "/" in query:
         lo, hi = cidr_to_key_range(query)
         family_len = V4_KEY_LEN if len(lo) == V4_KEY_LEN else V6_KEY_LEN

@@ -50,6 +50,11 @@ QUERY_TABLE = [
     ("tool:doc:", [("c2", 1)]),  # adversarial tool name round-trip
     ("tool:search", [("c1", 1)]),
     ("role:system", [("c3", 0)]),
+    # prefix range scans — the CIDR-range analogue for name-keyed classes
+    ("tool:sea*", [("c1", 1)]),
+    ("tool:doc*", [("c2", 1)]),
+    ("role:*", [("c1", 0), ("c1", 1), ("c2", 0), ("c2", 1), ("c3", 0)]),
+    ("tool:zzz*", []),
 ]
 
 
