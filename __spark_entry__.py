@@ -81,7 +81,7 @@ def _q_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flow_indexer_spark.operators.postings import build_postings
 
     t = synth_transcripts(spark, sf_dir)
-    postings = build_postings(extract_entities(t), n_salt=8)
+    postings = build_postings(extract_entities(t), n_salt=8, chunk_mode="salt")
     return (
         postings.select(
             "entity_class", "entity_key", F.explode("postings").alias("p")

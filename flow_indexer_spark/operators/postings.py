@@ -28,6 +28,7 @@ def build_postings(
     *,
     n_salt: int = 16,
     chunk_size: int | None = None,
+    chunk_mode: str | None = None,
     assume_unique: bool = True,
 ) -> DataFrame:
     """Salted skew-aware inverted-index aggregate.
@@ -55,6 +56,18 @@ def build_postings(
     elements) and is catastrophic on hot keys — measured 140s vs 5s on an
     8-key x 100k-posting skew case. With ``assume_unique=False`` the dedup
     happens up front as a scalable hash-shuffle dropDuplicates instead.
+
+    ``chunk_mode='salt'`` is the **scale path**: each salt bucket becomes
+    its own pre-sorted chunk row (entity_class, entity_key, chunk_id,
+    postings) and the final merge groupBy disappears — ONE shuffle total,
+    and a hot entity's list is sorted as n_salt parallel ~N/n_salt-element
+    sorts instead of one serial N-element sort (the serial tail that caps
+    scaling: a key present in ~every turn — the reference's dense-bitset
+    case, experiments/convert_to_msgpack.go:10-12 — is 10^12 elements at
+    target scale, impossible as one array row anyway). Postings are sorted
+    *within* each chunk; chunks of one entity interleave (salt is a hash of
+    the doc key), exactly like the reference's per-month DBs interleave
+    doc ids across stores. Query/explode semantics are unchanged.
     """
     if not assume_unique:
         extracted = extracted.dropDuplicates(
@@ -63,6 +76,18 @@ def build_postings(
     salted = extracted.withColumn(
         "_salt", F.pmod(F.hash("conv_id", "turn_idx"), F.lit(n_salt))
     )
+    if chunk_mode == "salt":
+        out = (
+            salted.groupBy("entity_class", "entity_key", "_salt")
+            .agg(
+                F.array_sort(F.collect_list(F.expr(POSTING_STRUCT))).alias("postings"),
+                F.min("ts").alias("ts_min"),
+                F.max("ts").alias("ts_max"),
+            )
+            .withColumnRenamed("_salt", "chunk_id")
+            .withColumn("ndocs", F.size("postings"))
+        )
+        return out
     partial = salted.groupBy("entity_class", "entity_key", "_salt").agg(
         F.collect_list(F.expr(POSTING_STRUCT)).alias("_p"),
         F.min("ts").alias("_ts_min"),
@@ -88,21 +113,51 @@ def build_postings(
     return out
 
 
-def write_postings(postings: DataFrame, path: str, mode: str = "overwrite") -> None:
+def entity_totals(postings: DataFrame) -> DataFrame:
+    """Per-entity totals over a (possibly chunked) postings table:
+    (entity_class, entity_key, ndocs). Cheap second-level aggregate — the
+    per-chunk rows are already tiny relative to the corpus."""
+    if "chunk_id" not in postings.columns:
+        return postings.select("entity_class", "entity_key", "ndocs")
+    return postings.groupBy("entity_class", "entity_key").agg(
+        F.sum("ndocs").alias("ndocs")
+    )
+
+
+def write_postings(
+    postings: DataFrame, path: str, mode: str = "overwrite", layout: str = "range"
+) -> None:
     """Routed, sorted sink for the postings table.
 
     Layout = the reference's per-class LevelDB roots + sorted keys
     (/root/reference/example_config.json:5-46, store/leveldb.go:85):
     partitioned by entity_class, files sorted by entity_key so Parquet
     min/max stats (and Iceberg sort order in production) make point/range
-    lookups file-skipping scans. repartition on entity_key ranges keeps one
-    writer per key range -> non-overlapping min/max across files.
+    lookups file-skipping scans.
 
-    The postings DataFrame is persisted around the write because
-    repartitionByRange samples its input to compute range bounds — without
-    persistence that sampling pass re-executes the whole upstream
-    extract+aggregate job a second time.
+    ``layout='range'``: repartitionByRange keeps one writer per key range
+    -> non-overlapping min/max across files (optimal pruning). Costs one
+    extra shuffle plus a persist (repartitionByRange samples its input to
+    compute bounds; without persistence the sampling pass re-executes the
+    whole upstream extract+aggregate job a second time).
+
+    ``layout='local'``: sort within the aggregation's existing hash
+    partitions and write directly — no extra shuffle, no persist. Files
+    are each sorted but their key ranges overlap across files; point
+    lookups still skip via bloom filters + row-group stats, range scans
+    prune less sharply. The ingest-throughput-optimal choice; compaction
+    (operators.compact, the Iceberg rewrite_data_files analogue) restores
+    the range layout offline.
     """
+    if layout == "local":
+        (
+            postings.sortWithinPartitions("entity_class", "entity_key")
+            .write.mode(mode)
+            .option("parquet.bloom.filter.enabled#entity_key", "true")
+            .partitionBy("entity_class")
+            .parquet(path)
+        )
+        return
     postings.persist()
     try:
         postings.count()

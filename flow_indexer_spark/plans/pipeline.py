@@ -44,6 +44,14 @@ class PipelineConfig:
     output_root: str
     n_salt: int = 16
     chunk_size: int | None = None
+    #: 'salt' (default, the scale path): postings stored as pre-sorted salt
+    #: chunks — one shuffle, no serial hot-key merge. None: single fully
+    #: merged sorted array per entity (small-scale / reference-identical).
+    chunk_mode: str | None = "salt"
+    #: postings file layout: 'range' (non-overlapping key ranges, extra
+    #: shuffle) or 'local' (sorted files, one less shuffle; compaction
+    #: restores range layout offline) — see write_postings.
+    postings_layout: str = "range"
     use_pandas_ip_extractor: bool = False
     incremental: bool = True
     extra: dict = field(default_factory=dict)
@@ -120,8 +128,11 @@ def run_ingest(
         routed_back.select("entity_class", "entity_key", "conv_id", "turn_idx", "ts"),
         n_salt=config.n_salt,
         chunk_size=config.chunk_size,
+        chunk_mode=config.chunk_mode,
     )
-    write_postings(postings, config.postings_path, mode="overwrite")
+    write_postings(
+        postings, config.postings_path, mode="overwrite", layout=config.postings_layout
+    )
     _mark("postings_index")
 
     # lineage metrics from the routed table (columnar scan, no recompute);

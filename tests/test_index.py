@@ -90,10 +90,16 @@ def test_postings_sorted_and_distinct(postings):
 
 
 def test_postings_match_pandas_oracle(postings, transcripts_pdf):
-    got = {
-        (r.entity_class, r.entity_key): [(p.conv_id, p.turn_idx) for p in r.postings]
-        for r in postings.select("entity_class", "entity_key", "postings").collect()
-    }
+    # pipeline postings are salt-chunked (scale path): reassemble per entity
+    merged = (
+        postings.select("entity_class", "entity_key", F.explode("postings").alias("p"))
+        .select("entity_class", "entity_key", "p.conv_id", "p.turn_idx")
+        .collect()
+    )
+    got: dict = {}
+    for r in merged:
+        got.setdefault((r.entity_class, r.entity_key), []).append((r.conv_id, r.turn_idx))
+    got = {k: sorted(v) for k, v in got.items()}
     want = postings_oracle(extract_oracle(transcripts_pdf))
     assert got == want
 

@@ -26,10 +26,12 @@ def split_source(spark, transcripts, tmp_path):
 
 
 def _postings_counts(spark, cfg):
+    from flow_indexer_spark.operators.postings import entity_totals
+
     df = spark.read.parquet(cfg.postings_path)
     return {
         (r["entity_class"], r["entity_key"]): r["ndocs"]
-        for r in df.select("entity_class", "entity_key", "ndocs").collect()
+        for r in entity_totals(df).collect()
     }
 
 
