@@ -948,6 +948,113 @@ def _q_quality_ratios(spark, sf_dir):
     return quality_features(d).orderBy("doc_id")
 
 
+# --- chunked-index totals, window top-k, AND-search, media plumbing ---------
+
+@_register(
+    "pipeline_entity_totals",
+    f"""
+    WITH t AS ({_SYNTH_SQL}),
+    ip AS (
+      SELECT 'ip' AS entity_class, {_SYNTH_IP_KEY_SQL} AS entity_key,
+             conv_id, turn_idx FROM t
+    ),
+    role AS (
+      SELECT 'role' AS entity_class, role AS entity_key, conv_id, turn_idx
+      FROM t WHERE role IS NOT NULL AND role <> ''
+    ),
+    all_e AS (
+      SELECT DISTINCT * FROM (SELECT * FROM ip UNION ALL SELECT * FROM role)
+    )
+    SELECT entity_class, entity_key, COUNT(*) AS ndocs
+    FROM all_e GROUP BY entity_class, entity_key
+    ORDER BY entity_class, entity_key
+    """,
+)
+def _q_pipeline_entity_totals(spark, sf_dir):
+    """Per-entity posting totals summed across salt chunks — proves the
+    chunked scale-path index carries exactly the reference per-entity
+    counts (A4 'Wrote N unique ips' analogue)."""
+    from flow_indexer_spark.functions.extractors import extract_entities
+    from flow_indexer_spark.operators.postings import build_postings, entity_totals
+
+    t = synth_transcripts(spark, sf_dir)
+    chunked = build_postings(extract_entities(t), n_salt=8, chunk_mode="salt")
+    return entity_totals(chunked).orderBy("entity_class", "entity_key")
+
+
+@_register(
+    "events_topk_per_user",
+    """
+    SELECT user_id, event_id, rnk FROM (
+      SELECT user_id, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id) AS rnk
+      FROM events
+    ) WHERE rnk <= 3 ORDER BY user_id, rnk
+    """,
+)
+def _q_events_topk_per_user(spark, sf_dir):
+    """Windowed per-group top-k (rank over partitioned sort)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), "event_id")
+    return (
+        ev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("user_id", "event_id", "rnk")
+        .orderBy("user_id", "rnk")
+    )
+
+
+@_register(
+    "docs_and_search",
+    """
+    SELECT doc_id FROM documents
+    WHERE list_contains(string_split(text, ' '), 'spark')
+      AND list_contains(string_split(text, ' '), 'table')
+    ORDER BY doc_id
+    """,
+)
+def _q_docs_and_search(spark, sf_dir):
+    """Multi-entity AND search (the intersect extension the reference
+    lacks, SURVEY §2.6): union per-entity hit lists, keep docs hit by
+    every query — same topology as queries.multi_entity_search."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    hits = None
+    for i, q in enumerate(["spark", "table"]):
+        h = (
+            toks.filter(F.col("token") == q)
+            .select("doc_id")
+            .distinct()
+            .withColumn("_q", F.lit(i))
+        )
+        hits = h if hits is None else hits.unionByName(h)
+    return (
+        hits.groupBy("doc_id")
+        .agg(F.count_distinct("_q").alias("_n"))
+        .filter(F.col("_n") == 2)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+@_register("media_feature_plumbing")  # no SQL oracle: binary mapInPandas path
+def _q_media_features(spark, sf_dir):
+    """Multimodal plumbing through the driver contract (rows-only check):
+    deterministic fake media -> Arrow-batched feature extraction. Binary
+    payload synthesis is not SQL-expressible; determinism is covered by
+    tests/test_multimodal.py against a local recompute."""
+    from flow_indexer_spark.operators.multimodal import (
+        extract_media_features,
+        make_fake_media,
+    )
+
+    media = make_fake_media(spark, n=96)
+    return extract_media_features(media).orderBy("media_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return dict(_QUERIES)
