@@ -227,20 +227,27 @@ def main() -> None:
     }
 
     if not args.no_scaling:
-        # best-of-k sessions per level: the sandbox host shows intermittent
-        # CPU steal (whole sessions land slow); min-wall per level is the
-        # least-noise estimate of the plan cost at that parallelism. The
-        # N=2 level is empirically stable (+/-2%), the 4N level absorbs the
-        # steal (+/-15%) — spend the retry budget there.
-        lo = max((_run_child(SCALING_N) for _ in range(2)), key=lambda r: r["turns_per_sec"])
-        hi = max((_run_child(SCALING_N * 4) for _ in range(4)), key=lambda r: r["turns_per_sec"])
-        eff = (hi["turns_per_sec"] / lo["turns_per_sec"]) / 4.0
+        # The sandbox host shows time-correlated CPU steal: whole multi-
+        # minute windows run ~2x slow, hitting whichever level runs then
+        # (observed efficiency draws 0.73-0.95 from the same binary).
+        # Measure in back-to-back (N, 4N) PAIRS so a slow window degrades
+        # both sides of one ratio, then take the median pair.
+        pairs = []
+        for _ in range(3):
+            lo_i = _run_child(SCALING_N)
+            hi_i = _run_child(SCALING_N * 4)
+            pairs.append(
+                (lo_i, hi_i, (hi_i["turns_per_sec"] / lo_i["turns_per_sec"]) / 4.0)
+            )
+        pairs.sort(key=lambda p: p[2])
+        lo, hi, eff = pairs[len(pairs) // 2]
         result["scaling"] = {
             "n_cpus": lo["cpus"],
             "n_turns_per_sec": lo["turns_per_sec"],
             "4n_cpus": hi["cpus"],
             "4n_turns_per_sec": hi["turns_per_sec"],
             "efficiency": round(eff, 3),
+            "all_pair_efficiencies": [round(p[2], 3) for p in pairs],
         }
 
     print(json.dumps(result))
