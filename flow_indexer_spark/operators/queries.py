@@ -180,3 +180,27 @@ def multi_entity_search(postings: DataFrame, queries: list[str]) -> DataFrame:
         .select("conv_id", "turn_idx")
         .orderBy("conv_id", "turn_idx")
     )
+
+
+def any_entity_search(postings: DataFrame, queries: list[str]) -> DataFrame:
+    """OR-search: turns containing ANY of the given entities (U1 union
+    semantics across queries instead of across partitions)."""
+    hit_sets = None
+    for q in queries:
+        h = search(postings, q)
+        hit_sets = h if hit_sets is None else hit_sets.unionByName(h)
+    return hit_sets.dropDuplicates().orderBy("conv_id", "turn_idx")
+
+
+def exclude_entity_search(
+    postings: DataFrame, include: str, exclude: list[str]
+) -> DataFrame:
+    """NOT-search: turns matching ``include`` but none of ``exclude`` —
+    left-anti join of hit lists (the reference has no except operator;
+    J2's anti-join shape reused at query time)."""
+    hits = search(postings, include)
+    for q in exclude:
+        hits = hits.join(
+            search(postings, q), on=["conv_id", "turn_idx"], how="left_anti"
+        )
+    return hits.orderBy("conv_id", "turn_idx")

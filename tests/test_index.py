@@ -149,3 +149,24 @@ def test_search_turns_roundtrip(spark, mini_postings):
     # per-turn text equality under stable ordering (north_rule invariant)
     assert rows[0].text == "saw 1.2.3.4 and 5.6.7.8"
     assert rows[1].text == "also 1.2.3.4 plus v6 2001:db8::1"
+
+
+def test_any_entity_or_search(mini_postings):
+    got = [
+        (r.conv_id, r.turn_idx)
+        for r in Q.any_entity_search(
+            mini_postings, ["5.6.7.8", "100.111.99.58"]
+        ).collect()
+    ]
+    assert got == [("c1", 0), ("c2", 0)]
+
+
+def test_exclude_entity_not_search(mini_postings):
+    # all turns with 1.2.3.4 except those also containing 5.6.7.8
+    got = [
+        (r.conv_id, r.turn_idx)
+        for r in Q.exclude_entity_search(
+            mini_postings, "1.2.3.4", ["5.6.7.8"]
+        ).collect()
+    ]
+    assert got == [("c1", 1)]
