@@ -1040,6 +1040,45 @@ def _q_docs_and_search(spark, sf_dir):
     )
 
 
+@_register(
+    "docs_or_search",
+    """
+    SELECT doc_id FROM documents
+    WHERE list_contains(string_split(text, ' '), 'spark')
+       OR list_contains(string_split(text, ' '), 'vector')
+    ORDER BY doc_id
+    """,
+)
+def _q_docs_or_search(spark, sf_dir):
+    """OR-search over the token index (hit-list union, U1/U2)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    hits = None
+    for q in ["spark", "vector"]:
+        h = toks.filter(F.col("token") == q).select("doc_id").distinct()
+        hits = h if hits is None else hits.unionByName(h)
+    return hits.dropDuplicates().orderBy("doc_id")
+
+
+@_register(
+    "docs_not_search",
+    """
+    SELECT doc_id FROM documents
+    WHERE list_contains(string_split(text, ' '), 'spark')
+      AND NOT list_contains(string_split(text, ' '), 'vector')
+    ORDER BY doc_id
+    """,
+)
+def _q_docs_not_search(spark, sf_dir):
+    """NOT-search: include-hits anti-joined against exclude-hits (the
+    J2 anti-join shape at query time — queries.exclude_entity_search)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    inc = toks.filter(F.col("token") == "spark").select("doc_id").distinct()
+    exc = toks.filter(F.col("token") == "vector").select("doc_id").distinct()
+    return inc.join(exc, "doc_id", "left_anti").orderBy("doc_id")
+
+
 @_register("media_feature_plumbing")  # no SQL oracle: binary mapInPandas path
 def _q_media_features(spark, sf_dir):
     """Multimodal plumbing through the driver contract (rows-only check):
