@@ -234,24 +234,31 @@ def main() -> None:
         # (observed efficiency draws 0.73-0.95 from the same binary).
         # Measure in back-to-back (N, 4N) PAIRS so a slow window degrades
         # both sides of one ratio, then take the median pair.
+        # Interference filter: host steal only ever *slows* a session, so a
+        # side >15% below its level's best across pairs was hit by noise;
+        # keep only pairs with both sides clean, median of those. Adaptive
+        # count: stop at 3 clean pairs (clean windows finish fast), extend
+        # up to 7 pairs when the window is noisy.
+        def _clean(pairs):
+            max_lo = max(p[0]["turns_per_sec"] for p in pairs)
+            max_hi = max(p[1]["turns_per_sec"] for p in pairs)
+            return [
+                p
+                for p in pairs
+                if p[0]["turns_per_sec"] >= 0.85 * max_lo
+                and p[1]["turns_per_sec"] >= 0.85 * max_hi
+            ]
+
         pairs = []
-        for _ in range(5):
+        while True:
             lo_i = _run_child(SCALING_N)
             hi_i = _run_child(SCALING_N * 4)
             pairs.append(
                 (lo_i, hi_i, (hi_i["turns_per_sec"] / lo_i["turns_per_sec"]) / 4.0)
             )
-        # interference filter: host steal only ever *slows* a session, so a
-        # side >15% below its level's best across pairs was hit by noise;
-        # keep only pairs with both sides clean, then take their median.
-        max_lo = max(p[0]["turns_per_sec"] for p in pairs)
-        max_hi = max(p[1]["turns_per_sec"] for p in pairs)
-        clean = [
-            p
-            for p in pairs
-            if p[0]["turns_per_sec"] >= 0.85 * max_lo
-            and p[1]["turns_per_sec"] >= 0.85 * max_hi
-        ] or pairs
+            if len(pairs) >= 7 or (len(pairs) >= 3 and len(_clean(pairs)) >= 3):
+                break
+        clean = _clean(pairs) or pairs
         clean.sort(key=lambda p: p[2])
         lo, hi, eff = clean[len(clean) // 2]
         result["scaling"] = {
