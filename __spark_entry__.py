@@ -912,7 +912,7 @@ def _q_ann_topk_bucketed(spark, sf_dir):
     per AS (SELECT user_id, session_id, COUNT(*) AS n_events
             FROM sess GROUP BY user_id, session_id)
     SELECT user_id, COUNT(*) AS n_sessions, MAX(n_events) AS max_session_events,
-           SUM(n_events) AS total_events
+           CAST(SUM(n_events) AS BIGINT) AS total_events
     FROM per GROUP BY user_id ORDER BY user_id
     """,
 )

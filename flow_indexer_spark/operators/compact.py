@@ -59,7 +59,11 @@ def compact_postings(
         .partitionBy(partition_col)
         .parquet(tmp_out)
     )
+    # local-POSIX-only swap (at S3/HDFS scale this is an Iceberg
+    # rewrite_data_files snapshot commit instead); clear any stale _old
+    # left by a prior crash-after-rename so the swap can't wedge.
     old = path.rstrip("/") + "_old"
+    shutil.rmtree(old, ignore_errors=True)
     os.rename(path, old)
     os.rename(tmp_out, path)
     shutil.rmtree(old, ignore_errors=True)

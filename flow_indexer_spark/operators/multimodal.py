@@ -133,12 +133,13 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     actual frame grab would join this plan back to payloads inside a
     mapInPandas decode stage."""
     n_frames = (F.col("duration_ms") / every_ms).cast("int")
+    # Guard the sequence: Spark defaults step to -1 when start > stop, so a
+    # short/null-duration video (n_frames == 0) would emit bogus frames
+    # [0, -1]. when() yields NULL for those and explode drops them.
+    frames = F.when(n_frames >= 1, F.sequence(F.lit(0), n_frames - 1))
     return (
         df.filter(F.col("kind") == "video")
-        .select(
-            "media_id",
-            F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
-        )
+        .select("media_id", F.explode(frames).alias("frame_idx"))
         .withColumn("frame_ms", F.col("frame_idx") * every_ms)
     )
 

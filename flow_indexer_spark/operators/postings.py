@@ -69,6 +69,12 @@ def build_postings(
     the doc key), exactly like the reference's per-month DBs interleave
     doc ids across stores. Query/explode semantics are unchanged.
     """
+    if chunk_mode == "salt" and chunk_size:
+        raise ValueError(
+            "chunk_size only applies to chunk_mode=None (merged arrays); "
+            "chunk_mode='salt' bounds chunk rows to ~N/n_salt postings by "
+            "construction — tune n_salt instead"
+        )
     if not assume_unique:
         extracted = extracted.dropDuplicates(
             ["entity_class", "entity_key", "conv_id", "turn_idx"]

@@ -23,9 +23,20 @@ def sessionize(
     user_col: str = "user_id",
     ts_col: str = "ts",
     gap_minutes: int = 30,
+    tiebreak_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Assign session_id (0-based per user) by the gap rule."""
-    w = Window.partitionBy(user_col).orderBy(ts_col)
+    """Assign session_id (0-based per user) by the gap rule.
+
+    The cumulative sum pins an explicit ROWS frame: the default window
+    frame is RANGE UNBOUNDED PRECEDING..CURRENT ROW, which on duplicate
+    (user, ts) rows gives every tied row the post-increment session_id —
+    diverging from engines (and our DuckDB oracle) that use ROWS.
+    ``tiebreak_cols`` makes lag ordering deterministic when ts ties are
+    possible (e.g. an event_id column).
+    """
+    order = [ts_col, *tiebreak_cols]
+    w = Window.partitionBy(user_col).orderBy(*order)
+    w_rows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     prev = F.lag(ts_col).over(w)
     # exact microsecond gap (cast-to-long would truncate sub-second parts
     # differently than SQL engines that round — unix_micros is unambiguous).
@@ -33,7 +44,7 @@ def sessionize(
     us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
     gap_us = us(F.col(ts_col)) - us(prev)
     new_sess = F.when(prev.isNull() | (gap_us > gap_minutes * 60 * 1_000_000), 1).otherwise(0)
-    return df.withColumn("session_id", F.sum(new_sess).over(w) - 1)
+    return df.withColumn("session_id", F.sum(new_sess).over(w_rows) - 1)
 
 
 def session_stats(

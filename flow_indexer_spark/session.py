@@ -59,4 +59,13 @@ def get_spark(
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
-    return builder.getOrCreate()
+    # S12 backend health check (reference Backend.Check,
+    # /root/reference/backend/backend.go:15): fail fast at session build if
+    # the Arrow stack / JVM the UDF stages need is missing, not task-time.
+    from flow_indexer_spark.health import check, check_arrow_stack, check_java
+
+    check_java()
+    check_arrow_stack()
+    spark = builder.getOrCreate()
+    check(spark)
+    return spark

@@ -34,7 +34,20 @@ def main() -> None:
     ap.add_argument("--input", required=True, help="transcripts parquet path/table")
     ap.add_argument("--output", required=True, help="index output root")
     ap.add_argument("--salt", type=int, default=16, help="postings agg salt buckets")
-    ap.add_argument("--chunk-size", type=int, default=None, help="posting chunk rows")
+    ap.add_argument(
+        "--chunk-size",
+        type=int,
+        default=None,
+        help="posting chunk rows; only valid with --chunk-mode none "
+        "(salt mode bounds chunks via --salt instead)",
+    )
+    ap.add_argument(
+        "--chunk-mode",
+        choices=["salt", "none"],
+        default="salt",
+        help="'salt' (default scale path: pre-sorted per-salt chunk rows) or "
+        "'none' (fully merged arrays; combine with --chunk-size to bound rows)",
+    )
     ap.add_argument("--no-incremental", action="store_true")
     ap.add_argument("--streaming", action="store_true", help="AvailableNow stream tick")
     ap.add_argument("--compact", action="store_true", help="compact postings after")
@@ -52,6 +65,7 @@ def main() -> None:
         output_root=args.output,
         n_salt=args.salt,
         chunk_size=args.chunk_size,
+        chunk_mode=None if args.chunk_mode == "none" else args.chunk_mode,
         incremental=not args.no_incremental,
     )
     if args.streaming:

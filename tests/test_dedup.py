@@ -201,6 +201,30 @@ def test_sessionize_golden(spark):
     assert stats[2]["n_sessions"] == 1
 
 
+def test_sessionize_duplicate_ts_rows_frame(spark):
+    """Duplicate (user, ts) rows: with the explicit ROWS frame the running
+    sum increments once per row in order, so tied rows at a session start
+    split as first-row-opens / peers-join (the RANGE default would give all
+    tied rows the post-increment id AND double-count new_sess on ties)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    mk = lambda m: t0 + dt.timedelta(minutes=m)  # noqa: E731
+    rows = [
+        Row(user_id=1, ts=mk(0)),
+        Row(user_id=1, ts=mk(0)),    # exact tie at stream start
+        Row(user_id=1, ts=mk(50)),   # gap -> new session
+        Row(user_id=1, ts=mk(50)),   # tie inside session 1 (lag=0 gap)
+    ]
+    df = spark.createDataFrame(rows)
+    got = sorted(
+        r["session_id"] for r in sessionize(df, gap_minutes=30).collect()
+    )
+    assert got == [0, 0, 1, 1]
+    stats = session_stats(df, gap_minutes=30).collect()[0]
+    assert stats["n_sessions"] == 2 and stats["total_events"] == 4
+
+
 def test_quality_features_ratios(spark):
     df = spark.createDataFrame([Row(doc_id=1, text="the cat sat on the mat")])
     r = quality_features(df).head()

@@ -65,6 +65,28 @@ def test_frame_sample_plan_counts(spark, media):
     assert [r["frame_ms"] for r in one[:3]] == [0, 1000, 2000]
 
 
+def test_frame_sample_plan_short_and_null_videos(spark):
+    """duration < every_ms (and null duration) must yield ZERO frames, not
+    the bogus [0, -1] a descending sequence would emit."""
+    from flow_indexer_spark.operators.multimodal import MEDIA_SCHEMA
+
+    rows = [
+        {"media_id": "short", "kind": "video", "payload": b"x", "width": None,
+         "height": None, "sample_rate": None, "duration_ms": 500, "format": "mp4"},
+        {"media_id": "nodur", "kind": "video", "payload": b"x", "width": None,
+         "height": None, "sample_rate": None, "duration_ms": None, "format": "mp4"},
+        {"media_id": "ok", "kind": "video", "payload": b"x", "width": None,
+         "height": None, "sample_rate": None, "duration_ms": 2500, "format": "mp4"},
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = frame_sample_plan(df, every_ms=1000).collect()
+    by_id = {}
+    for r in got:
+        by_id.setdefault(r["media_id"], []).append((r["frame_idx"], r["frame_ms"]))
+    assert "short" not in by_id and "nodur" not in by_id
+    assert sorted(by_id["ok"]) == [(0, 0), (1, 1000)]
+
+
 def test_resize_plan_aspect_ratio(spark, media):
     plans = resize_plan(media, max_side=512).collect()
     assert plans  # images exist
