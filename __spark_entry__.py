@@ -173,6 +173,53 @@ def _q_pipeline_routed_counts(spark, sf_dir):
     )
 
 
+_POSTINGS_ORACLE_SQL = f"""
+    WITH t AS ({_SYNTH_SQL}),
+    ip AS (
+      SELECT 'ip' AS entity_class, {_SYNTH_IP_KEY_SQL} AS entity_key,
+             conv_id, turn_idx
+      FROM t
+    ),
+    role AS (
+      SELECT 'role' AS entity_class, role AS entity_key, conv_id, turn_idx
+      FROM t WHERE role IS NOT NULL AND role <> ''
+    )
+    SELECT DISTINCT * FROM (SELECT * FROM ip UNION ALL SELECT * FROM role)
+    ORDER BY entity_class, entity_key, conv_id, turn_idx
+    """
+
+
+@_register("incremental_postings_merge", _POSTINGS_ORACLE_SQL)
+def _q_incremental_postings_merge(spark, sf_dir):
+    """O(delta) incremental-ingest equivalence, oracle-checked: ingest the
+    transcript corpus in TWO date-split batches through the real pipeline
+    (each batch builds postings from its own rows only and APPENDS salt
+    chunks under its batch dir — plans/pipeline.py), then explode the
+    accumulated chunk table; the result must equal the one-shot oracle
+    derivation. Reference semantics: incremental posting union
+    (/root/reference/store/leveldb.go:261-278) + per-doc idempotence
+    (/root/reference/flowindexer/index.go:17-24)."""
+    import tempfile
+
+    from flow_indexer_spark.plans.pipeline import PipelineConfig, run_ingest
+
+    t = synth_transcripts(spark, sf_dir)
+    dates = sorted(
+        r["d"]
+        for r in t.select(F.date_format("ts", "yyyy-MM-dd").alias("d")).distinct().collect()
+    )
+    cut = dates[len(dates) // 2]
+    cfg = PipelineConfig(output_root=tempfile.mkdtemp(prefix="fis_incmerge_"))
+    run_ingest(spark, t.filter(F.date_format("ts", "yyyy-MM-dd") < cut), cfg)
+    run_ingest(spark, t, cfg)
+    post = spark.read.parquet(cfg.postings_path)
+    return (
+        post.select("entity_class", "entity_key", F.explode("postings").alias("p"))
+        .select("entity_class", "entity_key", "p.conv_id", "p.turn_idx")
+        .orderBy("entity_class", "entity_key", "conv_id", "turn_idx")
+    )
+
+
 # --- inverted index over documents (A1/A2/A8/J3/P6/O2) ---------------------
 
 @_register(
@@ -1079,19 +1126,56 @@ def _q_docs_not_search(spark, sf_dir):
     return inc.join(exc, "doc_id", "left_anti").orderBy("doc_id")
 
 
-@_register("media_feature_plumbing")  # no SQL oracle: binary mapInPandas path
+@_register(
+    "media_feature_plumbing",
+    """
+    WITH m AS (
+      SELECT printf('m%05d', i) AS media_id,
+             ['image','audio','video'][CAST(i % 3 AS INTEGER)+1] AS kind,
+             4 + CAST(i % 13 AS INTEGER) AS n_blocks
+      FROM range(96) t(i)
+    ),
+    p AS (
+      SELECT media_id, kind,
+             list_aggregate(list_transform(range(n_blocks),
+                 j -> md5(media_id || ':' || CAST(j AS VARCHAR))), 'string_agg', '')
+               AS payload_hex
+      FROM m
+    ),
+    b AS (
+      SELECT media_id, kind, payload_hex,
+             list_transform(range(length(payload_hex)//2),
+                 k -> CAST('0x'||substr(payload_hex, CAST(2*k+1 AS INTEGER), 2)
+                      AS INTEGER)) AS bytes
+      FROM p
+    )
+    SELECT media_id, kind,
+           CAST(len(bytes) AS BIGINT) AS n_bytes,
+           CAST(list_sum(bytes) AS DOUBLE) / len(bytes) AS mean_byte,
+           substr(payload_hex, 1, 16) AS head_hex,
+           CAST(list_sum(list_transform(range(len(bytes)),
+                k -> bytes[k+1] * (k+1))) AS BIGINT) AS weighted_sum
+    FROM b ORDER BY media_id
+    """,
+)
 def _q_media_features(spark, sf_dir):
-    """Multimodal plumbing through the driver contract (rows-only check):
-    deterministic fake media -> Arrow-batched feature extraction. Binary
-    payload synthesis is not SQL-expressible; determinism is covered by
-    tests/test_multimodal.py against a local recompute."""
+    """Multimodal binary-column plumbing, value-checked end to end: the
+    payloads are a REAL BinaryType column (md5-chain bytes built JVM-side
+    via unhex), the probe runs through the Arrow-batched mapInPandas
+    decode stage, and the DuckDB oracle recomputes every byte-level
+    feature from the same hex chain — proving bytes cross the Arrow
+    boundary intact (pcap-backend analogue,
+    /root/reference/backend/pcap.go:17-54). The environment-blocked real
+    codec remains a marked stub (operators/multimodal.py real_decoder);
+    determinism of the RNG fixture path stays covered by
+    tests/test_multimodal.py."""
     from flow_indexer_spark.operators.multimodal import (
-        extract_media_features,
-        make_fake_media,
+        make_oracle_media,
+        media_probe_features,
     )
 
-    media = make_fake_media(spark, n=96)
-    return extract_media_features(media).orderBy("media_id")
+    media = make_oracle_media(spark, n=96)
+    return media_probe_features(media).orderBy("media_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

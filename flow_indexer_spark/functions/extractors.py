@@ -147,10 +147,17 @@ def extract_entities(
     *,
     use_pandas_ip_extractor: bool = False,
     carry_cols: tuple[str, ...] = ("conv_id", "turn_idx", "role", "text", "tool", "ts"),
+    keep_empty_turns: bool = False,
 ) -> DataFrame:
     """transcripts -> long-format entity rows, deduped per turn.
 
     Output: carry_cols + (entity_class, entity_key).
+
+    ``keep_empty_turns=True`` uses explode_outer so a turn with ZERO
+    extracted entities still yields one row (null entity_class/key) — the
+    pipeline uses this so the routed table retains every input turn and
+    per-partition turn counts can be derived from the routed read-back
+    without a separate input scan.
 
     - class 'ip':   IP-like tokens in ``text``; key = fixed-width hex
       (invalid candidates dropped).
@@ -205,8 +212,9 @@ def extract_entities(
         )
 
     entities = F.concat(tag("ip", ip_keys), tag("tool", tool_keys), tag("role", role_keys))
+    explode = F.explode_outer if keep_empty_turns else F.explode
     return (
-        base.withColumn("_e", F.explode(entities))
+        base.withColumn("_e", explode(entities))
         .withColumn("entity_class", F.col("_e.entity_class"))
         .withColumn("entity_key", F.col("_e.entity_key"))
         .drop("_e")

@@ -1,13 +1,15 @@
-"""Table maintenance: compaction of small files.
+"""Table maintenance: compaction of small files + posting-chunk folding.
 
 Reference analogue: LevelDB ``CompactRange`` after bulk indexing
 (/root/reference/store/leveldb.go:50-52, flowindexer/compact.go:7-13,
-cmd/compact.go:8-15). Incremental ingest appends one file set per batch;
-after many batches the postings/routed tables fragment into many small
-files, which at 100 TB scale means catalog pressure and poor scan
-locality. On Iceberg this is ``rewrite_data_files``; on plain parquet we
-rewrite partitions that exceed a file-count threshold, preserving the
-sorted-by-entity_key layout that makes range queries file-skipping scans.
+cmd/compact.go:8-15). Incremental ingest appends one batch directory of
+salt-chunk rows per run; after many batches the postings table fragments
+into many small files and many chunk rows per entity, which at 100 TB
+scale means catalog pressure and poor scan locality. On Iceberg this is
+``rewrite_data_files``; on plain parquet we rewrite the whole table into
+a single ``batch_id=compact-*`` directory, folding same-(entity, chunk)
+rows into one merged sorted row each, preserving the sorted-by-entity_key
+layout that makes range queries file-skipping scans.
 """
 
 from __future__ import annotations
@@ -15,8 +17,9 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+import uuid
 
-from pyspark.sql import SparkSession
+from pyspark.sql import SparkSession, functions as F
 
 
 def _parquet_file_count(path: str) -> int:
@@ -24,6 +27,28 @@ def _parquet_file_count(path: str) -> int:
     for root, _dirs, files in os.walk(path):
         n += sum(1 for f in files if f.endswith(".parquet"))
     return n
+
+
+def fold_posting_chunks(postings):
+    """Merge accumulated per-batch chunk rows: one row per
+    (entity_class, entity_key, chunk_id) with a single sorted posting
+    array — the offline merge step of the incremental-append design
+    (the reference's read-modify-write posting union,
+    /root/reference/store/leveldb.go:261-278, done as one batch groupBy).
+    Batches index disjoint documents, so flatten (no distinct) is exact;
+    a hot entity still merges as n_salt parallel chunk groups, not one
+    serial task. Non-chunked tables pass through unchanged."""
+    if "chunk_id" not in postings.columns:
+        return postings
+    return (
+        postings.groupBy("entity_class", "entity_key", "chunk_id")
+        .agg(
+            F.array_sort(F.flatten(F.collect_list("postings"))).alias("postings"),
+            F.min("ts_min").alias("ts_min"),
+            F.max("ts_max").alias("ts_max"),
+        )
+        .withColumn("ndocs", F.size("postings"))
+    )
 
 
 def compact_postings(
@@ -34,29 +59,34 @@ def compact_postings(
     sort_col: str = "entity_key",
     partition_col: str = "entity_class",
 ) -> dict:
-    """Rewrite the postings table if fragmented: read, range-repartition on
-    (partition, sort) keys, re-sort within partitions, atomic swap via a
-    sibling temp dir + rename. Returns {files_before, files_after,
-    compacted}.
+    """Rewrite the postings table if fragmented: read, fold chunk rows,
+    range-repartition on (partition, sort) keys, re-sort within
+    partitions, atomic swap via a sibling temp dir + rename. Returns
+    {files_before, files_after, compacted}.
 
     The rewrite preserves the write-layout invariants of
     ``write_postings``: one writer per key range -> non-overlapping
     parquet min/max on ``sort_col`` -> range queries keep skipping files.
+    The output lands under a fresh ``batch_id=compact-*`` directory —
+    ingest's orphan cleanup treats compact ids as always-published, so a
+    compacted table survives subsequent incremental runs.
     """
     before = _parquet_file_count(path)
     if before < min_files:
         return {"files_before": before, "files_after": before, "compacted": False}
 
     df = spark.read.parquet(path)
+    folded = fold_posting_chunks(df.drop("batch_id") if "batch_id" in df.columns else df)
+    out = folded.withColumn("batch_id", F.lit("compact-" + uuid.uuid4().hex[:8]))
     parent = os.path.dirname(os.path.abspath(path))
     tmp = tempfile.mkdtemp(prefix="_compact_", dir=parent)
     tmp_out = os.path.join(tmp, "data")
     (
-        df.repartitionByRange(partition_col, sort_col)
+        out.repartitionByRange(partition_col, sort_col)
         .sortWithinPartitions(sort_col)
         .write.mode("overwrite")
         .option(f"parquet.bloom.filter.enabled#{sort_col}", "true")
-        .partitionBy(partition_col)
+        .partitionBy("batch_id", partition_col)
         .parquet(tmp_out)
     )
     # local-POSIX-only swap (at S3/HDFS scale this is an Iceberg

@@ -127,6 +127,76 @@ def extract_media_features(
     return df.mapInPandas(_decode, FEATURE_SCHEMA)
 
 
+PROBE_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("kind", StringType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("mean_byte", DoubleType(), True),
+        StructField("head_hex", StringType(), True),
+        StructField("weighted_sum", LongType(), True),
+    ]
+)
+
+
+def make_oracle_media(spark, n: int = 64) -> DataFrame:
+    """Distributed synthetic media table whose ``binary`` payloads are an
+    md5 chain of the media id — deterministic AND re-derivable in plain SQL
+    (DuckDB oracle twin), unlike the seeded-RNG :func:`make_fake_media`.
+    payload(i) = unhex(concat_j md5(media_id || ':' || j)), j < 4 + i%13."""
+    return spark.range(n).select(
+        F.format_string("m%05d", F.col("id")).alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("id") % 3).cast("int") + 1,
+        ).alias("kind"),
+        F.unhex(
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(0), (4 + F.col("id") % 13).cast("int") - 1),
+                    lambda j: F.md5(
+                        F.concat(
+                            F.format_string("m%05d", F.col("id")),
+                            F.lit(":"),
+                            j.cast("string"),
+                        )
+                    ),
+                ),
+                "",
+            )
+        ).alias("payload"),
+    )
+
+
+def media_probe_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched byte-level probe over a (media_id, kind, payload)
+    table: length, mean byte, head bytes, position-weighted checksum —
+    features chosen to be recomputable by a SQL oracle from the payload
+    hex, so the binary-column mapInPandas plumbing itself (Arrow transfer
+    of bytes, batch iteration, schema) is value-checked end to end."""
+
+    def _probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [bytes(p) if p is not None else b"" for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": [len(p) for p in payloads],
+                    "mean_byte": [
+                        (sum(p) / len(p)) if p else None for p in payloads
+                    ],
+                    "head_hex": [p[:8].hex() if p else None for p in payloads],
+                    "weighted_sum": [
+                        sum(b * (k + 1) for k, b in enumerate(p)) if p else None
+                        for p in payloads
+                    ],
+                }
+            )
+
+    return df.mapInPandas(_probe, PROBE_SCHEMA)
+
+
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: explode (media_id, frame_idx, frame_ms)
     rows from metadata only — pure column math, no decode, no Python. The

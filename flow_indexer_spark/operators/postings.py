@@ -131,7 +131,11 @@ def entity_totals(postings: DataFrame) -> DataFrame:
 
 
 def write_postings(
-    postings: DataFrame, path: str, mode: str = "overwrite", layout: str = "range"
+    postings: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    layout: str = "range",
+    partition_cols: tuple[str, ...] = ("entity_class",),
 ) -> None:
     """Routed, sorted sink for the postings table.
 
@@ -160,7 +164,7 @@ def write_postings(
             postings.sortWithinPartitions("entity_class", "entity_key")
             .write.mode(mode)
             .option("parquet.bloom.filter.enabled#entity_key", "true")
-            .partitionBy("entity_class")
+            .partitionBy(*partition_cols)
             .parquet(path)
         )
         return
@@ -172,7 +176,7 @@ def write_postings(
             .sortWithinPartitions("entity_key")
             .write.mode(mode)
             .option("parquet.bloom.filter.enabled#entity_key", "true")
-            .partitionBy("entity_class")
+            .partitionBy(*partition_cols)
             .parquet(path)
         )
     finally:

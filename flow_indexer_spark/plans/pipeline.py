@@ -9,12 +9,23 @@ transcripts
   -> derive src_partition, anti-join ingest manifest        [resume, J2/T3]
   -> extract_entities (native regex + Arrow UDF normalize)  [S5/S6]
   -> enrich (broadcast dims)                                [J4]
-  -> routed sink: parquet/Iceberg partitioned by entity_class  [K2]
-  -> postings: salted groupBy -> sorted posting lists          [A2]
-  -> manifest append with per-partition lineage metrics     [north_rule]
+  -> routed sink: parquet/Iceberg batch dirs by entity_class   [K2]
+  -> postings: salted groupBy -> sorted posting-list chunks     [A2]
+  -> manifest append with per-partition lineage metrics     [publish]
 
 One linear DataFrame job graph with a single wide shuffle (the postings
 groupBy); the routed sink reuses the extraction output before the shuffle.
+
+Incremental scale contract (the reference's core value prop —
+store/leveldb.go:261-278 incremental posting union, flowindexer/index.go:
+17-24 per-doc idempotence): each batch builds postings **from that batch's
+rows only** and APPENDS new salt-chunk rows under its batch directory —
+O(delta) work per increment, never O(history). The salt-chunk layout
+merges at query time (explode/union — operators/postings.py), and
+``compact_postings`` folds accumulated chunks offline. Crash safety is
+write-audit-publish: data lands under uncommitted ``batch_id=`` dirs, the
+manifest append at the end publishes them, and the next run deletes any
+unpublished dirs before working (sources/manifest.py).
 """
 
 from __future__ import annotations
@@ -28,7 +39,10 @@ from flow_indexer_spark.operators.enrich import enrich
 from flow_indexer_spark.operators.postings import build_postings, write_postings
 from flow_indexer_spark.sources.manifest import (
     StageTimer,
+    clean_orphan_batches,
     commit_partitions,
+    committed_run_ids,
+    new_batch_id,
     pending_partitions,
     read_manifest,
     with_src_partition,
@@ -43,10 +57,15 @@ class PipelineConfig:
 
     output_root: str
     n_salt: int = 16
+    #: only with chunk_mode=None: slice merged arrays into fixed-size
+    #: chunk rows. Setting it alongside chunk_mode='salt' raises (salt
+    #: chunks are bounded via n_salt instead — see build_postings).
     chunk_size: int | None = None
     #: 'salt' (default, the scale path): postings stored as pre-sorted salt
-    #: chunks — one shuffle, no serial hot-key merge. None: single fully
-    #: merged sorted array per entity (small-scale / reference-identical).
+    #: chunks — one shuffle, no serial hot-key merge, and incremental
+    #: batches APPEND chunk rows (O(delta) per increment). None: single
+    #: fully merged sorted array per entity (small-scale /
+    #: reference-identical; incremental runs rebuild from full history).
     chunk_mode: str | None = "salt"
     #: postings file layout: 'range' (non-overlapping key ranges, extra
     #: shuffle) or 'local' (sorted files, one less shuffle; compaction
@@ -75,14 +94,27 @@ def run_ingest(
     config: PipelineConfig,
     tool_registry: DataFrame | None = None,
     role_taxonomy: DataFrame | None = None,
+    *,
+    use_manifest_antijoin: bool | None = None,
+    extra_manifest_rows: list[dict] | None = None,
 ) -> dict:
-    """Run one ingest batch. Returns metrics dict (turns/entities/wall_ms).
+    """Run one ingest batch. Returns metrics dict (turns/entities/errors).
 
-    Idempotent: partitions already 'done' in the manifest are skipped via
-    anti-join; a re-run over the same input is a no-op. Output tables are
-    rebuilt per batch from pending partitions and appended; at 100 TB scale
-    the same topology appends new Iceberg partitions and MERGEs postings
-    for affected entity ranges.
+    Idempotent two ways: partitions already 'done' in the manifest are
+    skipped via anti-join (resume), and a crashed batch's unpublished
+    output dirs are deleted before new work (retry). Single writer per
+    output_root assumed (the reference runs one daemon per config too).
+
+    ``use_manifest_antijoin`` overrides the date-level anti-join without
+    touching ``config.incremental`` — Structured Streaming's foreachBatch
+    sets it False because the checkpoint already delivers each file
+    exactly once, while the date-level unit would drop later same-day
+    batches (streaming/ingest.py).
+
+    ``extra_manifest_rows`` are committed atomically with this batch's
+    lineage rows (same manifest append, same run_id) — the streaming layer
+    uses them to publish per-file 'file_done' records (the reference's
+    HasDocument unit, /root/reference/store/leveldb.go:58-68).
     """
     timer = StageTimer()
     stage_ms: dict[str, int] = {}
@@ -93,79 +125,110 @@ def run_ingest(
         stage_ms[name] = now - last[0]
         last[0] = now
 
-    src = with_src_partition(transcripts)
-    if config.incremental:
-        manifest = read_manifest(spark, config.manifest_path)
-        src = pending_partitions(src, manifest)
+    run_id = new_batch_id()
+    manifest = read_manifest(spark, config.manifest_path)
+    clean_orphan_batches(
+        [config.routed_path, config.postings_path], committed_run_ids(manifest)
+    )
+    _mark("orphan_cleanup")
 
-    n_turns_by_part = {
-        r["src_partition"]: r["n"]
-        for r in src.groupBy("src_partition").agg(F.count("*").alias("n")).collect()
-    }
-    _mark("plan_and_count")
-    if not n_turns_by_part:
-        return {"skipped": True, "n_turns": 0, "n_entities": 0, "wall_ms": timer.ms()}
+    src = with_src_partition(transcripts)
+    antijoin = config.incremental if use_manifest_antijoin is None else use_manifest_antijoin
+    if antijoin:
+        src = pending_partitions(src, manifest)
 
     extracted = extract_entities(
         src,
         use_pandas_ip_extractor=config.use_pandas_ip_extractor,
         carry_cols=("conv_id", "turn_idx", "role", "text", "tool", "ts", "src_partition"),
+        keep_empty_turns=True,  # routed retains every turn -> exact lineage counts
     )
     routed = enrich(extracted, tool_registry, role_taxonomy)
 
-    # Routed sink first (pre-shuffle reuse of the extraction output).
+    # Routed sink first (pre-shuffle reuse of the extraction output): one
+    # pipelined scan of the input, landing under this run's batch dir.
     (
-        routed.write.mode("append")
-        .partitionBy("entity_class")
+        routed.withColumn("batch_id", F.lit(run_id))
+        .write.mode("append")
+        .partitionBy("entity_class", "batch_id")
         .parquet(config.routed_path)
     )
     _mark("extract_and_route")
 
-    # Postings index: read the routed rows back (columnar, pruned to the 5
-    # needed columns) so extraction isn't recomputed for the second sink.
-    routed_back = spark.read.parquet(config.routed_path)
+    # Everything downstream derives from the routed read-back (columnar,
+    # pruned to this batch's dirs) — no second scan of the raw input, no
+    # driver-side pre-count pass.
+    try:
+        routed_back = spark.read.parquet(config.routed_path)
+    except Exception:
+        return {"skipped": True, "n_turns": 0, "n_entities": 0, "n_errors": 0,
+                "wall_ms": timer.ms()}
+    batch_rows = routed_back.filter(F.col("batch_id") == run_id)
+
+    lineage = (
+        batch_rows.groupBy("src_partition")
+        .agg(
+            F.count_distinct("conv_id", "turn_idx").alias("n_turns"),
+            F.count("entity_key").alias("n_entities"),  # count() skips null rows
+            F.count_distinct(
+                F.when(F.col("ts").isNull(), F.struct("conv_id", "turn_idx"))
+            ).alias("n_errors"),
+        )
+        .collect()
+    )
+    _mark("lineage_metrics")
+    if not lineage:
+        return {"skipped": True, "n_turns": 0, "n_entities": 0, "n_errors": 0,
+                "wall_ms": timer.ms()}
+
+    # Postings index. Scale path (salt chunks + incremental): aggregate
+    # THIS batch only and append its chunk rows — O(delta). Merged-array
+    # mode can't append (one row per entity), so it rebuilds from history.
+    delta_mode = config.chunk_mode == "salt" and config.incremental
+    postings_src = (batch_rows if delta_mode else routed_back).filter(
+        F.col("entity_key").isNotNull()
+    )
     postings = build_postings(
-        routed_back.select("entity_class", "entity_key", "conv_id", "turn_idx", "ts"),
+        postings_src.select("entity_class", "entity_key", "conv_id", "turn_idx", "ts"),
         n_salt=config.n_salt,
         chunk_size=config.chunk_size,
         chunk_mode=config.chunk_mode,
     )
     write_postings(
-        postings, config.postings_path, mode="overwrite", layout=config.postings_layout
+        postings.withColumn("batch_id", F.lit(run_id)),
+        config.postings_path,
+        mode="append" if delta_mode else "overwrite",
+        layout=config.postings_layout,
+        partition_cols=("batch_id", "entity_class"),
     )
     _mark("postings_index")
 
-    # lineage metrics from the routed table (columnar scan, no recompute);
-    # restrict to this batch's partitions — routed accumulates across runs.
-    new_parts = list(n_turns_by_part)
-    ent_by_part = {
-        r["src_partition"]: r["n"]
-        for r in routed_back.filter(F.col("src_partition").isin(new_parts))
-        .groupBy("src_partition")
-        .agg(F.count("*").alias("n"))
-        .collect()
-    }
-    _mark("lineage_metrics")
     wall = timer.ms()
     metrics = [
         {
-            "src_partition": p,
-            "n_turns": n_turns_by_part[p],
-            "n_entities": ent_by_part.get(p, 0),
+            "src_partition": r["src_partition"],
+            "n_turns": r["n_turns"],
+            "n_entities": r["n_entities"],
+            "n_errors": r["n_errors"],
             "wall_ms": wall,
         }
-        for p in sorted(n_turns_by_part)
+        for r in sorted(lineage, key=lambda r: r["src_partition"])
     ]
-    run_id = commit_partitions(spark, config.manifest_path, metrics)
-    total_turns = sum(n_turns_by_part.values())
-    total_entities = sum(ent_by_part.values())
+    commit_partitions(
+        spark,
+        config.manifest_path,
+        metrics + list(extra_manifest_rows or []),
+        run_id=run_id,
+    )
+    total = lambda k: sum(m[k] for m in metrics)  # noqa: E731
     return {
         "skipped": False,
         "run_id": run_id,
         "n_partitions": len(metrics),
-        "n_turns": total_turns,
-        "n_entities": total_entities,
+        "n_turns": total("n_turns"),
+        "n_entities": total("n_entities"),
+        "n_errors": total("n_errors"),
         "wall_ms": wall,
         "stage_ms": stage_ms,
-        "turns_per_sec": total_turns / max(wall / 1000.0, 1e-9),
+        "turns_per_sec": total("n_turns") / max(wall / 1000.0, 1e-9),
     }

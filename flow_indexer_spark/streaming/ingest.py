@@ -26,7 +26,7 @@ indexall-vs-daemon split).
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+from pyspark.sql import SparkSession, functions as F
 from pyspark.sql.types import (
     IntegerType,
     StringType,
@@ -79,12 +79,46 @@ def stream_ingest(
     stream = reader.parquet(source_path)
 
     def _process(batch_df, batch_id: int) -> None:
+        # The checkpoint delivers each source file exactly once, so the
+        # date-level manifest anti-join must be OFF here: its unit of
+        # idempotence (UTC date) is coarser than the delivery unit (files),
+        # and the first micro-batch touching a date would mark it 'done'
+        # and silently drop every later same-day batch.
+        #
+        # Idempotence is instead per FILE — the reference's HasDocument
+        # unit (/root/reference/store/leveldb.go:58-68): rows from files
+        # already published as 'file_done' are dropped (covers checkpoint
+        # loss, where the source replays everything), and this batch's
+        # file list is committed atomically with its lineage rows. Crash
+        # retry within a checkpoint epoch is covered by run_ingest's
+        # orphan-batch cleanup (unpublished dirs deleted before rework).
+        from flow_indexer_spark.sources.manifest import read_manifest
+
+        man = read_manifest(spark, config.manifest_path)
+        done_files = (
+            man.filter(F.col("state") == "file_done")
+            .select(F.col("src_partition").substr(F.lit(6), F.lit(1 << 20)).alias("_src_file"))
+            .distinct()
+        )
+        b = batch_df.withColumn("_src_file", F.input_file_name()).join(
+            F.broadcast(done_files), "_src_file", "left_anti"
+        )
+        batch_files = [
+            r["_src_file"] for r in b.select("_src_file").distinct().collect()
+        ]
+        if not batch_files:
+            return
         run_ingest(
             spark,
-            batch_df,
+            b.drop("_src_file"),
             config,
             tool_registry=tool_registry,
             role_taxonomy=role_taxonomy,
+            use_manifest_antijoin=False,
+            extra_manifest_rows=[
+                {"src_partition": f"file:{f}", "state": "file_done"}
+                for f in sorted(batch_files)
+            ],
         )
 
     writer = (

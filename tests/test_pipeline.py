@@ -3,6 +3,7 @@ equality, enrich null path, manifest resume idempotence — the north_rule
 correctness criteria."""
 
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from flow_indexer_spark.generator import make_transcripts
@@ -90,10 +91,157 @@ def test_incremental_new_partition_only(spark, transcripts, dims, tmp_path):
     run_ingest(spark, transcripts, cfg_full, tr, rt)
     inc_post = spark.read.parquet(cfg.postings_path)
     full_post = spark.read.parquet(cfg_full.postings_path)
-    cols = ["entity_class", "entity_key", "postings"]
-    assert sorted(map(repr, inc_post.select(*cols).collect())) == sorted(
-        map(repr, full_post.select(*cols).collect())
+
+    # O(delta) evidence: each batch appended its OWN chunk dir — the second
+    # run did not rebuild/rewrite batch 1's postings from history.
+    assert {r["batch_id"] for r in inc_post.select("batch_id").distinct().collect()} == {
+        m1["run_id"],
+        m2["run_id"],
+    }
+
+    # Query-level equivalence: the union of per-batch salt chunks explodes
+    # to exactly the same posting set as the one-shot build (chunking is a
+    # storage layout, not a semantic).
+    def exploded(df):
+        return sorted(
+            map(
+                repr,
+                df.select(
+                    "entity_class", "entity_key", F.explode("postings").alias("p")
+                )
+                .select("entity_class", "entity_key", "p.conv_id", "p.turn_idx")
+                .collect(),
+            )
+        )
+
+    assert exploded(inc_post) == exploded(full_post)
+
+
+def _exploded_postings(df):
+    return sorted(
+        map(
+            repr,
+            df.select("entity_class", "entity_key", F.explode("postings").alias("p"))
+            .select("entity_class", "entity_key", "p.conv_id", "p.turn_idx")
+            .collect(),
+        )
     )
+
+
+@pytest.mark.parametrize("crash_stage", ["before_postings", "before_commit"])
+def test_kill_between_stages_resume(
+    spark, transcripts, dims, tmp_path, monkeypatch, crash_stage
+):
+    """SURVEY §5 item 6: kill between stages, re-run, counts unchanged.
+
+    Crash (a) after the routed append but before the postings write, and
+    (b) after both data writes but before the manifest commit. The crashed
+    attempt leaves unpublished batch dirs; the retry's orphan cleanup must
+    delete them so the final tables equal a clean one-shot run — the
+    reference's HasDocument re-index guard
+    (/root/reference/store/leveldb.go:58-68) at batch granularity."""
+    import flow_indexer_spark.plans.pipeline as pl
+
+    cfg = PipelineConfig(output_root=str(tmp_path / "crash"))
+    tr, rt = dims
+
+    boom = RuntimeError("injected crash")
+    if crash_stage == "before_postings":
+        monkeypatch.setattr(
+            pl, "write_postings", lambda *a, **k: (_ for _ in ()).throw(boom)
+        )
+    else:
+        monkeypatch.setattr(
+            pl, "commit_partitions", lambda *a, **k: (_ for _ in ()).throw(boom)
+        )
+    with pytest.raises(RuntimeError, match="injected crash"):
+        run_ingest(spark, transcripts, cfg, tr, rt)
+    monkeypatch.undo()
+
+    # orphan batch dirs exist on disk right now (the crash leftovers)
+    routed_files_crashed = spark.read.parquet(cfg.routed_path).count()
+    assert routed_files_crashed > 0
+
+    m = run_ingest(spark, transcripts, cfg, tr, rt)  # the retry
+    assert m["skipped"] is False
+
+    clean = PipelineConfig(output_root=str(tmp_path / "clean"))
+    run_ingest(spark, transcripts, clean, tr, rt)
+
+    assert (
+        spark.read.parquet(cfg.routed_path).count()
+        == spark.read.parquet(clean.routed_path).count()
+    )
+    assert _exploded_postings(spark.read.parquet(cfg.postings_path)) == (
+        _exploded_postings(spark.read.parquet(clean.postings_path))
+    )
+
+
+def test_error_records_accumulated(spark, transcripts, dims, tmp_path):
+    """Per-doc error accumulation (A7): rows whose ts can't be bucketed
+    route to the reserved _invalid_ts partition and surface as n_errors in
+    the lineage — mirroring the reference's filename→time error table
+    (/root/reference/flowindexer/flowindexer_test.go:205-228). The rows
+    are still indexed (time only feeds stats, like the reference)."""
+    from pyspark.sql import Row
+
+    bad = spark.createDataFrame(
+        [
+            Row(conv_id="conv-err", turn_idx=0, role="user",
+                text="bad row 203.0.113.99 here", tool="", ts=None),
+            Row(conv_id="conv-err", turn_idx=1, role="user",
+                text="another bad 203.0.113.99", tool="", ts=None),
+        ],
+        transcripts.schema,
+    )
+    cfg = PipelineConfig(output_root=str(tmp_path / "err"))
+    tr, rt = dims
+    m = run_ingest(spark, transcripts.unionByName(bad), cfg, tr, rt)
+    assert m["n_errors"] == 2
+    assert m["n_turns"] == transcripts.count() + 2
+
+    man = spark.read.parquet(cfg.manifest_path)
+    err_rows = man.filter(F.col("src_partition") == "_invalid_ts").collect()
+    assert len(err_rows) == 1
+    assert err_rows[0]["n_errors"] == 2 and err_rows[0]["n_turns"] == 2
+    # normal partitions report zero errors
+    assert man.filter(
+        (F.col("src_partition") != "_invalid_ts") & (F.col("n_errors") > 0)
+    ).count() == 0
+
+    # the bad rows ARE indexed and searchable
+    from flow_indexer_spark.operators.queries import search
+
+    hits = search(spark.read.parquet(cfg.postings_path), "203.0.113.99")
+    assert {(r["conv_id"], r["turn_idx"]) for r in hits.collect()} == {
+        ("conv-err", 0),
+        ("conv-err", 1),
+    }
+
+
+def test_zero_entity_turn_counted_and_retained(spark, transcripts, dims, tmp_path):
+    """A turn with null role/tool and entity-free text still lands in the
+    routed table (null entity_class) and is counted in n_turns — the
+    lineage counts derive from the routed read-back, so no turn may be
+    dropped by the entity explode."""
+    from pyspark.sql import Row
+
+    empty = spark.createDataFrame(
+        [Row(conv_id="conv-empty", turn_idx=0, role=None,
+             text="nothing interesting here", tool=None,
+             ts=transcripts.select("ts").first()["ts"])],
+        transcripts.schema,
+    )
+    cfg = PipelineConfig(output_root=str(tmp_path / "empty"))
+    tr, rt = dims
+    m = run_ingest(spark, transcripts.unionByName(empty), cfg, tr, rt)
+    assert m["n_turns"] == transcripts.count() + 1
+
+    routed = spark.read.parquet(cfg.routed_path)
+    row = routed.filter(F.col("conv_id") == "conv-empty").collect()
+    assert len(row) == 1 and row[0]["entity_class"] is None
+    # and it contributes zero entities: n_entities == non-null routed rows
+    assert m["n_entities"] == routed.filter(F.col("entity_key").isNotNull()).count()
 
 
 def test_lineage_records(spark, pipeline_out):

@@ -71,6 +71,34 @@ def test_stream_idempotent_after_checkpoint_loss(spark, split_source, tmp_path):
     assert _postings_counts(spark, cfg) == before
 
 
+def test_second_tick_same_date_not_dropped(spark, transcripts, tmp_path):
+    """Regression: new files whose rows fall on a date some earlier batch
+    already committed must STILL be indexed. A date-level anti-join inside
+    foreachBatch would silently drop them (the idempotence unit must match
+    the delivery unit — files, not dates)."""
+    src = str(tmp_path / "src")
+    # split WITHIN dates: even vs odd turn_idx — every date in part B was
+    # already committed by part A's tick
+    part_a = transcripts.filter(F.col("turn_idx") % 2 == 0)
+    part_b = transcripts.filter(F.col("turn_idx") % 2 == 1)
+    cfg = PipelineConfig(output_root=str(tmp_path / "out"))
+
+    part_a.coalesce(2).write.mode("append").parquet(src)
+    stream_ingest(spark, src, cfg)
+    part_b.coalesce(2).write.mode("append").parquet(src)
+    stream_ingest(spark, src, cfg)
+
+    full = PipelineConfig(output_root=str(tmp_path / "full_out"))
+    run_ingest(spark, transcripts, full)
+    assert _postings_counts(spark, cfg) == _postings_counts(spark, full)
+
+    # routed retains every turn exactly once
+    routed = spark.read.parquet(cfg.routed_path)
+    n_turns = routed.select("conv_id", "turn_idx").distinct().count()
+    assert n_turns == transcripts.count()
+    assert routed.count() == spark.read.parquet(full.routed_path).count()
+
+
 def test_stream_schema_is_input_hint(spark):
     names = [f.name for f in TRANSCRIPT_SCHEMA.fields]
     assert names == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
