@@ -809,28 +809,34 @@ def _q_dedup_simhash(spark, sf_dir):
     return simhash(d).orderBy("doc_id")
 
 
-_SIMHASH_BAND_JOIN = " OR ".join(
-    f"((a.simhash >> {b * 8}) & 255) = ((b.simhash >> {b * 8}) & 255)" for b in range(4)
-)
-
-
 @_register(
     "dedup_simhash_pairs",
     f"""
     WITH {_simhash_votes_sql()},
+    bands AS (
+      SELECT doc_id, CAST(b AS INTEGER) AS b,
+             (simhash >> (CAST(b AS INTEGER) * 8)) & 255 AS bkt
+      FROM sigs, range(4) t(b)
+    ),
+    ok AS (SELECT b, bkt FROM bands GROUP BY b, bkt HAVING COUNT(*) <= 1000),
+    okb AS (SELECT bands.* FROM bands JOIN ok USING (b, bkt)),
     cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-             a.simhash AS sa, b.simhash AS sb
-      FROM sigs a JOIN sigs b
-        ON a.doc_id < b.doc_id AND ({_SIMHASH_BAND_JOIN})
+      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+      FROM okb a JOIN okb c USING (b, bkt)
+      WHERE a.doc_id < c.doc_id
     )
-    SELECT id_a, id_b, bit_count(xor(sa, sb)) AS hamming
-    FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+    SELECT id_a, id_b, bit_count(xor(sa.simhash, sb.simhash)) AS hamming
+    FROM cand
+    JOIN sigs sa ON sa.doc_id = id_a
+    JOIN sigs sb ON sb.doc_id = id_b
+    WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
     ORDER BY id_a, id_b
     """,
 )
 def _q_dedup_simhash_pairs(spark, sf_dir):
-    """Banded SimHash near-dup pairs (pigeonhole candidate join)."""
+    """Banded SimHash near-dup pairs (pigeonhole candidate join, melted
+    one-join form, degenerate buckets > 1000 docs dropped on BOTH engines
+    — the skew cap is part of the operator's contract, not a fudge)."""
     from flow_indexer_spark.operators.dedup import (
         simhash,
         simhash_near_pairs,
@@ -838,7 +844,9 @@ def _q_dedup_simhash_pairs(spark, sf_dir):
     )
 
     d = _t(spark, sf_dir, "documents").filter(F.size(tokens("text")) > 0)
-    return simhash_near_pairs(simhash(d), max_hamming=3).orderBy("id_a", "id_b")
+    return simhash_near_pairs(simhash(d), max_hamming=3, max_bucket_df=1000).orderBy(
+        "id_a", "id_b"
+    )
 
 
 @_register(

@@ -69,21 +69,63 @@ def minhash_signature(text_col: str | Column = "text", n_bands: int = 4) -> list
     ]
 
 
+def _banded_candidate_pairs(
+    bands: DataFrame, max_bucket_df: int | None
+) -> DataFrame:
+    """Shared banded-LSH candidate join over melted (_id, _band, _bkt)
+    rows: ONE self-join on (band, bucket) covers every band (vs a union of
+    per-band joins — k fewer shuffles), with the skew guard the n-gram
+    path pioneered (``max_ngram_df``, :func:`ngram_jaccard_pairs`): a
+    degenerate bucket of B docs (boilerplate/near-empty texts all hashing
+    to one band value) would emit B^2 candidate rows, so buckets larger
+    than ``max_bucket_df`` are dropped from candidate generation entirely.
+    (Pairs whose every shared band is that common are overwhelmingly not
+    near-dups; at 100 TB the cap is what keeps the join output bounded.)"""
+    if max_bucket_df is not None:
+        ok = (
+            bands.groupBy("_band", "_bkt")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_bucket_df)
+            .select("_band", "_bkt")
+        )
+        bands = bands.join(ok, ["_band", "_bkt"])
+    left = bands.select(F.col("_id").alias("id_a"), "_band", "_bkt")
+    right = bands.select(F.col("_id").alias("id_b"), "_band", "_bkt")
+    return (
+        left.join(right, ["_band", "_bkt"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
+
+
 def minhash_lsh_pairs(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_bands: int = 4
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bands: int = 4,
+    max_bucket_df: int | None = 1000,
 ) -> DataFrame:
     """Near-dup candidate pairs: docs sharing ANY band bucket. The classic
-    shingle->minhash->band->bucket-join: per band, self-join on the band
-    value (shuffle on band hash — uniform by construction), union bands,
-    distinct pairs. Returns (id_a, id_b) with id_a < id_b."""
+    shingle->minhash->band->bucket-join, melted to one self-join across all
+    bands (shuffle on band hash — uniform by construction except for the
+    degenerate buckets ``max_bucket_df`` drops). Returns (id_a, id_b) with
+    id_a < id_b."""
     sigs = df.select(F.col(id_col).alias("_id"), *minhash_signature(text_col, n_bands))
-    pairs = None
-    for b in range(n_bands):
-        left = sigs.select(F.col("_id").alias("id_a"), F.col(f"band{b}").alias("_bkt"))
-        right = sigs.select(F.col("_id").alias("id_b"), F.col(f"band{b}").alias("_bkt"))
-        p = left.join(right, "_bkt").filter(F.col("id_a") < F.col("id_b")).drop("_bkt")
-        pairs = p if pairs is None else pairs.unionByName(p)
-    return pairs.dropDuplicates(["id_a", "id_b"])
+    bands = sigs.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("_band"), F.col(f"band{b}").alias("_bkt")
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("_e"),
+    ).select("_id", F.col("_e._band").alias("_band"), F.col("_e._bkt").alias("_bkt"))
+    return _banded_candidate_pairs(bands, max_bucket_df)
 
 
 # --- SimHash ---------------------------------------------------------------
@@ -127,24 +169,41 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     bits: int = 32,
     n_bands: int = 4,
+    max_bucket_df: int | None = 1000,
 ) -> DataFrame:
     """Banded SimHash near-pair generation: split the signature into
     ``n_bands`` contiguous bands; by pigeonhole, two sigs within
-    ``max_hamming <= n_bands - 1`` bits share at least one exact band, so a
-    per-band equality self-join finds all such pairs without a cross join.
-    Exact Hamming filter applied after the candidate join."""
+    ``max_hamming <= n_bands - 1`` bits share at least one exact band, so
+    one melted equality self-join across bands finds all such pairs
+    without a cross join. Exact Hamming filter applied after the candidate
+    join. ``max_bucket_df`` caps degenerate band buckets (see
+    :func:`_banded_candidate_pairs`) — note dropped buckets trade recall
+    for bounded work, exactly like the n-gram ``max_ngram_df`` guard."""
     band_bits = bits // n_bands
     mask = (1 << band_bits) - 1
     s = sigs.select(F.col(id_col).alias("_id"), F.col("simhash"))
-    pairs = None
-    for b in range(n_bands):
-        band = (F.shiftright("simhash", b * band_bits).bitwiseAND(F.lit(mask))).alias("_bkt")
-        left = s.select(F.col("_id").alias("id_a"), F.col("simhash").alias("sim_a"), band)
-        right = s.select(F.col("_id").alias("id_b"), F.col("simhash").alias("sim_b"), band)
-        p = left.join(right, "_bkt").filter(F.col("id_a") < F.col("id_b")).drop("_bkt")
-        pairs = p if pairs is None else pairs.unionByName(p)
+    bands = s.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("_band"),
+                        F.shiftright("simhash", b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("_bkt"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("_e"),
+    ).select("_id", F.col("_e._band").alias("_band"), F.col("_e._bkt").alias("_bkt"))
+    cand = _banded_candidate_pairs(bands, max_bucket_df)
+    sa = s.select(F.col("_id").alias("id_a"), F.col("simhash").alias("sim_a"))
+    sb = s.select(F.col("_id").alias("id_b"), F.col("simhash").alias("sim_b"))
     return (
-        pairs.dropDuplicates(["id_a", "id_b"])
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
         .withColumn("hamming", hamming64(F.col("sim_a"), F.col("sim_b")))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")

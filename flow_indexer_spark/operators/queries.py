@@ -196,11 +196,16 @@ def exclude_entity_search(
     postings: DataFrame, include: str, exclude: list[str]
 ) -> DataFrame:
     """NOT-search: turns matching ``include`` but none of ``exclude`` —
-    left-anti join of hit lists (the reference has no except operator;
+    the union of all exclude hit-lists anti-joined ONCE (one shuffle
+    instead of k chained anti-joins; the reference has no except operator,
     J2's anti-join shape reused at query time)."""
     hits = search(postings, include)
+    if not exclude:
+        return hits
+    excluded = None
     for q in exclude:
-        hits = hits.join(
-            search(postings, q), on=["conv_id", "turn_idx"], how="left_anti"
-        )
-    return hits.orderBy("conv_id", "turn_idx")
+        h = search(postings, q)
+        excluded = h if excluded is None else excluded.unionByName(h)
+    return hits.join(
+        excluded, on=["conv_id", "turn_idx"], how="left_anti"
+    ).orderBy("conv_id", "turn_idx")

@@ -60,6 +60,41 @@ def test_minhash_lsh_finds_exact_and_shuffled_dups(docs):
     assert all(5 not in p for p in pairs)  # tiny doc shares no min-hash
 
 
+def test_banded_lsh_bucket_cap_bounds_candidates(spark):
+    """Skew guard: one degenerate bucket (many docs with the SAME text ->
+    identical minhash bands AND identical simhash) must not explode into
+    B^2 candidate pairs — buckets above max_bucket_df are dropped, distinct
+    pairs still found among them."""
+    from pyspark.sql import Row
+
+    boiler = [Row(doc_id=i, text="lorem ipsum boilerplate footer text") for i in range(40)]
+    distinct = [
+        Row(doc_id=100, text="genuinely unique first content alpha beta"),
+        Row(doc_id=101, text="genuinely unique first content alpha beta"),  # dup of 100
+        Row(doc_id=102, text="entirely different second subject gamma delta"),
+    ]
+    df = spark.createDataFrame(boiler + distinct)
+
+    # uncapped: the boilerplate bucket alone yields C(40,2)=780 pairs
+    uncapped = minhash_lsh_pairs(df, max_bucket_df=None).count()
+    assert uncapped >= 780
+
+    capped = minhash_lsh_pairs(df, max_bucket_df=10)
+    pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (100, 101) in pairs          # real dup in a small bucket survives
+    assert not any(a < 40 and b < 40 for a, b in pairs)  # degenerate bucket dropped
+    assert capped.count() < 40          # bounded, nowhere near B^2
+
+    # same guard on the simhash path
+    sigs = simhash(df)
+    sim_capped = simhash_near_pairs(sigs, max_hamming=3, max_bucket_df=10)
+    sim_pairs = {(r["id_a"], r["id_b"]) for r in sim_capped.collect()}
+    assert (100, 101) in sim_pairs
+    assert not any(a < 40 and b < 40 for a, b in sim_pairs)
+    sim_uncapped = simhash_near_pairs(sigs, max_hamming=3, max_bucket_df=None).count()
+    assert sim_uncapped >= 780
+
+
 def test_simhash_identity_and_locality(docs):
     sigs = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
     assert sigs[1] == sigs[2] == sigs[6]  # token-set based: order-insensitive
