@@ -948,9 +948,9 @@ def _q_ann_topk_bucketed(spark, sf_dir):
 
 # --- sessionization (window functions) --------------------------------------
 
-@_register(
-    "sessionize_events",
-    """
+#: shared by sessionize_events (lag+cumsum) and sessionize_native
+#: (session_window) — both Spark paths must match this one oracle.
+_SESSIONIZE_ORACLE = """
     WITH s AS (
       SELECT user_id, ts,
              CASE WHEN lag(ts) OVER w IS NULL
@@ -969,14 +969,26 @@ def _q_ann_topk_bucketed(spark, sf_dir):
     SELECT user_id, COUNT(*) AS n_sessions, MAX(n_events) AS max_session_events,
            CAST(SUM(n_events) AS BIGINT) AS total_events
     FROM per GROUP BY user_id ORDER BY user_id
-    """,
-)
+    """
+
+
+@_register("sessionize_events", _SESSIONIZE_ORACLE)
 def _q_sessionize(spark, sf_dir):
     """Gap-based sessionization (30 min) + per-user session stats."""
     from flow_indexer_spark.operators.sessions import session_stats
 
     ev = _t(spark, sf_dir, "events")
     return session_stats(ev, gap_minutes=30).orderBy("user_id")
+
+
+@_register("sessionize_native", _SESSIONIZE_ORACLE)
+def _q_sessionize_native(spark, sf_dir):
+    """session_window scale path — same contract as sessionize_events
+    (dual implementations share one oracle, the nfdump-pair pattern)."""
+    from flow_indexer_spark.operators.sessions import session_stats_native
+
+    ev = _t(spark, sf_dir, "events")
+    return session_stats_native(ev, gap_minutes=30).orderBy("user_id")
 
 
 @_register(

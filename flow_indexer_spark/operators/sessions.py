@@ -63,3 +63,40 @@ def session_stats(
         F.max("n_events").alias("max_session_events"),
         F.sum("n_events").alias("total_events"),
     )
+
+
+def session_stats_native(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Scale-path twin of ``session_stats`` built on Spark's native
+    ``session_window`` aggregate instead of lag + cumulative sum.
+
+    Why a second implementation: the window-function path sorts each
+    user's FULL history inside one task (the one-user-one-task ceiling
+    noted in the module docstring); ``session_window`` runs as a hash
+    aggregate with in-partition session merging (UpdatingSessions), spills
+    via the aggregation machinery, and is the only form that also works
+    under Structured Streaming with watermark-based state eviction. The
+    two are differential-tested against each other (the reference keeps
+    dual nfdump implementations cross-checked the same way,
+    /root/reference/backend/nfdump_test.go:30-55).
+
+    Boundary semantics (verified empirically, pinned by
+    test_session_stats_native_differential): ``session_window`` merges an
+    event whose ts <= the current window end (ts_prev + gap) — i.e. the
+    INCLUSIVE gap <= threshold rule, identical to ``sessionize``. An
+    event 1 microsecond past the threshold starts a new session in both
+    paths, so no gap adjustment is needed.
+    """
+    gap = f"{gap_minutes} minutes"
+    per_sess = df.groupBy(
+        F.col(user_col), F.session_window(F.col(ts_col), gap)
+    ).agg(F.count("*").alias("n_events"))
+    return per_sess.groupBy(user_col).agg(
+        F.count("*").alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+        F.sum("n_events").alias("total_events"),
+    )

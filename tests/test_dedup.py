@@ -24,7 +24,11 @@ from flow_indexer_spark.operators.dedup import (
     simhash_near_pairs,
     token_ngrams,
 )
-from flow_indexer_spark.operators.sessions import session_stats, sessionize
+from flow_indexer_spark.operators.sessions import (
+    session_stats,
+    session_stats_native,
+    sessionize,
+)
 from flow_indexer_spark.operators.similarity import topk_cosine, topk_cosine_bucketed
 from flow_indexer_spark.operators.textstats import quality_features
 
@@ -258,6 +262,41 @@ def test_sessionize_duplicate_ts_rows_frame(spark):
     assert got == [0, 0, 1, 1]
     stats = session_stats(df, gap_minutes=30).collect()[0]
     assert stats["n_sessions"] == 2 and stats["total_events"] == 4
+
+
+def test_session_stats_native_differential(spark):
+    """Dual-implementation cross-check (nfdump-pair analogue): lag+cumsum
+    vs native session_window must agree — including on gaps EXACTLY at
+    the threshold, where the +1us gapDuration adjustment converts
+    session_window's exclusive window end into the inclusive gap rule."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    mk = lambda s: t0 + dt.timedelta(seconds=s)  # noqa: E731
+    rows = []
+    # deterministic pseudo-random gaps straddling the 30-min threshold
+    for user in range(1, 6):
+        t = 0
+        for i in range(40):
+            t += ((user * 7919 + i * 104729) % 3600) + 1
+            rows.append(Row(user_id=user, ts=mk(t)))
+    # exact-threshold gap (1800s): inclusive rule merges -> one session
+    rows += [Row(user_id=99, ts=mk(0)), Row(user_id=99, ts=mk(1800))]
+    # one microsecond past the threshold -> splits
+    rows += [
+        Row(user_id=98, ts=mk(0)),
+        Row(user_id=98, ts=mk(1800) + dt.timedelta(microseconds=1)),
+    ]
+    df = spark.createDataFrame(rows)
+    key = lambda rs: {  # noqa: E731
+        r["user_id"]: (r["n_sessions"], r["max_session_events"], r["total_events"])
+        for r in rs
+    }
+    a = key(session_stats(df, gap_minutes=30).collect())
+    b = key(session_stats_native(df, gap_minutes=30).collect())
+    assert a == b
+    assert a[99] == (1, 2, 2)  # threshold gap merged
+    assert a[98] == (2, 1, 2)  # threshold+1us split
 
 
 def test_quality_features_ratios(spark):
