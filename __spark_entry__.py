@@ -607,6 +607,56 @@ def _q_minhash(spark, sf_dir):
 
 
 @_register(
+    "dedup_clusters",
+    """
+    WITH RECURSIVE g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(tok) - 1, 1)),
+                 i -> array_to_string(list_slice(tok, i, i + 2), ' '))) AS grams
+      FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tok
+            FROM documents)
+      WHERE len(tok) >= 3
+    ),
+    e AS (SELECT doc_id, unnest(grams) AS gr FROM g),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM e a JOIN e b ON a.gr = b.gr AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT id_a AS a, id_b AS b
+      FROM cand JOIN g ga ON cand.id_a = ga.doc_id JOIN g gb ON cand.id_b = gb.doc_id
+      WHERE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+               / len(list_distinct(ga.grams || gb.grams)) >= 0.5
+    ),
+    edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+    reach(x, y) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT r.x, e2.v FROM reach r JOIN edges e2 ON r.y = e2.u
+    ),
+    comp AS (SELECT x AS doc_id, MIN(y) AS component FROM reach GROUP BY x)
+    SELECT d.doc_id,
+           COALESCE(c.component, d.doc_id) AS cluster_id,
+           (COALESCE(c.component, d.doc_id) = d.doc_id) AS is_keeper
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def _q_dedup_clusters(spark, sf_dir):
+    """Near-dup pairs (3-gram Jaccard >= 0.5) folded into connected
+    components (alternating large-star/small-star, O(log n) rounds) with
+    one keeper per cluster — the step that turns pair lists into an
+    actual deduped corpus. Oracle computes the same closure via a
+    recursive CTE (fine at sf scale; the star algorithm is the 100 TB
+    path)."""
+    from flow_indexer_spark.operators.dedup import ngram_jaccard_pairs, near_dup_clusters
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.5)
+    return near_dup_clusters(d, pairs).orderBy("doc_id")
+
+
+@_register(
     "text_quality",
     """
     SELECT doc_id,

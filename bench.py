@@ -151,7 +151,11 @@ def _bench_pipeline(spark, sf_dir: str, mult: int, cpus: int, runs: int = 3) -> 
 
 
 def _bench_queries(spark, sf_dir: str) -> dict:
-    """Headline operator queries (forced via count/collect)."""
+    """Headline operator queries (forced via collect), best-of-2 per
+    query: the first execution of anything after session boot is
+    dominated by one-time costs (JVM JIT, Python worker launch, parquet
+    footer cache) — measured 6x on token_postings (9.8 s cold, 1.5 s
+    warm) — so a single cold run measures warm-up, not the plan."""
     import __spark_entry__ as entry_mod
 
     names = [
@@ -170,9 +174,13 @@ def _bench_queries(spark, sf_dir: str) -> dict:
     qs = entry_mod.queries()
     out = {}
     for name in names:
-        t0 = time.monotonic()
-        qs[name](spark, sf_dir).collect()
-        out[name] = round(time.monotonic() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.monotonic()
+            qs[name](spark, sf_dir).collect()
+            wall = time.monotonic() - t0
+            best = wall if best is None else min(best, wall)
+        out[name] = round(best, 3)
     return out
 
 

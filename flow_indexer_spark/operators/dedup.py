@@ -274,6 +274,127 @@ def ngram_jaccard_pairs(
     )
 
 
+# --- near-dup clusters (connected components over candidate pairs) ---------
+
+def _cc_large_star(e: DataFrame) -> DataFrame:
+    """Large-star round: every neighbor v > u links to min(N(u) ∪ {u})."""
+    n = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = n.groupBy("u").agg(F.min("v").alias("minv"))
+    m = F.least(F.col("minv"), F.col("u"))
+    return (
+        n.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), m.alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _cc_small_star(e: DataFrame) -> DataFrame:
+    """Small-star round: orient edges u >= v; every smaller neighbor (and
+    u itself) links to min(smaller-neighbors ∪ {u})."""
+    n = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).distinct()
+    mins = n.groupBy("u").agg(F.min("v").alias("minv"))
+    relink = n.join(mins, "u").select(
+        F.col("v").alias("u"), F.col("minv").alias("v")
+    )
+    self_link = mins.select("u", F.col("minv").alias("v"))
+    return (
+        relink.union(self_link)
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected edge list via alternating
+    large-star / small-star rounds (Kiveris et al., "Connected Components
+    in MapReduce and Beyond" — the standard shuffle-based CC that
+    converges in O(log n) rounds regardless of component diameter, unlike
+    naive min-label propagation which needs O(diameter) rounds and dies
+    on path-shaped dup chains).
+
+    Per round: two groupBy-min + join shuffles, both keyed on node id
+    (high cardinality, unskewed after the first round collapses stars).
+    ``localCheckpoint`` truncates the lineage each round so the plan stays
+    O(1) deep; convergence is detected by an edge-set checksum
+    (count + bit_xor of xxhash64 — xor is order-independent and cannot
+    overflow under ANSI mode), one lightweight action per round.
+
+    Returns (node, component) where component = min node id reachable.
+    Nodes with no edges don't appear (callers union isolated ids back —
+    see :func:`near_dup_clusters`).
+    """
+    e = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _sig(d: DataFrame):
+        r = d.agg(
+            F.count("*").alias("n"), F.bit_xor(F.xxhash64("u", "v")).alias("h")
+        ).head()
+        return (r["n"], r["h"])
+
+    prev = _sig(e)
+    for _ in range(max_iter):
+        e = _cc_small_star(_cc_large_star(e)).localCheckpoint()
+        cur = _sig(e)
+        if cur == prev:
+            break
+        prev = cur
+    # at convergence every edge is (node -> component min); roots map to
+    # themselves. groupBy-min is a no-op then, but keeps the result well-
+    # defined if max_iter was hit before convergence.
+    nodes = e.select(F.col("u").alias("node"), F.col("v").alias("component")).union(
+        e.select(F.col("v").alias("node"), F.col("v").alias("component"))
+    )
+    return nodes.groupBy("node").agg(F.min("component").alias("component"))
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Fold near-dup candidate ``pairs`` (from any generator: minhash_lsh_
+    pairs, simhash_near_pairs, ngram_jaccard_pairs, embedding pairs) into
+    clusters and pick one keeper per cluster — the step that turns pair
+    lists into an actual deduped corpus.
+
+    Returns every doc with (cluster_id, is_keeper): docs untouched by any
+    pair are their own singleton cluster; keeper = min id in cluster
+    (stable/deterministic — swap in a quality-score argmax by joining a
+    score column and window-free max like exact_dedup_keep if desired).
+    One broadcast-size join against the CC output (components ≈ number of
+    dup-involved docs, a small fraction of the corpus at 100 TB).
+    """
+    comp = connected_components(pairs, src, dst, max_iter).withColumnRenamed(
+        "node", id_col
+    )
+    return (
+        df.select(id_col)
+        .join(comp, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("component", F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn("is_keeper", F.col(id_col) == F.col("cluster_id"))
+    )
+
+
 # --- embedding cosine near-dup ---------------------------------------------
 
 def _dot(a: Column, b: Column) -> Column:

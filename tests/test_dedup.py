@@ -264,6 +264,81 @@ def test_sessionize_duplicate_ts_rows_frame(spark):
     assert stats["n_sessions"] == 2 and stats["total_events"] == 4
 
 
+def test_connected_components_golden(spark):
+    """Path chain (worst case for label propagation), triangle, and a
+    2-node component; min node id becomes the component label."""
+    from flow_indexer_spark.operators.dedup import connected_components
+
+    edges = [
+        # path 1-2-3-4-5 (diameter 4 -> needs the star rounds to fold)
+        (1, 2), (2, 3), (3, 4), (4, 5),
+        # triangle 10-11-12 with duplicate + reversed edges
+        (10, 11), (11, 12), (12, 10), (11, 10),
+        # pair
+        (20, 21),
+    ]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {
+        r["node"]: r["component"] for r in connected_components(df).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_differential_union_find(spark):
+    """Pseudo-random graph vs a plain python union-find oracle."""
+    from flow_indexer_spark.operators.dedup import connected_components
+
+    edges = []
+    for i in range(300):
+        a = (i * 7919) % 97
+        b = (i * 104729 + 13) % 97
+        if a != b:
+            edges.append((a, b))
+    parent = list(range(97))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for a, b in edges:
+        for n in (a, b):
+            want[n] = find(n)
+    # canonicalize oracle labels to min-of-component
+    comp_min = {}
+    for n, c in want.items():
+        comp_min[c] = min(comp_min.get(c, n), n)
+    want = {n: comp_min[c] for n, c in want.items()}
+
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {
+        r["node"]: r["component"] for r in connected_components(df).collect()
+    }
+    assert got == want
+
+
+def test_near_dup_clusters_keeper(spark):
+    from flow_indexer_spark.operators.dedup import near_dup_clusters
+
+    docs = spark.createDataFrame([(i,) for i in range(6)], ["doc_id"])
+    pairs = spark.createDataFrame([(1, 2), (2, 4)], ["id_a", "id_b"])
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["is_keeper"])
+        for r in near_dup_clusters(docs, pairs).collect()
+    }
+    assert got == {
+        0: (0, True), 1: (1, True), 2: (1, False), 3: (3, True),
+        4: (1, False), 5: (5, True),
+    }
+
+
 def test_session_stats_native_differential(spark):
     """Dual-implementation cross-check (nfdump-pair analogue): lag+cumsum
     vs native session_window must agree — including on gaps EXACTLY at
