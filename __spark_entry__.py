@@ -657,6 +657,54 @@ def _q_dedup_clusters(spark, sf_dir):
 
 
 @_register(
+    "curation_hash_split",
+    """
+    SELECT doc_id,
+           CASE WHEN bucket < 9000 THEN 'train'
+                WHEN bucket < 9500 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id,
+             CAST('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 10000 AS bucket
+      FROM documents
+    ) ORDER BY doc_id
+    """,
+)
+def _q_curation_hash_split(spark, sf_dir):
+    """Deterministic train/val/test assignment (90/5/5): hash-bucket mod
+    10000 carved into cumulative ranges — in-row, rand()-free, identical
+    across engines and re-runs."""
+    from flow_indexer_spark.operators.curation import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    return hash_split(d).select("doc_id", "split").orderBy("doc_id")
+
+
+@_register(
+    "curation_source_cap",
+    """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY CAST('0x' || substr(md5('cap' || CAST(doc_id AS VARCHAR)), 1, 8)
+                        AS BIGINT), doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 50 ORDER BY doc_id
+    """,
+)
+def _q_curation_source_cap(spark, sf_dir):
+    """Per-source quota sampling (max 50 docs/source, deterministic hash
+    order) — domain balancing; prefilter=True is the hot-group scale path
+    (differential-tested in test_curation.py)."""
+    from flow_indexer_spark.operators.curation import per_group_cap
+
+    d = _t(spark, sf_dir, "documents")
+    return per_group_cap(d, "source", n=50).select("doc_id", "source").orderBy("doc_id")
+
+
+@_register(
     "text_quality",
     """
     SELECT doc_id,

@@ -1,0 +1,103 @@
+"""Corpus curation: deterministic splits and per-group quota sampling.
+
+Training-data pipelines need two operations the reference never had
+(its corpus is logs, not training corpora) but that sit naturally next
+to the dedup suite: assigning every document to a train/val/test split,
+and capping how many documents any one group (source/domain/language)
+contributes — both MUST be deterministic (re-runs and backfills land
+every doc in the same split) and driver-free (no rand(), no collect).
+
+Both use the md5-derived 32-bit hash from operators.dedup so the DuckDB
+oracle twins in ``__spark_entry__`` compute bit-identical assignments;
+swap xxhash64 in at production scale, topology unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from flow_indexer_spark.operators.dedup import md5_int32
+
+#: hash-space resolution for split fractions (1e-4 granularity)
+_BUCKETS = 10_000
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Assign a deterministic split label per row: bucket =
+    hash(salt || id) mod 10000, carved into cumulative weight ranges.
+
+    Pure in-row projection (no shuffle, no rand()): the same id always
+    lands in the same split across runs, machines, and engines — the
+    property that keeps eval sets untainted across corpus rebuilds.
+    Weights are normalized; the last split absorbs rounding remainder.
+    """
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    bucket = md5_int32(F.concat(F.lit(salt), F.col(id_col).cast("string"))) % _BUCKETS
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total * _BUCKETS
+        cond = bucket < int(round(acc))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (
+        F.lit(names[0]) if expr is None else expr.otherwise(names[-1])
+    )
+    return df.withColumn("split", expr)
+
+
+def per_group_cap(
+    df: DataFrame,
+    group_col: str = "source",
+    n: int = 100,
+    order_col: str | None = None,
+    id_col: str = "doc_id",
+    salt: str = "cap",
+    prefilter: bool = False,
+) -> DataFrame:
+    """Keep at most ``n`` rows per group — domain/source balancing.
+
+    Selection order is ``order_col`` if given (keep the "best" n by that
+    column ascending), else a deterministic hash shuffle (uniform sample
+    without rand()); ``id_col`` breaks ties so the kept set is unique.
+
+    The exact path is one row_number window per group — each group sorts
+    within one task, fine for bounded groups. ``prefilter=True`` is the
+    hot-group scale path: join per-group counts (one partial-agg shuffle)
+    and pre-prune to the smallest hash prefix expected to hold ~4n rows
+    before the window, so a 10^9-row group sorts only ~4n survivors in
+    its window task instead of 10^9. The prefilter keeps every row of
+    groups <= 4n and is ordering-consistent with the final window (both
+    use the hash), so exact-vs-prefilter results are identical whenever
+    >= n rows pass the prefilter — expected 4n pass, so the failure
+    probability is Chernoff-small (< e^-n); differential-tested.
+    """
+    h = md5_int32(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    order = [F.col(order_col), F.col(id_col)] if order_col else [h, F.col(id_col)]
+    work = df
+    if prefilter and order_col is None:
+        counts = df.groupBy(group_col).agg(F.count("*").alias("_gn"))
+        # keep hash < threshold scaled so ~4n rows survive per group;
+        # h is uniform on [0, 2^32)
+        thresh = (
+            F.when(F.col("_gn") <= F.lit(4 * n), F.lit(1 << 32))
+            .otherwise((F.lit(float(4 * n)) / F.col("_gn")) * F.lit(float(1 << 32)))
+            .cast("bigint")
+        )
+        work = (
+            df.join(counts, group_col)
+            .filter(h < thresh)
+            .drop("_gn")
+        )
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        work.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )

@@ -1,0 +1,78 @@
+"""Curation operators: deterministic hash split + per-group cap."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from flow_indexer_spark.operators.curation import hash_split, per_group_cap
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        Row(doc_id=i, source=f"s{i % 5}", score=(i * 37) % 101)
+        for i in range(400)
+    ]
+    return spark.createDataFrame(rows).cache()
+
+
+def test_hash_split_deterministic_and_complete(docs):
+    a = {r["doc_id"]: r["split"] for r in hash_split(docs).collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(docs).collect()}
+    assert a == b  # rerun-stable
+    assert set(a.values()) <= {"train", "val", "test"}
+    # ~90/5/5 with hash noise at n=400
+    n = len(a)
+    frac_train = sum(1 for s in a.values() if s == "train") / n
+    assert 0.8 < frac_train < 0.97
+    assert all(s in ("train", "val", "test") for s in a.values())
+
+
+def test_hash_split_disjoint_under_different_salt(docs):
+    a = {r["doc_id"]: r["split"] for r in hash_split(docs, salt="A").collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(docs, salt="B").collect()}
+    assert a != b  # salt actually changes the assignment
+
+
+def test_per_group_cap_exact(docs):
+    kept = per_group_cap(docs, "source", n=10)
+    per = {
+        r["source"]: r["n"]
+        for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert per == {f"s{i}": 10 for i in range(5)}
+    # deterministic: same kept set on rerun
+    ids1 = sorted(r["doc_id"] for r in kept.collect())
+    ids2 = sorted(r["doc_id"] for r in per_group_cap(docs, "source", n=10).collect())
+    assert ids1 == ids2
+
+
+def test_per_group_cap_order_col_keeps_best(docs):
+    kept = per_group_cap(docs, "source", n=3, order_col="score")
+    worst_kept = kept.groupBy("source").agg(F.max("score").alias("mx")).collect()
+    full = {
+        r["source"]: r["scores"]
+        for r in docs.groupBy("source")
+        .agg(F.sort_array(F.collect_list("score")).alias("scores"))
+        .collect()
+    }
+    for r in worst_kept:
+        assert r["mx"] == full[r["source"]][2]  # 3rd-smallest score per group
+
+
+def test_per_group_cap_prefilter_differential(docs):
+    exact = sorted(r["doc_id"] for r in per_group_cap(docs, "source", n=7).collect())
+    pre = sorted(
+        r["doc_id"]
+        for r in per_group_cap(docs, "source", n=7, prefilter=True).collect()
+    )
+    assert exact == pre
+
+
+def test_per_group_cap_small_groups_untouched(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=i, source="only") for i in range(4)]
+    )
+    assert per_group_cap(df, "source", n=10).count() == 4
+    assert per_group_cap(df, "source", n=10, prefilter=True).count() == 4
