@@ -170,3 +170,20 @@ def test_exclude_entity_not_search(mini_postings):
         ).collect()
     ]
     assert got == [("c1", 1)]
+
+
+def test_class_entity_counts_approx_within_rsd(spark):
+    """HLL++ per-class unique counts land within ~3*rsd of exact."""
+    from flow_indexer_spark.operators.postings import class_entity_counts_approx
+
+    rows = [
+        ("ip", f"k{i % 350}") for i in range(2000)
+    ] + [("tool", f"t{i % 47}") for i in range(500)] + [("role", None)]
+    routed = spark.createDataFrame(rows, ["entity_class", "entity_key"])
+    got = {
+        r["entity_class"]: r["n_entities_approx"]
+        for r in class_entity_counts_approx(routed, rsd=0.02).collect()
+    }
+    assert set(got) == {"ip", "tool"}  # null-key rows excluded
+    assert abs(got["ip"] - 350) <= 350 * 0.06
+    assert abs(got["tool"] - 47) <= max(47 * 0.06, 2)
