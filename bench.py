@@ -65,6 +65,14 @@ def _session(cpus: int, shuffle_partitions: int | None = None):
     # cluster data volumes, parallelism-destroying at bench scale (measured
     # 2.4x on the postings agg). Scale the advisory size to the data.
     conf["spark.sql.adaptive.advisoryPartitionSizeInBytes"] = "4m"
+    # Same scale-to-data reasoning for file splits: the routed read-back is
+    # ~300 MB in ~400 small files; the default 128 MB maxPartitionBytes +
+    # 4 MB openCostInBytes coalesces it into ~12 read tasks — wave-
+    # quantized at 8+ cores (2 waves, second half-idle) while 2 cores pack
+    # perfectly, which reads as anti-scaling. A cluster reading TB has
+    # thousands of natural splits; model that with finer splits here.
+    conf["spark.sql.files.maxPartitionBytes"] = "16m"
+    conf["spark.sql.files.openCostInBytes"] = "1m"
     if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
         import atexit
 

@@ -153,11 +153,16 @@ def extract_entities(
 
     Output: carry_cols + (entity_class, entity_key).
 
-    ``keep_empty_turns=True`` uses explode_outer so a turn with ZERO
+    ``keep_empty_turns=True`` uses posexplode_outer so a turn with ZERO
     extracted entities still yields one row (null entity_class/key) — the
-    pipeline uses this so the routed table retains every input turn and
-    per-partition turn counts can be derived from the routed read-back
-    without a separate input scan.
+    pipeline uses this so the routed table retains every input turn — and
+    adds a ``_turn_head`` boolean marking exactly ONE row per input turn
+    (the first exploded entity, or the null row). Per-partition turn and
+    error counts then reduce to ``sum(_turn_head)`` — a map-side-combined
+    sum, not a ``count_distinct(conv_id, turn_idx)`` whose expand+shuffle
+    is O(turns) bytes (measured 2.5x-vs-3.7x stage scaling at 2->8 cores
+    against the extract stage — the distinct was the non-scaling part of
+    lineage derivation).
 
     - class 'ip':   IP-like tokens in ``text``; key = fixed-width hex
       (invalid candidates dropped).
@@ -212,10 +217,17 @@ def extract_entities(
         )
 
     entities = F.concat(tag("ip", ip_keys), tag("tool", tool_keys), tag("role", role_keys))
-    explode = F.explode_outer if keep_empty_turns else F.explode
+    if not keep_empty_turns:
+        return (
+            base.withColumn("_e", F.explode(entities))
+            .withColumn("entity_class", F.col("_e.entity_class"))
+            .withColumn("entity_key", F.col("_e.entity_key"))
+            .drop("_e")
+        )
     return (
-        base.withColumn("_e", explode(entities))
+        base.select("*", F.posexplode_outer(entities).alias("_pos", "_e"))
         .withColumn("entity_class", F.col("_e.entity_class"))
         .withColumn("entity_key", F.col("_e.entity_key"))
-        .drop("_e")
+        .withColumn("_turn_head", F.coalesce(F.col("_pos") == 0, F.lit(True)))
+        .drop("_e", "_pos")
     )

@@ -165,14 +165,17 @@ def run_ingest(
                 "wall_ms": timer.ms()}
     batch_rows = routed_back.filter(F.col("batch_id") == run_id)
 
+    # All three metrics are plain conditional sums (no distinct aggs): the
+    # extraction marks exactly one row per input turn (_turn_head), so the
+    # lineage pass is a 3-column pruned scan + map-side-combined partial
+    # aggregation — shuffle bytes O(partitions), not O(turns).
+    head = F.col("_turn_head")
     lineage = (
         batch_rows.groupBy("src_partition")
         .agg(
-            F.count_distinct("conv_id", "turn_idx").alias("n_turns"),
+            F.sum(head.cast("long")).alias("n_turns"),
             F.count("entity_key").alias("n_entities"),  # count() skips null rows
-            F.count_distinct(
-                F.when(F.col("ts").isNull(), F.struct("conv_id", "turn_idx"))
-            ).alias("n_errors"),
+            F.sum((head & F.col("ts").isNull()).cast("long")).alias("n_errors"),
         )
         .collect()
     )

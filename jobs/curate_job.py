@@ -1,0 +1,121 @@
+"""spark-submit entry point for corpus curation: dedup -> cap -> split.
+
+The training-data companion to ingest_job: take a documents table, drop
+exact + near duplicates (keeper per connected near-dup cluster), cap any
+one source's contribution, assign deterministic train/val/test splits,
+and write the curated corpus partitioned by split.
+
+    spark-submit --py-files flow_indexer_spark.zip jobs/curate_job.py \
+        --input /path/to/documents_parquet \
+        --output /path/to/curated \
+        [--jaccard 0.5] [--ngram 3] [--source-cap 100000] \
+        [--train 0.9 --val 0.05 --test 0.05]
+
+Local smoke run:
+
+    python jobs/curate_job.py --input <parquet> --output /tmp/curated --cpus 8
+
+Every stage is a documented scale path: exact dedup is one hash shuffle,
+near-dup candidates are inverted-index joins with a document-frequency
+skew cap, clustering is O(log n) star rounds, the source cap ships at
+most n rows per group per map task (WindowGroupLimit), and the split is
+an in-row hash — no rand(), no driver loops, rerun-stable end to end.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="flow_indexer_spark curation job")
+    ap.add_argument("--input", required=True, help="documents parquet path")
+    ap.add_argument("--output", required=True, help="curated corpus output root")
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--source-col", default="source")
+    ap.add_argument("--ngram", type=int, default=3, help="near-dup shingle size")
+    ap.add_argument("--jaccard", type=float, default=0.5, help="near-dup threshold")
+    ap.add_argument(
+        "--max-ngram-df", type=int, default=1000, help="n-gram skew cap (candidate gen)"
+    )
+    ap.add_argument(
+        "--source-cap", type=int, default=None, help="max docs per source (omit = no cap)"
+    )
+    ap.add_argument("--train", type=float, default=0.9)
+    ap.add_argument("--val", type=float, default=0.05)
+    ap.add_argument("--test", type=float, default=0.05)
+    ap.add_argument("--cpus", type=int, default=None, help="local[N] (omit on cluster)")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from flow_indexer_spark.session import get_spark
+    from flow_indexer_spark.operators.curation import hash_split, per_group_cap
+    from flow_indexer_spark.operators.dedup import (
+        exact_dedup_keep,
+        near_dup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    spark = get_spark(
+        app_name="flow-indexer-curate",
+        master=f"local[{args.cpus}]" if args.cpus else None,
+    )
+    docs = spark.read.parquet(args.input)
+    n_input = docs.count()
+
+    # 1. exact dedup (hash groupBy keeper)
+    docs = exact_dedup_keep(docs, args.id_col, args.text_col)
+
+    # 2. near-dup clusters -> keepers only
+    pairs = ngram_jaccard_pairs(
+        docs,
+        args.id_col,
+        args.text_col,
+        n=args.ngram,
+        threshold=args.jaccard,
+        max_ngram_df=args.max_ngram_df,
+    )
+    clusters = near_dup_clusters(docs, pairs, args.id_col)
+    docs = docs.join(
+        clusters.filter("is_keeper").select(args.id_col), args.id_col, "left_semi"
+    )
+
+    # 3. per-source quota (optional)
+    if args.source_cap:
+        docs = per_group_cap(
+            docs, args.source_col, n=args.source_cap, id_col=args.id_col,
+            prefilter=True,
+        )
+
+    # 4. deterministic split assignment + routed write
+    weights = {"train": args.train, "val": args.val, "test": args.test}
+    curated = hash_split(docs, args.id_col, weights)
+    curated.write.mode("overwrite").partitionBy("split").parquet(args.output)
+
+    out = spark.read.parquet(args.output)
+    per_split = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    print(
+        json.dumps(
+            {
+                "n_input": n_input,
+                "n_curated": sum(per_split.values()),
+                "per_split": per_split,
+                "output": args.output,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
