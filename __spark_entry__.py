@@ -657,6 +657,87 @@ def _q_dedup_clusters(spark, sf_dir):
 
 
 @_register(
+    "top_distinctive_terms",
+    """
+    WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                        x -> x <> '')) AS term FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+    dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    s AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+                 CAST(tf.tf AS DOUBLE) / dfq.df AS score
+          FROM tf JOIN dfq USING (term)),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                    ORDER BY score DESC, term ASC) AS rank FROM s)
+    SELECT doc_id, term, tf, df, score, rank
+    FROM r WHERE rank <= 3 ORDER BY doc_id, rank
+    """,
+)
+def _q_top_distinctive_terms(spark, sf_dir):
+    """Per-doc top-3 distinctive terms by df-normalized term frequency
+    (TF-IDF shape with a rational score — one IEEE division, no libm
+    variance between engines)."""
+    from flow_indexer_spark.operators.textstats import top_distinctive_terms
+
+    d = _t(spark, sf_dir, "documents")
+    return top_distinctive_terms(d, k=3).orderBy("doc_id", "rank")
+
+
+@_register(
+    "embedding_label_centroids",
+    """
+    WITH v AS (SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings),
+    m AS (SELECT label, i, e[i] AS val
+          FROM v, UNNEST(generate_series(1, len(e))) AS t(i))
+    SELECT label, i - 1 AS dim, AVG(val) AS centroid
+    FROM m GROUP BY label, i ORDER BY label, dim
+    """,
+)
+def _q_embedding_label_centroids(spark, sf_dir):
+    """Per-label centroids (IVF coarse-quantizer training / class
+    prototypes), long format: one groupBy(label, dim) average —
+    shuffle O(labels x dims), never O(vectors)."""
+    from flow_indexer_spark.operators.similarity import label_centroids
+
+    e = _t(spark, sf_dir, "embeddings")
+    return label_centroids(e).orderBy("label", "dim")
+
+
+@_register(
+    "session_percentiles",
+    """
+    WITH s AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+      FROM s
+    ),
+    per AS (SELECT user_id, session_id, COUNT(*) AS n_events
+            FROM sess GROUP BY user_id, session_id)
+    SELECT quantile_cont(n_events, 0.5) AS p50,
+           quantile_cont(n_events, 0.9) AS p90,
+           quantile_cont(n_events, 0.99) AS p99,
+           MAX(n_events) AS max_events
+    FROM per
+    """,
+)
+def _q_session_percentiles(spark, sf_dir):
+    """Session-length distribution: exact interpolated percentiles
+    (Spark percentile == quantile_cont semantics) + max."""
+    from flow_indexer_spark.operators.sessions import session_length_percentiles
+
+    ev = _t(spark, sf_dir, "events")
+    return session_length_percentiles(ev, gap_minutes=30)
+
+
+@_register(
     "curation_hash_split",
     """
     SELECT doc_id,

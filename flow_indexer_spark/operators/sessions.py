@@ -100,3 +100,28 @@ def session_stats_native(
         F.max("n_events").alias("max_session_events"),
         F.sum("n_events").alias("total_events"),
     )
+
+
+def session_length_percentiles(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Corpus-wide session-length distribution: exact interpolated
+    percentiles (Spark ``percentile`` == SQL quantile_cont semantics:
+    sorted, idx = p*(n-1), linear interpolation) of events-per-session,
+    plus max. Exact (not approx_percentile) so the result is
+    engine-portable; at 100 TB swap in approx_percentile and accept the
+    documented error bound."""
+    per_sess = (
+        sessionize(df, user_col, ts_col, gap_minutes)
+        .groupBy(user_col, "session_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    return per_sess.agg(
+        F.percentile("n_events", 0.5).alias("p50"),
+        F.percentile("n_events", 0.9).alias("p90"),
+        F.percentile("n_events", 0.99).alias("p99"),
+        F.max("n_events").alias("max_events"),
+    )

@@ -104,3 +104,26 @@ def write_bucketed_embeddings(
         .partitionBy("bucket")
         .parquet(path)
     )
+
+
+def label_centroids(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label centroid in long format (label, dim, centroid) — the
+    IVF coarse-quantizer training step (and the class-prototype build
+    for prototype-based classification/dedup).
+
+    posexplode melts vectors to (label, dim, value) rows, then ONE
+    groupBy(label, dim) average with map-side partial aggregation —
+    shuffle bytes O(labels x dims), never O(vectors). Long format is
+    deliberate: it keeps the result engine-portable (array re-assembly
+    is a presentation step: groupBy(label).agg(array_agg ordered by
+    dim)) and lets downstream joins prune to the dims they need.
+    """
+    melted = emb.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "val"),
+    )
+    return melted.groupBy("label", "dim").agg(F.avg("val").alias("centroid"))

@@ -78,3 +78,37 @@ def fingerprint(text_col: str | Column = "text") -> Column:
     misses. (Winnowing/rolling-hash variants slot in the same shape.)"""
     toks = F.array_sort(F.array_distinct(tokens(text_col)))
     return F.md5(F.concat_ws(" ", toks))
+
+
+def top_distinctive_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k most distinctive terms per document by df-normalized term
+    frequency (score = tf / document_frequency — TF-IDF's shape with a
+    rational score instead of a log, so both engines compute it as one
+    IEEE division with no libm variance).
+
+    Topology: one shuffle for per-doc term counts (map-side combine),
+    one for global document frequency, a join on term (broadcastable
+    when the vocabulary is small; AQE picks it), and a per-doc top-k
+    window — per-doc term sets are bounded by document length, so the
+    window partition is never hot. Ties break on term text, making the
+    kept set deterministic.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(docfreq, "term").withColumn(
+        "score", F.col("tf").cast("double") / F.col("df")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(id_col, "term", "tf", "df", "score", F.col("_rn").alias("rank"))
+    )

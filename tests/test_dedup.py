@@ -381,3 +381,67 @@ def test_quality_features_ratios(spark):
     assert r["n_stopwords"] == 2  # 'the' twice
     assert math.isclose(r["stopword_ratio"], 2 / 6)
     assert math.isclose(r["mean_token_len"], len("the cat sat on the mat") / 6)
+
+
+def test_top_distinctive_terms_golden(spark):
+    from flow_indexer_spark.operators.textstats import top_distinctive_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana banana common"),
+            (2, "cherry common common"),
+            (3, "apple common"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["doc_id"], r["rank"]): (r["term"], r["tf"], r["df"])
+        for r in top_distinctive_terms(docs, k=2).collect()
+    }
+    # banana: tf=2 df=1 -> 2.0 beats apple tf=1 df=2 -> 0.5
+    assert got[(1, 1)] == ("banana", 2, 1)
+    assert got[(1, 2)] == ("apple", 1, 2)
+    # cherry: tf=1 df=1 -> 1.0 beats common tf=2 df=3 -> 0.667
+    assert got[(2, 1)] == ("cherry", 1, 1)
+    assert got[(3, 1)] == ("apple", 1, 2)  # 0.5 > common 1/3
+
+
+def test_session_length_percentiles_golden(spark):
+    import datetime as dt
+
+    from flow_indexer_spark.operators.sessions import session_length_percentiles
+
+    t0 = dt.datetime(2024, 1, 1)
+    mk = lambda m: t0 + dt.timedelta(minutes=m)  # noqa: E731
+    # sessions of sizes 1, 2, 3, 4 (gaps of 100 min split them)
+    rows, t = [], 0
+    for size in (1, 2, 3, 4):
+        t += 100
+        for j in range(size):
+            rows.append(Row(user_id=1, ts=mk(t)))
+            t += 1
+    df = spark.createDataFrame(rows)
+    r = session_length_percentiles(df, gap_minutes=30).head()
+    assert r["p50"] == 2.5  # interpolated between 2 and 3
+    assert r["max_events"] == 4
+
+
+def test_label_centroids_matches_numpy(spark):
+    import numpy as np
+
+    from flow_indexer_spark.operators.similarity import label_centroids
+
+    rows = [
+        (0, [1.0, 2.0, 3.0]),
+        (0, [3.0, 2.0, 1.0]),
+        (1, [10.0, 0.0, -10.0]),
+    ]
+    df = spark.createDataFrame(rows, ["label", "embedding"])
+    got = {
+        (r["label"], r["dim"]): r["centroid"]
+        for r in label_centroids(df).collect()
+    }
+    want0 = np.mean([[1, 2, 3], [3, 2, 1]], axis=0)
+    for d in range(3):
+        assert abs(got[(0, d)] - want0[d]) < 1e-12
+        assert got[(1, d)] == [10.0, 0.0, -10.0][d]
