@@ -38,7 +38,11 @@ def hash_split(
     """
     weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
     total = sum(weights.values())
-    bucket = md5_int32(F.concat(F.lit(salt), F.col(id_col).cast("string"))) % _BUCKETS
+    # null ids must not null-propagate through concat (a null bucket would
+    # silently land every null-id row in the LAST split); coalesce to ''
+    # so they hash deterministically like any other value.
+    key = F.coalesce(F.col(id_col).cast("string"), F.lit(""))
+    bucket = md5_int32(F.concat(F.lit(salt), key)) % _BUCKETS
     expr = None
     acc = 0.0
     names = list(weights)

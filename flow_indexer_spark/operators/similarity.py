@@ -127,3 +127,47 @@ def label_centroids(
         F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "val"),
     )
     return melted.groupBy("label", "dim").agg(F.avg("val").alias("centroid"))
+
+
+def assign_to_centroids(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment (the IVF partitioner / one k-means
+    E-step): each vector gets the centroid with max cosine similarity.
+
+    ``centroids`` is the long-format output of :func:`label_centroids`
+    (label, dim, centroid). It re-assembles to one array per label
+    in-row (sort_array over (dim, value) structs — dims stay aligned),
+    then **broadcasts**: the per-vector work is an in-row loop over k
+    centroid arrays (zip_with dot products) with NO shuffle of the
+    vector table at all. max_by picks the argmax; ties break on lower
+    label id for determinism.
+    """
+    packed = (
+        centroids.groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dim", "centroid"))),
+                lambda s: s["centroid"],
+            ).alias("cvec")
+        )
+    )
+    v = emb.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    from pyspark.sql.functions import broadcast
+
+    joined = v.join(broadcast(packed))
+    sim = cosine(F.col("_v"), F.col("cvec"))
+    scored = joined.select(
+        F.col(id_col), F.col("label"), sim.alias("sim")
+    )
+    return scored.groupBy(id_col).agg(
+        F.max_by(F.struct("sim", F.col("label")), F.struct("sim", -F.col("label")))[
+            "label"
+        ].alias("assigned_label"),
+        F.max("sim").alias("sim"),
+    )

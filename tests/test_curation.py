@@ -76,3 +76,45 @@ def test_per_group_cap_small_groups_untouched(spark):
     )
     assert per_group_cap(df, "source", n=10).count() == 4
     assert per_group_cap(df, "source", n=10, prefilter=True).count() == 4
+
+
+def test_assign_to_centroids_roundtrip(spark):
+    """Vectors near their own label's centroid assign back to it."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from flow_indexer_spark.operators.similarity import (
+        assign_to_centroids,
+        label_centroids,
+    )
+
+    rng = np.random.default_rng(3)
+    centers = {0: rng.normal(size=8), 1: rng.normal(size=8) + 5.0}
+    rows = []
+    i = 0
+    for label, c in centers.items():
+        for _ in range(20):
+            rows.append(
+                Row(
+                    vec_id=i,
+                    label=label,
+                    embedding=[float(x) for x in c + rng.normal(scale=0.05, size=8)],
+                )
+            )
+            i += 1
+    emb = spark.createDataFrame(rows)
+    cents = label_centroids(emb)
+    got = {
+        r["vec_id"]: r["assigned_label"]
+        for r in assign_to_centroids(emb, cents).collect()
+    }
+    want = {r["vec_id"]: r["label"] for r in rows}
+    assert got == want
+
+
+def test_hash_split_null_id_deterministic(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=None), Row(doc_id="")], "doc_id: string"
+    )
+    got = [r["split"] for r in hash_split(df).collect()]
+    assert got[0] == got[1]  # null hashes like '' — never null-propagates
