@@ -178,6 +178,9 @@ def _bench_queries(spark, sf_dir: str) -> dict:
         "dedup_exact",
         "minhash_lsh_buckets",
         "ann_topk_cosine",
+        "sessionize_native",
+        "curation_source_cap",
+        "top_distinctive_terms",
     ]
     qs = entry_mod.queries()
     out = {}
