@@ -1125,6 +1125,96 @@ def _q_ann_topk_bucketed(spark, sf_dir):
     )
 
 
+# --- transcript-level analytics ---------------------------------------------
+
+@_register(
+    "conversation_rollup",
+    f"""
+    WITH t AS ({_SYNTH_SQL})
+    SELECT conv_id, COUNT(*) AS n_turns,
+           CAST(SUM(CASE WHEN role = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_click_turns,
+           CAST(SUM(CASE WHEN role = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_view_turns,
+           MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+           CAST(0 AS BIGINT) AS n_distinct_tools
+    FROM t GROUP BY conv_id ORDER BY conv_id
+    """,
+)
+def _q_conversation_rollup(spark, sf_dir):
+    """Per-conversation rollup (A5 stats generalized to every conv);
+    synth transcripts carry no tools, so that count is 0 by contract."""
+    from flow_indexer_spark.operators.transcripts import conversation_rollup
+
+    t = synth_transcripts(spark, sf_dir)
+    return conversation_rollup(t, roles=("click", "view")).orderBy("conv_id")
+
+
+@_register(
+    "response_latency",
+    f"""
+    WITH t AS ({_SYNTH_SQL}),
+    x AS (
+      SELECT conv_id, turn_idx, ts, role,
+             lead(role) OVER w AS next_role,
+             lead(turn_idx) OVER w AS next_turn_idx,
+             (epoch_us(lead(ts) OVER w) - epoch_us(ts)) / 1000000.0 AS latency_s
+      FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+    )
+    SELECT conv_id, turn_idx, ts, next_turn_idx, latency_s
+    FROM x WHERE role = 'click' AND next_role = 'view'
+    ORDER BY conv_id, turn_idx
+    """,
+)
+def _q_response_latency(spark, sf_dir):
+    """Turn-adjacency pairing: each 'click' turn joined to the
+    immediately following 'view' turn with reply delay — lead() over
+    (conv_id, turn_idx), one shuffle."""
+    from flow_indexer_spark.operators.transcripts import response_latency
+
+    t = synth_transcripts(spark, sf_dir)
+    return response_latency(t, from_role="click", to_role="view").orderBy(
+        "conv_id", "turn_idx"
+    )
+
+
+@_register(
+    "entity_cooccurrence",
+    f"""
+    WITH t AS ({_SYNTH_SQL}),
+    e AS (
+      SELECT DISTINCT 'ip' AS cls, {_SYNTH_IP_KEY_SQL} AS ky, conv_id, turn_idx FROM t
+      UNION
+      SELECT DISTINCT 'role' AS cls, role AS ky, conv_id, turn_idx
+      FROM t WHERE role IS NOT NULL AND role <> ''
+    ),
+    ok AS (SELECT cls, ky FROM e GROUP BY cls, ky HAVING COUNT(*) <= 5000),
+    e2 AS (SELECT e.* FROM e JOIN ok USING (cls, ky)),
+    p AS (
+      SELECT a.cls AS class_a, a.ky AS key_a, b.cls AS class_b, b.ky AS key_b
+      FROM e2 a JOIN e2 b
+        ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+      WHERE (a.cls < b.cls) OR (a.cls = b.cls AND a.ky < b.ky)
+    )
+    SELECT class_a, key_a, class_b, key_b, COUNT(*) AS n_turns
+    FROM p GROUP BY class_a, key_a, class_b, key_b
+    ORDER BY class_a, key_a, class_b, key_b
+    """,
+)
+def _q_entity_cooccurrence(spark, sf_dir):
+    """Entity co-occurrence graph over extracted entities (capped
+    inverted-index self-join; cap 5000 keeps the role classes in at sf
+    scale — at corpus scale the cap is what bounds the join)."""
+    from flow_indexer_spark.functions.extractors import extract_entities
+    from flow_indexer_spark.operators.transcripts import entity_cooccurrence
+
+    t = synth_transcripts(spark, sf_dir)
+    e = extract_entities(t)
+    return entity_cooccurrence(e, max_entity_df=5000).orderBy(
+        "class_a", "key_a", "class_b", "key_b"
+    )
+
+
 # --- sessionization (window functions) --------------------------------------
 
 #: shared by sessionize_events (lag+cumsum) and sessionize_native
