@@ -786,6 +786,56 @@ def _q_curation_source_cap(spark, sf_dir):
 
 
 @_register(
+    "split_contamination",
+    """
+    WITH b AS (
+      SELECT doc_id, text,
+             CAST('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 10000 AS bucket
+      FROM documents
+    ),
+    sp AS (SELECT doc_id, text,
+             CASE WHEN bucket < 9000 THEN 'train'
+                  WHEN bucket < 9500 THEN 'val' ELSE 'test' END AS split
+           FROM b),
+    g AS (SELECT doc_id, split,
+            list_distinct(list_transform(range(1, greatest(len(tok) - 1, 1)),
+                i -> array_to_string(list_slice(tok, i, i + 2), ' '))) AS grams
+          FROM (SELECT doc_id, split,
+                       list_filter(string_split(text, ' '), x -> x <> '') AS tok
+                FROM sp)
+          WHERE len(tok) >= 3),
+    m AS (SELECT doc_id, split, unnest(grams) AS gr FROM g),
+    ok AS (SELECT gr FROM m GROUP BY gr HAVING COUNT(*) <= 1000),
+    m2 AS (SELECT m.* FROM m JOIN ok USING (gr)),
+    tr AS (SELECT gr, doc_id AS train_id FROM m2 WHERE split = 'train'),
+    ev AS (SELECT * FROM m2 WHERE split IN ('val', 'test')),
+    h AS (SELECT ev.doc_id, ev.split, COUNT(DISTINCT ev.gr) AS n_shared_grams,
+                 MIN(tr.train_id) AS example_train_doc
+          FROM ev JOIN tr ON ev.gr = tr.gr GROUP BY ev.doc_id, ev.split),
+    tot AS (SELECT doc_id, len(grams) AS n_grams FROM g)
+    SELECT h.doc_id, h.split, h.n_shared_grams, tot.n_grams,
+           CAST(h.n_shared_grams AS DOUBLE) / greatest(tot.n_grams, 1)
+             AS contamination_ratio,
+           h.example_train_doc
+    FROM h JOIN tot ON h.doc_id = tot.doc_id
+    ORDER BY h.doc_id
+    """,
+)
+def _q_split_contamination(spark, sf_dir):
+    """Benchmark decontamination: eval docs sharing token 3-grams with
+    any train doc (bipartite inverted-index join, df-capped), over the
+    deterministic hash split."""
+    from flow_indexer_spark.operators.curation import (
+        cross_split_contamination,
+        hash_split,
+    )
+
+    d = hash_split(_t(spark, sf_dir, "documents"))
+    return cross_split_contamination(d, n=3).orderBy("doc_id")
+
+
+@_register(
     "text_quality",
     """
     SELECT doc_id,

@@ -105,3 +105,67 @@ def per_group_cap(
         .filter(F.col("_rn") <= n)
         .drop("_rn")
     )
+
+
+def cross_split_contamination(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    split_col: str = "split",
+    train_split: str = "train",
+    eval_splits: tuple[str, ...] = ("val", "test"),
+    n: int = 8,
+    max_ngram_df: int | None = 1000,
+) -> DataFrame:
+    """Benchmark decontamination: for every eval-split document, count
+    how many of its token n-grams also occur in ANY train document — the
+    standard eval-leakage check run before training.
+
+    Topology is the inverted-index cross join (the dedup candidate
+    pattern restricted to train x eval, so the join is bipartite — no
+    n^2 within either side): explode n-grams per side, join on the gram,
+    aggregate per eval doc. ``max_ngram_df`` drops boilerplate grams
+    from evidence (a gram in a million train docs indicts nothing and
+    would dominate the join output). Returns one row per CONTAMINATED
+    eval doc: (id, split, n_shared_grams, n_grams, contamination_ratio,
+    example_train_doc) — eval docs with zero shared grams are absent
+    (anti-join them for the clean list).
+    """
+    from flow_indexer_spark.operators.dedup import token_ngrams
+
+    grams = df.select(
+        F.col(id_col),
+        F.col(split_col),
+        token_ngrams(text_col, n).alias("_grams"),
+    )
+    melted = grams.select(
+        id_col, split_col, F.explode("_grams").alias("_g")
+    )
+    if max_ngram_df is not None:
+        ok = (
+            melted.groupBy("_g")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_ngram_df)
+            .select("_g")
+        )
+        melted = melted.join(ok, "_g")
+    train = melted.filter(F.col(split_col) == train_split).select(
+        "_g", F.col(id_col).alias("_train_id")
+    )
+    evals = melted.filter(F.col(split_col).isin(list(eval_splits)))
+    hits = evals.join(train, "_g").groupBy(id_col, split_col).agg(
+        F.count_distinct("_g").alias("n_shared_grams"),
+        F.min("_train_id").alias("example_train_doc"),
+    )
+    totals = grams.select(id_col, F.size("_grams").alias("n_grams"))
+    return (
+        hits.join(totals, id_col)
+        .withColumn(
+            "contamination_ratio",
+            F.col("n_shared_grams").cast("double") / F.greatest("n_grams", F.lit(1)),
+        )
+        .select(
+            id_col, split_col, "n_shared_grams", "n_grams",
+            "contamination_ratio", "example_train_doc",
+        )
+    )

@@ -118,3 +118,21 @@ def test_hash_split_null_id_deterministic(spark):
     )
     got = [r["split"] for r in hash_split(df).collect()]
     assert got[0] == got[1]  # null hashes like '' — never null-propagates
+
+
+def test_cross_split_contamination_golden(spark):
+    from flow_indexer_spark.operators.curation import cross_split_contamination
+
+    rows = [
+        Row(doc_id=1, split="train", text="alpha beta gamma delta"),
+        Row(doc_id=2, split="val", text="alpha beta gamma zeta"),   # shares 'alpha beta gamma'
+        Row(doc_id=3, split="test", text="totally clean eval document"),
+        Row(doc_id=4, split="train", text="unrelated training content here"),
+    ]
+    df = spark.createDataFrame(rows)
+    got = {r["doc_id"]: r for r in cross_split_contamination(df, n=3).collect()}
+    assert set(got) == {2}  # doc 3 is clean -> absent
+    r = got[2]
+    assert r["n_shared_grams"] == 1 and r["n_grams"] == 2
+    assert r["contamination_ratio"] == 0.5
+    assert r["example_train_doc"] == 1
