@@ -50,6 +50,21 @@ def main() -> None:
     ap.add_argument("--train", type=float, default=0.9)
     ap.add_argument("--val", type=float, default=0.05)
     ap.add_argument("--test", type=float, default=0.05)
+    ap.add_argument(
+        "--decontaminate",
+        type=float,
+        default=None,
+        metavar="RATIO",
+        help="drop eval-split docs whose train n-gram contamination ratio "
+        "is >= RATIO (e.g. 0.2); omit to skip the check",
+    )
+    ap.add_argument(
+        "--decontaminate-ngram",
+        type=int,
+        default=8,
+        help="n-gram size for the contamination check (longer than the "
+        "near-dup shingle: leakage evidence needs long exact spans)",
+    )
     ap.add_argument("--cpus", type=int, default=None, help="local[N] (omit on cluster)")
     args = ap.parse_args()
 
@@ -94,9 +109,26 @@ def main() -> None:
             prefilter=True,
         )
 
-    # 4. deterministic split assignment + routed write
+    # 4. deterministic split assignment
     weights = {"train": args.train, "val": args.val, "test": args.test}
     curated = hash_split(docs, args.id_col, weights)
+
+    # 5. optional eval decontamination: drop val/test docs whose n-gram
+    # overlap with ANY train doc reaches the threshold (eval leakage)
+    n_decontaminated = 0
+    if args.decontaminate is not None:
+        from flow_indexer_spark.operators.curation import cross_split_contamination
+
+        dirty = (
+            cross_split_contamination(
+                curated, args.id_col, args.text_col, n=args.decontaminate_ngram
+            )
+            .filter(F.col("contamination_ratio") >= args.decontaminate)
+            .select(args.id_col)
+        )
+        n_decontaminated = dirty.count()
+        curated = curated.join(dirty, args.id_col, "left_anti")
+
     curated.write.mode("overwrite").partitionBy("split").parquet(args.output)
 
     out = spark.read.parquet(args.output)
@@ -109,6 +141,7 @@ def main() -> None:
             {
                 "n_input": n_input,
                 "n_curated": sum(per_split.values()),
+                "n_decontaminated": n_decontaminated,
                 "per_split": per_split,
                 "output": args.output,
             }
