@@ -1112,6 +1112,42 @@ def _q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 @_register(
+    "dedup_ngram_prefix",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(tok) - 1, 1)),
+                 i -> array_to_string(list_slice(tok, i, i + 2), ' '))) AS grams
+      FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tok
+            FROM documents)
+      WHERE len(tok) >= 3
+    ),
+    e AS (SELECT doc_id, unnest(grams) AS gr FROM g),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM e a JOIN e b ON a.gr = b.gr AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+             / len(list_distinct(ga.grams || gb.grams)) AS jaccard
+    FROM cand JOIN g ga ON cand.id_a = ga.doc_id JOIN g gb ON cand.id_b = gb.doc_id
+    WHERE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+             / len(list_distinct(ga.grams || gb.grams)) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
+def _q_dedup_ngram_prefix(spark, sf_dir):
+    """AllPairs/PPJoin prefix-filtered n-gram Jaccard — the lossless scale
+    path: identical output to the plain inverted-index join (same oracle),
+    with candidate volume pruned by df-ordered prefixes + size filter
+    instead of a recall-losing df cap."""
+    from flow_indexer_spark.operators.dedup import ngram_jaccard_pairs_prefix
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs_prefix(d, n=3, threshold=0.5).orderBy("id_a", "id_b")
+
+
+@_register(
     "dedup_embedding_cosine",
     """
     WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e

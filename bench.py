@@ -181,6 +181,7 @@ def _bench_queries(spark, sf_dir: str) -> dict:
         "sessionize_native",
         "curation_source_cap",
         "top_distinctive_terms",
+        "dedup_ngram_prefix",
     ]
     qs = entry_mod.queries()
     out = {}

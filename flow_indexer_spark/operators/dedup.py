@@ -274,6 +274,108 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_bucket_df: int | None = None,
+) -> DataFrame:
+    """Lossless scale path for :func:`ngram_jaccard_pairs`: AllPairs/PPJoin
+    prefix filtering (Bayardo et al. WWW'07; Xiao et al. WWW'08).
+
+    The plain inverted-index candidate join is quadratic in per-gram
+    document frequency: every doc pair sharing ANY gram becomes a
+    candidate, so sub-cap boilerplate grams still dominate the join
+    output. Prefix filtering prunes without losing a single pair:
+
+    * Order every doc's gram set by a global canonical order — ascending
+      document frequency, ties on gram text (rarest first, the AllPairs
+      heuristic that makes prefixes maximally selective).
+    * A pair with Jaccard >= t must share >= ceil(t/(1+t)*(|A|+|B|))
+      grams, which (with the size filter below) is >= ceil(t*|A|); by the
+      pigeonhole prefix-filtering principle the pair then shares a gram
+      within each doc's first |G| - ceil(t*|G|) + 1 ordered grams. Only
+      those PREFIX grams enter the candidate join — a high-df gram lands
+      in a prefix only for docs where it is among their rarest grams, so
+      skew self-limits instead of needing a recall-losing df cap.
+    * Size filter inside the join: min(|A|,|B|) >= t*max(|A|,|B|) (a
+      valid pair can't differ in size by more than the threshold allows).
+    * Exact Jaccard verification on the surviving candidates, identical
+      to the baseline.
+
+    Topology: gram-df count (one map-side-combinable shuffle), join df
+    back + per-doc sort (shuffle on doc id), prefix self-join (shuffle on
+    gram), then the verify joins. More stages than the baseline but the
+    candidate set is typically orders of magnitude smaller — the
+    difference between "finishes" and "does not" at 100 TB.
+
+    ``max_bucket_df`` optionally caps prefix-bucket sizes like
+    :func:`_banded_candidate_pairs` (recall tradeoff, default off): it
+    only matters when the corpus holds huge groups of literal near-dups,
+    whose pair OUTPUT is itself quadratic — run exact dedup first.
+    """
+    t = float(threshold)
+    grams = df.select(
+        F.col(id_col).alias("_id"), token_ngrams(text_col, n).alias("_grams")
+    ).filter(F.size("_grams") > 0)
+    exploded = grams.select("_id", F.explode("_grams").alias("_g"))
+    dfc = exploded.groupBy("_g").agg(F.count("*").alias("_df"))
+    ordered = (
+        exploded.join(dfc, "_g")
+        .groupBy("_id")
+        .agg(F.array_sort(F.collect_list(F.struct("_df", "_g"))).alias("_ord"))
+    )
+    sz = F.size("_ord")
+    # prefix length |G| - ceil(t*|G|) + 1; the -1e-9 keeps an FP product
+    # that lands epsilon above an exact integer from inflating the ceil
+    # (which would shorten the prefix and silently drop pairs)
+    plen = (
+        sz
+        - F.ceil(F.lit(t) * sz.cast("double") - F.lit(1e-9)).cast("int")
+        + F.lit(1)
+    )
+    pre = ordered.select(
+        "_id",
+        sz.alias("_sz"),
+        F.explode(
+            F.slice(F.transform("_ord", lambda s: s["_g"]), F.lit(1), plen)
+        ).alias("_g"),
+    )
+    if max_bucket_df is not None:
+        ok = (
+            pre.groupBy("_g")
+            .agg(F.count("*").alias("_bdf"))
+            .filter(F.col("_bdf") <= max_bucket_df)
+            .select("_g")
+        )
+        pre = pre.join(ok, "_g")
+    a = pre.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sa"), "_g")
+    b = pre.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_sb"), "_g")
+    cand = (
+        a.join(b, "_g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.least("_sa", "_sb").cast("double")
+            >= F.lit(t) * F.greatest("_sa", "_sb").cast("double")
+        )
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
+    ga = grams.select(F.col("_id").alias("id_a"), F.col("_grams").alias("_ga"))
+    gb = grams.select(F.col("_id").alias("id_b"), F.col("_grams").alias("_gb"))
+    inter = F.size(F.array_intersect("_ga", "_gb")).cast("double")
+    union = F.size(F.array_union("_ga", "_gb")).cast("double")
+    return (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 # --- near-dup clusters (connected components over candidate pairs) ---------
 
 def _cc_large_star(e: DataFrame) -> DataFrame:

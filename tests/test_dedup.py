@@ -145,6 +145,51 @@ def test_ngram_jaccard_pairs(docs):
     assert all(4 not in k and 5 not in k for k in pairs)
 
 
+def test_ngram_prefix_differential_vs_baseline(spark, docs):
+    """Prefix filtering is LOSSLESS: on the golden docs and on a
+    pseudo-random overlapping corpus, ngram_jaccard_pairs_prefix must
+    return exactly the capless inverted-index baseline's pairs — at
+    several thresholds, including ones that make prefixes minimal."""
+    from flow_indexer_spark.operators.dedup import ngram_jaccard_pairs_prefix
+
+    def pairset(out):
+        return {(r["id_a"], r["id_b"], round(r["jaccard"], 9)) for r in out.collect()}
+
+    # overlapping sliding-window corpus: doc i = words i..i+7 -> a chain
+    # of near-dups with varying jaccard, plus exact dups and tiny docs
+    words = [f"w{(k * 7919) % 23}" for k in range(40)]
+    rows = [Row(doc_id=i, text=" ".join(words[i : i + 8])) for i in range(30)]
+    rows += [
+        Row(doc_id=100, text=" ".join(words[0:8])),  # exact dup of doc 0
+        Row(doc_id=101, text="a b"),                  # < n tokens
+        Row(doc_id=102, text=""),                     # empty
+    ]
+    rand = spark.createDataFrame(rows)
+
+    for df in (docs, rand):
+        for t in (0.3, 0.5, 0.8):
+            base = ngram_jaccard_pairs(df, threshold=t, max_ngram_df=None)
+            pref = ngram_jaccard_pairs_prefix(df, threshold=t)
+            assert pairset(pref) == pairset(base), f"threshold={t}"
+
+
+def test_ngram_prefix_bucket_cap(spark):
+    """Optional prefix-bucket cap bounds candidates on a corpus of literal
+    near-dups (whose prefixes all collide) while keeping small groups."""
+    from flow_indexer_spark.operators.dedup import ngram_jaccard_pairs_prefix
+
+    boiler = [Row(doc_id=i, text="same exact boilerplate text everywhere here") for i in range(30)]
+    other = [
+        Row(doc_id=100, text="distinct subject alpha beta gamma delta"),
+        Row(doc_id=101, text="distinct subject alpha beta gamma epsilon"),
+    ]
+    df = spark.createDataFrame(boiler + other)
+    capped = ngram_jaccard_pairs_prefix(df, threshold=0.3, max_bucket_df=10)
+    pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (100, 101) in pairs
+    assert not any(a < 30 and b < 30 for a, b in pairs)
+
+
 def test_ngram_jaccard_df_cap_drops_boilerplate(spark):
     """Every doc shares the same boilerplate 3-gram; with the df cap below
     the doc count, no candidates survive (the skew guard)."""
