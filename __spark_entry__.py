@@ -1370,6 +1370,92 @@ def _q_quality_ratios(spark, sf_dir):
     return quality_features(d).orderBy("doc_id")
 
 
+@_register(
+    "repetition_signals",
+    """
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(string_split(text, chr(10)), x -> x <> '') AS lines,
+             list_filter(string_split(text, ' '), x -> x <> '') AS tok
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, text, lines,
+             CASE WHEN len(tok) >= 2
+                  THEN list_transform(range(1, len(tok)),
+                       i -> array_to_string(list_slice(tok, i, i + 1), ' '))
+                  ELSE [] END AS grams
+      FROM t
+    ),
+    e AS (SELECT doc_id, unnest(grams) AS gr FROM g),
+    c AS (SELECT doc_id, gr, count(*) AS cnt FROM e GROUP BY doc_id, gr),
+    top AS (
+      SELECT doc_id, gr, cnt,
+             row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gr ASC) AS rn
+      FROM c
+    ),
+    rep AS (
+      SELECT doc_id, SUM(cnt * length(gr)) AS rep_chars
+      FROM c WHERE cnt >= 2 GROUP BY doc_id
+    )
+    SELECT g.doc_id,
+           len(lines) AS n_lines,
+           CASE WHEN len(lines) > 0
+                THEN CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines)
+                ELSE 0.0 END AS dup_line_fraction,
+           CASE WHEN COALESCE(list_sum(list_transform(lines, x -> length(x))), 0) > 0
+                THEN CAST(list_sum(list_transform(lines, x -> length(x)))
+                          - list_sum(list_transform(list_distinct(lines), x -> length(x))) AS DOUBLE)
+                     / list_sum(list_transform(lines, x -> length(x)))
+                ELSE 0.0 END AS dup_line_char_fraction,
+           CAST(COALESCE(top.cnt, 0) AS INT) AS top_ngram_count,
+           COALESCE(top.gr, '') AS top_ngram,
+           CAST(COALESCE(top.cnt, 0) * length(COALESCE(top.gr, '')) AS DOUBLE)
+             / GREATEST(length(g.text), 1) AS top_ngram_char_fraction,
+           CAST(COALESCE(rep.rep_chars, 0) AS DOUBLE)
+             / GREATEST(length(g.text), 1) AS rep_ngram_char_fraction
+    FROM g
+    LEFT JOIN top ON top.doc_id = g.doc_id AND top.rn = 1
+    LEFT JOIN rep ON rep.doc_id = g.doc_id
+    ORDER BY g.doc_id
+    """,
+)
+def _q_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition/boilerplate signals: duplicate-line
+    fractions + most-frequent-2-gram and repeated-2-gram char fractions,
+    all from one in-row fold (no shuffle) vs the oracle's groupBy
+    formulation — a dual-implementation differential in itself."""
+    from flow_indexer_spark.operators.textstats import repetition_features
+
+    d = _t(spark, sf_dir, "documents")
+    return repetition_features(d, n=2).orderBy("doc_id")
+
+
+@_register(
+    "phrase_search_index",
+    """
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tok
+      FROM documents
+    )
+    SELECT doc_id FROM t
+    WHERE len(tok) >= 2
+      AND len(list_filter(range(1, len(tok)),
+              i -> tok[i] = 'table' AND tok[i + 1] = 'scan')) > 0
+    ORDER BY doc_id
+    """,
+)
+def _q_phrase_search_index(spark, sf_dir):
+    """Positional-index phrase search ('table scan'): occurrence-of-word-i
+    votes for start pos-i, one groupBy over phrase-word postings only —
+    vs the oracle's direct positional token scan."""
+    from flow_indexer_spark.operators.phrases import phrase_search, token_positions
+
+    d = _t(spark, sf_dir, "documents")
+    pos = token_positions(d, id_cols=("doc_id",))
+    return phrase_search(pos, "table scan", id_cols=("doc_id",))
+
+
 # --- chunked-index totals, window top-k, AND-search, media plumbing ---------
 
 @_register(

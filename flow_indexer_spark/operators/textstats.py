@@ -80,6 +80,94 @@ def fingerprint(text_col: str | Column = "text") -> Column:
     return F.md5(F.concat_ws(" ", toks))
 
 
+def repetition_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1) — the
+    standard "is this document degenerate boilerplate" curation family:
+
+    * ``dup_line_fraction`` — fraction of non-empty lines that are
+      repeats of an earlier line (1 - distinct/total).
+    * ``dup_line_char_fraction`` — fraction of line characters belonging
+      to repeat occurrences (1 - chars(distinct lines)/chars(all lines)).
+    * ``top_ngram_count`` / ``top_ngram`` / ``top_ngram_char_fraction``
+      — the most frequent token n-gram (ties -> lexicographically
+      smallest), its occurrence count, and count*len(gram)/len(text).
+    * ``rep_ngram_char_fraction`` — sum of count*len(gram) over n-grams
+      occurring >= 2 times, over len(text). Overlapping occurrences
+      count, as in Gopher, so the value may exceed 1 on degenerate text.
+
+    Everything is ONE in-row projection (split / array_sort / a single
+    fold over the sorted gram list that tracks run lengths — O(G log G)
+    per doc, whole-stage codegen, no shuffle): at 100 TB this is a pure
+    scan stage, unlike the groupBy-per-(doc,gram) formulation whose
+    shuffle volume is the token count of the corpus.
+    """
+    lines = F.filter(F.split(text_col, "\n"), lambda x: x != "")
+    n_lines = F.size(lines)
+    n_distinct_lines = F.size(F.array_distinct(lines))
+    line_chars = F.aggregate(lines, F.lit(0), lambda a, x: a + F.length(x))
+    distinct_line_chars = F.aggregate(
+        F.array_distinct(lines), F.lit(0), lambda a, x: a + F.length(x)
+    )
+    safe = lambda num, den: F.when(  # noqa: E731
+        den > 0, num.cast("double") / den.cast("double")
+    ).otherwise(F.lit(0.0))
+
+    tok = tokens(text_col)
+    idx = F.sequence(F.lit(1), F.size(tok) - (n - 1))
+    grams_all = F.when(
+        F.size(tok) >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tok, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
+    srt = F.array_sort(grams_all)
+    # fold over the sorted grams: current run (prev, run), best run seen
+    # (strictly-greater update -> first/lexicographically-smallest max),
+    # and chars in grams whose count reaches >= 2 (on the 2nd occurrence
+    # credit both, afterwards one each -> run*len per repeated gram)
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best_run"),
+        F.lit("").alias("best_gram"),
+        F.lit(0).alias("rep_chars"),
+    )
+
+    def step(acc, x):
+        new_run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            new_run.alias("run"),
+            F.greatest(new_run, acc["best_run"]).alias("best_run"),
+            F.when(new_run > acc["best_run"], x)
+            .otherwise(acc["best_gram"])
+            .alias("best_gram"),
+            (
+                acc["rep_chars"]
+                + F.when(new_run == 2, F.length(x) * 2)
+                .when(new_run > 2, F.length(x))
+                .otherwise(F.lit(0))
+            ).alias("rep_chars"),
+        )
+
+    st = F.aggregate(srt, zero, step)
+    text_len = F.greatest(F.length(text_col), F.lit(1))
+    return df.select(
+        F.col(id_col),
+        n_lines.alias("n_lines"),
+        safe(n_lines - n_distinct_lines, n_lines).alias("dup_line_fraction"),
+        safe(line_chars - distinct_line_chars, line_chars).alias(
+            "dup_line_char_fraction"
+        ),
+        st["best_run"].alias("top_ngram_count"),
+        st["best_gram"].alias("top_ngram"),
+        (st["best_run"] * F.length(st["best_gram"]) / text_len.cast("double")).alias(
+            "top_ngram_char_fraction"
+        ),
+        (st["rep_chars"] / text_len.cast("double")).alias("rep_ngram_char_fraction"),
+    )
+
+
 def top_distinctive_terms(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -419,6 +419,43 @@ def test_session_stats_native_differential(spark):
     assert a[98] == (2, 1, 2)  # threshold+1us split
 
 
+def test_repetition_features_golden(spark):
+    """Hand-computed Gopher-signal goldens: repeated lines, a dominant
+    2-gram with overlapping occurrences, short/empty edge docs."""
+    from flow_indexer_spark.operators.textstats import repetition_features
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b a b a b"),      # "a b" x3 (overlap), "b a" x2
+            Row(doc_id=2, text="x\ny\nx\n"),         # repeated line
+            Row(doc_id=3, text="solo"),              # 1 token -> no grams
+            Row(doc_id=4, text=""),                  # empty
+            Row(doc_id=5, text="p q r"),             # all grams unique
+        ]
+    )
+    r = {x["doc_id"]: x for x in repetition_features(docs, n=2).collect()}
+
+    # doc 1: grams sorted = [a b, a b, a b, b a, b a]; text len 11
+    assert r[1]["top_ngram"] == "a b" and r[1]["top_ngram_count"] == 3
+    assert math.isclose(r[1]["top_ngram_char_fraction"], 9 / 11)
+    # rep chars: "a b" 3*3=9 + "b a" 2*3=6 -> 15
+    assert math.isclose(r[1]["rep_ngram_char_fraction"], 15 / 11)
+    assert r[1]["n_lines"] == 1 and r[1]["dup_line_fraction"] == 0.0
+
+    # doc 2: lines [x, y, x] -> 1/3 dup by count and by chars
+    assert r[2]["n_lines"] == 3
+    assert math.isclose(r[2]["dup_line_fraction"], 1 / 3)
+    assert math.isclose(r[2]["dup_line_char_fraction"], 1 / 3)
+
+    for d in (3, 4):
+        assert r[d]["top_ngram_count"] == 0 and r[d]["top_ngram"] == ""
+        assert r[d]["rep_ngram_char_fraction"] == 0.0
+    # unique grams: top gram is the lexicographically-smallest ("p q"),
+    # count 1, nothing repeated
+    assert r[5]["top_ngram"] == "p q" and r[5]["top_ngram_count"] == 1
+    assert r[5]["rep_ngram_char_fraction"] == 0.0
+
+
 def test_quality_features_ratios(spark):
     df = spark.createDataFrame([Row(doc_id=1, text="the cat sat on the mat")])
     r = quality_features(df).head()
