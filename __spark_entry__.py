@@ -762,6 +762,68 @@ def _q_curation_hash_split(spark, sf_dir):
     return hash_split(d).select("doc_id", "split").orderBy("doc_id")
 
 
+def _q_curation_stratified_sample(spark, sf_dir):
+    """Domain-weighted deterministic subsampling (the training-mix rate
+    knob): keep 40% of src0, 0% of src1, everything else untouched."""
+    from flow_indexer_spark.operators.curation import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        d, strata_col="source", fractions={"src0": 0.4, "src1": 0.0}
+    ).select("doc_id", "source").orderBy("doc_id")
+
+
+_register(
+    "curation_stratified_sample",
+    """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             CAST('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 10000 AS bucket
+      FROM documents
+    )
+    WHERE bucket < CASE source WHEN 'src0' THEN 4000 WHEN 'src1' THEN 0
+                               ELSE 10000 END
+    ORDER BY doc_id
+    """,
+)(_q_curation_stratified_sample)
+
+
+def _q_sequence_packing(spark, sf_dir):
+    """Concat-and-chunk sequence packing: 4 hash shards, 512-token packs;
+    every doc gets (shard, pack_id, offset) deterministically."""
+    from flow_indexer_spark.operators.curation import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_sequences(d, budget=512, n_shards=4).orderBy("doc_id")
+
+
+_register(
+    "sequence_packing",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+               AS n_tokens,
+             CAST('0x' || substr(md5('pack' || CAST(doc_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) AS h
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id, n_tokens, CAST(h % 4 AS INT) AS shard,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY h % 4 ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pos
+      FROM s
+    )
+    SELECT doc_id, n_tokens, shard,
+           CAST(shard AS VARCHAR) || '-' || CAST(pos // 512 AS VARCHAR) AS pack_id,
+           pos % 512 AS offset
+    FROM p ORDER BY doc_id
+    """,
+)(_q_sequence_packing)
+
+
 @_register(
     "curation_source_cap",
     """

@@ -107,6 +107,92 @@ def per_group_cap(
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str = "source",
+    fractions: dict[str, float] | None = None,
+    default_fraction: float = 1.0,
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic per-stratum subsampling — how a training mix applies
+    domain weights ("keep 30% of crawl, all of reference"). A row
+    survives iff hash(salt || id) mod 10000 < fraction(stratum) * 10000:
+    pure in-row projection, no rand(), no shuffle; re-runs/backfills keep
+    exactly the same rows, and a row's fate never depends on other rows
+    (unlike per_group_cap, which targets a COUNT rather than a rate).
+    Strata absent from ``fractions`` keep ``default_fraction``. The same
+    id is kept consistently across strata-fraction changes that don't
+    cross its bucket — raising a fraction only ADDS rows (monotone), the
+    property that makes incremental mix re-weighting cheap.
+    """
+    fractions = fractions or {}
+    key = F.coalesce(F.col(id_col).cast("string"), F.lit(""))
+    bucket = md5_int32(F.concat(F.lit(salt), key)) % _BUCKETS
+    thresh = None
+    for name, frac in fractions.items():
+        cond = F.col(strata_col) == name
+        cut = F.lit(int(round(frac * _BUCKETS)))
+        thresh = F.when(cond, cut) if thresh is None else thresh.when(cond, cut)
+    cut_default = F.lit(int(round(default_fraction * _BUCKETS)))
+    thresh = cut_default if thresh is None else thresh.otherwise(cut_default)
+    return df.filter(bucket < thresh)
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    n_tokens_col: str | None = None,
+    text_col: str = "text",
+    n_shards: int = 64,
+    salt: str = "pack",
+) -> DataFrame:
+    """GPT-style sequence packing (concat-and-chunk): lay documents end to
+    end in a deterministic order and cut the stream every ``budget``
+    tokens. Returns every doc with (shard, pack_id, offset, n_tokens):
+    pack_id is the training sequence the doc STARTS in and offset its
+    token position there; a doc may straddle into the next pack — exactly
+    the concat+chunk semantics LLM pretraining loaders use (no bin-packing
+    waste, no per-doc padding).
+
+    Scale shape: a single global running sum would serialize into one
+    window task, so the stream is sharded by id hash — each shard is an
+    independent token stream packed in (hash, id) order, and pack ids are
+    namespaced by shard. Shards ≈ executor count keeps every window
+    partition a ~1/n_shards slice of the corpus; the order inside a shard
+    is deterministic (hash, then id for ties), so re-runs reproduce the
+    same packs bit-for-bit.
+    """
+    from flow_indexer_spark.operators.dedup import tokens
+
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    n_tok = (
+        F.col(n_tokens_col) if n_tokens_col else F.size(tokens(text_col))
+    ).cast("bigint")
+    h = md5_int32(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    d = df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        h.alias("_h"),
+        (h % n_shards).cast("int").alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pos = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return d.select(
+        id_col,
+        "n_tokens",
+        "shard",
+        F.concat_ws("-", "shard", F.floor(pos / budget)).alias("pack_id"),
+        (pos % budget).alias("offset"),
+    )
+
+
 def cross_split_contamination(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -1,4 +1,4 @@
-"""spark-submit entry point for corpus curation: dedup -> cap -> split.
+"""spark-submit entry point for corpus curation: dedup -> mix -> cap -> split.
 
 The training-data companion to ingest_job: take a documents table, drop
 exact + near duplicates (keeper per connected near-dup cluster), cap any
@@ -47,6 +47,23 @@ def main() -> None:
     ap.add_argument(
         "--source-cap", type=int, default=None, help="max docs per source (omit = no cap)"
     )
+    ap.add_argument(
+        "--mix",
+        action="append",
+        default=None,
+        metavar="SOURCE=FRACTION",
+        help="deterministic per-source keep rate (repeatable), e.g. "
+        "--mix crawl=0.3 --mix forums=0.8; unlisted sources keep 1.0",
+    )
+    ap.add_argument(
+        "--pack-budget",
+        type=int,
+        default=None,
+        metavar="TOKENS",
+        help="emit concat-and-chunk packing columns (shard, pack_id, "
+        "offset) for this token budget; omit to skip",
+    )
+    ap.add_argument("--pack-shards", type=int, default=64)
     ap.add_argument("--train", type=float, default=0.9)
     ap.add_argument("--val", type=float, default=0.05)
     ap.add_argument("--test", type=float, default=0.05)
@@ -102,7 +119,17 @@ def main() -> None:
         clusters.filter("is_keeper").select(args.id_col), args.id_col, "left_semi"
     )
 
-    # 3. per-source quota (optional)
+    # 3a. per-source rate mix (optional): deterministic hash subsample
+    if args.mix:
+        from flow_indexer_spark.operators.curation import stratified_sample
+
+        fractions = {}
+        for spec in args.mix:
+            name, _, frac = spec.partition("=")
+            fractions[name] = float(frac)
+        docs = stratified_sample(docs, args.source_col, fractions, id_col=args.id_col)
+
+    # 3b. per-source quota (optional)
     if args.source_cap:
         docs = per_group_cap(
             docs, args.source_col, n=args.source_cap, id_col=args.id_col,
@@ -112,6 +139,17 @@ def main() -> None:
     # 4. deterministic split assignment
     weights = {"train": args.train, "val": args.val, "test": args.test}
     curated = hash_split(docs, args.id_col, weights)
+
+    # 4b. optional packing layout: stamp (shard, pack_id, offset) so the
+    # training loader can slice fixed-token sequences without re-shuffling
+    if args.pack_budget:
+        from flow_indexer_spark.operators.curation import pack_sequences
+
+        layout = pack_sequences(
+            curated, args.pack_budget, id_col=args.id_col,
+            text_col=args.text_col, n_shards=args.pack_shards,
+        ).select(args.id_col, "shard", "pack_id", "offset")
+        curated = curated.join(layout, args.id_col)
 
     # 5. optional eval decontamination: drop val/test docs whose n-gram
     # overlap with ANY train doc reaches the threshold (eval leakage)
