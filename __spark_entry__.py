@@ -1518,6 +1518,43 @@ def _q_phrase_search_index(spark, sf_dir):
     return phrase_search(pos, "table scan", id_cols=("doc_id",))
 
 
+def _q_bm25_search(spark, sf_dir):
+    """BM25 top-10 for a 3-term query: scored retrieval over the token
+    index (the reference's boolean contains-lookup, generalized). Only
+    the query terms' occurrence rows shuffle; top-k is
+    TakeOrderedAndProject."""
+    from flow_indexer_spark.operators.ranking import bm25_search
+
+    d = _t(spark, sf_dir, "documents")
+    return bm25_search(d, "table scan merge", topk=10)
+
+
+_register(
+    "bm25_search",
+    """
+    WITH d AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tok
+      FROM documents
+    ),
+    stats AS (SELECT count(*) AS n, avg(len(tok)) AS avgdl FROM d),
+    e AS (SELECT doc_id, len(tok) AS dl, unnest(tok) AS t FROM d),
+    tf AS (
+      SELECT doc_id, t, count(*) AS tf, first(dl) AS dl
+      FROM e WHERE t IN ('merge', 'scan', 'table') GROUP BY doc_id, t
+    ),
+    dfq AS (SELECT t, count(*) AS df FROM tf GROUP BY t)
+    SELECT doc_id,
+           SUM(ln(1 + (n - df + 0.5) / (df + 0.5))
+               * tf * (1.2 + 1)
+               / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) AS score
+    FROM tf JOIN dfq USING (t) CROSS JOIN stats
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id
+    LIMIT 10
+    """,
+)(_q_bm25_search)
+
+
 # --- chunked-index totals, window top-k, AND-search, media plumbing ---------
 
 @_register(
