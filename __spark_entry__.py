@@ -1738,6 +1738,64 @@ def _q_media_features(spark, sf_dir):
     return media_probe_features(media).orderBy("media_id")
 
 
+@_register(
+    "telemetry_new_vs_returning",
+    """
+    WITH fs AS (
+      SELECT user_id, MIN(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS first_b
+      FROM events GROUP BY user_id
+    ),
+    d AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket
+      FROM events
+    )
+    SELECT bucket,
+           CAST(SUM(CASE WHEN bucket = first_b THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_new,
+           CAST(SUM(CASE WHEN bucket > first_b THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_returning
+    FROM d JOIN fs USING (user_id)
+    GROUP BY bucket ORDER BY bucket
+    """,
+)
+def _q_telemetry_new_vs_returning(spark, sf_dir):
+    """Cohort newness: per-day first-seen vs returning entity counts —
+    the corpus-wide inversion of the reference's per-entity first/last
+    stat (A5, /root/reference/flowindexer/flowindexer.go:352-366)."""
+    from flow_indexer_spark.operators.telemetry import new_vs_returning
+
+    return new_vs_returning(_t(spark, sf_dir, "events"))
+
+
+@_register(
+    "telemetry_daily_anomaly",
+    """
+    WITH c AS (
+      SELECT event_type AS klass,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT klass, bucket, n,
+           AVG(n) OVER (PARTITION BY klass ORDER BY bucket
+                        ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+             AS trailing_avg,
+           CAST(n AS DOUBLE)
+             / AVG(n) OVER (PARTITION BY klass ORDER BY bucket
+                            ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+             AS ratio
+    FROM c ORDER BY klass, bucket
+    """,
+)
+def _q_telemetry_daily_anomaly(spark, sf_dir):
+    """Per-class daily volume vs its own trailing-7 baseline (current
+    bucket excluded) — anomaly screen over the two-level histogram's
+    time axis (A6 analogue at corpus scope)."""
+    from flow_indexer_spark.operators.telemetry import daily_anomaly
+
+    return daily_anomaly(_t(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return dict(_QUERIES)

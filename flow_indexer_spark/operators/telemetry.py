@@ -1,0 +1,81 @@
+"""Telemetry rollups over event streams: cohort newness and per-class
+daily anomaly baselines.
+
+The reference answers "when was this entity seen" per query (hits/first/
+last, /root/reference/flowindexer/flowindexer.go:352-366). A telemetry
+pipeline also needs the corpus-wide inversions of that question: how
+many entities were seen *for the first time* each day (new vs
+returning), and is today's per-class volume anomalous against its own
+trailing baseline. Both are two-shuffle DataFrame plans with map-side
+combine; the window partitions are (class) x (days) — tiny and never
+hot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def new_vs_returning(
+    events: DataFrame,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    granularity: str = "day",
+) -> DataFrame:
+    """Per-bucket counts of entities seen for the first time vs seen
+    before: first-seen bucket per entity (one groupBy-min over the id —
+    the A5 ``first`` stat computed for EVERY entity at once), then the
+    distinct (entity, bucket) pairs classified against it. Output:
+    (bucket, n_new, n_returning) sorted by bucket."""
+    bucket = F.date_trunc(granularity, ts_col)
+    first_seen = events.groupBy(F.col(id_col).alias("_id")).agg(
+        F.min(bucket).alias("_first")
+    )
+    daily = (
+        events.select(F.col(id_col).alias("_id"), bucket.alias("bucket"))
+        .dropDuplicates()
+    )
+    return (
+        daily.join(first_seen, "_id")
+        .groupBy("bucket")
+        .agg(
+            F.sum((F.col("bucket") == F.col("_first")).cast("long")).alias("n_new"),
+            F.sum((F.col("bucket") > F.col("_first")).cast("long")).alias(
+                "n_returning"
+            ),
+        )
+        .orderBy("bucket")
+    )
+
+
+def daily_anomaly(
+    events: DataFrame,
+    class_col: str = "event_type",
+    ts_col: str = "ts",
+    granularity: str = "day",
+    trailing: int = 7,
+) -> DataFrame:
+    """Per-class daily volume against its own trailing-N baseline:
+    count per (class, bucket), trailing mean over the PRECEDING
+    ``trailing`` buckets (current excluded — today must not dilute its
+    own baseline), and the volume ratio. Ratio is null for a class's
+    first bucket (no history — callers filter or alert on >x thresholds).
+    The window partition is one class's day series: bounded by the
+    calendar, so a hot class costs nothing extra."""
+    bucket = F.date_trunc(granularity, ts_col)
+    counts = events.groupBy(
+        F.col(class_col).alias("klass"), bucket.alias("bucket")
+    ).agg(F.count("*").alias("n"))
+    w = (
+        Window.partitionBy("klass")
+        .orderBy("bucket")
+        .rowsBetween(-trailing, -1)
+    )
+    avg_t = F.avg("n").over(w)
+    return counts.select(
+        "klass",
+        "bucket",
+        "n",
+        avg_t.alias("trailing_avg"),
+        (F.col("n").cast("double") / avg_t).alias("ratio"),
+    ).orderBy("klass", "bucket")
