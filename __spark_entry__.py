@@ -1796,6 +1796,87 @@ def _q_telemetry_daily_anomaly(spark, sf_dir):
     return daily_anomaly(_t(spark, sf_dir, "events"))
 
 
+@_register(
+    "asof_latest_purchase",
+    """
+    WITH l AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+    ),
+    r AS (
+      SELECT user_id, ts AS purchase_ts, MAX(event_id) AS purchase_id
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT l.event_id, l.user_id, l.ts, r.purchase_ts, r.purchase_id
+    FROM l ASOF LEFT JOIN r
+      ON l.user_id = r.user_id AND l.ts >= r.purchase_ts
+    ORDER BY l.event_id
+    """,
+)
+def _q_asof_latest_purchase(spark, sf_dir):
+    """As-of join: each error event aligned to the same user's most
+    recent at-or-before purchase — union-then-window plan (one shuffle,
+    no candidate pairs), checked against DuckDB's native ASOF JOIN.
+    Right side pre-deduped per (user, ts) so tie resolution is pinned."""
+    from flow_indexer_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(ev.event_type == "error").select("event_id", "user_id", "ts")
+    right = (
+        ev.filter(ev.event_type == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("purchase_id"))
+    )
+    return (
+        asof_join(left, right, on="user_id")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("r_ts").alias("purchase_ts"),
+            F.col("r_purchase_id").alias("purchase_id"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@_register(
+    "interval_window_counts",
+    """
+    WITH i AS (
+      SELECT event_id AS purchase_id, user_id, ts AS w_start,
+             ts + INTERVAL 2 HOUR AS w_end
+      FROM events WHERE event_type = 'purchase'
+    ),
+    p AS (SELECT user_id, ts FROM events WHERE event_type = 'error')
+    SELECT i.purchase_id, COUNT(*) AS n_errors
+    FROM i JOIN p
+      ON p.user_id = i.user_id AND p.ts >= i.w_start AND p.ts < i.w_end
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def _q_interval_window_counts(spark, sf_dir):
+    """Interval (range) join: errors inside each purchase's 2-hour
+    follow-up window, per user — bucketed equi-join on (key, hour
+    bucket) + exact containment filter; the oracle is the direct
+    inequality theta-join."""
+    from flow_indexer_spark.operators.joins import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("w_end"),
+    )
+    pts = ev.filter(F.col("event_type") == "error").select("user_id", "ts")
+    j = interval_join(pts, iv, on="user_id", start_col="w_start", end_col="w_end")
+    return (
+        j.groupBy("purchase_id")
+        .agg(F.count("*").alias("n_errors"))
+        .orderBy("purchase_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return dict(_QUERIES)
