@@ -1201,11 +1201,16 @@ def _q_dedup_ngram_jaccard(spark, sf_dir):
 def _q_dedup_ngram_prefix(spark, sf_dir):
     """AllPairs/PPJoin prefix-filtered n-gram Jaccard — the lossless scale
     path: identical output to the plain inverted-index join (same oracle),
-    with candidate volume pruned by df-ordered prefixes + size filter
-    instead of a recall-losing df cap."""
+    with candidate volume pruned by df-ordered prefixes + size +
+    positional filters instead of a recall-losing df cap. The sf tables
+    are one small parquet file, so the gram-build scan stage would run as
+    a single task — repartition to cluster width first (a no-op concern
+    at real scale, where the scan itself has thousands of splits)."""
     from flow_indexer_spark.operators.dedup import ngram_jaccard_pairs_prefix
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return ngram_jaccard_pairs_prefix(d, n=3, threshold=0.5).orderBy("id_a", "id_b")
 
 

@@ -302,8 +302,22 @@ def ngram_jaccard_pairs_prefix(
       skew self-limits instead of needing a recall-losing df cap.
     * Size filter inside the join: min(|A|,|B|) >= t*max(|A|,|B|) (a
       valid pair can't differ in size by more than the threshold allows).
+    * PPJoin positional filter: a pair needs overlap
+      alpha = ceil(t/(1+t)*(|A|+|B|)); a prefix collision at (0-based)
+      positions (pa, pb) can contribute at most
+      min(|A|-pa, |B|-pb) total overlap (this gram + everything after
+      it), so collisions with a bound below alpha are discarded. The
+      pair's FIRST shared prefix gram gives the loosest (valid) bound,
+      and the any-collision-passes + dropDuplicates composition keeps
+      exactly the pairs whose first collision passes — lossless.
     * Exact Jaccard verification on the surviving candidates, identical
       to the baseline.
+
+    Grams are 64-bit-hashed (``xxhash64``) before any shuffle: join keys
+    and the verify-stage arrays move as longs, not n-token strings (~3x
+    less shuffle volume, integer compares). Jaccard over hashed sets
+    equals Jaccard over the string sets unless two distinct grams of the
+    same document collide in 64 bits — odds ~|G|^2/2^64, ignored.
 
     Topology: gram-df count (one map-side-combinable shuffle), join df
     back + per-doc sort (shuffle on doc id), prefix self-join (shuffle on
@@ -318,7 +332,10 @@ def ngram_jaccard_pairs_prefix(
     """
     t = float(threshold)
     grams = df.select(
-        F.col(id_col).alias("_id"), token_ngrams(text_col, n).alias("_grams")
+        F.col(id_col).alias("_id"),
+        F.array_sort(
+            F.transform(token_ngrams(text_col, n), lambda g: F.xxhash64(g))
+        ).alias("_grams"),
     ).filter(F.size("_grams") > 0)
     exploded = grams.select("_id", F.explode("_grams").alias("_g"))
     dfc = exploded.groupBy("_g").agg(F.count("*").alias("_df"))
@@ -339,9 +356,9 @@ def ngram_jaccard_pairs_prefix(
     pre = ordered.select(
         "_id",
         sz.alias("_sz"),
-        F.explode(
+        F.posexplode(
             F.slice(F.transform("_ord", lambda s: s["_g"]), F.lit(1), plen)
-        ).alias("_g"),
+        ).alias("_p", "_g"),
     )
     if max_bucket_df is not None:
         ok = (
@@ -351,8 +368,21 @@ def ngram_jaccard_pairs_prefix(
             .select("_g")
         )
         pre = pre.join(ok, "_g")
-    a = pre.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sa"), "_g")
-    b = pre.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_sb"), "_g")
+    a = pre.select(
+        F.col("_id").alias("id_a"), F.col("_sz").alias("_sa"),
+        F.col("_p").alias("_pa"), "_g",
+    )
+    b = pre.select(
+        F.col("_id").alias("id_b"), F.col("_sz").alias("_sb"),
+        F.col("_p").alias("_pb"), "_g",
+    )
+    alpha = F.ceil(
+        F.lit(t / (1.0 + t)) * (F.col("_sa") + F.col("_sb")).cast("double")
+        - F.lit(1e-9)
+    )
+    overlap_bound = F.least(
+        F.col("_sa") - F.col("_pa"), F.col("_sb") - F.col("_pb")
+    )
     cand = (
         a.join(b, "_g")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -360,6 +390,7 @@ def ngram_jaccard_pairs_prefix(
             F.least("_sa", "_sb").cast("double")
             >= F.lit(t) * F.greatest("_sa", "_sb").cast("double")
         )
+        .filter(overlap_bound >= alpha)
         .select("id_a", "id_b")
         .dropDuplicates()
     )
