@@ -1882,6 +1882,75 @@ def _q_interval_window_counts(spark, sf_dir):
     )
 
 
+@_register(
+    "funnel_view_click_purchase",
+    """
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+        AND e.ts <= s1.t1 + INTERVAL 168 HOUR
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e
+      JOIN s2 ON e.user_id = s2.user_id
+      JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        AND e.ts <= s1.t1 + INTERVAL 168 HOUR
+      GROUP BY e.user_id
+    )
+    SELECT step, n_users FROM (
+      SELECT 1 AS step, CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+      UNION ALL SELECT 2, CAST(COUNT(*) AS BIGINT) FROM s2
+      UNION ALL SELECT 3, CAST(COUNT(*) AS BIGINT) FROM s3
+    ) WHERE n_users > 0 ORDER BY step
+    """,
+)
+def _q_funnel(spark, sf_dir):
+    """Ordered funnel view->click->purchase within 7 days of the anchor:
+    greedy-earliest chain matching as ONE shuffle + JVM in-row fold
+    (F.aggregate) — vs the oracle's per-step min-chaining CTE cascade.
+    Dual formulations of the same greedy semantics."""
+    from flow_indexer_spark.operators.funnels import funnel_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_counts(
+        ev, ["view", "click", "purchase"], within_hours=168
+    )
+
+
+@_register(
+    "retention_cohorts",
+    """
+    WITH fs AS (
+      SELECT user_id, MIN(CAST(date_trunc('week', ts) AS TIMESTAMP)) AS cohort
+      FROM events GROUP BY user_id
+    ),
+    a AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS b
+      FROM events
+    )
+    SELECT cohort,
+           CAST(date_diff('day', cohort, b) // 7 AS INTEGER) AS "offset",
+           COUNT(*) AS n_active
+    FROM a JOIN fs USING (user_id)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def _q_retention_cohorts(spark, sf_dir):
+    """Weekly retention triangle: cohort = first-seen week, cells =
+    active entities per (cohort, week offset)."""
+    from flow_indexer_spark.operators.telemetry import retention_matrix
+
+    return retention_matrix(_t(spark, sf_dir, "events"), granularity="week")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return dict(_QUERIES)

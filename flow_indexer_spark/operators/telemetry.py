@@ -48,6 +48,42 @@ def new_vs_returning(
     )
 
 
+def retention_matrix(
+    events: DataFrame,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    granularity: str = "week",
+) -> DataFrame:
+    """Classic retention triangle: cohort = the bucket an entity was
+    first seen in; for every (cohort, bucket-offset) cell, how many of
+    that cohort's entities were active. Offset 0 is the cohort bucket
+    itself (n_active there = cohort size). Same two-shuffle plan as
+    :func:`new_vs_returning` — first-seen min per entity, then the
+    distinct (entity, bucket) pairs classified against it; the division
+    to bucket offsets is exact because both sides are truncated to the
+    same granularity."""
+    per = {"day": 1, "week": 7}
+    if granularity not in per:
+        raise ValueError(f"granularity must be one of {sorted(per)}")
+    bucket = F.date_trunc(granularity, ts_col)
+    first_seen = events.groupBy(F.col(id_col).alias("_id")).agg(
+        F.min(bucket).alias("cohort")
+    )
+    active = (
+        events.select(F.col(id_col).alias("_id"), bucket.alias("_b"))
+        .dropDuplicates()
+    )
+    offset = (
+        F.datediff(F.col("_b"), F.col("cohort")) / per[granularity]
+    ).cast("int")
+    return (
+        active.join(first_seen, "_id")
+        .groupBy("cohort", offset.alias("offset"))
+        .agg(F.count("*").alias("n_active"))
+        .orderBy("cohort", "offset")
+    )
+
+
 def daily_anomaly(
     events: DataFrame,
     class_col: str = "event_type",
