@@ -182,6 +182,11 @@ def _bench_queries(spark, sf_dir: str) -> dict:
         "curation_source_cap",
         "top_distinctive_terms",
         "dedup_ngram_prefix",
+        "bm25_search",
+        "asof_latest_purchase",
+        "interval_window_counts",
+        "funnel_view_click_purchase",
+        "retention_cohorts",
     ]
     qs = entry_mod.queries()
     out = {}
