@@ -1951,6 +1951,206 @@ def _q_retention_cohorts(spark, sf_dir):
     return retention_matrix(_t(spark, sf_dir, "events"), granularity="week")
 
 
+_IP_PAT = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+_EMAIL_PAT = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_HEXID_PAT = r"\b[0-9a-f]{32,64}\b"
+
+
+@_register(
+    "redact_transcripts",
+    f"""
+    WITH t AS ({_SYNTH_SQL})
+    SELECT conv_id, turn_idx,
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '{_EMAIL_PAT}', '<EMAIL>', 'g'),
+               '{_HEXID_PAT}', '<HEXID>', 'g'),
+               '{_IP_PAT}', '<IP>', 'g') AS clean_text,
+           CAST(len(regexp_extract_all(text, '{_EMAIL_PAT}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text, '{_HEXID_PAT}')) AS BIGINT) AS n_hexid,
+           CAST(len(regexp_extract_all(text, '{_IP_PAT}')) AS BIGINT) AS n_ip
+    FROM t ORDER BY conv_id, turn_idx
+    """,
+)
+def _q_redact_transcripts(spark, sf_dir):
+    """PII/entity scrubbing: the extract stage's entity classes REMOVED
+    from transcript text (in-row regexp_replace, zero shuffle), with
+    per-class audit counts of what was redacted."""
+    from flow_indexer_spark.operators.redact import redact_entities
+
+    t = synth_transcripts(spark, sf_dir).select("conv_id", "turn_idx", "text")
+    return redact_entities(t).orderBy("conv_id", "turn_idx")
+
+
+@_register(
+    "telemetry_rollup",
+    """
+    SELECT COALESCE(event_type, 'ALL') AS klass,
+           COALESCE(CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS VARCHAR),
+                    'ALL') AS bucket,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY ROLLUP(event_type, date_trunc('day', ts))
+    ORDER BY klass, bucket
+    """,
+)
+def _q_telemetry_rollup(spark, sf_dir):
+    """Multi-granularity rollup (leaf + per-class subtotal + grand total)
+    as ONE Expand shuffle instead of three groupBys."""
+    from flow_indexer_spark.operators.telemetry import rollup_counts
+
+    return rollup_counts(_t(spark, sf_dir, "events"))
+
+
+_EVENT_CLASSES = ["click", "error", "purchase", "signup", "view"]
+
+
+@_register(
+    "pivot_event_matrix",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+           COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'view') AS view
+    FROM events GROUP BY 1 ORDER BY bucket
+    """,
+)
+def _q_pivot_event_matrix(spark, sf_dir):
+    """Day x event-class dense count matrix; explicit pivot values skip
+    Spark's extra distinct-values job over the input."""
+    from flow_indexer_spark.operators.telemetry import pivot_matrix
+
+    return pivot_matrix(_t(spark, sf_dir, "events"), classes=_EVENT_CLASSES)
+
+
+@_register(
+    "doc_chunks_sliding",
+    """
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tok
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, tok, len(tok) AS n,
+             unnest(range(0, ((len(tok) - 1) // 24) * 24 + 1, 24)) AS start
+      FROM t WHERE len(tok) > 0
+    )
+    SELECT doc_id,
+           CAST(start // 24 AS INTEGER) AS chunk_idx,
+           CAST(start AS INTEGER) AS start_tok,
+           CAST(least(32, n - start) AS INTEGER) AS n_tokens,
+           md5(array_to_string(tok[start + 1:start + 32], ' ')) AS chunk_hash
+    FROM s ORDER BY doc_id, chunk_idx
+    """,
+)
+def _q_doc_chunks_sliding(spark, sf_dir):
+    """Overlapping token-window chunking (size 32, stride 24): in-row
+    generate+explode, chunks hashed in the same projection."""
+    from flow_indexer_spark.operators.curation import sliding_window_chunks
+
+    d = _t(spark, sf_dir, "documents")
+    return sliding_window_chunks(d, size=32, stride=24).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+@_register(
+    "boilerplate_common_grams",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(tok) - 1, 1)),
+                 i -> array_to_string(list_slice(tok, i, i + 2), ' '))) AS grams
+      FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tok
+            FROM documents)
+      WHERE len(tok) >= 3
+    ),
+    e AS (SELECT doc_id, unnest(grams) AS gr FROM g),
+    common AS (SELECT gr FROM e GROUP BY gr HAVING COUNT(*) > 20),
+    hits AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM e JOIN common USING (gr) GROUP BY doc_id
+    )
+    SELECT g.doc_id,
+           CAST(len(grams) AS BIGINT) AS n_grams,
+           COALESCE(n_common, 0) AS n_common,
+           CAST(COALESCE(n_common, 0) AS DOUBLE) / len(grams) AS boilerplate_ratio
+    FROM g LEFT JOIN hits ON g.doc_id = hits.doc_id
+    WHERE len(grams) > 0
+    ORDER BY 1
+    """,
+)
+def _q_boilerplate_common_grams(spark, sf_dir):
+    """Corpus-level boilerplate score: fraction of a doc's distinct token
+    3-grams that occur in >20 documents (C4/CCNet-style cleanup evidence);
+    the common-gram set is bounded by total_grams/min_df, so it
+    broadcasts."""
+    from flow_indexer_spark.operators.curation import boilerplate_fraction
+
+    d = _t(spark, sf_dir, "documents")
+    return boilerplate_fraction(d, n=3, min_df=20).orderBy("doc_id")
+
+
+@_register(
+    "quality_quantile_band",
+    """
+    WITH c AS (SELECT n_chars AS v, COUNT(*) AS n FROM documents GROUP BY 1),
+    cum AS (SELECT v, SUM(n) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cs
+            FROM c),
+    tot AS (SELECT COUNT(*) AS total FROM documents),
+    th AS (
+      SELECT MIN(CASE WHEN cs >= CEIL(0.25 * total) THEN v END) AS lo,
+             MIN(CASE WHEN cs >= CEIL(0.75 * total) THEN v END) AS hi
+      FROM cum, tot
+    )
+    SELECT doc_id, n_chars FROM documents, th
+    WHERE n_chars BETWEEN lo AND hi
+    ORDER BY doc_id
+    """,
+)
+def _q_quality_quantile_band(spark, sf_dir):
+    """Exact discrete-quantile outlier trim on n_chars ([p25, p75] band)
+    computed from domain-sized value counts — no global sort, thresholds
+    broadcast back as a filter."""
+    from flow_indexer_spark.operators.curation import quantile_band_filter
+
+    d = _t(spark, sf_dir, "documents")
+    return quantile_band_filter(d, "n_chars", 0.25, 0.75).select(
+        "doc_id", "n_chars"
+    ).orderBy("doc_id")
+
+
+@_register(
+    "embedding_quantize_int8",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+               AS scale,
+             embedding
+      FROM embeddings
+    )
+    SELECT vec_id, scale,
+           CASE WHEN scale = 0
+             THEN list_transform(embedding, x -> 0)
+             ELSE list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / scale + 0.5)
+                           AS INTEGER))
+           END AS qvec
+    FROM q ORDER BY vec_id
+    """,
+)
+def _q_embedding_quantize_int8(spark, sf_dir):
+    """Symmetric int8 embedding quantization (per-vector max-abs scale,
+    explicit floor(+0.5) half-up rounding so both engines agree
+    bit-for-bit); in-row, zero shuffle."""
+    from flow_indexer_spark.operators.similarity import quantize_int8
+
+    e = _t(spark, sf_dir, "embeddings")
+    return quantize_int8(e).select("vec_id", "scale", "qvec").orderBy("vec_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return dict(_QUERIES)

@@ -187,6 +187,11 @@ def _bench_queries(spark, sf_dir: str) -> dict:
         "interval_window_counts",
         "funnel_view_click_purchase",
         "retention_cohorts",
+        "redact_transcripts",
+        "telemetry_rollup",
+        "doc_chunks_sliding",
+        "boilerplate_common_grams",
+        "embedding_quantize_int8",
     ]
     qs = entry_mod.queries()
     out = {}

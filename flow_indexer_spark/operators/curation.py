@@ -193,6 +193,136 @@ def pack_sequences(
     )
 
 
+def sliding_window_chunks(
+    df: DataFrame,
+    size: int = 32,
+    stride: int = 24,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping token-window chunking — the context-window shaping step
+    for long-document training/retrieval (stride < size keeps every token
+    covered by at least one window with overlap size-stride). Pure in-row
+    generate+explode: start offsets 0, stride, 2*stride … < n_tokens, each
+    sliced and hashed in the same projection — no shuffle, no Python; a
+    100 TB corpus chunks at scan speed.
+
+    Output per chunk: (id, chunk_idx, start_tok, n_tokens, chunk_hash).
+    Tail chunks are short (never empty); empty docs yield no rows.
+    """
+    from flow_indexer_spark.operators.dedup import tokens
+
+    if size <= 0 or stride <= 0:
+        raise ValueError("size and stride must be positive")
+    tok = tokens(text_col)
+    d = df.select(F.col(id_col), tok.alias("_tok"), F.size(tok).alias("_n"))
+    last = (F.floor((F.col("_n") - 1) / stride) * stride).cast("int")
+    starts = F.sequence(F.lit(0), last, F.lit(stride))
+    chunk = F.slice("_tok", F.col("start_tok") + 1, size)
+    return (
+        d.filter(F.col("_n") > 0)
+        .select(id_col, "_tok", "_n", F.explode(starts).alias("start_tok"))
+        .select(
+            id_col,
+            (F.col("start_tok") / stride).cast("int").alias("chunk_idx"),
+            "start_tok",
+            F.least(F.lit(size), F.col("_n") - F.col("start_tok"))
+            .cast("int")
+            .alias("n_tokens"),
+            F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+        )
+    )
+
+
+def boilerplate_fraction(
+    df: DataFrame,
+    n: int = 8,
+    min_df: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level boilerplate score per document: the fraction of its
+    distinct token n-grams that occur in more than ``min_df`` documents
+    (headers, footers, license blurbs — C4/CCNet-style cleanup evidence).
+    Complements operators.textstats.repetition_signals, which is doc-LOCAL.
+
+    Topology: explode distinct grams (in-row), one partial-agg shuffle for
+    gram document-frequency, then join docs against only the COMMON grams
+    (df > min_df) — a set at most total_grams/min_df big, so it is
+    broadcast. The full gram table is never joined against itself.
+    """
+    from flow_indexer_spark.operators.dedup import token_ngrams
+
+    g = df.select(
+        F.col(id_col), token_ngrams(text_col, n).alias("_grams")
+    ).filter(F.size("_grams") > 0)
+    e = g.select(id_col, F.explode("_grams").alias("_g"))
+    common = (
+        e.groupBy("_g")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") > min_df)
+        .select("_g")
+    )
+    hits = (
+        e.join(F.broadcast(common), "_g")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        g.select(id_col, F.size("_grams").cast("bigint").alias("n_grams"))
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce("n_common", F.lit(0)).cast("bigint").alias("n_common"),
+            (
+                F.coalesce("n_common", F.lit(0)).cast("double")
+                / F.col("n_grams")
+            ).alias("boilerplate_ratio"),
+        )
+    )
+
+
+def quantile_band_filter(
+    df: DataFrame,
+    value_col: str = "n_chars",
+    lo: float = 0.25,
+    hi: float = 0.75,
+) -> DataFrame:
+    """Keep rows whose ``value_col`` falls inside the corpus's exact
+    discrete [lo, hi] quantile band — the outlier trim step quality
+    pipelines run on length/score columns (too-short and too-long docs
+    dropped by the corpus's OWN distribution, not a magic constant).
+
+    Exact quantiles without a global sort: aggregate to per-VALUE counts
+    (one shuffle, domain-sized not corpus-sized), running-sum over the
+    sorted distinct values (a window over the value domain — thousands of
+    rows, never the corpus), and the thresholds are the smallest values
+    whose cumulative count reaches ceil(q*N) (discrete/type-1 quantile —
+    the definition the DuckDB oracle twin states literally, so both
+    engines agree bit-for-bit where interpolating approximations differ).
+    Thresholds are a 1-row broadcast joined back as a filter.
+    """
+    if not (0.0 <= lo <= hi <= 1.0):
+        raise ValueError("need 0 <= lo <= hi <= 1")
+    counts = df.groupBy(F.col(value_col).alias("_v")).agg(
+        F.count("*").alias("_n")
+    )
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.select(
+        "_v", F.sum("_n").over(w).alias("_cs"), F.sum("_n").over(
+            Window.partitionBy()
+        ).alias("_total")
+    )
+    th = cum.agg(
+        F.min(F.when(F.col("_cs") >= F.ceil(lo * F.col("_total")), F.col("_v"))).alias("_lo"),
+        F.min(F.when(F.col("_cs") >= F.ceil(hi * F.col("_total")), F.col("_v"))).alias("_hi"),
+    )
+    return df.join(F.broadcast(th)).filter(
+        F.col(value_col).between(F.col("_lo"), F.col("_hi"))
+    ).drop("_lo", "_hi")
+
+
 def cross_split_contamination(
     df: DataFrame,
     id_col: str = "doc_id",

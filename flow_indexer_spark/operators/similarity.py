@@ -91,6 +91,50 @@ def topk_cosine_bucketed(
     )
 
 
+def l2_normalize(v: Column) -> Column:
+    """Unit-normalize a vector in-row (cosine becomes a plain dot after
+    this — the standard pre-step before ANN index build). Zero vectors
+    pass through unchanged rather than dividing by zero."""
+    norm = F.sqrt(_dot(v, v))
+    return F.when(norm == 0.0, v).otherwise(
+        F.transform(v, lambda x: x / norm)
+    )
+
+
+def quantize_int8(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric int8 quantization for embedding storage: per-vector
+    scale = max |x|, q_i = floor(x_i * 127 / scale + 0.5) — 4x smaller
+    columns and SIMD-friendly dot products downstream, the standard
+    storage layout for billion-vector ANN corpora.
+
+    Everything is an in-row transform (JVM codegen, zero shuffle, chunks
+    at scan speed). The rounding is written as an explicit floor(+0.5)
+    instead of round() so every engine (and the DuckDB oracle twin)
+    computes the identical half-up result — round()'s half-case mode
+    differs across engines. Zero vectors quantize to all zeros.
+    Output: (id, scale, qvec:array<int>, mae) where mae is the mean
+    absolute dequantization error |x - q*scale/127|.
+    """
+    v = F.col(vec_col)
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x))).cast("double")
+    q = F.when(scale == 0.0, F.transform(v, lambda x: F.lit(0))).otherwise(
+        F.transform(
+            v,
+            lambda x: F.floor(x.cast("double") * 127.0 / scale + 0.5).cast("int"),
+        )
+    )
+    d = df.select(F.col(id_col), scale.alias("scale"), q.alias("qvec"), v.alias("_v"))
+    errs = F.zip_with(
+        "_v", "qvec", lambda x, qi: F.abs(x.cast("double") - qi * F.col("scale") / 127.0)
+    )
+    mae = F.aggregate(errs, F.lit(0.0), lambda s, x: s + x) / F.size("qvec")
+    return d.select(id_col, "scale", "qvec", mae.alias("mae"))
+
+
 def write_bucketed_embeddings(
     emb: DataFrame, path: str, vec_col: str = "embedding", n_bits: int = 8
 ) -> None:

@@ -84,6 +84,62 @@ def retention_matrix(
     )
 
 
+def rollup_counts(
+    events: DataFrame,
+    class_col: str = "event_type",
+    ts_col: str = "ts",
+    granularity: str = "day",
+    all_label: str = "ALL",
+) -> DataFrame:
+    """Multi-granularity rollup in ONE pass: per-(class, bucket) counts,
+    per-class subtotals, and the grand total via ``DataFrame.rollup`` —
+    Spark's Expand turns the rollup into a single shuffle with map-side
+    partial aggregation instead of three separate groupBys (the
+    hypertable-rollup analogue of the reference's two-level bucket
+    histogram, /root/reference/flowindexer/flowindexer.go:352-366).
+    Subtotal rows mark the rolled-up column with ``all_label`` (the data
+    itself is never null there, so the sentinel is unambiguous)."""
+    bucket = F.date_trunc(granularity, ts_col)
+    return (
+        events.rollup(F.col(class_col).alias("klass"), bucket.alias("bucket"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce("klass", F.lit(all_label)).alias("klass"),
+            F.coalesce(F.col("bucket").cast("string"), F.lit(all_label)).alias(
+                "bucket"
+            ),
+            "n",
+        )
+        .orderBy("klass", "bucket")
+    )
+
+
+def pivot_matrix(
+    events: DataFrame,
+    class_col: str = "event_type",
+    ts_col: str = "ts",
+    classes: list[str] | None = None,
+    granularity: str = "day",
+) -> DataFrame:
+    """Bucket x class count matrix (one column per class). Passing the
+    explicit ``classes`` list is the scale contract: without it Spark runs
+    an extra distinct-values job over the full input just to learn the
+    column set. Absent combinations come back 0, not null, so the matrix
+    is dense. One shuffle (pivot aggregates map-side like any groupBy)."""
+    if not classes:
+        raise ValueError("classes must be the explicit pivot value list")
+    bucket = F.date_trunc(granularity, ts_col).alias("bucket")
+    wide = (
+        events.groupBy(bucket)
+        .pivot(class_col, classes)
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "bucket",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in classes],
+    ).orderBy("bucket")
+
+
 def daily_anomaly(
     events: DataFrame,
     class_col: str = "event_type",

@@ -1,0 +1,66 @@
+"""Streaming deduplication with bounded state.
+
+The batch dedup suite (operators/dedup.py) assumes the whole corpus is
+addressable; a resident ingest daemon sees rows trickle in and must drop
+re-deliveries (at-least-once upstreams, retried producers, replayed
+partitions) WITHOUT keeping every key ever seen. That is exactly
+``dropDuplicatesWithinWatermark``: state holds only keys younger than
+the watermark, so memory is O(keys per watermark window), not O(history)
+— the same bounded-state argument as streaming/sessions.py, applied to
+the reference's idempotent re-index guard
+(/root/reference/flowindexer/index.go:17-24, store/leveldb.go:58-68):
+the reference dedups at file granularity against a persistent store; a
+row-granular stream dedups against a TTL'd state store instead.
+
+Exactly-once layering: the checkpoint gives exactly-once FILE delivery;
+this gives at-most-once per KEY within the watermark horizon; replays
+older than the horizon are the manifest's job (content-level anti-join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def stream_dedup(
+    stream: DataFrame,
+    id_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Drop re-deliveries of the same key arriving within the watermark
+    horizon. ``id_cols`` defaults to the transcript identity
+    (conv_id, turn_idx) — the reference's document identity unit. The
+    event-time column must NOT be part of the key: two deliveries of the
+    same turn may carry skewed timestamps; dropDuplicatesWithinWatermark
+    matches on the key alone and uses event time only for state TTL."""
+    keys = id_cols if id_cols is not None else ["conv_id", "turn_idx"]
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
+def run_dedup_tick(
+    spark,
+    source_path: str,
+    checkpoint_path: str,
+    out_path: str,
+    schema,
+    id_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> None:
+    """One AvailableNow tick: drain new source files, emit each key's
+    first-seen row exactly once, append to ``out_path``. Dedup state lives
+    in the checkpoint and expires as the watermark advances."""
+    stream = spark.readStream.schema(schema).parquet(source_path)
+    deduped = stream_dedup(stream, id_cols, ts_col, watermark)
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,9 +1,12 @@
-"""spark-submit entry point for corpus curation: dedup -> mix -> cap -> split.
+"""spark-submit entry point for corpus curation:
+redact -> trim -> dedup -> boilerplate -> mix -> cap -> split.
 
-The training-data companion to ingest_job: take a documents table, drop
-exact + near duplicates (keeper per connected near-dup cluster), cap any
-one source's contribution, assign deterministic train/val/test splits,
-and write the curated corpus partitioned by split.
+The training-data companion to ingest_job: take a documents table,
+optionally scrub PII/entities and trim length outliers, drop exact +
+near duplicates (keeper per connected near-dup cluster) and
+boilerplate-heavy docs, cap any one source's contribution, assign
+deterministic train/val/test splits, and write the curated corpus
+partitioned by split.
 
     spark-submit --py-files flow_indexer_spark.zip jobs/curate_job.py \
         --input /path/to/documents_parquet \
@@ -82,6 +85,34 @@ def main() -> None:
         help="n-gram size for the contamination check (longer than the "
         "near-dup shingle: leakage evidence needs long exact spans)",
     )
+    ap.add_argument(
+        "--redact",
+        action="store_true",
+        help="scrub PII/entity patterns (IP, email, hex ids) from the text "
+        "column BEFORE dedup, so dedup hashes are computed on clean text",
+    )
+    ap.add_argument(
+        "--quantile-band",
+        default=None,
+        metavar="LO:HI",
+        help="keep only docs inside the corpus's [LO, HI] quantile band of "
+        "--quantile-col (e.g. 0.05:0.99 trims length outliers)",
+    )
+    ap.add_argument("--quantile-col", default="n_chars")
+    ap.add_argument(
+        "--max-boilerplate",
+        type=float,
+        default=None,
+        metavar="RATIO",
+        help="drop docs whose corpus-common n-gram fraction is >= RATIO "
+        "(boilerplate/footer detection); omit to skip",
+    )
+    ap.add_argument(
+        "--boilerplate-df",
+        type=int,
+        default=50,
+        help="a gram is 'common' when it occurs in more than this many docs",
+    )
     ap.add_argument("--cpus", type=int, default=None, help="local[N] (omit on cluster)")
     args = ap.parse_args()
 
@@ -102,6 +133,22 @@ def main() -> None:
     docs = spark.read.parquet(args.input)
     n_input = docs.count()
 
+    # 0a. PII/entity redaction first, so every later hash (dedup, split,
+    # packing) is computed over the text that actually ships
+    if args.redact:
+        from flow_indexer_spark.operators.redact import redact_text
+
+        docs = docs.withColumn(args.text_col, redact_text(args.text_col))
+
+    # 0b. length/score outlier trim by the corpus's own quantiles
+    if args.quantile_band:
+        from flow_indexer_spark.operators.curation import quantile_band_filter
+
+        lo, _, hi = args.quantile_band.partition(":")
+        docs = quantile_band_filter(
+            docs, args.quantile_col, float(lo), float(hi)
+        )
+
     # 1. exact dedup (hash groupBy keeper)
     docs = exact_dedup_keep(docs, args.id_col, args.text_col)
 
@@ -118,6 +165,20 @@ def main() -> None:
     docs = docs.join(
         clusters.filter("is_keeper").select(args.id_col), args.id_col, "left_semi"
     )
+
+    # 2b. corpus-level boilerplate drop (optional)
+    if args.max_boilerplate is not None:
+        from flow_indexer_spark.operators.curation import boilerplate_fraction
+
+        heavy = (
+            boilerplate_fraction(
+                docs, n=args.ngram, min_df=args.boilerplate_df,
+                id_col=args.id_col, text_col=args.text_col,
+            )
+            .filter(F.col("boilerplate_ratio") >= args.max_boilerplate)
+            .select(args.id_col)
+        )
+        docs = docs.join(heavy, args.id_col, "left_anti")
 
     # 3a. per-source rate mix (optional): deterministic hash subsample
     if args.mix:
