@@ -2151,6 +2151,33 @@ def _q_embedding_quantize_int8(spark, sf_dir):
     return quantize_int8(e).select("vec_id", "scale", "qvec").orderBy("vec_id")
 
 
+@_register(
+    "skew_report_events",
+    """
+    WITH c AS (
+      SELECT CAST(user_id AS VARCHAR) AS key, COUNT(*) AS n_rows
+      FROM events GROUP BY 1
+    ),
+    t AS (SELECT SUM(n_rows) AS total, COUNT(*) AS n_keys FROM c)
+    SELECT key, n_rows,
+           CAST(n_rows AS DOUBLE) / total AS share,
+           CAST(n_rows AS DOUBLE) / (CAST(total AS DOUBLE) / n_keys)
+             AS skew_factor,
+           CAST(greatest(1, CEIL(CAST(n_rows AS DOUBLE) / 10)) AS INTEGER)
+             AS n_salt
+    FROM c, t ORDER BY n_rows DESC, key LIMIT 10
+    """,
+)
+def _q_skew_report_events(spark, sf_dir):
+    """Proactive skew diagnosis: top-10 hottest keys, their corpus share,
+    skew factor vs the mean key, and the salt fan-out a salted agg should
+    use — one map-side-combined shuffle + broadcast totals + TakeOrdered."""
+    from flow_indexer_spark.operators.diagnostics import skew_report
+
+    ev = _t(spark, sf_dir, "events")
+    return skew_report(ev, ["user_id"], top_k=10, target_rows_per_task=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return dict(_QUERIES)
