@@ -2178,6 +2178,48 @@ def _q_skew_report_events(spark, sf_dir):
     return skew_report(ev, ["user_id"], top_k=10, target_rows_per_task=10)
 
 
+_LOG_LINE_SQL = (
+    "event_type || ' user=' || CAST(user_id AS VARCHAR) || ' evt=' || "
+    "CAST(event_id AS VARCHAR) || ' from 10.' || "
+    "CAST(user_id % 200 AS VARCHAR) || '.' || "
+    "CAST(event_id % 200 AS VARCHAR) || '.7'"
+)
+
+
+@_register(
+    "log_template_census",
+    f"""
+    WITH lines AS (SELECT {_LOG_LINE_SQL} AS raw FROM events)
+    SELECT regexp_replace(regexp_replace(regexp_replace(raw,
+               '{_IP_PAT}', '<IP>', 'g'),
+               '\\b[0-9a-f]{{8,64}}\\b', '<HEX>', 'g'),
+               '[0-9]+(\\.[0-9]+)?', '<N>', 'g') AS template,
+           COUNT(*) AS n_lines,
+           MIN(raw) AS example
+    FROM lines GROUP BY 1 ORDER BY n_lines DESC, template
+    """,
+)
+def _q_log_template_census(spark, sf_dir):
+    """Drain-style log template mining, reduced to its scalable core:
+    deterministic masking (IP/hex/number -> placeholders) in-row, then a
+    map-side-combined groupBy on the skeleton — template cardinality is
+    event-type-sized, so the census is always small."""
+    from flow_indexer_spark.operators.templates import log_templates
+
+    ev = _t(spark, sf_dir, "events")
+    lines = ev.select(
+        F.concat(
+            F.col("event_type"),
+            F.lit(" user="), F.col("user_id").cast("string"),
+            F.lit(" evt="), F.col("event_id").cast("string"),
+            F.lit(" from 10."), (F.col("user_id") % 200).cast("string"),
+            F.lit("."), (F.col("event_id") % 200).cast("string"),
+            F.lit(".7"),
+        ).alias("text")
+    )
+    return log_templates(lines)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return dict(_QUERIES)
