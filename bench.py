@@ -192,6 +192,8 @@ def _bench_queries(spark, sf_dir: str) -> dict:
         "doc_chunks_sliding",
         "boilerplate_common_grams",
         "embedding_quantize_int8",
+        "skew_report_events",
+        "log_template_census",
     ]
     qs = entry_mod.queries()
     out = {}
