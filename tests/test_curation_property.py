@@ -34,13 +34,25 @@ def test_chunks_cover_every_token_exactly(spark, n_tokens, size, stride):
         return
     assert rows[0]["start_tok"] == 0
     assert all(r["start_tok"] % stride == 0 for r in rows)
-    last = rows[-1]
-    assert last["start_tok"] + last["n_tokens"] == n_tokens
+    # starts are consecutive stride multiples (no window skipped)
+    assert [r["start_tok"] for r in rows] == [
+        i * stride for i in range(len(rows))
+    ]
     if stride <= size:
+        # overlap mode: the last chunk reaches the final token and the
+        # union of windows covers every position exactly
+        last = rows[-1]
+        assert last["start_tok"] + last["n_tokens"] == n_tokens
         covered = set()
         for r in rows:
             covered.update(range(r["start_tok"], r["start_tok"] + r["n_tokens"]))
         assert covered == set(range(n_tokens))
+    else:
+        # strided-sampling mode (stride > size): gaps between windows are
+        # by design; every window is full-length except possibly the tail
+        assert all(
+            r["n_tokens"] == min(size, n_tokens - r["start_tok"]) for r in rows
+        )
 
 
 @settings(max_examples=8, deadline=None)
