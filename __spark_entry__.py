@@ -2220,6 +2220,35 @@ def _q_log_template_census(spark, sf_dir):
     return log_templates(lines)
 
 
+@_register(
+    "incremental_rollup_merge",
+    """
+    SELECT event_type AS klass,
+           CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS bucket,
+           COUNT(*) AS n
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def _q_incremental_rollup_merge(spark, sf_dir):
+    """Continuous-aggregate equivalence, oracle-checked: maintain the
+    stored rollup in TWO interleaved delta batches (split by event_id
+    parity, so every bucket is partial in batch 1 and re-merged in batch
+    2 — O(delta) work, affected partitions only), then read the table
+    back; must equal the one-shot GROUP BY."""
+    import tempfile
+
+    from flow_indexer_spark.operators.telemetry import (
+        maintain_rollup,
+        read_rollup,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="rollup_") + "/t"
+    maintain_rollup(spark, ev.filter(F.col("event_id") % 2 == 0), path)
+    maintain_rollup(spark, ev.filter(F.col("event_id") % 2 == 1), path)
+    return read_rollup(spark, path).orderBy("klass", "bucket")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return dict(_QUERIES)

