@@ -1952,8 +1952,9 @@ def _q_retention_cohorts(spark, sf_dir):
 
 
 _IP_PAT = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+_IP6_PAT = r"\b(?:[0-9A-Fa-f]{1,4}:){2,7}[0-9A-Fa-f:]{1,40}"
 _EMAIL_PAT = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-_HEXID_PAT = r"\b[0-9a-f]{32,64}\b"
+_HEXID_PAT = r"\b[0-9A-Fa-f]{32,}\b"
 
 
 @_register(
@@ -1961,13 +1962,15 @@ _HEXID_PAT = r"\b[0-9a-f]{32,64}\b"
     f"""
     WITH t AS ({_SYNTH_SQL})
     SELECT conv_id, turn_idx,
-           regexp_replace(regexp_replace(regexp_replace(text,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
                '{_EMAIL_PAT}', '<EMAIL>', 'g'),
                '{_HEXID_PAT}', '<HEXID>', 'g'),
-               '{_IP_PAT}', '<IP>', 'g') AS clean_text,
+               '{_IP_PAT}', '<IP>', 'g'),
+               '{_IP6_PAT}', '<IP6>', 'g') AS clean_text,
            CAST(len(regexp_extract_all(text, '{_EMAIL_PAT}')) AS BIGINT) AS n_email,
            CAST(len(regexp_extract_all(text, '{_HEXID_PAT}')) AS BIGINT) AS n_hexid,
-           CAST(len(regexp_extract_all(text, '{_IP_PAT}')) AS BIGINT) AS n_ip
+           CAST(len(regexp_extract_all(text, '{_IP_PAT}')) AS BIGINT) AS n_ip,
+           CAST(len(regexp_extract_all(text, '{_IP6_PAT}')) AS BIGINT) AS n_ip6
     FROM t ORDER BY conv_id, turn_idx
     """,
 )
@@ -2095,10 +2098,11 @@ def _q_boilerplate_common_grams(spark, sf_dir):
 @_register(
     "quality_quantile_band",
     """
-    WITH c AS (SELECT n_chars AS v, COUNT(*) AS n FROM documents GROUP BY 1),
+    WITH c AS (SELECT n_chars AS v, COUNT(*) AS n FROM documents
+               WHERE n_chars IS NOT NULL GROUP BY 1),
     cum AS (SELECT v, SUM(n) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cs
             FROM c),
-    tot AS (SELECT COUNT(*) AS total FROM documents),
+    tot AS (SELECT COUNT(n_chars) AS total FROM documents),
     th AS (
       SELECT MIN(CASE WHEN cs >= CEIL(0.25 * total) THEN v END) AS lo,
              MIN(CASE WHEN cs >= CEIL(0.75 * total) THEN v END) AS hi
@@ -2155,7 +2159,8 @@ def _q_embedding_quantize_int8(spark, sf_dir):
     "skew_report_events",
     """
     WITH c AS (
-      SELECT CAST(user_id AS VARCHAR) AS key, COUNT(*) AS n_rows
+      SELECT COALESCE(CAST(user_id AS VARCHAR), '<NULL>') AS key,
+             COUNT(*) AS n_rows
       FROM events GROUP BY 1
     ),
     t AS (SELECT SUM(n_rows) AS total, COUNT(*) AS n_keys FROM c)
@@ -2192,7 +2197,7 @@ _LOG_LINE_SQL = (
     WITH lines AS (SELECT {_LOG_LINE_SQL} AS raw FROM events)
     SELECT regexp_replace(regexp_replace(regexp_replace(raw,
                '{_IP_PAT}', '<IP>', 'g'),
-               '\\b[0-9a-f]{{8,64}}\\b', '<HEX>', 'g'),
+               '\\b[0-9]{{0,15}}[a-fA-F][0-9a-fA-F]{{7,}}\\b', '<HEX>', 'g'),
                '[0-9]+(\\.[0-9]+)?', '<N>', 'g') AS template,
            COUNT(*) AS n_lines,
            MIN(raw) AS example
@@ -2244,8 +2249,10 @@ def _q_incremental_rollup_merge(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     path = tempfile.mkdtemp(prefix="rollup_") + "/t"
-    maintain_rollup(spark, ev.filter(F.col("event_id") % 2 == 0), path)
-    maintain_rollup(spark, ev.filter(F.col("event_id") % 2 == 1), path)
+    maintain_rollup(spark, ev.filter(F.col("event_id") % 2 == 0), path, "b0")
+    maintain_rollup(spark, ev.filter(F.col("event_id") % 2 == 1), path, "b1")
+    # replay batch b1 verbatim: idempotent (replaces its own chunk)
+    maintain_rollup(spark, ev.filter(F.col("event_id") % 2 == 1), path, "b1")
     return read_rollup(spark, path).orderBy("klass", "bucket")
 
 

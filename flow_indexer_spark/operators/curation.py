@@ -261,24 +261,25 @@ def boilerplate_fraction(
         e.groupBy("_g")
         .agg(F.count("*").alias("_df"))
         .filter(F.col("_df") > min_df)
-        .select("_g")
+        .select("_g", F.lit(1).alias("_c"))
     )
-    hits = (
-        e.join(F.broadcast(common), "_g")
-        .groupBy(id_col)
-        .agg(F.count("*").alias("n_common"))
-    )
+    # one broadcast left-join marks common grams; n_grams and n_common
+    # then come from the SAME aggregation — two corpus passes total (df
+    # counts + scoring), not three (no separate per-doc size branch)
     return (
-        g.select(id_col, F.size("_grams").cast("bigint").alias("n_grams"))
-        .join(hits, id_col, "left")
+        e.join(F.broadcast(common), "_g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("_c").alias("n_common"),
+        )
         .select(
             id_col,
             "n_grams",
-            F.coalesce("n_common", F.lit(0)).cast("bigint").alias("n_common"),
-            (
-                F.coalesce("n_common", F.lit(0)).cast("double")
-                / F.col("n_grams")
-            ).alias("boilerplate_ratio"),
+            "n_common",
+            (F.col("n_common").cast("double") / F.col("n_grams")).alias(
+                "boilerplate_ratio"
+            ),
         )
     )
 
@@ -305,8 +306,10 @@ def quantile_band_filter(
     """
     if not (0.0 <= lo <= hi <= 1.0):
         raise ValueError("need 0 <= lo <= hi <= 1")
-    counts = df.groupBy(F.col(value_col).alias("_v")).agg(
-        F.count("*").alias("_n")
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).alias("_v"))
+        .agg(F.count("*").alias("_n"))
     )
     w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
     cum = counts.select(

@@ -35,7 +35,16 @@ def skew_report(
         raise ValueError("key_cols must be non-empty")
     if top_k <= 0 or target_rows_per_task <= 0:
         raise ValueError("top_k and target_rows_per_task must be positive")
-    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    # concat_ws silently SKIPS nulls, which would merge distinct composite
+    # keys like (null,'a') and ('a',null); a per-component sentinel keeps
+    # every key distinct and gives a single null key a visible name.
+    key = F.concat_ws(
+        "|",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("<NULL>"))
+            for c in key_cols
+        ],
+    )
     counts = df.groupBy(key.alias("key")).agg(F.count("*").alias("n_rows"))
     totals = counts.agg(
         F.sum("n_rows").alias("_total"),

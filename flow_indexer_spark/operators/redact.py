@@ -20,11 +20,19 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 #: entity-class -> (pattern, placeholder). Patterns are written in the
 #: RE2-compatible subset (no backrefs/lookaround) so the DuckDB oracle
-#: twin runs the exact same expressions.
+#: twin runs the exact same expressions. Coverage mirrors the extract
+#: stage's entity families (functions/extractors.py IP_PATTERN covers
+#: v4 AND v6): 'ip6' handles colon-hex addresses, 'hexid' is
+#: case-insensitive and open-ended (a 65+-char hex run is still a
+#: secret), and class application order is sorted name order — email,
+#: hexid, ip, ip6 — which is safe because ip6's colon-separated groups
+#: are at most 4 hex chars (never a hexid match) and '<HEXID>'
+#: placeholders contain no pattern-matchable characters.
 DEFAULT_PATTERNS: dict[str, tuple[str, str]] = {
     "ip": (r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+    "ip6": (r"\b(?:[0-9A-Fa-f]{1,4}:){2,7}[0-9A-Fa-f:]{1,40}", "<IP6>"),
     "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    "hexid": (r"\b[0-9a-f]{32,64}\b", "<HEXID>"),
+    "hexid": (r"\b[0-9A-Fa-f]{32,}\b", "<HEXID>"),
 }
 
 

@@ -144,6 +144,7 @@ def maintain_rollup(
     spark,
     delta: DataFrame,
     rollup_path: str,
+    batch_id: str,
     class_col: str = "event_type",
     ts_col: str = "ts",
     granularity: str = "day",
@@ -154,55 +155,74 @@ def maintain_rollup(
     (plans/pipeline.py O(delta) salt-chunk append; reference semantics:
     in-place posting union, /root/reference/store/leveldb.go:261-278).
 
-    Plan: aggregate the delta (one map-side-combined shuffle over delta
-    rows only), read back ONLY the stored partitions for buckets the
-    delta touches (bucket is the table's partition column, so the filter
-    is partition pruning — files for untouched days are never opened),
-    re-sum, and dynamic-partition-overwrite exactly those buckets.
-    A daily increment into a year of history therefore costs the delta
-    scan + a handful of day-partitions, never the year.
+    Layout is append-only CHUNKS partitioned by ``batch_id``: each batch
+    writes ONLY its own per-(class, bucket) partial counts under
+    ``batch=<id>`` via dynamic partition overwrite, and ``read_rollup``
+    sums the chunks at read time. That makes maintenance exactly
+    idempotent under every failure mode: re-running a batch (after a
+    crash mid-write, a lost checkpoint, or an accidental double
+    submit) REPLACES its own partition wholesale and never touches any
+    other batch's rows — there is no read-modify-write of shared state
+    to double-count through. Work per batch = one map-side-combined
+    shuffle over delta rows; stored history is never read.
 
-    Late data is handled by the same mechanism — a row for an old day
-    simply makes that day's partition 'affected' and it gets re-summed.
-    Crash mid-write can leave affected partitions torn (dynamic overwrite
-    is atomic per partition, not per job); re-running the same delta is
-    idempotent because the merge recomputes those partitions from stored
-    + delta rather than blindly adding.
+    Late data needs no special path — an old day's row simply lands as
+    that batch's partial for the old bucket and the read-time sum folds
+    it in. Query-time cost grows with batch count; ``compact_rollup``
+    folds history into a single chunk (same pattern as
+    operators/compact.py for postings).
     """
+    if not batch_id:
+        raise ValueError("batch_id must be a stable non-empty identifier")
     bucket = F.date_trunc(granularity, ts_col).cast("date").cast("string")
-    agg = delta.groupBy(
-        F.col(class_col).alias("klass"), bucket.alias("bucket")
-    ).agg(F.count("*").alias("n"))
-    try:
-        stored = spark.read.parquet(rollup_path)
-        affected = agg.select("bucket").distinct()
-        relevant = stored.join(F.broadcast(affected), "bucket", "left_semi")
-        merged = (
-            relevant.select("klass", "n", "bucket")
-            .unionByName(agg.select("klass", "n", "bucket"))
-            .groupBy("klass", "bucket")
-            .agg(F.sum("n").alias("n"))
-        )
-    except Exception as e:  # first batch: no table yet
-        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
-            raise
-        merged = agg
+    agg = (
+        delta.groupBy(F.col(class_col).alias("klass"), bucket.alias("bucket"))
+        .agg(F.count("*").alias("n"))
+        .withColumn("batch", F.lit(batch_id))
+    )
     (
-        merged.select("klass", "n", "bucket")
-        .repartition("bucket")
+        agg.coalesce(1)  # chunk is bucket-cardinality-sized, never corpus-sized
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("bucket")
+        .partitionBy("batch")
         .parquet(rollup_path)
     )
 
 
 def read_rollup(spark, rollup_path: str) -> DataFrame:
-    """The maintained rollup as (klass, bucket, n), bucket a 'YYYY-MM-DD'
-    string (partition column round-trips as string)."""
-    return spark.read.parquet(rollup_path).select(
-        "klass", F.col("bucket").cast("string").alias("bucket"), "n"
+    """The maintained rollup as (klass, bucket, n): read-time sum of the
+    per-batch chunks (bucket cardinality × batch count rows — tiny)."""
+    return (
+        spark.read.parquet(rollup_path)
+        .groupBy("klass", F.col("bucket").cast("string").alias("bucket"))
+        .agg(F.sum("n").alias("n"))
     )
+
+
+def compact_rollup(spark, rollup_path: str, into_batch: str = "compacted") -> None:
+    """Fold all existing chunks into one ``batch=<into_batch>`` chunk and
+    drop the originals — bounds read_rollup's chunk count the way
+    compact_postings bounds posting chunks. Staged write-then-swap: the
+    folded chunk is written to a sibling dir first, so a crash leaves
+    either the old chunks or the complete compacted table."""
+    import shutil
+
+    folded = (
+        spark.read.parquet(rollup_path)
+        .groupBy("klass", "bucket")
+        .agg(F.sum("n").alias("n"))
+        .withColumn("batch", F.lit(into_batch))
+    )
+    staged = rollup_path.rstrip("/") + "_compacting"
+    shutil.rmtree(staged, ignore_errors=True)  # stale from a prior crash
+    folded.coalesce(1).write.mode("overwrite").partitionBy("batch").parquet(staged)
+    old = rollup_path.rstrip("/") + "_old"
+    shutil.rmtree(old, ignore_errors=True)
+    import os
+
+    os.rename(rollup_path, old)
+    os.rename(staged, rollup_path)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def daily_anomaly(

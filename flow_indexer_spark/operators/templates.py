@@ -19,10 +19,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 #: (pattern, replacement) in application order — IP before <N> so an IP's
-#: octets aren't first shredded into four <N> tokens.
+#: octets aren't first shredded into four <N> tokens. The hex rule
+#: requires an actual letter with >=7 hex chars after it (total length
+#: >= 8): a pure digit run must fall through to <N>, otherwise the same
+#: event shape would mask to '<N>' or '<HEX>' depending on id magnitude
+#: and fragment the census.
 MASK_RULES: list[tuple[str, str]] = [
     (r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
-    (r"\b[0-9a-f]{8,64}\b", "<HEX>"),
+    (r"\b[0-9]{0,15}[a-fA-F][0-9a-fA-F]{7,}\b", "<HEX>"),
     (r"[0-9]+(\.[0-9]+)?", "<N>"),
 ]
 

@@ -116,6 +116,16 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=None, help="local[N] (omit on cluster)")
     args = ap.parse_args()
 
+    band = None
+    if args.quantile_band:  # validate BEFORE the Spark session boots
+        lo, sep, hi = args.quantile_band.partition(":")
+        if not sep or not lo or not hi:
+            ap.error("--quantile-band must be LO:HI, e.g. 0.05:0.99")
+        try:
+            band = (float(lo), float(hi))
+        except ValueError:
+            ap.error(f"--quantile-band: not numbers: {args.quantile_band!r}")
+
     from pyspark.sql import functions as F
 
     from flow_indexer_spark.session import get_spark
@@ -141,13 +151,10 @@ def main() -> None:
         docs = docs.withColumn(args.text_col, redact_text(args.text_col))
 
     # 0b. length/score outlier trim by the corpus's own quantiles
-    if args.quantile_band:
+    if band:
         from flow_indexer_spark.operators.curation import quantile_band_filter
 
-        lo, _, hi = args.quantile_band.partition(":")
-        docs = quantile_band_filter(
-            docs, args.quantile_col, float(lo), float(hi)
-        )
+        docs = quantile_band_filter(docs, args.quantile_col, band[0], band[1])
 
     # 1. exact dedup (hash groupBy keeper)
     docs = exact_dedup_keep(docs, args.id_col, args.text_col)

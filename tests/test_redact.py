@@ -47,6 +47,24 @@ def test_redact_keeps_other_columns(spark):
     d = _docs(spark, ["x 1.2.3.4"]).withColumn("lang", F.lit("en"))
     out = redact_entities(d)
     assert set(out.columns) == {
-        "doc_id", "lang", "clean_text", "n_email", "n_hexid", "n_ip"
+        "doc_id", "lang", "clean_text", "n_email", "n_hexid", "n_ip", "n_ip6"
     }
     assert out.first()["lang"] == "en"
+
+
+def test_redact_ipv6_uppercase_and_long_hex(spark):
+    """Coverage parity with the extract stage: IPv6, uppercase hex ids,
+    and hex runs longer than 64 chars must all be scrubbed."""
+    d = _docs(
+        spark,
+        [
+            "peer 2001:db8:0:1::c0a8:1 connected",
+            "token " + "A1" * 16 + " end",        # 32 uppercase hex
+            "long " + "a1" * 40 + " end",          # 80-char hex run
+        ],
+    )
+    rows = {r["doc_id"]: r for r in redact_entities(d).collect()}
+    assert rows[0]["clean_text"] == "peer <IP6> connected"
+    assert rows[0]["n_ip6"] == 1
+    assert rows[1]["clean_text"] == "token <HEXID> end"
+    assert rows[2]["clean_text"] == "long <HEXID> end"

@@ -75,43 +75,65 @@ def test_maintain_rollup_two_batches_equal_oneshot(spark, tmp_path):
     ]
     inc, oneshot = str(tmp_path / "inc"), str(tmp_path / "one")
     # incremental: both batches contain partial day-1 counts
-    maintain_rollup(spark, _events(spark, rows[:2]), inc)
-    maintain_rollup(spark, _events(spark, rows[2:]), inc)
-    maintain_rollup(spark, _events(spark, rows), oneshot)
+    maintain_rollup(spark, _events(spark, rows[:2]), inc, "b0")
+    maintain_rollup(spark, _events(spark, rows[2:]), inc, "b1")
+    maintain_rollup(spark, _events(spark, rows), oneshot, "all")
     assert _rollup_rows(spark, inc) == _rollup_rows(spark, oneshot)
     assert ("a", "2024-01-01", 2) in _rollup_rows(spark, inc)
 
 
-def test_maintain_rollup_touches_only_affected_partitions(spark, tmp_path):
-    """Late data for day 1 must re-write day 1's partition and leave day
-    2's files untouched on disk — the O(delta) partition-pruning claim."""
-    import os
-
+def test_maintain_rollup_replay_is_idempotent(spark, tmp_path):
+    """Re-running a batch (crash retry / double submit) must replace its
+    own chunk, not double-count — the failure mode a read-modify-write
+    merge cannot survive."""
     from flow_indexer_spark.operators.telemetry import maintain_rollup
 
     path = str(tmp_path / "r")
-    maintain_rollup(
-        spark,
-        _events(
-            spark,
-            [(1, "a", datetime(2024, 1, 1, 9)), (2, "a", datetime(2024, 1, 2, 9))],
-        ),
-        path,
+    b0 = [(1, "a", datetime(2024, 1, 1, 9))]
+    b1 = [(2, "a", datetime(2024, 1, 1, 10)), (3, "b", datetime(2024, 1, 2, 9))]
+    maintain_rollup(spark, _events(spark, b0), path, "b0")
+    maintain_rollup(spark, _events(spark, b1), path, "b1")
+    before = _rollup_rows(spark, path)
+    for _ in range(2):  # replay b1 twice more
+        maintain_rollup(spark, _events(spark, b1), path, "b1")
+    assert _rollup_rows(spark, path) == before
+    assert ("a", "2024-01-01", 2) in before
+
+
+def test_maintain_rollup_other_batches_untouched_and_compact(spark, tmp_path):
+    """A new batch must not rewrite other batches' files on disk
+    (O(delta) claim); compaction folds chunks, preserving totals."""
+    import os
+
+    from flow_indexer_spark.operators.telemetry import (
+        compact_rollup,
+        maintain_rollup,
     )
 
-    def _files(day):
-        d = os.path.join(path, f"bucket={day}")
+    path = str(tmp_path / "r")
+    maintain_rollup(
+        spark, _events(spark, [(1, "a", datetime(2024, 1, 1, 9))]), path, "b0"
+    )
+
+    def _files(batch):
+        d = os.path.join(path, f"batch={batch}")
         return {
             f: os.path.getmtime(os.path.join(d, f))
             for f in os.listdir(d)
             if f.endswith(".parquet")
         }
 
-    day2_before = _files("2024-01-02")
-    # late row for day 1 only
+    b0_before = _files("b0")
+    # late data for the same day arrives in a NEW batch
     maintain_rollup(
-        spark, _events(spark, [(3, "a", datetime(2024, 1, 1, 23))]), path
+        spark, _events(spark, [(2, "a", datetime(2024, 1, 1, 23))]), path, "b1"
     )
-    assert _files("2024-01-02") == day2_before  # untouched partition intact
-    got = _rollup_rows(spark, path)
-    assert ("a", "2024-01-01", 2) in got and ("a", "2024-01-02", 1) in got
+    assert _files("b0") == b0_before  # prior chunk intact on disk
+    before = _rollup_rows(spark, path)
+    assert ("a", "2024-01-01", 2) in before
+
+    compact_rollup(spark, path)
+    assert _rollup_rows(spark, path) == before
+    assert {d for d in os.listdir(path) if d.startswith("batch=")} == {
+        "batch=compacted"
+    }
