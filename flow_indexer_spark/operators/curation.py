@@ -251,9 +251,9 @@ def boilerplate_fraction(
     (df > min_df) — a set at most total_grams/min_df big, so it is
     broadcast. The full gram table is never joined against itself.
     """
-    from flow_indexer_spark.operators.dedup import token_ngrams
+    from flow_indexer_spark.operators.dedup import fan_out, token_ngrams
 
-    g = df.select(
+    g = fan_out(df).select(
         F.col(id_col), token_ngrams(text_col, n).alias("_grams")
     ).filter(F.size("_grams") > 0)
     e = g.select(id_col, F.explode("_grams").alias("_g"))
@@ -350,9 +350,9 @@ def cross_split_contamination(
     example_train_doc) — eval docs with zero shared grams are absent
     (anti-join them for the clean list).
     """
-    from flow_indexer_spark.operators.dedup import token_ngrams
+    from flow_indexer_spark.operators.dedup import fan_out, token_ngrams
 
-    grams = df.select(
+    grams = fan_out(df).select(
         F.col(id_col),
         F.col(split_col),
         token_ngrams(text_col, n).alias("_grams"),
