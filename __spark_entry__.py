@@ -38,7 +38,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def synth_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
+    from flow_indexer_spark.operators.dedup import fan_out
+
+    # driver tables arrive as ONE parquet row group -> one scan task; the
+    # regex-heavy extract/redact stages downstream need a wide map side
+    # (no-op whenever the source already has enough splits)
+    ev = fan_out(_t(spark, sf_dir, "events"))
     return ev.select(
         F.col("user_id").cast("string").alias("conv_id"),
         F.col("event_id").cast("int").alias("turn_idx"),
@@ -2209,9 +2214,10 @@ def _q_log_template_census(spark, sf_dir):
     deterministic masking (IP/hex/number -> placeholders) in-row, then a
     map-side-combined groupBy on the skeleton — template cardinality is
     event-type-sized, so the census is always small."""
+    from flow_indexer_spark.operators.dedup import fan_out
     from flow_indexer_spark.operators.templates import log_templates
 
-    ev = _t(spark, sf_dir, "events")
+    ev = fan_out(_t(spark, sf_dir, "events"))
     lines = ev.select(
         F.concat(
             F.col("event_type"),
