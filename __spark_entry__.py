@@ -2262,6 +2262,111 @@ def _q_incremental_rollup_merge(spark, sf_dir):
     return read_rollup(spark, path).orderBy("klass", "bucket")
 
 
+@_register(
+    "dedup_exact_substring",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    sized AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 8),
+    hashed AS (
+      SELECT doc_id, n, pos, md5(array_to_string(t[pos:pos+7], ' ')) AS w
+      FROM (SELECT doc_id, n, unnest(range(1, n - 6)) AS pos, t FROM sized)
+    ),
+    dup AS (
+      SELECT w FROM hashed GROUP BY w HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    hits AS (SELECT doc_id, pos FROM hashed JOIN dup USING (w)),
+    cov AS (
+      SELECT doc_id, COUNT(DISTINCT pos) AS dup_windows,
+             COUNT(DISTINCT idx) AS covered
+      FROM (SELECT doc_id, pos, unnest(range(pos, pos + 8)) AS idx FROM hits)
+      GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(n - 7 AS BIGINT) AS n_windows,
+           CAST(COALESCE(dup_windows, 0) AS BIGINT) AS dup_windows,
+           CAST(COALESCE(covered, 0) AS BIGINT) AS covered_tokens,
+           CAST(COALESCE(covered, 0) AS DOUBLE) / n AS dup_fraction
+    FROM sized s LEFT JOIN cov USING (doc_id) ORDER BY s.doc_id
+    """,
+)
+def _q_dedup_exact_substring(spark, sf_dir):
+    """Cross-doc verbatim-span coverage: rolling 8-token window
+    fingerprints; a window duplicated iff seen in >= 2 distinct docs;
+    per-doc exact interval-union coverage of duplicated spans (the
+    distributed stand-in for suffix-array substring dedup). The oracle
+    computes coverage by exploding window token indexes and counting
+    distinct — different idiom, same semantics, which is the point of a
+    differential check."""
+    from flow_indexer_spark.operators.dedup import duplicated_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return duplicated_spans(d, k=8).orderBy("doc_id")
+
+
+@_register(
+    "curation_mix_budget",
+    """
+    WITH tok AS (
+      SELECT doc_id, source,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS ntok
+      FROM documents
+    ),
+    fr AS (
+      SELECT source,
+             LEAST(1.0, CASE source WHEN 'src0' THEN 0.7
+                                    WHEN 'src1' THEN 0.3
+                                    ELSE 0.0 END
+                        * 2000.0 / SUM(ntok)) AS mix_fraction
+      FROM tok GROUP BY source
+    )
+    SELECT t.doc_id, t.source, fr.mix_fraction
+    FROM tok t JOIN fr USING (source)
+    WHERE CAST('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 8)
+               AS BIGINT) % 10000 < FLOOR(mix_fraction * 10000)
+    ORDER BY t.doc_id
+    """,
+)
+def _q_curation_mix_budget(spark, sf_dir):
+    """Training-mix token budgeting: per-source sampling fractions
+    DERIVED from a 2000-token budget at 70/30 target shares (sources
+    outside the recipe get 0), applied with the deterministic hash rule
+    — one tiny agg broadcast back, the corpus never shuffles."""
+    from flow_indexer_spark.operators.curation import mix_to_token_budget
+
+    d = _t(spark, sf_dir, "documents")
+    return mix_to_token_budget(
+        d, budget=2000, shares={"src0": 0.7, "src1": 0.3}
+    ).select("doc_id", "source", "mix_fraction").orderBy("doc_id")
+
+
+@_register(
+    "curation_training_order",
+    """
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY h, doc_id) - 1 AS order_rank
+    FROM (
+      SELECT doc_id,
+             CAST('0x' || substr(md5('order' || CAST(doc_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) AS h
+      FROM documents
+    ) ORDER BY doc_id
+    """,
+)
+def _q_curation_training_order(spark, sf_dir):
+    """Deterministic global training shuffle: two-phase scalable rank
+    (contiguous hash-range buckets + per-bucket row_number + bucket
+    offsets) must equal the oracle's single ROW_NUMBER() OVER the whole
+    corpus — bit-stable, rand()-free."""
+    from flow_indexer_spark.operators.curation import training_order
+
+    d = _t(spark, sf_dir, "documents")
+    return training_order(d).select("doc_id", "order_rank").orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return dict(_QUERIES)

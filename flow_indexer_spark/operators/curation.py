@@ -388,3 +388,134 @@ def cross_split_contamination(
             "contamination_ratio", "example_train_doc",
         )
     )
+
+
+def mix_to_token_budget(
+    df: DataFrame,
+    budget: int,
+    shares: dict[str, float],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    n_tokens_col: str | None = None,
+    text_col: str = "text",
+    salt: str = "mix",
+) -> DataFrame:
+    """Sample the corpus down to a total token ``budget`` split across
+    sources by target ``shares`` — the mixture-weighting step of a
+    pretraining data recipe ("10% code, 60% web, 30% books, 500B tokens
+    total"). Where :func:`stratified_sample` APPLIES given per-source
+    fractions, this DERIVES them from the data: fraction(source) =
+    min(1, share * budget / tokens_in_source), so an over-supplied
+    source is downsampled to its token allocation and an under-supplied
+    one is kept whole (its deficit is reported, not silently
+    redistributed — recipe math belongs to the caller).
+
+    Row selection reuses the deterministic hash-bucket rule (row kept iff
+    hash(salt||id) mod 10000 < floor(fraction*10000)): re-runs keep the
+    same rows, raising a share only adds rows, and the DuckDB oracle twin
+    reproduces the assignment bit-for-bit.
+
+    Topology: one partial-agg shuffle for per-source token totals (a
+    sources-sized table — tens of rows at any corpus size), broadcast
+    back as the per-row threshold, filter in-row. The corpus itself is
+    never shuffled. Output adds ``mix_fraction`` for audit.
+    """
+    from flow_indexer_spark.operators.dedup import tokens
+
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    total_share = sum(shares.values())
+    if total_share <= 0:
+        raise ValueError("shares must sum to a positive value")
+    n_tok = (
+        F.col(n_tokens_col) if n_tokens_col else F.size(tokens(text_col))
+    ).cast("bigint")
+    share_expr = None
+    for name, s in shares.items():
+        cond = F.col(strata_col) == name
+        val = F.lit(s / total_share)
+        share_expr = (
+            F.when(cond, val) if share_expr is None
+            else share_expr.when(cond, val)
+        )
+    share_expr = share_expr.otherwise(F.lit(0.0))
+    totals = (
+        df.groupBy(strata_col)
+        .agg(F.sum(n_tok).alias("_src_tokens"))
+        .withColumn(
+            "mix_fraction",
+            F.least(
+                F.lit(1.0),
+                share_expr * F.lit(float(budget))
+                / F.col("_src_tokens").cast("double"),
+            ),
+        )
+        .drop("_src_tokens")
+    )
+    key = F.coalesce(F.col(id_col).cast("string"), F.lit(""))
+    bucket = md5_int32(F.concat(F.lit(salt), key)) % _BUCKETS
+    return (
+        df.join(F.broadcast(totals), strata_col)
+        .filter(bucket < F.floor(F.col("mix_fraction") * _BUCKETS))
+    )
+
+
+def training_order(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "order",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Deterministic global pseudo-random total order — the final
+    shuffle before a corpus is written for training (SGD wants an order
+    uncorrelated with source/time; reproducibility wants the SAME order
+    every run, which ``rand()`` and ``ORDER BY rand()`` do not give).
+
+    Assigns every row ``order_rank`` = its 0-based position in the
+    corpus ordered by (hash(salt||id), id). A naive global
+    ``row_number()`` serializes the corpus through ONE window task; this
+    uses the scalable two-phase rank: the 32-bit hash space is cut into
+    ``n_buckets`` contiguous ranges (bucket = h >> k, order-preserving),
+    ranks are assigned per-bucket in parallel, and each bucket's offset
+    is the running sum of lower buckets' counts — an n_buckets-row
+    aggregate, windowed on the driver-free side and broadcast back.
+    One corpus shuffle total (the per-bucket window); the rank is
+    bit-stable across runs, engines, and re-partitionings.
+
+    Writing ``df.repartitionByRange('order_rank').sortWithinPartitions(
+    'order_rank')`` then yields globally ordered, evenly sized files.
+    """
+    if n_buckets <= 0 or n_buckets & (n_buckets - 1):
+        raise ValueError("n_buckets must be a positive power of two")
+    key = F.coalesce(F.col(id_col).cast("string"), F.lit(""))
+    h = md5_int32(F.concat(F.lit(salt), key))
+    # md5_int32 is uniform on [0, 2^32); >> keeps bucket order == hash order
+    shift = 32 - n_buckets.bit_length() + 1
+    d = df.withColumn("_h", h).withColumn(
+        "_b", F.shiftright(F.col("_h"), shift).cast("int")
+    )
+    wb = Window.partitionBy("_b").orderBy("_h", id_col)
+    offsets = (
+        d.groupBy("_b")
+        .agg(F.count("*").alias("_n"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_n").over(
+                    Window.orderBy("_b").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .drop("_n")
+    )
+    return (
+        d.join(F.broadcast(offsets), "_b")
+        .withColumn(
+            "order_rank",
+            (F.row_number().over(wb) - 1 + F.col("_off")).cast("bigint"),
+        )
+        .drop("_h", "_b", "_off")
+    )

@@ -626,3 +626,112 @@ def sign_lsh_near_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    k: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document exact duplicated-substring coverage — the
+    distributed stand-in for suffix-array substring dedup (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better"):
+    any shared verbatim run of >= k tokens between two documents
+    necessarily shares a length-k token window, so rolling k-token
+    window fingerprints (stride 1) find every such run with zero false
+    negatives at the k-window granularity. Unlike the Jaccard/MinHash
+    family (whole-document similarity), this catches a news article
+    quoting three verbatim paragraphs of an otherwise-unrelated page —
+    the case set-similarity misses and the one that measurably inflates
+    memorization.
+
+    A window is *duplicated* iff its fingerprint occurs in >= 2 DISTINCT
+    documents (within-document repetition is textstats.repetition_features'
+    job). Per document the duplicated windows' token intervals
+    [pos, pos+k-1] are unioned exactly — sorted starts folded left with an
+    (covered, last_end) accumulator, in-row — giving the fraction of the
+    doc's tokens inside some cross-doc verbatim run.
+
+    Topology: in-row window hashing (no shuffle), one partial-agg shuffle
+    for fingerprint document-frequency, one join back on fingerprint
+    (skew-safe: a fingerprint's fan-out is its true df, and the df>=2
+    filter keeps the dup set sparse), one per-doc aggregation. Returns
+    (id, n_tokens, n_windows, dup_windows, covered_tokens, dup_fraction)
+    for every doc with >= k tokens.
+    """
+    if k <= 1:
+        raise ValueError("k must be > 1")
+    tok = tokens(text_col)
+    base = fan_out(df).select(
+        F.col(id_col).alias("_id"), tok.alias("_tok"), F.size(tok).alias("_n")
+    ).filter(F.col("_n") >= k)
+    wins = base.select(
+        "_id",
+        "_n",
+        F.explode(F.sequence(F.lit(1), F.col("_n") - (k - 1))).alias("pos"),
+        "_tok",
+    ).select(
+        "_id",
+        "_n",
+        "pos",
+        F.md5(F.concat_ws(" ", F.slice("_tok", F.col("pos"), k))).alias("_w"),
+    )
+    dup = (
+        wins.groupBy("_w")
+        .agg(F.count_distinct("_id").alias("_d"))
+        .filter(F.col("_d") >= 2)
+        .select("_w")
+    )
+    folded = (
+        wins.join(dup, "_w")
+        .groupBy("_id")
+        .agg(
+            F.count("*").alias("dup_windows"),
+            F.sort_array(F.collect_set("pos")).alias("_starts"),
+        )
+        .withColumn(
+            "covered_tokens",
+            F.aggregate(
+                "_starts",
+                F.struct(
+                    F.lit(0).cast("bigint").alias("cov"),
+                    F.lit(0).cast("bigint").alias("end"),
+                ),
+                lambda acc, s: F.struct(
+                    (
+                        acc["cov"]
+                        + F.greatest(
+                            F.lit(0).cast("bigint"),
+                            (s + F.lit(k - 1)).cast("bigint")
+                            - F.greatest(acc["end"], (s - 1).cast("bigint")),
+                        )
+                    ).alias("cov"),
+                    F.greatest(
+                        acc["end"], (s + F.lit(k - 1)).cast("bigint")
+                    ).alias("end"),
+                ),
+                lambda acc: acc["cov"],
+            ),
+        )
+        .drop("_starts")
+    )
+    return (
+        base.select("_id", "_n")
+        .join(folded, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_n").cast("bigint").alias("n_tokens"),
+            (F.col("_n") - (k - 1)).cast("bigint").alias("n_windows"),
+            F.coalesce("dup_windows", F.lit(0)).cast("bigint").alias(
+                "dup_windows"
+            ),
+            F.coalesce("covered_tokens", F.lit(0)).cast("bigint").alias(
+                "covered_tokens"
+            ),
+            (
+                F.coalesce("covered_tokens", F.lit(0)).cast("double")
+                / F.col("_n").cast("double")
+            ).alias("dup_fraction"),
+        )
+    )

@@ -1,0 +1,142 @@
+"""Token-budget mixing, training order, and duplicated-span coverage."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from flow_indexer_spark.operators.curation import (
+    mix_to_token_budget,
+    training_order,
+)
+from flow_indexer_spark.operators.dedup import duplicated_spans
+
+
+@pytest.fixture(scope="module")
+def mix_docs(spark):
+    rows = []
+    i = 0
+    for src, n_docs, words in (("a", 60, 10), ("b", 30, 10), ("c", 10, 10)):
+        for _ in range(n_docs):
+            rows.append(
+                Row(
+                    doc_id=i,
+                    source=src,
+                    text=" ".join(f"w{i}x{j}" for j in range(words)),
+                )
+            )
+            i += 1
+    return spark.createDataFrame(rows).cache()
+
+
+def test_mix_budget_downsamples_oversupplied_source(mix_docs):
+    # source a holds 600 tokens, target share 0.5 of a 600-token budget
+    # = 300 tokens -> fraction 0.5; source b target 300/300 -> kept whole;
+    # source c has no share -> dropped entirely.
+    out = mix_to_token_budget(
+        mix_docs, budget=600, shares={"a": 0.5, "b": 0.5}
+    )
+    per = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert "c" not in per
+    assert per["b"] == 30  # fraction clamps at 1.0
+    # hash sampling at fraction 0.5 over 60 docs: binomial noise only
+    assert 18 <= per.get("a", 0) <= 42
+    fr = dict(
+        out.select("source", "mix_fraction").distinct().collect()
+    )
+    assert fr["b"] == 1.0
+    assert abs(fr["a"] - 0.5) < 1e-12
+
+
+def test_mix_budget_deterministic_and_monotone(mix_docs):
+    lo = mix_to_token_budget(mix_docs, budget=300, shares={"a": 1.0})
+    hi = mix_to_token_budget(mix_docs, budget=450, shares={"a": 1.0})
+    lo_ids = {r["doc_id"] for r in lo.collect()}
+    lo_ids2 = {r["doc_id"] for r in lo.collect()}
+    hi_ids = {r["doc_id"] for r in hi.collect()}
+    assert lo_ids == lo_ids2  # rerun-stable
+    assert lo_ids <= hi_ids  # raising the budget only ADDS rows
+
+
+def test_mix_budget_rejects_bad_args(mix_docs):
+    with pytest.raises(ValueError):
+        mix_to_token_budget(mix_docs, budget=0, shares={"a": 1.0})
+    with pytest.raises(ValueError):
+        mix_to_token_budget(mix_docs, budget=10, shares={"a": 0.0})
+
+
+def test_training_order_is_a_permutation_matching_global_sort(mix_docs):
+    out = training_order(mix_docs, n_buckets=8).collect()
+    n = mix_docs.count()
+    ranks = sorted(r["order_rank"] for r in out)
+    assert ranks == list(range(n))  # total order, no gaps or dupes
+    # two-phase rank must equal the naive global (hash, id) sort
+    by_rank = [r["doc_id"] for r in sorted(out, key=lambda r: r["order_rank"])]
+    from flow_indexer_spark.operators.dedup import md5_int32
+
+    naive = [
+        r["doc_id"]
+        for r in mix_docs.select(
+            "doc_id",
+            md5_int32(
+                F.concat(F.lit("order"), F.col("doc_id").cast("string"))
+            ).alias("h"),
+        )
+        .orderBy("h", "doc_id")
+        .collect()
+    ]
+    assert by_rank == naive
+    # order is uncorrelated with doc_id order (a shuffle, not identity)
+    assert by_rank != sorted(by_rank)
+
+
+def test_training_order_rejects_non_power_of_two(mix_docs):
+    with pytest.raises(ValueError):
+        training_order(mix_docs, n_buckets=12)
+
+
+@pytest.fixture(scope="module")
+def span_docs(spark):
+    shared = "the quick brown fox jumps over the lazy dog today"  # 10 tokens
+    rows = [
+        # docs 0 and 1 share a verbatim 10-token run inside distinct text
+        Row(doc_id=0, text="alpha beta " + shared + " gamma delta"),
+        Row(doc_id=1, text="one two three " + shared),
+        # doc 2: unique text, no cross-doc window
+        Row(doc_id=2, text=" ".join(f"u{j}" for j in range(20))),
+        # doc 3: shorter than k -> excluded from output
+        Row(doc_id=3, text="tiny doc"),
+        # doc 4: repeats ITS OWN window twice but shares nothing -> not dup
+        Row(doc_id=4, text=" ".join(["r1 r2 r3 r4 r5 r6 r7 r8"] * 2)),
+    ]
+    return spark.createDataFrame(rows).cache()
+
+
+def test_duplicated_spans_flags_shared_run_exactly(span_docs):
+    out = {r["doc_id"]: r.asDict() for r in duplicated_spans(span_docs, k=8).collect()}
+    assert set(out) == {0, 1, 2, 4}  # doc 3 too short
+    # the shared 10-token run yields 3 shared 8-windows; doc 0 has it at
+    # token positions 3..12 (1-based) -> 10 covered tokens
+    assert out[0]["dup_windows"] == 3
+    assert out[0]["covered_tokens"] == 10
+    assert out[1]["dup_windows"] == 3
+    assert out[1]["covered_tokens"] == 10
+    assert out[1]["dup_fraction"] == pytest.approx(10 / 13)
+    assert out[2]["dup_windows"] == 0 and out[2]["covered_tokens"] == 0
+    # within-doc repetition alone is NOT cross-doc duplication
+    assert out[4]["dup_windows"] == 0
+
+
+def test_duplicated_spans_interval_union_merges_overlaps(spark):
+    # three docs all sharing one long run: overlapping dup windows must
+    # union to the run length, not sum to windows * k
+    run = " ".join(f"s{j}" for j in range(12))
+    rows = [Row(doc_id=i, text=f"pre{i} " + run + f" post{i}") for i in range(3)]
+    df = spark.createDataFrame(rows)
+    out = {r["doc_id"]: r.asDict() for r in duplicated_spans(df, k=8).collect()}
+    for i in range(3):
+        assert out[i]["dup_windows"] == 5  # 12 - 8 + 1
+        assert out[i]["covered_tokens"] == 12  # union, not 5*8
