@@ -253,8 +253,14 @@ def boilerplate_fraction(
     """
     from flow_indexer_spark.operators.dedup import fan_out, token_ngrams
 
+    # grams are 64-bit-hashed in the same in-row projection: the df-count
+    # shuffle and the broadcast build move longs, not n-token strings
+    # (distinctness is preserved — in-doc 64-bit collisions are ~|G|^2/2^64)
     g = fan_out(df).select(
-        F.col(id_col), token_ngrams(text_col, n).alias("_grams")
+        F.col(id_col),
+        F.transform(
+            token_ngrams(text_col, n), lambda x: F.xxhash64(x)
+        ).alias("_grams"),
     ).filter(F.size("_grams") > 0)
     e = g.select(id_col, F.explode("_grams").alias("_g"))
     common = (
