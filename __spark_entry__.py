@@ -2263,6 +2263,76 @@ def _q_incremental_rollup_merge(spark, sf_dir):
 
 
 @_register(
+    "dedup_incremental_state",
+    """
+    WITH sig AS (
+      SELECT doc_id,
+             md5(text) AS content_hash,
+             list_aggregate(list_transform(tok, x -> md5('b0' || x)), 'min')
+               AS band0,
+             list_aggregate(list_transform(tok, x -> md5('b1' || x)), 'min')
+               AS band1
+      FROM (SELECT doc_id, text,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS tok
+            FROM documents)
+    ),
+    b1 AS (SELECT * FROM sig WHERE doc_id % 2 = 0),
+    b2 AS (
+      SELECT * FROM sig WHERE doc_id % 2 = 1
+      UNION ALL
+      SELECT doc_id + 1000000, content_hash, band0, band1
+      FROM sig WHERE doc_id % 4 = 0
+    ),
+    keep AS (SELECT content_hash, MIN(doc_id) AS k FROM b2
+             GROUP BY content_hash),
+    ex AS (SELECT DISTINCT b2.doc_id FROM b2 JOIN b1 USING (content_hash)),
+    nr AS (SELECT DISTINCT b2.doc_id FROM b2, b1
+           WHERE b2.band0 = b1.band0 OR b2.band1 = b1.band1)
+    SELECT b2.doc_id,
+           CASE WHEN b2.doc_id <> keep.k OR ex.doc_id IS NOT NULL THEN 'exact'
+                WHEN nr.doc_id IS NOT NULL THEN 'near'
+                ELSE 'unique' END AS dup_kind
+    FROM b2
+    JOIN keep USING (content_hash)
+    LEFT JOIN ex ON b2.doc_id = ex.doc_id
+    LEFT JOIN nr ON b2.doc_id = nr.doc_id
+    ORDER BY b2.doc_id
+    """,
+)
+def _q_dedup_incremental_state(spark, sf_dir):
+    """Incremental dedup against persisted signature state: even-id docs
+    are committed as the accumulated corpus; the new batch is the odd-id
+    docs PLUS re-keyed copies of every id%4==0 doc (a re-ingest, so the
+    fixture exercises 'exact' against state as well as 'near'/'unique'),
+    classified by content-hash and MinHash-band joins against the STATE
+    (never a corpus self-join). The batch commit is replayed verbatim to
+    pin idempotence inside the oracle-checked path. The oracle recomputes
+    the classification with a brute-force cross join — different
+    topology, same semantics."""
+    import tempfile
+
+    from flow_indexer_spark.operators.dedup_state import dedup_against_state
+
+    d = _t(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="dstate_") + "/sigs"
+    batch2 = d.filter(F.col("doc_id") % 2 == 1).unionByName(
+        d.filter(F.col("doc_id") % 4 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 1000000
+        )
+    )
+    dedup_against_state(
+        spark, d.filter(F.col("doc_id") % 2 == 0), path, "b1",
+        n_bands=2, max_bucket_df=None,
+    )
+    dedup_against_state(spark, batch2, path, "b2", n_bands=2,
+                        max_bucket_df=None)
+    # replay b2 verbatim: must classify identically against b1-only state
+    out = dedup_against_state(spark, batch2, path, "b2", n_bands=2,
+                              max_bucket_df=None)
+    return out.select("doc_id", "dup_kind").orderBy("doc_id")
+
+
+@_register(
     "dedup_exact_substring",
     """
     WITH toks AS (

@@ -1,0 +1,199 @@
+"""Incremental dedup against persisted signature state — O(delta) per batch.
+
+The batch-pairwise operators in :mod:`operators.dedup` answer "which of
+THESE docs duplicate each other"; a growing corpus needs the other
+question: "which of these NEW docs duplicate anything already ingested",
+asked every batch without re-pairing the whole corpus. The reference
+answers its version of this with a per-document presence check before
+indexing (/root/reference/store/leveldb.go:58-68 ``HasDocument``;
+/root/reference/flowindexer/index.go:17-24 makes re-index a no-op) — here
+the unit is content, not filename, and "presence" is a persisted
+SIGNATURE table: one row per accepted document carrying its exact content
+hash and MinHash band values.
+
+Per batch the work is O(batch + matched-state-partitions): the new docs'
+signatures are computed in-row, joined against the state on content hash
+(exact) and on band buckets (near), classified, and the ACCEPTED docs'
+signatures are appended as a batch-keyed partition — the same
+append-only-chunk idempotence as the postings salt chunks
+(plans/pipeline.py) and the rollup maintenance (telemetry.maintain_rollup):
+replaying a batch replaces its own partition wholesale and never touches
+other batches, so a crash/replay can neither lose nor double-insert
+state. The stored corpus is never rewritten and never self-joined.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from flow_indexer_spark.operators.dedup import minhash_signature
+
+
+def doc_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bands: int = 4,
+) -> DataFrame:
+    """Per-doc dedup signature row: exact content hash + the MinHash band
+    values (in-row, no shuffle). This is the schema persisted as state."""
+    return df.select(
+        F.col(id_col),
+        F.md5(text_col).alias("content_hash"),
+        *minhash_signature(text_col, n_bands),
+    )
+
+
+def _melt_bands(sigs: DataFrame, id_col: str, n_bands: int) -> DataFrame:
+    return sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("_band"), F.col(f"band{b}").alias("_bkt")
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("_e"),
+    ).select(
+        id_col, F.col("_e._band").alias("_band"), F.col("_e._bkt").alias("_bkt")
+    )
+
+
+def classify_against_state(
+    new_df: DataFrame,
+    state: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bands: int = 4,
+    max_bucket_df: int | None = 1000,
+) -> DataFrame:
+    """Annotate every new-batch row with ``dup_kind``:
+
+    - ``'exact'`` — content hash already in the state, or a non-keeper
+      copy within the batch (keeper = min id per hash, as
+      :func:`operators.dedup.exact_dedup_keep`);
+    - ``'near'`` — not exact, but shares a MinHash band bucket with some
+      accepted state doc (banded-LSH against state, not all-pairs);
+    - ``'unique'`` — neither; the rows a caller accepts into the corpus.
+
+    Within-batch NEAR duplication is deliberately out of scope — that is
+    the batch-pairwise operators' job (minhash_lsh_pairs + clustering);
+    state dedup guards the batch against the accumulated corpus. State
+    band buckets larger than ``max_bucket_df`` are dropped from near
+    matching (the standard degenerate-bucket cap: such buckets are
+    boilerplate-valued bands whose matches are overwhelmingly not dups,
+    and they would fan a single new doc out B-fold).
+    """
+    sigs = doc_signatures(new_df, id_col, text_col, n_bands)
+
+    # within-batch exact keeper (one map-side-combined shuffle)
+    keepers = (
+        sigs.groupBy("content_hash")
+        .agg(F.min(id_col).alias("_keeper"))
+        .select("content_hash", "_keeper")
+    )
+    sigs = sigs.join(keepers, "content_hash")
+
+    if state is not None:
+        state_hashes = state.select("content_hash").dropDuplicates()
+        exact_state = (
+            sigs.join(state_hashes, "content_hash", "left_semi")
+            .select(F.col(id_col))
+            .withColumn("_ex", F.lit(1))
+        )
+        state_bands = _melt_bands(state, id_col, n_bands).select(
+            "_band", "_bkt"
+        )
+        if max_bucket_df is not None:
+            ok = (
+                state_bands.groupBy("_band", "_bkt")
+                .agg(F.count("*").alias("_df"))
+                .filter(F.col("_df") <= max_bucket_df)
+                .select("_band", "_bkt")
+            )
+            state_bands = state_bands.join(ok, ["_band", "_bkt"])
+        near_state = (
+            _melt_bands(sigs, id_col, n_bands)
+            .join(state_bands.dropDuplicates(), ["_band", "_bkt"], "left_semi")
+            .select(F.col(id_col))
+            .dropDuplicates()
+            .withColumn("_nr", F.lit(1))
+        )
+    else:
+        schema_id = sigs.select(id_col)
+        exact_state = schema_id.limit(0).withColumn("_ex", F.lit(1))
+        near_state = schema_id.limit(0).withColumn("_nr", F.lit(1))
+
+    kind = (
+        F.when(
+            (F.col(id_col) != F.col("_keeper")) | F.col("_ex").isNotNull(),
+            F.lit("exact"),
+        )
+        .when(F.col("_nr").isNotNull(), F.lit("near"))
+        .otherwise(F.lit("unique"))
+    )
+    return (
+        sigs.join(exact_state, id_col, "left")
+        .join(near_state, id_col, "left")
+        .withColumn("dup_kind", kind)
+        .drop("_keeper", "_ex", "_nr")
+        .join(new_df, id_col)
+        .select(*new_df.columns, "content_hash", "dup_kind")
+    )
+
+
+def dedup_against_state(
+    spark,
+    new_df: DataFrame,
+    state_path: str,
+    batch_id: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bands: int = 4,
+    max_bucket_df: int | None = 1000,
+) -> DataFrame:
+    """Classify a new batch against the persisted state AND commit the
+    accepted ('unique') docs' signatures under ``batch=<batch_id>`` —
+    dynamic-partition-overwrite, so replaying a batch is exactly
+    idempotent (its partition is replaced; no other batch is touched).
+    Returns the classified batch (all rows, with ``dup_kind``).
+    """
+    if not batch_id:
+        raise ValueError("batch_id must be a stable non-empty identifier")
+    state = read_state(spark, state_path, exclude_batch=batch_id)
+    out = classify_against_state(
+        new_df, state, id_col, text_col, n_bands, max_bucket_df
+    )
+    accepted = out.filter(F.col("dup_kind") == "unique").select(id_col)
+    sigs = (
+        doc_signatures(new_df, id_col, text_col, n_bands)
+        .join(accepted, id_col, "left_semi")
+        .withColumn("batch", F.lit(batch_id))
+    )
+    (
+        sigs.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch")
+        .parquet(state_path)
+    )
+    return out
+
+
+def read_state(
+    spark, state_path: str, exclude_batch: str | None = None
+) -> DataFrame | None:
+    """The accumulated signature table, or None before the first batch.
+    ``exclude_batch`` drops a batch's own prior partition so a REPLAYED
+    batch is not compared against its own earlier (possibly partial)
+    commit — the half-written rows a crash left behind must not turn the
+    retry's docs into 'exact' self-duplicates."""
+    try:
+        state = spark.read.parquet(state_path)
+    except Exception:
+        return None
+    if exclude_batch is not None:
+        state = state.filter(F.col("batch") != exclude_batch)
+    return state

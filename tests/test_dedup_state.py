@@ -1,0 +1,123 @@
+"""Incremental dedup against persisted signature state."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from flow_indexer_spark.operators.dedup_state import (
+    classify_against_state,
+    dedup_against_state,
+    read_state,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in rows])
+
+
+@pytest.fixture()
+def state_path(tmp_path):
+    return str(tmp_path / "sigs")
+
+
+def test_first_batch_is_all_unique_and_commits_state(spark, state_path):
+    b1 = _docs(spark, [(1, "alpha beta gamma"), (2, "delta epsilon zeta")])
+    out = dedup_against_state(spark, b1, state_path, "b1")
+    kinds = {r["doc_id"]: r["dup_kind"] for r in out.collect()}
+    assert kinds == {1: "unique", 2: "unique"}
+    st = read_state(spark, state_path)
+    assert st.count() == 2
+    assert set(st.columns) >= {"doc_id", "content_hash", "band0", "batch"}
+
+
+def test_second_batch_classifies_exact_near_unique(spark, state_path):
+    b1 = _docs(spark, [(1, "alpha beta gamma"), (2, "delta epsilon zeta")])
+    dedup_against_state(spark, b1, state_path, "b1")
+    b2 = _docs(
+        spark,
+        [
+            (10, "alpha beta gamma"),  # exact copy of doc 1
+            (11, "gamma alpha beta"),  # same token set, new text -> near
+            (12, "totally fresh words here"),  # unique
+            (13, "totally fresh words here"),  # in-batch exact of 12
+        ],
+    )
+    out = dedup_against_state(spark, b2, state_path, "b2")
+    kinds = {r["doc_id"]: r["dup_kind"] for r in out.collect()}
+    assert kinds == {10: "exact", 11: "near", 12: "unique", 13: "exact"}
+    # only accepted (unique) docs entered the state
+    st = read_state(spark, state_path)
+    assert st.count() == 3  # docs 1, 2, 12
+    assert {r["doc_id"] for r in st.collect()} == {1, 2, 12}
+
+
+def test_replaying_a_batch_is_idempotent(spark, state_path):
+    b1 = _docs(spark, [(1, "alpha beta gamma")])
+    dedup_against_state(spark, b1, state_path, "b1")
+    b2 = _docs(spark, [(20, "new content entirely"), (21, "alpha beta gamma")])
+    first = {
+        r["doc_id"]: r["dup_kind"]
+        for r in dedup_against_state(spark, b2, state_path, "b2").collect()
+    }
+    # replay (crash-retry / double submit): same classification, state
+    # unchanged — the batch's own prior commit is excluded from compare
+    # and its partition replaced, not appended
+    second = {
+        r["doc_id"]: r["dup_kind"]
+        for r in dedup_against_state(spark, b2, state_path, "b2").collect()
+    }
+    assert first == second == {20: "unique", 21: "exact"}
+    st = read_state(spark, state_path)
+    assert st.count() == 2
+    assert st.filter(F.col("batch") == "b2").count() == 1
+
+
+def test_classify_without_state_side_effects(spark):
+    b = _docs(spark, [(1, "x y z"), (2, "x y z")])
+    kinds = {
+        r["doc_id"]: r["dup_kind"]
+        for r in classify_against_state(b, None).collect()
+    }
+    assert kinds == {1: "unique", 2: "exact"}
+
+
+def test_bucket_cap_drops_degenerate_state_bands(spark, state_path):
+    # Build a GUARANTEED degenerate bucket: filler tokens are chosen so
+    # that for every band the anchor token's hash is the minimum, making
+    # all 30 state docs share all band buckets. Capped, the query doc
+    # must NOT near-match them; uncapped it must.
+    import hashlib
+
+    anchor = "aaa"
+
+    def dominated(tok):
+        return all(
+            hashlib.md5(f"b{b}{anchor}".encode()).hexdigest()
+            < hashlib.md5(f"b{b}{tok}".encode()).hexdigest()
+            for b in range(4)
+        )
+
+    pool = [t for t in (f"w{j}" for j in range(2000)) if dominated(t)]
+    assert len(pool) >= 64
+    b1 = _docs(
+        spark,
+        [(i, f"{anchor} {pool[2 * i]} {pool[2 * i + 1]}") for i in range(30)],
+    )
+    dedup_against_state(spark, b1, state_path, "b1", max_bucket_df=10)
+    b2 = _docs(spark, [(100, f"{anchor} {pool[60]} {pool[61]}")])
+    out = dedup_against_state(spark, b2, state_path, "b2", max_bucket_df=10)
+    assert out.collect()[0]["dup_kind"] == "unique"
+    # uncapped, the same doc IS a near match (shared anchor-min bucket)
+    out2 = classify_against_state(
+        _docs(spark, [(200, f"{anchor} {pool[62]} {pool[63]}")]),
+        read_state(spark, state_path, exclude_batch=None),
+        max_bucket_df=None,
+    )
+    assert out2.collect()[0]["dup_kind"] == "near"
+
+
+def test_rejects_empty_batch_id(spark, state_path):
+    b = _docs(spark, [(1, "a b c")])
+    with pytest.raises(ValueError):
+        dedup_against_state(spark, b, state_path, "")
