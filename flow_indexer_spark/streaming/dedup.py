@@ -64,3 +64,62 @@ def run_dedup_tick(
         .start()
     )
     q.awaitTermination()
+
+
+def run_content_dedup_tick(
+    spark,
+    source_path: str,
+    checkpoint_path: str,
+    state_path: str,
+    out_path: str,
+    schema,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bands: int = 4,
+    max_bucket_df: int | None = 1000,
+) -> None:
+    """One AvailableNow tick of CONTENT-level dedup against the persisted
+    signature state (operators/dedup_state.py) — the unbounded-horizon
+    complement to :func:`stream_dedup`'s TTL'd key dedup: a document
+    re-delivered MONTHS later still classifies 'exact' because the state
+    keys on content, not arrival time.
+
+    Exactly-once layering: the checkpoint gives exactly-once source-file
+    delivery per epoch; the epoch id then keys BOTH side effects — the
+    signature-state partition and the survivors' output partition — via
+    dynamic partition overwrite, so a replayed epoch (crash between the
+    writes and the checkpoint commit) rewrites its own partitions
+    wholesale instead of appending duplicates. Even a full
+    checkpoint LOSS converges: the re-delivered super-batch excludes its
+    own epoch's prior state (read_state), classifies everything already
+    accepted by OTHER epochs as 'exact', and overwrites its own output
+    partition — the surviving outputs stay disjoint by content.
+    """
+    from pyspark.sql import functions as F
+
+    from flow_indexer_spark.operators.dedup_state import dedup_against_state
+
+    def _fold(batch_df, epoch_id):
+        batch = f"epoch{epoch_id}"
+        out = dedup_against_state(
+            spark, batch_df, state_path, batch,
+            id_col, text_col, n_bands, max_bucket_df,
+        )
+        (
+            out.filter(F.col("dup_kind") == "unique")
+            .drop("content_hash", "dup_kind")
+            .withColumn("batch", F.lit(batch))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch")
+            .parquet(out_path)
+        )
+
+    stream = spark.readStream.schema(schema).parquet(source_path)
+    q = (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -101,3 +101,55 @@ def test_dedup_state_expires_past_watermark(spark, tmp_path):
         .collect()
     )
     assert texts == ["first", "late-replay"]
+
+
+def test_content_dedup_ticks_and_checkpoint_loss(spark, tmp_path):
+    """Cross-tick CONTENT dedup vs the persisted signature state: a doc
+    re-delivered in a later tick (new id, same text) is dropped; losing
+    the checkpoint and re-draining the source converges to the same
+    duplicate-free output instead of re-emitting."""
+    import shutil
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from flow_indexer_spark.streaming.dedup import run_content_dedup_tick
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+
+    def write(rows):
+        spark.createDataFrame([Row(doc_id=i, text=t) for i, t in rows]).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    def texts():
+        return sorted(r["text"] for r in spark.read.parquet(out).collect())
+
+    write([(1, "alpha beta gamma"), (2, "delta epsilon zeta")])
+    run_content_dedup_tick(spark, src, ckpt, state, out, schema,
+                           max_bucket_df=None)
+    assert texts() == ["alpha beta gamma", "delta epsilon zeta"]
+
+    # tick 2: one fresh doc + one re-delivery of doc 1 under a NEW id
+    write([(10, "omega psi chi"), (11, "alpha beta gamma")])
+    run_content_dedup_tick(spark, src, ckpt, state, out, schema,
+                           max_bucket_df=None)
+    assert texts() == [
+        "alpha beta gamma", "delta epsilon zeta", "omega psi chi",
+    ]
+
+    # checkpoint loss: every file re-delivered as one super-batch; the
+    # content-level state keeps the output duplicate-free
+    shutil.rmtree(ckpt)
+    run_content_dedup_tick(spark, src, ckpt, state, out, schema,
+                           max_bucket_df=None)
+    assert texts() == [
+        "alpha beta gamma", "delta epsilon zeta", "omega psi chi",
+    ]
