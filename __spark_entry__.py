@@ -2263,6 +2263,45 @@ def _q_incremental_rollup_merge(spark, sf_dir):
 
 
 @_register(
+    "quality_model_score",
+    """
+    SELECT doc_id, n_tokens, n_chars_raw, n_stopwords,
+           mean_token_len, stopword_ratio,
+           1.0 / (1.0 + exp(-(0.5 + (-0.1) * mean_token_len
+                              + 3.0 * stopword_ratio))) AS quality_score
+    FROM (
+      SELECT doc_id, n_tokens, n_chars_raw, n_stopwords,
+             CAST(n_chars_raw AS DOUBLE) / GREATEST(n_tokens, 1)
+               AS mean_token_len,
+             CAST(n_stopwords AS DOUBLE) / GREATEST(n_tokens, 1)
+               AS stopword_ratio
+      FROM (
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '), x -> x <> ''))
+                 AS n_tokens,
+               length(text) AS n_chars_raw,
+               CAST(len(list_filter(string_split(text, ' '),
+                    x -> list_contains(['the','a','of','and','to'], x)))
+                    AS BIGINT) AS n_stopwords
+        FROM documents
+      )
+    ) ORDER BY doc_id
+    """,
+)
+def _q_quality_model_score(spark, sf_dir):
+    """Model-based quality filtering: a linear classifier (offline-trained
+    weights) applied over the in-row quality features as
+    sigmoid(w.x + b) — zero shuffles, zero Python; the fastText-style
+    corpus filter every pretraining recipe runs, as a pure projection."""
+    from flow_indexer_spark.operators.textstats import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    return quality_score(
+        d, weights={"mean_token_len": -0.1, "stopword_ratio": 3.0}, bias=0.5
+    ).orderBy("doc_id")
+
+
+@_register(
     "dedup_incremental_state",
     """
     WITH sig AS (

@@ -194,6 +194,10 @@ def _bench_queries(spark, sf_dir: str) -> dict:
         "embedding_quantize_int8",
         "skew_report_events",
         "log_template_census",
+        "dedup_exact_substring",
+        "curation_mix_budget",
+        "curation_training_order",
+        "dedup_incremental_state",
     ]
     qs = entry_mod.queries()
     out = {}

@@ -200,3 +200,42 @@ def top_distinctive_terms(
         .filter(F.col("_rn") <= k)
         .select(id_col, "term", "tf", "df", "score", F.col("_rn").alias("rank"))
     )
+
+
+def quality_score(
+    df: DataFrame,
+    weights: dict[str, float],
+    bias: float = 0.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_threshold: float | None = None,
+) -> DataFrame:
+    """Model-based quality filtering plumbing: a linear classifier over
+    the in-row quality features, scored as sigmoid(w·x + b) — the shape
+    of the fastText/logistic "looks like reference text" filters
+    pretraining pipelines run corpus-wide (the model is trained offline;
+    the engine's job is applying it at scan speed). ``weights`` keys name
+    :func:`quality_features` columns (missing features weigh 0); the
+    weight vector is a tiny constant folded into the projection, so the
+    score adds ZERO shuffles or Python — it composes into any scan.
+
+    With ``keep_threshold`` the rows scoring below it are filtered (the
+    typical use); without it every row is returned with its score for
+    calibration/audit.
+    """
+    feats = quality_features(df, id_col, text_col)
+    allowed = set(feats.columns) - {id_col}
+    unknown = set(weights) - allowed
+    if unknown:
+        raise ValueError(
+            f"unknown feature(s) {sorted(unknown)}; available: {sorted(allowed)}"
+        )
+    z = F.lit(float(bias))
+    for name, w in weights.items():
+        z = z + F.lit(float(w)) * F.col(name).cast("double")
+    scored = feats.withColumn(
+        "quality_score", F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    )
+    if keep_threshold is not None:
+        scored = scored.filter(F.col("quality_score") >= float(keep_threshold))
+    return scored

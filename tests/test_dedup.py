@@ -527,3 +527,37 @@ def test_label_centroids_matches_numpy(spark):
     for d in range(3):
         assert abs(got[(0, d)] - want0[d]) < 1e-12
         assert got[(1, d)] == [10.0, 0.0, -10.0][d]
+
+
+def test_quality_score_matches_manual_sigmoid(spark):
+    import math
+
+    from pyspark.sql import Row
+
+    from flow_indexer_spark.operators.textstats import (
+        quality_features,
+        quality_score,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox and the dog"),
+            Row(doc_id=2, text="zzzzzzzzzzzz qqqqqqqqq xxxxxxxxxxx"),
+        ]
+    )
+    w = {"stopword_ratio": 3.0, "mean_token_len": -0.2}
+    out = {r["doc_id"]: r for r in quality_score(docs, w, bias=0.1).collect()}
+    feats = {r["doc_id"]: r for r in quality_features(docs).collect()}
+    for i in (1, 2):
+        z = 0.1 + 3.0 * feats[i]["stopword_ratio"] - 0.2 * feats[i]["mean_token_len"]
+        assert out[i]["quality_score"] == pytest.approx(1 / (1 + math.exp(-z)))
+    # stopword-rich English scores above consonant noise with these weights
+    assert out[1]["quality_score"] > out[2]["quality_score"]
+
+    kept = quality_score(
+        docs, w, bias=0.1, keep_threshold=out[2]["quality_score"] + 1e-9
+    )
+    assert [r["doc_id"] for r in kept.collect()] == [1]
+
+    with pytest.raises(ValueError):
+        quality_score(docs, {"no_such_feature": 1.0})
