@@ -197,3 +197,36 @@ def read_state(
     if exclude_batch is not None:
         state = state.filter(F.col("batch") != exclude_batch)
     return state
+
+
+def compact_state(spark, state_path: str, into_batch: str = "compacted") -> None:
+    """Fold the per-batch signature partitions into one
+    ``batch=<into_batch>`` partition — bounds the partition count the way
+    compact_postings/compact_rollup bound chunk counts (the Iceberg
+    rewrite_data_files analogue; local-FS staged write-then-swap, crash
+    leaves either the old partitions or the complete compacted table).
+    Accepted content is unique across batches by construction; replay
+    residue collapses deterministically to min doc id per content hash.
+    """
+    import os
+    import shutil
+
+    st = spark.read.parquet(state_path)
+    band_cols = sorted(c for c in st.columns if c.startswith("band"))
+    folded = (
+        st.groupBy("content_hash")
+        .agg(
+            F.min(st.columns[0]).alias(st.columns[0]),
+            *[F.min(c).alias(c) for c in band_cols],
+        )
+        .select(st.columns[0], "content_hash", *band_cols)
+        .withColumn("batch", F.lit(into_batch))
+    )
+    staged = state_path.rstrip("/") + "_compacting"
+    shutil.rmtree(staged, ignore_errors=True)
+    folded.write.mode("overwrite").partitionBy("batch").parquet(staged)
+    old = state_path.rstrip("/") + "_old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(state_path, old)
+    os.rename(staged, state_path)
+    shutil.rmtree(old, ignore_errors=True)

@@ -121,3 +121,34 @@ def test_rejects_empty_batch_id(spark, state_path):
     b = _docs(spark, [(1, "a b c")])
     with pytest.raises(ValueError):
         dedup_against_state(spark, b, state_path, "")
+
+
+def test_compact_state_folds_batches_and_preserves_semantics(
+    spark, state_path
+):
+    from flow_indexer_spark.operators.dedup_state import compact_state
+
+    dedup_against_state(
+        spark, _docs(spark, [(1, "alpha beta gamma")]), state_path, "b1"
+    )
+    dedup_against_state(
+        spark, _docs(spark, [(2, "delta epsilon zeta")]), state_path, "b2"
+    )
+    before = {
+        (r["doc_id"], r["content_hash"])
+        for r in read_state(spark, state_path).collect()
+    }
+    compact_state(spark, state_path)
+    st = read_state(spark, state_path)
+    after = {(r["doc_id"], r["content_hash"]) for r in st.collect()}
+    assert after == before
+    assert st.select("batch").distinct().count() == 1
+    # classification against compacted state is unchanged
+    out = dedup_against_state(
+        spark,
+        _docs(spark, [(30, "alpha beta gamma"), (31, "fresh new words")]),
+        state_path,
+        "b3",
+    )
+    kinds = {r["doc_id"]: r["dup_kind"] for r in out.collect()}
+    assert kinds == {30: "exact", 31: "unique"}

@@ -1,0 +1,110 @@
+"""Physical-plan regression pins: the architecture claims in PLANS.md,
+asserted. A future edit that silently adds a shuffle to a scan-speed
+operator, degrades a broadcast join to sort-merge, or drops extraction
+out of Arrow should fail HERE, not in a 100 TB run."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _nodes(df) -> list[str]:
+    """Physical-plan node names from `.explain('formatted')` (the `(n)
+    NodeName` detail lines — each node exactly once)."""
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return re.findall(r"^\(\d+\) (\S+)", buf.getvalue(), re.M)
+
+
+def _count(df, name: str) -> int:
+    return sum(1 for n in _nodes(df) if n == name)
+
+
+def _shuffles(df) -> int:
+    return _count(df, "Exchange")  # BroadcastExchange is a distinct name
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(i, f"s{i % 3}", "alpha beta gamma delta") for i in range(100)],
+        "doc_id long, source string, text string",
+    )
+
+
+def test_extraction_is_one_pipelined_stage(spark, transcripts):
+    """PLANS.md §1: extract is zero shuffles with exactly one Arrow-batched
+    Python site (IPv6 canonicalization) — never row-at-a-time Python."""
+    from flow_indexer_spark.functions.extractors import extract_entities
+
+    ext = extract_entities(transcripts)
+    assert _shuffles(ext) == 0
+    assert _count(ext, "ArrowEvalPython") == 1
+    assert _count(ext, "BatchEvalPython") == 0
+
+
+def test_salt_postings_is_one_exchange(spark, transcripts):
+    """PLANS.md §2: the salt-chunked index build aggregates through ONE
+    shuffle regardless of corpus size."""
+    from flow_indexer_spark.functions.extractors import extract_entities
+    from flow_indexer_spark.operators.postings import build_postings
+
+    post = build_postings(extract_entities(transcripts), n_salt=8,
+                          chunk_mode="salt")
+    assert _shuffles(post) == 1
+
+
+def test_enrich_broadcasts_both_dims(spark, transcripts, dims):
+    """PLANS.md §4: dims go broadcast; the fact side never shuffles and
+    no join degrades to sort-merge."""
+    from flow_indexer_spark.functions.extractors import extract_entities
+    from flow_indexer_spark.operators.enrich import enrich
+
+    tool_registry, role_taxonomy = dims
+    e = enrich(extract_entities(transcripts), tool_registry, role_taxonomy)
+    assert _count(e, "BroadcastHashJoin") == 2
+    assert _count(e, "SortMergeJoin") == 0
+    assert _shuffles(e) == 0
+
+
+def test_mix_to_token_budget_never_shuffles_the_corpus(docs):
+    """PLANS.md §3g: the only shuffle is the sources-sized totals agg;
+    fractions come back via broadcast."""
+    from flow_indexer_spark.operators.curation import mix_to_token_budget
+
+    out = mix_to_token_budget(docs, 100, {"s0": 1.0})
+    assert _shuffles(out) == 1
+    assert _count(out, "BroadcastHashJoin") == 1
+    assert _count(out, "SortMergeJoin") == 0
+
+
+def test_in_row_operators_add_zero_exchanges(docs):
+    """Scan-speed projections must stay scan-speed: quality scoring,
+    redaction, chunking, int8 quantization."""
+    from flow_indexer_spark.operators.curation import sliding_window_chunks
+    from flow_indexer_spark.operators.redact import redact_entities
+    from flow_indexer_spark.operators.textstats import quality_score
+
+    assert _shuffles(quality_score(docs, {"stopword_ratio": 1.0})) == 0
+    assert _shuffles(redact_entities(docs)) == 0
+    assert _shuffles(sliding_window_chunks(docs, size=3, stride=2)) == 0
+
+
+def test_topk_is_take_ordered_not_global_sort(spark):
+    """ANN top-k must compile to TakeOrderedAndProject — a global Sort of
+    the corpus would be a scale regression."""
+    from flow_indexer_spark.operators.similarity import topk_cosine
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), 1.0, 0.5]) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    out = topk_cosine(emb, [1.0, 0.0, 0.0], k=5)
+    assert _count(out, "TakeOrderedAndProject") == 1
+    assert _count(out, "Sort") == 0
