@@ -225,6 +225,36 @@ def _q_incremental_postings_merge(spark, sf_dir):
     )
 
 
+@_register(
+    "routed_turn_text_roundtrip",
+    f"""
+    WITH t AS ({_SYNTH_SQL})
+    SELECT conv_id, turn_idx, md5(text) AS text_hash
+    FROM t ORDER BY conv_id, turn_idx
+    """,
+)
+def _q_routed_turn_text_roundtrip(spark, sf_dir):
+    """The north-star per-row invariant, oracle-checked end to end: after
+    the FULL pipeline (extract -> enrich -> routed parquet sink -> read
+    back), every turn's text is byte-identical to the input under stable
+    (conv_id, turn_idx) ordering. The routed table keeps exactly one
+    head row per turn (_turn_head), so the read-back is one row per
+    input turn; md5 compares the bytes."""
+    import tempfile
+
+    from flow_indexer_spark.plans.pipeline import PipelineConfig, run_ingest
+
+    t = synth_transcripts(spark, sf_dir)
+    cfg = PipelineConfig(output_root=tempfile.mkdtemp(prefix="fis_txtrt_"))
+    run_ingest(spark, t, cfg)
+    routed = spark.read.parquet(cfg.routed_path)
+    return (
+        routed.filter(F.col("_turn_head"))
+        .select("conv_id", "turn_idx", F.md5("text").alias("text_hash"))
+        .orderBy("conv_id", "turn_idx")
+    )
+
+
 # --- inverted index over documents (A1/A2/A8/J3/P6/O2) ---------------------
 
 @_register(
@@ -2298,6 +2328,68 @@ def _q_quality_model_score(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return quality_score(
         d, weights={"mean_token_len": -0.1, "stopword_ratio": 3.0}, bias=0.5
+    ).orderBy("doc_id")
+
+
+@_register(
+    "quality_lm_perplexity",
+    """
+    WITH split AS (
+      SELECT doc_id, text,
+             CAST('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 10000 AS bucket
+      FROM documents
+    ),
+    tt AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+             AS tok FROM split WHERE bucket < 9000),
+    st AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+             AS tok FROM split WHERE bucket >= 9000),
+    tb AS (
+      SELECT b.w1 AS w1, b.w2 AS w2
+      FROM (SELECT unnest(list_transform(range(1, len(tok)),
+                   i -> struct_pack(w1 := tok[i], w2 := tok[i + 1]))) AS b
+            FROM tt WHERE len(tok) >= 2)
+    ),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM tb GROUP BY 1, 2),
+    c1 AS (SELECT w1, COUNT(*) AS c1 FROM tb GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT w2) AS v FROM tb),
+    sb AS (
+      SELECT doc_id, b.w1 AS w1, b.w2 AS w2
+      FROM (SELECT doc_id, unnest(list_transform(range(1, len(tok)),
+                   i -> struct_pack(w1 := tok[i], w2 := tok[i + 1]))) AS b
+            FROM st WHERE len(tok) >= 2)
+    ),
+    lp AS (
+      SELECT doc_id,
+             ln((COALESCE(c2, 0) + 0.4) / (COALESCE(c1, 0) + 0.4 * v)) AS lp
+      FROM sb LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1)
+      CROSS JOIN v
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(lp), 9) AS avg_logp,
+           ROUND(exp(-AVG(lp)), 9) AS ppl
+    FROM lp GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def _q_quality_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM quality filter, self-contained: train an add-0.4
+    smoothed bigram LM on the deterministic train split, score the
+    held-out docs by mean log-likelihood / perplexity. Model = two count
+    aggs; scoring = token-keyed hash joins (never a vocab^2 broadcast).
+    Scores rounded to 9 dp on both engines (sum-order ulp noise)."""
+    from flow_indexer_spark.operators.curation import hash_split
+    from flow_indexer_spark.operators.textstats import bigram_lm_scores
+
+    d = hash_split(_t(spark, sf_dir, "documents"))
+    out = bigram_lm_scores(
+        d.filter(F.col("split") == "train"),
+        d.filter(F.col("split") != "train"),
+    )
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        F.round("avg_logp", 9).alias("avg_logp"),
+        F.round("ppl", 9).alias("ppl"),
     ).orderBy("doc_id")
 
 

@@ -239,3 +239,73 @@ def quality_score(
     if keep_threshold is not None:
         scored = scored.filter(F.col("quality_score") >= float(keep_threshold))
     return scored
+
+
+def bigram_lm_scores(
+    train_df: DataFrame,
+    score_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """N-gram language-model quality scoring (CCNet-style): train an
+    add-alpha-smoothed bigram LM on a reference corpus, score every
+    candidate doc by mean log-likelihood and perplexity — the "does this
+    read like reference text" filter between heuristic ratios and a
+    neural classifier, and (unlike both) trained ON the engine itself.
+
+    P(w2|w1) = (C(w1,w2) + alpha) / (C(w1) + alpha*V), V = distinct
+    successor vocabulary; unseen contexts degrade to alpha/(alpha*V)
+    rather than zero. Returns (id, n_bigrams, avg_logp, ppl) for every
+    scored doc with >= 2 tokens; ppl = exp(-avg_logp), lower = more
+    reference-like.
+
+    Topology: bigram explode is in-row; the model is two
+    map-side-combined count aggs over the TRAIN corpus; scoring joins
+    candidate bigrams against the count tables on (w1,w2)/(w1) — hash
+    joins on token keys, never a broadcast of a vocab^2 table — then one
+    per-doc agg. V travels as a broadcast 1-row cross join, not a
+    driver collect.
+    """
+    from flow_indexer_spark.operators.dedup import tokens
+
+    def bigrams(df, *keep):
+        tok = tokens(text_col)
+        idx = F.sequence(F.lit(1), F.size(tok) - 1)
+        bi = F.transform(
+            idx,
+            lambda i: F.struct(
+                F.element_at(tok, i).alias("w1"),
+                F.element_at(tok, i + 1).alias("w2"),
+            ),
+        )
+        d = df.select(*keep, F.when(F.size(tok) >= 2, bi).alias("_bi"))
+        return d.filter(F.col("_bi").isNotNull()).select(
+            *keep, F.explode("_bi").alias("_b")
+        ).select(*keep, F.col("_b.w1").alias("w1"), F.col("_b.w2").alias("w2"))
+
+    tb = bigrams(train_df)
+    c2 = tb.groupBy("w1", "w2").agg(F.count("*").alias("_c2"))
+    c1 = tb.groupBy("w1").agg(F.count("*").alias("_c1"))
+    v = tb.agg(F.count_distinct("w2").alias("_v"))
+
+    sb = bigrams(score_df, F.col(id_col))
+    logp = F.log(
+        (F.coalesce("_c2", F.lit(0)).cast("double") + F.lit(float(alpha)))
+        / (
+            F.coalesce("_c1", F.lit(0)).cast("double")
+            + F.lit(float(alpha)) * F.col("_v").cast("double")
+        )
+    )
+    return (
+        sb.join(c2, ["w1", "w2"], "left")
+        .join(c1, ["w1"], "left")
+        .join(F.broadcast(v))
+        .select(id_col, logp.alias("_lp"))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.avg("_lp").alias("avg_logp"),
+        )
+        .withColumn("ppl", F.exp(-F.col("avg_logp")))
+    )

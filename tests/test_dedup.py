@@ -561,3 +561,37 @@ def test_quality_score_matches_manual_sigmoid(spark):
 
     with pytest.raises(ValueError):
         quality_score(docs, {"no_such_feature": 1.0})
+
+
+def test_bigram_lm_scores_manual(spark):
+    import math
+
+    from pyspark.sql import Row
+
+    from flow_indexer_spark.operators.textstats import bigram_lm_scores
+
+    train = spark.createDataFrame(
+        [Row(doc_id=1, text="a b a b c"), Row(doc_id=2, text="a b")]
+    )
+    # train bigrams: (a,b)x3 (b,a)x1 (b,c)x1; C1: a=3, b=2; V=|{b,a,c}|=3
+    score = spark.createDataFrame(
+        [
+            Row(doc_id=10, text="a b c"),   # seen + unseen-successor pair
+            Row(doc_id=11, text="z z"),     # fully unseen context
+            Row(doc_id=12, text="solo"),    # < 2 tokens -> no row
+        ]
+    )
+    out = {r["doc_id"]: r for r in bigram_lm_scores(train, score, alpha=0.5).collect()}
+    assert set(out) == {10, 11}
+    V, a = 3, 0.5
+    lp_ab = math.log((3 + a) / (3 + a * V))
+    lp_bc = math.log((1 + a) / (2 + a * V))
+    exp_avg = (lp_ab + lp_bc) / 2
+    assert out[10]["n_bigrams"] == 2
+    assert out[10]["avg_logp"] == pytest.approx(exp_avg)
+    assert out[10]["ppl"] == pytest.approx(math.exp(-exp_avg))
+    # unseen everything: alpha / (0 + alpha*V)
+    lp_zz = math.log(a / (a * V))
+    assert out[11]["avg_logp"] == pytest.approx(lp_zz)
+    # reference-like text scores lower perplexity than noise
+    assert out[10]["ppl"] < out[11]["ppl"]
