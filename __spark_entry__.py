@@ -2377,6 +2377,8 @@ def _q_quality_lm_perplexity(spark, sf_dir):
     held-out docs by mean log-likelihood / perplexity. Model = two count
     aggs; scoring = token-keyed hash joins (never a vocab^2 broadcast).
     Scores rounded to 9 dp on both engines (sum-order ulp noise)."""
+    import tempfile
+
     from flow_indexer_spark.operators.curation import hash_split
     from flow_indexer_spark.operators.textstats import bigram_lm_scores
 
@@ -2384,6 +2386,7 @@ def _q_quality_lm_perplexity(spark, sf_dir):
     out = bigram_lm_scores(
         d.filter(F.col("split") == "train"),
         d.filter(F.col("split") != "train"),
+        model_path=tempfile.mkdtemp(prefix="fis_lm_") + "/bigram_counts",
     )
     return out.select(
         "doc_id",

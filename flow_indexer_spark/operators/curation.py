@@ -414,7 +414,11 @@ def mix_to_token_budget(
     min(1, share * budget / tokens_in_source), so an over-supplied
     source is downsampled to its token allocation and an under-supplied
     one is kept whole (its deficit is reported, not silently
-    redistributed — recipe math belongs to the caller).
+    redistributed — recipe math belongs to the caller). Shares are
+    ABSOLUTE budget fractions, taken as given: they may sum below 1
+    (the remainder is deliberately unallocated) but never above —
+    silently rescaling {'code': 0.1} to 1.0 would hand one source the
+    whole budget, so an over-committed recipe raises instead.
 
     Row selection reuses the deterministic hash-bucket rule (row kept iff
     hash(salt||id) mod 10000 < floor(fraction*10000)): re-runs keep the
@@ -433,13 +437,18 @@ def mix_to_token_budget(
     total_share = sum(shares.values())
     if total_share <= 0:
         raise ValueError("shares must sum to a positive value")
+    if total_share > 1.0 + 1e-9 or any(s < 0 for s in shares.values()):
+        raise ValueError(
+            "shares are absolute budget fractions: each >= 0, sum <= 1 "
+            f"(got sum={total_share})"
+        )
     n_tok = (
         F.col(n_tokens_col) if n_tokens_col else F.size(tokens(text_col))
     ).cast("bigint")
     share_expr = None
     for name, s in shares.items():
         cond = F.col(strata_col) == name
-        val = F.lit(s / total_share)
+        val = F.lit(float(s))
         share_expr = (
             F.when(cond, val) if share_expr is None
             else share_expr.when(cond, val)
@@ -486,7 +495,11 @@ def training_order(
     is the running sum of lower buckets' counts — an n_buckets-row
     aggregate, windowed on the driver-free side and broadcast back.
     One corpus shuffle total (the per-bucket window); the rank is
-    bit-stable across runs, engines, and re-partitionings.
+    bit-stable across runs, engines, and re-partitionings PROVIDED ids
+    are unique (the doc-corpus invariant everywhere else in this repo):
+    rows tying on the full (hash, id) sort key — duplicate ids, or more
+    than one null id — still get valid distinct ranks, but which tied
+    row gets which rank is engine/partitioning-dependent.
 
     Writing ``df.repartitionByRange('order_rank').sortWithinPartitions(
     'order_rank')`` then yields globally ordered, evenly sized files.
@@ -500,7 +513,14 @@ def training_order(
     d = df.withColumn("_h", h).withColumn(
         "_b", F.shiftright(F.col("_h"), shift).cast("int")
     )
-    wb = Window.partitionBy("_b").orderBy("_h", id_col)
+    # tiebreak on the raw id (native type order, matching the oracle's
+    # ROW_NUMBER ... ORDER BY h, id), nulls pinned first explicitly —
+    # 32-bit hash-prefix collisions between distinct ids DO occur at
+    # corpus scale (~n^2/2^33 pairs) and a string-cast tiebreak would
+    # rank "10" before "9"
+    wb = Window.partitionBy("_b").orderBy(
+        "_h", F.col(id_col).asc_nulls_first()
+    )
     offsets = (
         d.groupBy("_b")
         .agg(F.count("*").alias("_n"))

@@ -87,6 +87,14 @@ def classify_against_state(
     boilerplate-valued bands whose matches are overwhelmingly not dups,
     and they would fan a single new doc out B-fold).
     """
+    if state is not None:
+        stored = sorted(c for c in state.columns if c.startswith("band"))
+        if len(stored) != n_bands:
+            raise ValueError(
+                f"state holds {len(stored)} minhash bands but n_bands="
+                f"{n_bands}; matching fewer bands would silently drop "
+                "near-dup recall — pass the stored band count"
+            )
     sigs = doc_signatures(new_df, id_col, text_col, n_bands)
 
     # within-batch exact keeper (one map-side-combined shuffle)
@@ -182,6 +190,27 @@ def dedup_against_state(
     return out
 
 
+def _recover_compaction(state_path: str) -> None:
+    """Finish a compact_state swap a crash interrupted: if the live path
+    is gone but the fully-written staged table exists, promote it (the
+    stage write completed before any rename started, so it is always the
+    safe choice); stale _old/_compacting leftovers are cleared either
+    way. Without this, a crash between the two renames would make the
+    next read_state return None and the next batch accept the entire
+    accumulated corpus as 'unique'."""
+    import os
+    import shutil
+
+    staged = state_path.rstrip("/") + "_compacting"
+    old = state_path.rstrip("/") + "_old"
+    if not os.path.exists(state_path):
+        if os.path.exists(staged):
+            os.rename(staged, state_path)
+        elif os.path.exists(old):
+            os.rename(old, state_path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def read_state(
     spark, state_path: str, exclude_batch: str | None = None
 ) -> DataFrame | None:
@@ -189,11 +218,21 @@ def read_state(
     ``exclude_batch`` drops a batch's own prior partition so a REPLAYED
     batch is not compared against its own earlier (possibly partial)
     commit — the half-written rows a crash left behind must not turn the
-    retry's docs into 'exact' self-duplicates."""
+    retry's docs into 'exact' self-duplicates.
+
+    Only a genuinely-missing path maps to None (first batch ever, after
+    interrupted-compaction recovery); any other read failure propagates —
+    treating a transient S3/parquet error as 'no state yet' would accept
+    a whole batch of duplicates silently."""
+    from pyspark.errors import AnalysisException
+
+    _recover_compaction(state_path)
     try:
         state = spark.read.parquet(state_path)
-    except Exception:
-        return None
+    except AnalysisException as ex:
+        if "PATH_NOT_FOUND" in str(ex):
+            return None
+        raise
     if exclude_batch is not None:
         state = state.filter(F.col("batch") != exclude_batch)
     return state
@@ -211,6 +250,7 @@ def compact_state(spark, state_path: str, into_batch: str = "compacted") -> None
     import os
     import shutil
 
+    _recover_compaction(state_path)  # finish any crashed prior swap first
     st = spark.read.parquet(state_path)
     band_cols = sorted(c for c in st.columns if c.startswith("band"))
     folded = (

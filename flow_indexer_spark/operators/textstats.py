@@ -247,6 +247,7 @@ def bigram_lm_scores(
     id_col: str = "doc_id",
     text_col: str = "text",
     alpha: float = 0.4,
+    model_path: str | None = None,
 ) -> DataFrame:
     """N-gram language-model quality scoring (CCNet-style): train an
     add-alpha-smoothed bigram LM on a reference corpus, score every
@@ -286,8 +287,19 @@ def bigram_lm_scores(
 
     tb = bigrams(train_df)
     c2 = tb.groupBy("w1", "w2").agg(F.count("*").alias("_c2"))
-    c1 = tb.groupBy("w1").agg(F.count("*").alias("_c1"))
-    v = tb.agg(F.count_distinct("w2").alias("_v"))
+    # The model IS the c2 table: c1 and V derive from it by aggregation
+    # (sum over successors / distinct successors), never from the raw
+    # corpus. Without materialization Spark re-executes the c2 plan —
+    # tokenize + explode of the whole train corpus — once per consumer
+    # (measured: no exchange reuse, even under AQE), so at any real
+    # scale pass ``model_path``: the counts are written ONCE and the
+    # three consumers read the vocab^2-sized table — train-once /
+    # score-many, the same persisted-state idiom as dedup_state.
+    if model_path is not None:
+        c2.write.mode("overwrite").parquet(model_path)
+        c2 = train_df.sparkSession.read.parquet(model_path)
+    c1 = c2.groupBy("w1").agg(F.sum("_c2").alias("_c1"))
+    v = c2.agg(F.count_distinct("w2").alias("_v"))
 
     sb = bigrams(score_df, F.col(id_col))
     logp = F.log(

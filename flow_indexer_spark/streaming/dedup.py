@@ -85,22 +85,32 @@ def run_content_dedup_tick(
     keys on content, not arrival time.
 
     Exactly-once layering: the checkpoint gives exactly-once source-file
-    delivery per epoch; the epoch id then keys BOTH side effects — the
-    signature-state partition and the survivors' output partition — via
-    dynamic partition overwrite, so a replayed epoch (crash between the
-    writes and the checkpoint commit) rewrites its own partitions
-    wholesale instead of appending duplicates. Even a full
-    checkpoint LOSS converges: the re-delivered super-batch excludes its
-    own epoch's prior state (read_state), classifies everything already
-    accepted by OTHER epochs as 'exact', and overwrites its own output
-    partition — the surviving outputs stay disjoint by content.
+    delivery per epoch; both side effects — the signature-state partition
+    and the survivors' output partition — are then keyed by the epoch id
+    PLUS an order-insensitive digest of the batch's row ids, via dynamic
+    partition overwrite. A replayed epoch (crash between the writes and
+    the checkpoint commit) re-delivers the same rows, recomputes the same
+    key, and rewrites its own partitions wholesale instead of appending
+    duplicates. A full checkpoint LOSS re-delivers the backlog with
+    DIFFERENT batching (file-source maxFilesPerTrigger can split it into
+    several epochs whose numbers collide with the old run's) — the digest
+    makes those keys distinct, so the old run's partitions are never
+    clobbered; re-delivered content classifies 'exact' against the
+    still-intact state and is simply not re-emitted, so the output
+    converges duplicate-free without losing previously accepted rows.
+    The digest costs one batch-sized aggregation per tick.
     """
     from pyspark.sql import functions as F
 
+    from flow_indexer_spark.operators.dedup import md5_int32
     from flow_indexer_spark.operators.dedup_state import dedup_against_state
 
     def _fold(batch_df, epoch_id):
-        batch = f"epoch{epoch_id}"
+        key = F.coalesce(F.col(id_col).cast("string"), F.lit(""))
+        digest = batch_df.agg(
+            F.sum(md5_int32(F.concat(F.lit("cd"), key))).alias("d")
+        ).first()["d"]
+        batch = f"epoch{epoch_id}x{(digest or 0) % 10**12}"
         out = dedup_against_state(
             spark, batch_df, state_path, batch,
             id_col, text_col, n_bands, max_bucket_df,

@@ -140,3 +140,14 @@ def test_duplicated_spans_interval_union_merges_overlaps(spark):
     for i in range(3):
         assert out[i]["dup_windows"] == 5  # 12 - 8 + 1
         assert out[i]["covered_tokens"] == 12  # union, not 5*8
+
+
+def test_mix_budget_shares_are_absolute_not_normalized(mix_docs):
+    # a lone share of 0.5 allocates HALF the budget, not all of it
+    out = mix_to_token_budget(mix_docs, budget=600, shares={"a": 0.5})
+    fr = dict(out.select("source", "mix_fraction").distinct().collect())
+    assert abs(fr["a"] - 0.5) < 1e-12  # 0.5*600/600, NOT 1.0
+    with pytest.raises(ValueError):
+        mix_to_token_budget(mix_docs, budget=600, shares={"a": 0.8, "b": 0.6})
+    with pytest.raises(ValueError):
+        mix_to_token_budget(mix_docs, budget=600, shares={"a": -0.1, "b": 0.5})

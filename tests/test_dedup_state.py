@@ -152,3 +152,34 @@ def test_compact_state_folds_batches_and_preserves_semantics(
     )
     kinds = {r["doc_id"]: r["dup_kind"] for r in out.collect()}
     assert kinds == {30: "exact", 31: "unique"}
+
+
+def test_interrupted_compaction_recovers(spark, state_path):
+    """Crash window between compact_state's two renames: live path gone,
+    staged table complete. read_state must promote the staged table, NOT
+    treat the corpus as empty (which would accept every duplicate)."""
+    import os
+
+    dedup_against_state(
+        spark, _docs(spark, [(1, "alpha beta gamma")]), state_path, "b1"
+    )
+    # simulate the crash: live -> _old done, staged swap not yet done
+    staged = state_path + "_compacting"
+    os.rename(state_path, staged)
+    st = read_state(spark, state_path)
+    assert st is not None and st.count() == 1
+    assert not os.path.exists(staged)
+    out = dedup_against_state(
+        spark, _docs(spark, [(9, "alpha beta gamma")]), state_path, "b2"
+    )
+    assert out.collect()[0]["dup_kind"] == "exact"
+
+
+def test_band_count_mismatch_raises(spark, state_path):
+    dedup_against_state(
+        spark, _docs(spark, [(1, "a b c")]), state_path, "b1", n_bands=4
+    )
+    with pytest.raises(ValueError):
+        dedup_against_state(
+            spark, _docs(spark, [(2, "d e f")]), state_path, "b2", n_bands=2
+        )
