@@ -78,17 +78,44 @@ def exact_dedup_keep(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 
 # --- MinHash + LSH ---------------------------------------------------------
 
-def minhash_signature(text_col: str | Column = "text", n_bands: int = 4) -> list[Column]:
-    """One min-hash per band over whitespace-token shingles: band b's hash
-    of token t is md5('b{b}' || t); the signature element is the min over
-    the doc's tokens. In-row (transform + array_min): no shuffle."""
+def minhash_signature(
+    text_col: str | Column = "text",
+    n_bands: int = 4,
+    rows_per_band: int = 1,
+) -> list[Column]:
+    """MinHash band signature over whitespace-token shingles, in-row
+    (transform + array_min): no shuffle. Hash function j of token t is
+    md5('b{j}' || t); band b combines the minima of its ``rows_per_band``
+    consecutive hash functions (j = b*r .. b*r+r-1) into one value that
+    collides only when ALL r minima collide — the classic banding
+    precision knob: the match threshold is ~(1/n_bands)^(1/r), so r=1 is
+    extremely permissive (any single shared minimum) and r=4 demands
+    near-identical token sets. On homogeneous corpora (small shared
+    vocabulary) r=1 banding buckets nearly everything together; raise r
+    before raising ``max_bucket_df``. r=1 keeps the raw minimum as the
+    band value (bit-compatible with the stored signatures and DuckDB
+    oracles predating the knob). Empty docs yield null bands — null
+    never joins, preserved for r>1 by null-propagating concat."""
     tok = tokens(text_col)
-    return [
-        F.array_min(
-            F.transform(tok, lambda x: F.md5(F.concat(F.lit(f"b{b}"), x)))
-        ).alias(f"band{b}")
-        for b in range(n_bands)
-    ]
+
+    def mh(j: int) -> Column:
+        return F.array_min(
+            F.transform(tok, lambda x: F.md5(F.concat(F.lit(f"b{j}"), x)))
+        )
+
+    if rows_per_band < 1:
+        raise ValueError("rows_per_band must be >= 1")
+    if rows_per_band == 1:
+        return [mh(b).alias(f"band{b}") for b in range(n_bands)]
+    out = []
+    for b in range(n_bands):
+        parts: list[Column] = []
+        for r in range(rows_per_band):
+            if parts:
+                parts.append(F.lit("|"))
+            parts.append(mh(b * rows_per_band + r))
+        out.append(F.md5(F.concat(*parts)).alias(f"band{b}"))
+    return out
 
 
 def _banded_candidate_pairs(
@@ -127,14 +154,19 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     n_bands: int = 4,
     max_bucket_df: int | None = 1000,
+    rows_per_band: int = 1,
 ) -> DataFrame:
     """Near-dup candidate pairs: docs sharing ANY band bucket. The classic
     shingle->minhash->band->bucket-join, melted to one self-join across all
     bands (shuffle on band hash — uniform by construction except for the
-    degenerate buckets ``max_bucket_df`` drops). Returns (id_a, id_b) with
-    id_a < id_b."""
+    degenerate buckets ``max_bucket_df`` drops). ``rows_per_band`` is the
+    precision knob (see :func:`minhash_signature`) — the structural
+    guarantee is monotone: with the hash-function budget held fixed
+    (n_bands*rows_per_band), every pair found at higher r is also found
+    at lower r. Returns (id_a, id_b) with id_a < id_b."""
     sigs = fan_out(df).select(
-        F.col(id_col).alias("_id"), *minhash_signature(text_col, n_bands)
+        F.col(id_col).alias("_id"),
+        *minhash_signature(text_col, n_bands, rows_per_band),
     )
     bands = sigs.select(
         "_id",

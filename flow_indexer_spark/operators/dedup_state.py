@@ -34,13 +34,18 @@ def doc_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_bands: int = 4,
+    rows_per_band: int = 1,
 ) -> DataFrame:
     """Per-doc dedup signature row: exact content hash + the MinHash band
-    values (in-row, no shuffle). This is the schema persisted as state."""
+    values (in-row, no shuffle). This is the schema persisted as state.
+    ``rows_per_band`` is the near-match precision knob
+    (:func:`operators.dedup.minhash_signature`); it changes band VALUES,
+    not the schema, so it is part of the state's identity — the commit
+    path records it in ``_meta.json`` and validates on every batch."""
     return df.select(
         F.col(id_col),
         F.md5(text_col).alias("content_hash"),
-        *minhash_signature(text_col, n_bands),
+        *minhash_signature(text_col, n_bands, rows_per_band),
     )
 
 
@@ -69,6 +74,7 @@ def classify_against_state(
     text_col: str = "text",
     n_bands: int = 4,
     max_bucket_df: int | None = 1000,
+    rows_per_band: int = 1,
 ) -> DataFrame:
     """Annotate every new-batch row with ``dup_kind``:
 
@@ -95,7 +101,7 @@ def classify_against_state(
                 f"{n_bands}; matching fewer bands would silently drop "
                 "near-dup recall — pass the stored band count"
             )
-    sigs = doc_signatures(new_df, id_col, text_col, n_bands)
+    sigs = doc_signatures(new_df, id_col, text_col, n_bands, rows_per_band)
 
     # within-batch exact keeper (one map-side-combined shuffle)
     keepers = (
@@ -162,6 +168,7 @@ def dedup_against_state(
     text_col: str = "text",
     n_bands: int = 4,
     max_bucket_df: int | None = 1000,
+    rows_per_band: int = 1,
 ) -> DataFrame:
     """Classify a new batch against the persisted state AND commit the
     accepted ('unique') docs' signatures under ``batch=<batch_id>`` —
@@ -171,13 +178,15 @@ def dedup_against_state(
     """
     if not batch_id:
         raise ValueError("batch_id must be a stable non-empty identifier")
+    _check_meta(state_path, n_bands, rows_per_band)
     state = read_state(spark, state_path, exclude_batch=batch_id)
     out = classify_against_state(
-        new_df, state, id_col, text_col, n_bands, max_bucket_df
+        new_df, state, id_col, text_col, n_bands, max_bucket_df,
+        rows_per_band,
     )
     accepted = out.filter(F.col("dup_kind") == "unique").select(id_col)
     sigs = (
-        doc_signatures(new_df, id_col, text_col, n_bands)
+        doc_signatures(new_df, id_col, text_col, n_bands, rows_per_band)
         .join(accepted, id_col, "left_semi")
         .withColumn("batch", F.lit(batch_id))
     )
@@ -188,6 +197,31 @@ def dedup_against_state(
         .parquet(state_path)
     )
     return out
+
+
+def _check_meta(state_path: str, n_bands: int, rows_per_band: int) -> None:
+    """Record the signature parameters beside the state on first commit
+    and reject mismatched later batches: ``rows_per_band`` changes band
+    VALUES without changing the schema, so a silent mismatch would
+    classify every near-dup 'unique' with no error to catch — the same
+    trap the band-count check closes for n_bands."""
+    import json
+    import os
+
+    meta_path = state_path.rstrip("/") + "_meta.json"
+    meta = {"n_bands": n_bands, "rows_per_band": rows_per_band}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            stored = json.load(f)
+        if stored != meta:
+            raise ValueError(
+                f"state at {state_path} was built with {stored}; "
+                f"got {meta} — signature params are part of the state"
+            )
+    else:
+        os.makedirs(os.path.dirname(meta_path) or ".", exist_ok=True)
+        with open(meta_path, "w") as f:
+            json.dump(meta, f)
 
 
 def _recover_compaction(state_path: str) -> None:

@@ -77,6 +77,7 @@ def run_content_dedup_tick(
     text_col: str = "text",
     n_bands: int = 4,
     max_bucket_df: int | None = 1000,
+    rows_per_band: int = 1,
 ) -> None:
     """One AvailableNow tick of CONTENT-level dedup against the persisted
     signature state (operators/dedup_state.py) — the unbounded-horizon
@@ -113,7 +114,7 @@ def run_content_dedup_tick(
         batch = f"epoch{epoch_id}x{(digest or 0) % 10**12}"
         out = dedup_against_state(
             spark, batch_df, state_path, batch,
-            id_col, text_col, n_bands, max_bucket_df,
+            id_col, text_col, n_bands, max_bucket_df, rows_per_band,
         )
         (
             out.filter(F.col("dup_kind") == "unique")

@@ -595,3 +595,53 @@ def test_bigram_lm_scores_manual(spark):
     assert out[11]["avg_logp"] == pytest.approx(lp_zz)
     # reference-like text scores lower perplexity than noise
     assert out[10]["ppl"] < out[11]["ppl"]
+
+
+def test_minhash_rows_per_band_precision_knob(spark):
+    from pyspark.sql import Row
+
+    from flow_indexer_spark.operators.dedup import minhash_lsh_pairs
+
+    rows = [
+        Row(doc_id=0, text="alpha beta gamma delta"),
+        Row(doc_id=1, text="delta gamma beta alpha"),   # same token set
+        Row(doc_id=2, text="omega psi chi phi"),        # disjoint
+        # half-overlapping with doc 0: matches at permissive r=1 for SOME
+        # band with decent odds, but the structural assertions below do
+        # not depend on whether it does
+        Row(doc_id=3, text="alpha beta nu xi"),
+    ]
+    df = spark.createDataFrame(rows)
+
+    def pairs(n_bands, r):
+        return {
+            (p["id_a"], p["id_b"])
+            for p in minhash_lsh_pairs(
+                df, n_bands=n_bands, rows_per_band=r, max_bucket_df=None
+            ).collect()
+        }
+
+    # identical token sets match at EVERY precision level
+    for nb, r in ((4, 1), (2, 2), (1, 4)):
+        assert (0, 1) in pairs(nb, r)
+        # disjoint docs never pair with anything
+        assert not any(2 in p for p in pairs(nb, r))
+    # fixed hash-function budget: raising r only REMOVES pairs
+    assert pairs(1, 4) <= pairs(2, 2) <= pairs(4, 1)
+
+
+def test_minhash_rows_per_band_null_for_empty_docs(spark):
+    from pyspark.sql import Row
+
+    from flow_indexer_spark.operators.dedup import minhash_signature
+
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text=""), Row(doc_id=1, text=" "), Row(doc_id=2, text="a b")]
+    )
+    out = df.select("doc_id", *minhash_signature("text", 2, 2)).collect()
+    bands = {r["doc_id"]: (r["band0"], r["band1"]) for r in out}
+    # empty docs must yield NULL bands (null never joins) — md5('') would
+    # silently bucket every empty doc together
+    assert bands[0] == (None, None)
+    assert bands[1] == (None, None)
+    assert None not in bands[2]

@@ -183,3 +183,17 @@ def test_band_count_mismatch_raises(spark, state_path):
         dedup_against_state(
             spark, _docs(spark, [(2, "d e f")]), state_path, "b2", n_bands=2
         )
+
+
+def test_signature_param_mismatch_rejected_via_meta(spark, state_path):
+    dedup_against_state(
+        spark, _docs(spark, [(1, "a b c")]), state_path, "b1",
+        n_bands=2, rows_per_band=2,
+    )
+    # same schema (2 band columns) but different band VALUES — only the
+    # recorded meta can catch this
+    with pytest.raises(ValueError):
+        dedup_against_state(
+            spark, _docs(spark, [(2, "d e f")]), state_path, "b2",
+            n_bands=2, rows_per_band=1,
+        )
