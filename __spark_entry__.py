@@ -2293,6 +2293,46 @@ def _q_incremental_rollup_merge(spark, sf_dir):
 
 
 @_register(
+    "ann_ivf_topk",
+    """
+    WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+               FROM embeddings WHERE vec_id = 0),
+    e AS (SELECT vec_id, label,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings WHERE vec_id <> 0),
+    m AS (SELECT label, i, AVG(v[i]) AS c
+          FROM e, unnest(range(1, 65)) u(i) GROUP BY label, i),
+    cv AS (SELECT label, list(c ORDER BY i) AS cvec FROM m GROUP BY label),
+    sel AS (
+      SELECT label FROM cv, q
+      ORDER BY list_inner_product(cvec, qv)
+               / (sqrt(list_inner_product(cvec, cvec))
+                  * sqrt(list_inner_product(qv, qv))) DESC, label
+      LIMIT 2
+    )
+    SELECT e.vec_id, e.label
+    FROM e JOIN sel USING (label), q
+    ORDER BY list_inner_product(e.v, q.qv)
+             / (sqrt(list_inner_product(e.v, e.v))
+                * sqrt(list_inner_product(q.qv, q.qv))) DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def _q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN search: per-label centroids ranked against the probe, exact
+    cosine only inside the top-2 lists (partition-prunable at scale);
+    ids only in the output — float sims are engine-rounding bait."""
+    from flow_indexer_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    search = e.filter(F.col("vec_id") != 0)
+    probe = e.filter(F.col("vec_id") == 0)
+    return ivf_topk(search, probe, k=10, nprobe=2).select(
+        "vec_id", "label"
+    )
+
+
+@_register(
     "quality_model_score",
     """
     SELECT doc_id, n_tokens, n_chars_raw, n_stopwords,

@@ -215,3 +215,53 @@ def assign_to_centroids(
         ].alias("assigned_label"),
         F.max("sim").alias("sim"),
     )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    probe: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    list_col: str = "label",
+) -> DataFrame:
+    """IVF (inverted-file) ANN search — the scale path that completes
+    :func:`label_centroids` / :func:`assign_to_centroids`: rank the
+    per-list centroids against the probe, keep the top ``nprobe`` lists,
+    and compute exact cosine only inside those lists. With the table
+    written partitioned by ``list_col`` (write_bucketed_embeddings'
+    layout idea), the broadcast list-filter becomes partition pruning:
+    the scan touches ~nprobe/n_lists of the corpus instead of all of it,
+    which is the entire point of IVF at 10^9+ vectors.
+
+    ``probe`` is a ONE-ROW DataFrame holding ``vec_col`` (compose:
+    ``emb.filter(id == q)``) — it travels by broadcast cross join, never
+    a driver collect. The centroid ranking sorts a lists-sized table
+    (tiny); the final top-k is TakeOrderedAndProject. Returns
+    (id, list, cosine) for the k best, ids-ordered on ties.
+    """
+    pv = probe.select(F.col(vec_col).cast("array<double>").alias("_q"))
+    cents = label_centroids(emb, list_col, vec_col)
+    packed = cents.groupBy("label").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("dim", "centroid"))),
+            lambda s: s["centroid"],
+        ).alias("_cvec")
+    )
+    sel = (
+        packed.join(F.broadcast(pv))
+        .withColumn("_sim", cosine(F.col("_cvec"), F.col("_q")))
+        .orderBy(F.desc("_sim"), "label")
+        .limit(nprobe)
+        .select(F.col("label").alias(list_col))
+    )
+    v = F.col(vec_col).cast("array<double>")
+    return (
+        emb.join(F.broadcast(sel), list_col)
+        .join(F.broadcast(pv))
+        .withColumn("cosine", cosine(v, F.col("_q")))
+        .select(id_col, list_col, "cosine")
+        .orderBy(F.desc("cosine"), id_col)
+        .limit(k)
+    )

@@ -65,3 +65,46 @@ def test_bm25_ranking_properties(corpus):
     assert len(top1) == 1 and top1[0]["doc_id"] == 3
     with pytest.raises(ValueError):
         bm25_search(corpus, "")
+
+
+def test_ivf_topk_matches_bruteforce_within_selected_lists(spark):
+    """IVF with nprobe = all lists must equal brute-force top-k exactly;
+    with nprobe=1 results come only from the best list."""
+    import math
+    import random
+
+    from pyspark.sql import Row
+
+    from flow_indexer_spark.operators.similarity import ivf_topk, topk_cosine
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(1, 121):
+        label = i % 3
+        base = [0.0] * 6
+        base[label] = 1.0
+        rows.append(
+            Row(
+                vec_id=i,
+                label=label,
+                embedding=[b + rng.uniform(-0.2, 0.2) for b in base],
+            )
+        )
+    emb = spark.createDataFrame(rows)
+    probe_vec = [1.0, 0.05, 0.0, 0.0, 0.0, 0.0]
+    probe = spark.createDataFrame(
+        [Row(vec_id=0, label=0, embedding=probe_vec)]
+    )
+
+    exact = [r["vec_id"] for r in topk_cosine(emb, probe_vec, k=8).collect()]
+    all_lists = [
+        r["vec_id"] for r in ivf_topk(emb, probe, k=8, nprobe=3).collect()
+    ]
+    assert all_lists == exact  # nprobe=n_lists degrades to exact search
+
+    one = ivf_topk(emb, probe, k=8, nprobe=1).collect()
+    assert {r["label"] for r in one} == {0}  # only the best list scanned
+    # pruning can only lose candidates, never invent them
+    assert set(r["vec_id"] for r in one) <= set(exact) | {
+        r["vec_id"] for r in topk_cosine(emb, probe_vec, k=120).collect()
+    }
