@@ -2292,6 +2292,121 @@ def _q_incremental_rollup_merge(spark, sf_dir):
     return read_rollup(spark, path).orderBy("klass", "bucket")
 
 
+_VOCAB_ORACLE_BODY = """
+      SELECT tok AS token, COUNT(*) AS n
+      FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS tok FROM documents)
+      GROUP BY 1 HAVING COUNT(*) >= 2
+"""
+
+
+@_register(
+    "tokenize_vocab",
+    f"""
+    SELECT token,
+           CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) - 1 + 4 AS INTEGER)
+             AS token_id,
+           n
+    FROM ({_VOCAB_ORACLE_BODY})
+    ORDER BY n DESC, token LIMIT 50
+    """,
+)
+def _q_tokenize_vocab(spark, sf_dir):
+    """Frequency vocabulary build: top-50 tokens with count >= 2, dense
+    ids from 4 (specials reserved), deterministic (count desc, token)
+    ties — one count shuffle, ranking window over the vocab only."""
+    from flow_indexer_spark.operators.tokenize import build_vocab
+
+    d = _t(spark, sf_dir, "documents")
+    return build_vocab(d, max_size=50, min_count=2).orderBy("token_id")
+
+
+@_register(
+    "tokenize_encode",
+    f"""
+    WITH v AS (
+      SELECT token,
+             CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) - 1 + 4
+                  AS INTEGER) AS token_id
+      FROM ({_VOCAB_ORACLE_BODY})
+      ORDER BY n DESC, token LIMIT 50
+    ),
+    toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    m AS (SELECT doc_id, i AS pos, t[i] AS token
+          FROM toks, unnest(range(1, len(t) + 1)) u(i)),
+    j AS (SELECT doc_id, pos, COALESCE(v.token_id, 1) AS tid
+          FROM m LEFT JOIN v USING (token)),
+    ids AS (SELECT doc_id, list(tid ORDER BY pos) AS body,
+                   SUM(CASE WHEN tid = 1 THEN 1 ELSE 0 END) AS unk
+            FROM j GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(len([2] || COALESCE(body, [])) + 1 AS INTEGER) AS n_tokens,
+           md5(array_to_string([2] || COALESCE(body, []) || [3], ','))
+             AS ids_hash,
+           CAST(COALESCE(unk, 0) AS BIGINT) AS n_unk
+    FROM toks t LEFT JOIN ids USING (doc_id) ORDER BY t.doc_id
+    """,
+)
+def _q_tokenize_encode(spark, sf_dir):
+    """Corpus id-encoding with the built vocab: OOV -> UNK, BOS/EOS wrap;
+    broadcast vocab join, one per-doc re-assembly agg. Arrays compared
+    via md5 of the comma-joined ids (portable array hashing)."""
+    from flow_indexer_spark.operators.tokenize import (
+        UNK_ID, build_vocab, encode_corpus,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    vocab = build_vocab(d, max_size=50, min_count=2)
+    enc = encode_corpus(d, vocab)
+    return enc.select(
+        "doc_id",
+        "n_tokens",
+        F.md5(F.concat_ws(",", F.col("input_ids").cast("array<string>")))
+          .alias("ids_hash"),
+        F.size(F.filter("input_ids", lambda x: x == UNK_ID))
+          .cast("bigint").alias("n_unk"),
+    ).orderBy("doc_id")
+
+
+@_register(
+    "sft_loss_spans",
+    f"""
+    WITH t AS ({_SYNTH_SQL}),
+    d AS (
+      SELECT conv_id, turn_idx, role,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS BIGINT) AS n_tokens
+      FROM t
+    )
+    SELECT conv_id, turn_idx, n_tokens,
+           COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY conv_id ORDER BY turn_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS start_tok,
+           COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY conv_id ORDER BY turn_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + n_tokens AS end_tok,
+           role = 'click' AS is_loss
+    FROM d ORDER BY conv_id, turn_idx
+    """,
+)
+def _q_sft_loss_spans(spark, sf_dir):
+    """SFT loss-span layout: turns laid end to end per conversation give
+    each turn its (start_tok, end_tok] in the packed token stream plus
+    the loss flag — the mask table a trainer consumes. One bounded
+    window per conversation."""
+    from flow_indexer_spark.operators.tokenize import sft_turn_spans
+
+    t = synth_transcripts(spark, sf_dir)
+    return sft_turn_spans(t, loss_roles=("click",)).orderBy(
+        "conv_id", "turn_idx"
+    )
+
+
 @_register(
     "ann_ivf_topk",
     """

@@ -1,0 +1,148 @@
+"""Corpus tokenization: vocab build, id encoding, and SFT loss-span layout.
+
+The last mile of a training-data pipeline: after curation/dedup the corpus
+must become token ids and loss masks. A real subword tokenizer is an
+offline artifact (like the quality classifier's weights or the bigram LM
+table); the engine's job is the corpus-scale application — vocabulary
+census, id lookup, per-turn offset math — all shuffle-budgeted and
+deterministic. Word-level ids here (whitespace tokens, the repo-wide
+tokenizer stand-in); swapping in BPE pieces changes the token column, not
+the topology.
+
+Special ids follow the common convention: PAD=0, UNK=1, BOS=2, EOS=3;
+real tokens start at 4.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+PAD_ID, UNK_ID, BOS_ID, EOS_ID = 0, 1, 2, 3
+_N_SPECIALS = 4
+
+
+def build_vocab(
+    df: DataFrame,
+    max_size: int = 30000,
+    min_count: int = 1,
+    text_col: str = "text",
+) -> DataFrame:
+    """Frequency vocabulary: the ``max_size`` most frequent tokens with
+    count >= ``min_count``, as (token, token_id, n). Ids are dense from
+    4 (specials reserved), assigned by (count desc, token asc) — fully
+    deterministic, engine-portable ties.
+
+    One map-side-combined count shuffle over the corpus; the ranking
+    window runs on the FILTERED vocab (<= max_size after the limit path,
+    domain-sized either way) — the corpus is never globally sorted.
+    """
+    from flow_indexer_spark.operators.dedup import fan_out, tokens
+
+    counts = (
+        fan_out(df)
+        .select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+    top = counts.orderBy(F.desc("n"), "token").limit(max_size)
+    w = Window.orderBy(F.desc("n"), "token")
+    return top.withColumn(
+        "token_id",
+        (F.row_number().over(w) - 1 + _N_SPECIALS).cast("int"),
+    ).select("token", "token_id", "n")
+
+
+def encode_corpus(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    add_special: bool = True,
+) -> DataFrame:
+    """Text -> token-id arrays using a built vocabulary: out-of-vocab
+    tokens map to UNK; ``add_special`` wraps BOS ... EOS. Returns
+    (id, input_ids, n_tokens).
+
+    Topology: posexplode (in-row) -> broadcast hash join against the
+    vocab (vocab tables are MBs even at 100k entries — never a shuffle
+    of the corpus by token) -> one per-doc aggregation re-assembling
+    positions in order. Empty docs yield [] (or [BOS, EOS]).
+    """
+    from flow_indexer_spark.operators.dedup import tokens
+
+    base = df.select(F.col(id_col), tokens(text_col).alias("_tok"))
+    melted = base.select(
+        id_col, F.posexplode_outer("_tok").alias("_pos", "token")
+    )
+    joined = melted.join(F.broadcast(vocab.select("token", "token_id")),
+                         "token", "left")
+    tid = F.when(
+        F.col("token").isNull(), F.lit(None)  # empty doc's null row
+    ).otherwise(F.coalesce(F.col("token_id"), F.lit(UNK_ID)))
+    ids = (
+        joined.groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            tid.isNotNull(),
+                            F.struct(F.col("_pos"), tid.cast("int").alias("t")),
+                        )
+                    )
+                ),
+                lambda s: s["t"],
+            ).alias("_ids")
+        )
+    )
+    out = F.col("_ids")
+    if add_special:
+        out = F.concat(
+            F.array(F.lit(BOS_ID).cast("int")),
+            out,
+            F.array(F.lit(EOS_ID).cast("int")),
+        )
+    return ids.select(
+        id_col,
+        out.alias("input_ids"),
+        F.size(out).cast("int").alias("n_tokens"),
+    )
+
+
+def sft_turn_spans(
+    transcripts: DataFrame,
+    loss_roles: tuple[str, ...] = ("assistant",),
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-turn token-offset layout for SFT over concatenated
+    conversations: turns laid end to end in ``turn_col`` order give each
+    turn (start_tok, end_tok] in its conversation's token stream, plus
+    ``is_loss`` (role in ``loss_roles``) — exactly the span table a
+    trainer needs to mask non-assistant tokens out of the loss. One
+    window over each conversation (bounded by conversation length, the
+    same per-key shape as sessionization); token counts are in-row.
+    """
+    from flow_indexer_spark.operators.dedup import tokens
+
+    n_tok = F.size(tokens(text_col)).cast("bigint")
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy(turn_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = transcripts.select(
+        conv_col, turn_col, role_col, n_tok.alias("n_tokens")
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return d.select(
+        conv_col,
+        turn_col,
+        "n_tokens",
+        start.alias("start_tok"),
+        (start + F.col("n_tokens")).alias("end_tok"),
+        F.col(role_col).isin(*loss_roles).alias("is_loss"),
+    )

@@ -1,0 +1,81 @@
+"""Tokenizer pipeline: vocab census, id encoding, SFT loss spans."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from flow_indexer_spark.operators.tokenize import (
+    BOS_ID,
+    EOS_ID,
+    UNK_ID,
+    build_vocab,
+    encode_corpus,
+    sft_turn_spans,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the cat sat on the mat"),
+            Row(doc_id=2, text="the dog sat"),
+            Row(doc_id=3, text="rare words here"),
+            Row(doc_id=4, text=""),
+        ]
+    ).cache()
+
+
+def test_build_vocab_ids_dense_deterministic(corpus):
+    v = {r["token"]: (r["token_id"], r["n"]) for r in build_vocab(
+        corpus, max_size=3, min_count=2).collect()}
+    # counts: the=3, sat=2, everything else 1 (dropped by min_count)
+    assert v == {"the": (4, 3), "sat": (5, 2)}
+    # determinism under ties: singletons rank alphabetically when allowed
+    v2 = [r["token"] for r in build_vocab(corpus, max_size=4, min_count=1)
+          .orderBy("token_id").collect()]
+    assert v2[:2] == ["the", "sat"]
+    assert v2[2:] == sorted(v2[2:])  # tied count=1 tokens: alpha order
+
+
+def test_encode_corpus_unk_bos_eos(corpus):
+    vocab = build_vocab(corpus, max_size=10, min_count=2)
+    enc = {r["doc_id"]: r for r in encode_corpus(corpus, vocab).collect()}
+    # doc 2: "the dog sat" -> [BOS, the, UNK, sat, EOS]
+    assert enc[2]["input_ids"] == [BOS_ID, 4, UNK_ID, 5, EOS_ID]
+    assert enc[2]["n_tokens"] == 5
+    # doc 3: all OOV
+    assert enc[3]["input_ids"] == [BOS_ID, UNK_ID, UNK_ID, UNK_ID, EOS_ID]
+    # empty doc still yields a row
+    assert enc[4]["input_ids"] == [BOS_ID, EOS_ID]
+    # no specials mode
+    raw = {r["doc_id"]: r["input_ids"] for r in encode_corpus(
+        corpus, vocab, add_special=False).collect()}
+    assert raw[4] == []
+    assert raw[2] == [4, UNK_ID, 5]
+
+
+def test_sft_turn_spans_offsets_and_mask(spark):
+    t = spark.createDataFrame(
+        [
+            Row(conv_id="c1", turn_idx=0, role="user", text="hi there"),
+            Row(conv_id="c1", turn_idx=1, role="assistant", text="hello friend one"),
+            Row(conv_id="c1", turn_idx=2, role="user", text="bye"),
+            Row(conv_id="c2", turn_idx=0, role="assistant", text="solo turn"),
+        ]
+    )
+    out = {(r["conv_id"], r["turn_idx"]): r for r in sft_turn_spans(t).collect()}
+    assert (out[("c1", 0)]["start_tok"], out[("c1", 0)]["end_tok"]) == (0, 2)
+    assert (out[("c1", 1)]["start_tok"], out[("c1", 1)]["end_tok"]) == (2, 5)
+    assert (out[("c1", 2)]["start_tok"], out[("c1", 2)]["end_tok"]) == (5, 6)
+    assert (out[("c2", 0)]["start_tok"], out[("c2", 0)]["end_tok"]) == (0, 2)
+    assert [out[k]["is_loss"] for k in sorted(out)] == [False, True, False, True]
+    # spans tile each conversation exactly: starts == previous ends
+    for conv in ("c1", "c2"):
+        spans = sorted(
+            (r["start_tok"], r["end_tok"])
+            for k, r in out.items() if k[0] == conv
+        )
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert s2 == e1
