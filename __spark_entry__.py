@@ -2372,6 +2372,67 @@ def _q_tokenize_encode(spark, sf_dir):
 
 
 @_register(
+    "tokenize_packs",
+    f"""
+    WITH v AS (
+      SELECT token,
+             CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) - 1 + 4
+                  AS INTEGER) AS token_id
+      FROM ({_VOCAB_ORACLE_BODY})
+      ORDER BY n DESC, token LIMIT 50
+    ),
+    toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    m AS (SELECT doc_id, i AS pos, t[i] AS token
+          FROM toks, unnest(range(1, len(t) + 1)) u(i)),
+    j AS (SELECT doc_id, pos, COALESCE(v.token_id, 1) AS tid
+          FROM m LEFT JOIN v USING (token)),
+    body AS (SELECT doc_id, list(tid ORDER BY pos) AS b FROM j GROUP BY doc_id),
+    enc AS (SELECT t.doc_id, [2] || COALESCE(b, []) || [3] AS ids
+            FROM toks t LEFT JOIN body USING (doc_id)),
+    sh AS (SELECT doc_id, ids, len(ids) AS n,
+                  CAST('0x' || substr(md5('pack' || CAST(doc_id AS VARCHAR)),
+                       1, 8) AS BIGINT) AS h
+           FROM enc),
+    o AS (SELECT *, CAST(h % 4 AS INTEGER) AS shard,
+                 COALESCE(SUM(n) OVER (PARTITION BY h % 4 ORDER BY h, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS off
+          FROM sh),
+    tok AS (SELECT shard, off + i - 1 AS sp, ids[i] AS tid
+            FROM o, unnest(range(1, n + 1)) u(i))
+    SELECT shard, CAST(FLOOR(sp / 64) AS INTEGER) AS pack_idx,
+           CAST(COUNT(*) AS INTEGER) AS n_tokens,
+           md5(array_to_string(list(tid ORDER BY sp), ',')) AS ids_hash
+    FROM tok GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def _q_tokenize_packs(spark, sf_dir):
+    """Materialized training packs: encode with the built vocab, lay docs
+    end to end per hash shard (deterministic (hash, id) order), cut every
+    64 tokens, and emit the sequences themselves. The oracle recomputes
+    the whole layout from scratch — it pins the offset/window/explode
+    composition (a window evaluated after the explode silently produces
+    singleton packs, the bug the unit test caught)."""
+    from flow_indexer_spark.operators.tokenize import (
+        build_vocab, encode_corpus, materialize_packs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    enc = encode_corpus(d, build_vocab(d, max_size=50, min_count=2))
+    packs = materialize_packs(enc, budget=64, n_shards=4)
+    return packs.select(
+        "shard",
+        "pack_idx",
+        "n_tokens",
+        F.md5(F.concat_ws(",", F.col("input_ids").cast("array<string>")))
+          .alias("ids_hash"),
+    ).orderBy("shard", "pack_idx")
+
+
+@_register(
     "sft_loss_spans",
     f"""
     WITH t AS ({_SYNTH_SQL}),

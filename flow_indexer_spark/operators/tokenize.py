@@ -146,3 +146,84 @@ def sft_turn_spans(
         (start + F.col("n_tokens")).alias("end_tok"),
         F.col(role_col).isin(*loss_roles).alias("is_loss"),
     )
+
+
+def materialize_packs(
+    enc: DataFrame,
+    budget: int,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    ids_col: str = "input_ids",
+    salt: str = "pack",
+    pad: bool = False,
+) -> DataFrame:
+    """The loader's last step, actually materialized: lay encoded docs end
+    to end in the same deterministic (hash, id) per-shard order as
+    :func:`curation.pack_sequences` and emit the fixed-length training
+    sequences themselves — (shard, pack_idx, input_ids, n_tokens), each
+    ``budget`` tokens except a shard's final tail (padded with PAD_ID
+    when ``pad``). Docs straddle pack boundaries by construction
+    (concat-and-chunk, no padding waste mid-stream).
+
+    Where pack_sequences only PLANS the layout (doc -> pack/offset, no
+    token movement), this pays the token-level shuffle to produce the
+    bytes a trainer maps: explode ids with per-shard stream positions
+    (window offset + in-doc position, both deterministic), then one
+    groupBy (shard, pack) re-assembly. Shuffle volume = corpus token
+    count — irreducible for this output; the shard key keeps every
+    reducer's slice ~1/n_shards.
+    """
+    from flow_indexer_spark.operators.dedup import md5_int32
+
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    h = md5_int32(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    d = enc.select(
+        F.col(id_col).alias("_id"),
+        F.col(ids_col).alias("_ids"),
+        F.size(ids_col).cast("bigint").alias("_n"),
+        h.alias("_h"),
+        (h % n_shards).cast("int").alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("_h", "_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offset = F.coalesce(F.sum("_n").over(w), F.lit(0))
+    # the offset window MUST resolve before the explode (a generator and a
+    # window in one projection makes Spark run the window over the
+    # exploded rows — each token would then see a different cumsum)
+    staged = d.select("shard", "_ids", offset.alias("_off"))
+    tok = (
+        staged.select("shard", "_off",
+                      F.posexplode("_ids").alias("_pos", "_tid"))
+        .select("shard", (F.col("_off") + F.col("_pos")).alias("_sp"), "_tid")
+    )
+    packs = (
+        tok.groupBy("shard", F.floor(F.col("_sp") / budget).cast("int").alias("pack_idx"))
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct((F.col("_sp") % budget).alias("p"), F.col("_tid").alias("t"))
+                    )
+                ),
+                lambda s: s["t"],
+            ).alias("input_ids")
+        )
+    )
+    ids = F.col("input_ids")
+    if pad:
+        ids = F.concat(
+            ids,
+            F.array_repeat(
+                F.lit(PAD_ID).cast("int"), F.lit(budget) - F.size(ids)
+            ),
+        )
+    return packs.select(
+        "shard",
+        "pack_idx",
+        ids.alias("input_ids"),
+        F.size(ids).cast("int").alias("n_tokens"),
+    )

@@ -3,7 +3,7 @@
 from __future__ import annotations
 
 import pytest
-from pyspark.sql import Row
+from pyspark.sql import Row, functions as F
 
 from flow_indexer_spark.operators.tokenize import (
     BOS_ID,
@@ -79,3 +79,64 @@ def test_sft_turn_spans_offsets_and_mask(spark):
         )
         for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
             assert s2 == e1
+
+
+def test_materialize_packs_tiles_streams_and_matches_plan(spark):
+    import hashlib
+
+    from flow_indexer_spark.operators.curation import pack_sequences
+    from flow_indexer_spark.operators.tokenize import PAD_ID, materialize_packs
+
+    rows = [
+        Row(doc_id=i, input_ids=[100 * i + j for j in range(3 + i % 4)])
+        for i in range(1, 13)
+    ]
+    enc = spark.createDataFrame(rows).cache()
+    budget, n_shards = 5, 2
+    packs = materialize_packs(enc, budget, n_shards).collect()
+
+    # reconstruct each shard's token stream from its packs, in pack order
+    stream = {}
+    for r in sorted(packs, key=lambda r: (r["shard"], r["pack_idx"])):
+        stream.setdefault(r["shard"], []).extend(r["input_ids"])
+        # every non-tail pack is exactly `budget` tokens
+    for shard, toks in stream.items():
+        per_shard = [r for r in packs if r["shard"] == shard]
+        assert all(
+            r["n_tokens"] == budget
+            for r in per_shard
+            if r["pack_idx"] < max(p["pack_idx"] for p in per_shard)
+        )
+
+    # expected stream: docs concatenated in (md5 hash, id) order per shard
+    def h(i):
+        return int(hashlib.md5(f"pack{i}".encode()).hexdigest()[:8], 16)
+
+    expect = {}
+    for r in sorted(rows, key=lambda r: (h(r["doc_id"]), r["doc_id"])):
+        expect.setdefault(h(r["doc_id"]) % n_shards, []).extend(r["input_ids"])
+    assert stream == expect
+
+    # the PLANNING op (pack_sequences) agrees: each doc's first token
+    # lands at its planned (pack_id, offset)
+    plan = {
+        r["doc_id"]: r
+        for r in pack_sequences(
+            enc.withColumn("n", F.size("input_ids")),
+            budget,
+            n_tokens_col="n",
+            n_shards=n_shards,
+        ).collect()
+    }
+    for r in rows:
+        p = plan[r["doc_id"]]
+        shard, pk = p["shard"], int(p["pack_id"].split("-")[1])
+        pos = pk * budget + p["offset"]
+        assert stream[shard][pos] == r["input_ids"][0]
+
+    # pad mode: tails padded to budget with PAD_ID
+    padded = materialize_packs(enc, budget, n_shards, pad=True).collect()
+    assert all(r["n_tokens"] == budget for r in padded)
+    tail_tokens = sum(len(s) for s in stream.values())
+    n_pads = sum(r["input_ids"].count(PAD_ID) for r in padded)
+    assert n_pads == budget * len(padded) - tail_tokens
