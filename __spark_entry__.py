@@ -2292,6 +2292,48 @@ def _q_incremental_rollup_merge(spark, sf_dir):
     return read_rollup(spark, path).orderBy("klass", "bucket")
 
 
+@_register(
+    "corpus_snapshot_diff",
+    """
+    WITH o AS (SELECT doc_id, md5(text) AS oh FROM documents),
+    n0 AS (SELECT doc_id,
+                  CASE WHEN doc_id % 5 = 0 THEN md5(text || ' v2')
+                       ELSE md5(text) END AS nh
+           FROM documents WHERE doc_id % 7 <> 0),
+    n1 AS (SELECT doc_id + 1000000 AS doc_id, md5(text) AS nh
+           FROM documents WHERE doc_id % 11 = 0),
+    n AS (SELECT * FROM n0 UNION ALL SELECT * FROM n1)
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN oh <> nh THEN 'changed'
+                ELSE 'unchanged' END AS change
+    FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+    ORDER BY 1
+    """,
+)
+def _q_corpus_snapshot_diff(spark, sf_dir):
+    """Corpus-version diff: the new snapshot drops id%7 docs, rewrites
+    id%5 texts, and adds re-keyed id%11 copies; every id labeled
+    added/removed/changed/unchanged via a hashes-only full-outer join —
+    the audit between corpus rebuilds and the input to incremental
+    downstream refresh (re-embed/re-index only added+changed)."""
+    from flow_indexer_spark.operators.curation import corpus_diff
+
+    d = _t(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") % 7 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    ).unionByName(
+        d.filter(F.col("doc_id") % 11 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 1000000
+        )
+    )
+    return corpus_diff(d, new).orderBy("doc_id")
+
+
 _VOCAB_ORACLE_BODY = """
       SELECT tok AS token, COUNT(*) AS n
       FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))

@@ -198,6 +198,10 @@ def _bench_queries(spark, sf_dir: str) -> dict:
         "curation_mix_budget",
         "curation_training_order",
         "dedup_incremental_state",
+        "quality_lm_perplexity",
+        "ann_ivf_topk",
+        "tokenize_packs",
+        "sft_loss_spans",
     ]
     qs = entry_mod.queries()
     out = {}

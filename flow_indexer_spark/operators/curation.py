@@ -545,3 +545,39 @@ def training_order(
         )
         .drop("_h", "_b", "_off")
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot diff between two corpus versions: every id labeled
+    ``added`` (new only), ``removed`` (old only), ``changed`` (both,
+    different content hash) or ``unchanged`` — the audit step between
+    corpus rebuilds ("what did this crawl refresh actually touch"), and
+    the input to incremental downstream refresh (re-embed / re-index only
+    added+changed).
+
+    One full-outer hash join on the id (both sides reduced to
+    (id, content-hash) projections first, so the join moves two hashes
+    per row, not documents); counts per kind are a cheap follow-up agg
+    the caller runs on this output.
+    """
+    o = old.select(
+        F.col(id_col), F.md5(text_col).alias("_oh")
+    )
+    n = new.select(
+        F.col(id_col), F.md5(text_col).alias("_nh")
+    )
+    kind = (
+        F.when(F.col("_oh").isNull(), F.lit("added"))
+        .when(F.col("_nh").isNull(), F.lit("removed"))
+        .when(F.col("_oh") != F.col("_nh"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        o.join(n, id_col, "full_outer")
+        .select(id_col, kind.alias("change"))
+    )

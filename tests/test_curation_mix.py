@@ -151,3 +151,18 @@ def test_mix_budget_shares_are_absolute_not_normalized(mix_docs):
         mix_to_token_budget(mix_docs, budget=600, shares={"a": 0.8, "b": 0.6})
     with pytest.raises(ValueError):
         mix_to_token_budget(mix_docs, budget=600, shares={"a": -0.1, "b": 0.5})
+
+
+def test_corpus_diff_classifies_all_kinds(spark):
+    from flow_indexer_spark.operators.curation import corpus_diff
+
+    old = spark.createDataFrame(
+        [Row(doc_id=1, text="same"), Row(doc_id=2, text="will change"),
+         Row(doc_id=3, text="will vanish")]
+    )
+    new = spark.createDataFrame(
+        [Row(doc_id=1, text="same"), Row(doc_id=2, text="changed!"),
+         Row(doc_id=4, text="brand new")]
+    )
+    out = {r["doc_id"]: r["change"] for r in corpus_diff(old, new).collect()}
+    assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
