@@ -2293,6 +2293,99 @@ def _q_incremental_rollup_merge(spark, sf_dir):
 
 
 @_register(
+    "curation_temperature_mix",
+    """
+    WITH tok AS (
+      SELECT doc_id, source,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS ntok
+      FROM documents
+    ),
+    tot AS (SELECT source, SUM(ntok) AS t FROM tok GROUP BY source),
+    z AS (SELECT SUM(POW(t, 0.5)) AS z FROM tot),
+    fr AS (SELECT source, LEAST(1.0, POW(t, 0.5) / z * 2000.0 / t)
+             AS mix_fraction
+           FROM tot, z)
+    SELECT t.doc_id, t.source, fr.mix_fraction
+    FROM tok t JOIN fr USING (source)
+    WHERE CAST('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 8)
+               AS BIGINT) % 10000 < FLOOR(mix_fraction * 10000)
+    ORDER BY t.doc_id
+    """,
+)
+def _q_curation_temperature_mix(spark, sf_dir):
+    """Temperature-based mixing (mT5 recipe): share_i proportional to
+    tokens_i^0.5 — low-resource sources lifted without a hand-written
+    share table — applied to a 2000-token budget with the deterministic
+    hash rule. Two sources-sized aggs broadcast back."""
+    from flow_indexer_spark.operators.curation import temperature_mix
+
+    d = _t(spark, sf_dir, "documents")
+    return temperature_mix(d, budget=2000, tau=0.5).select(
+        "doc_id", "source", "mix_fraction"
+    ).orderBy("doc_id")
+
+
+@_register(
+    "sft_conversation_examples",
+    f"""
+    WITH t AS ({_SYNTH_SQL}),
+    voc0 AS (
+      SELECT tok AS token, COUNT(*) AS n
+      FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS tok FROM t)
+      GROUP BY 1 HAVING COUNT(*) >= 2
+    ),
+    v AS (SELECT token,
+                 CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) - 1 + 4
+                      AS INTEGER) AS token_id
+          FROM voc0 ORDER BY n DESC, token LIMIT 100),
+    toks AS (SELECT conv_id, turn_idx, CAST(role = 'click' AS INT) AS lossf,
+                    list_filter(string_split(text, ' '), x -> x <> '') AS tk
+             FROM t),
+    m AS (SELECT conv_id, turn_idx, lossf, i AS pos, tk[i] AS token
+          FROM toks, unnest(range(1, len(tk) + 1)) u(i)),
+    j AS (SELECT conv_id, turn_idx, lossf, pos,
+                 COALESCE(v.token_id, 1) AS tid
+          FROM m LEFT JOIN v USING (token)),
+    pt AS (SELECT conv_id, turn_idx, list(tid ORDER BY pos) AS ids
+           FROM j GROUP BY 1, 2),
+    pt2 AS (SELECT t.conv_id, t.turn_idx, t.lossf,
+                   COALESCE(ids, []) AS ids
+            FROM toks t LEFT JOIN pt USING (conv_id, turn_idx)),
+    cv AS (SELECT conv_id,
+                  flatten(list(ids ORDER BY turn_idx)) AS ids,
+                  flatten(list(list_transform(range(1, len(ids) + 1),
+                                              x -> lossf)
+                               ORDER BY turn_idx)) AS mask
+           FROM pt2 GROUP BY conv_id)
+    SELECT conv_id, CAST(len(ids) AS INTEGER) AS n_tokens,
+           md5(array_to_string(ids, ',')) AS ids_hash,
+           md5(array_to_string(mask, ',')) AS mask_hash
+    FROM cv ORDER BY conv_id
+    """,
+)
+def _q_sft_conversation_examples(spark, sf_dir):
+    """Conversation-level SFT payloads: per conversation the concatenated
+    turn token ids and the token-aligned 0/1 loss mask (role=='click'
+    turns carry loss), built via broadcast vocab join + ordered per-conv
+    flatten — mask and ids produced in the same projection so they
+    cannot drift. Arrays compared via md5 of joined values."""
+    from flow_indexer_spark.operators.tokenize import build_vocab, sft_examples
+
+    t = synth_transcripts(spark, sf_dir)
+    vocab = build_vocab(t, max_size=100, min_count=2)
+    out = sft_examples(t, vocab, loss_roles=("click",))
+    return out.select(
+        "conv_id",
+        "n_tokens",
+        F.md5(F.concat_ws(",", F.col("input_ids").cast("array<string>")))
+          .alias("ids_hash"),
+        F.md5(F.concat_ws(",", F.col("loss_mask").cast("array<string>")))
+          .alias("mask_hash"),
+    ).orderBy("conv_id")
+
+
+@_register(
     "corpus_snapshot_diff",
     """
     WITH o AS (SELECT doc_id, md5(text) AS oh FROM documents),

@@ -581,3 +581,57 @@ def corpus_diff(
         o.join(n, id_col, "full_outer")
         .select(id_col, kind.alias("change"))
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    budget: int,
+    tau: float = 0.7,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    n_tokens_col: str | None = None,
+    text_col: str = "text",
+    salt: str = "mix",
+) -> DataFrame:
+    """Temperature-based source mixing (the mT5/multilingual recipe):
+    target share_i ∝ tokens_i^tau — tau=1 keeps natural proportions,
+    tau→0 flattens toward uniform, lifting low-resource sources without
+    hand-written share tables. Shares are then applied exactly like
+    :func:`mix_to_token_budget`: fraction_i = min(1, share_i * budget /
+    tokens_i), deterministic hash-bucket row selection, corpus never
+    shuffled. Two sources-sized aggregations (totals + the tau-power
+    normalizer) broadcast back; output carries ``mix_fraction``.
+    """
+    from flow_indexer_spark.operators.dedup import tokens
+
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    if tau <= 0:
+        raise ValueError("tau must be positive (tau->0 approaches uniform)")
+    n_tok = (
+        F.col(n_tokens_col) if n_tokens_col else F.size(tokens(text_col))
+    ).cast("bigint")
+    totals = df.groupBy(strata_col).agg(F.sum(n_tok).alias("_t"))
+    z = totals.agg(
+        F.sum(F.pow(F.col("_t").cast("double"), F.lit(float(tau)))).alias("_z")
+    )
+    fr = (
+        totals.join(F.broadcast(z))
+        .withColumn(
+            "mix_fraction",
+            F.least(
+                F.lit(1.0),
+                F.pow(F.col("_t").cast("double"), F.lit(float(tau)))
+                / F.col("_z")
+                * F.lit(float(budget))
+                / F.col("_t").cast("double"),
+            ),
+        )
+        .drop("_t", "_z")
+    )
+    key = F.coalesce(F.col(id_col).cast("string"), F.lit(""))
+    bucket = md5_int32(F.concat(F.lit(salt), key)) % _BUCKETS
+    return (
+        df.join(F.broadcast(fr), strata_col)
+        .filter(bucket < F.floor(F.col("mix_fraction") * _BUCKETS))
+    )

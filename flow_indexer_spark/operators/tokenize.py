@@ -227,3 +227,74 @@ def materialize_packs(
         ids.alias("input_ids"),
         F.size(ids).cast("int").alias("n_tokens"),
     )
+
+
+def sft_examples(
+    transcripts: DataFrame,
+    vocab: DataFrame,
+    loss_roles: tuple[str, ...] = ("assistant",),
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Conversation-level SFT payloads: per conversation, the turns'
+    token ids concatenated in ``turn_col`` order plus a 0/1 ``loss_mask``
+    aligned token-for-token (1 where the turn's role is in
+    ``loss_roles``) — what :func:`sft_turn_spans` describes as offsets,
+    actually materialized next to the ids a trainer consumes.
+
+    Topology: in-row tokenize + posexplode, broadcast vocab join
+    (OOV -> UNK), one (conv, turn) re-assembly agg, one per-conv agg
+    flattening turns in order — the mask is array_repeat per turn inside
+    the same projection, so ids and mask cannot drift out of alignment.
+    Returns (conv, input_ids, loss_mask, n_tokens).
+    """
+    from flow_indexer_spark.operators.dedup import tokens
+
+    is_loss = F.col(role_col).isin(*loss_roles).cast("int")
+    melted = transcripts.select(
+        conv_col,
+        turn_col,
+        is_loss.alias("_loss"),
+        F.posexplode_outer(tokens(text_col)).alias("_pos", "token"),
+    )
+    joined = melted.join(
+        F.broadcast(vocab.select("token", "token_id")), "token", "left"
+    )
+    tid = F.when(F.col("token").isNull(), F.lit(None)).otherwise(
+        F.coalesce(F.col("token_id"), F.lit(UNK_ID))
+    )
+    per_turn = (
+        joined.groupBy(conv_col, turn_col)
+        .agg(
+            F.first("_loss").alias("_loss"),
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            tid.isNotNull(),
+                            F.struct(F.col("_pos"), tid.cast("int").alias("t")),
+                        )
+                    )
+                ),
+                lambda s: s["t"],
+            ).alias("_ids"),
+        )
+    )
+    seq = F.array_sort(
+        F.collect_list(F.struct(F.col(turn_col).alias("i"), "_loss", "_ids"))
+    )
+    per_conv = per_turn.groupBy(conv_col).agg(seq.alias("_seq"))
+    ids = F.flatten(F.transform("_seq", lambda s: s["_ids"]))
+    mask = F.flatten(
+        F.transform(
+            "_seq", lambda s: F.array_repeat(s["_loss"], F.size(s["_ids"]))
+        )
+    )
+    return per_conv.select(
+        conv_col,
+        ids.alias("input_ids"),
+        mask.alias("loss_mask"),
+        F.size(ids).cast("int").alias("n_tokens"),
+    )

@@ -166,3 +166,32 @@ def test_corpus_diff_classifies_all_kinds(spark):
     )
     out = {r["doc_id"]: r["change"] for r in corpus_diff(old, new).collect()}
     assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_temperature_mix_tau_one_is_natural_proportions(mix_docs):
+    from flow_indexer_spark.operators.curation import temperature_mix
+
+    # tau=1: share_i = t_i / total, so fraction_i = budget/total for all
+    out = temperature_mix(mix_docs, budget=500, tau=1.0)
+    fr = dict(out.select("source", "mix_fraction").distinct().collect())
+    for s in ("a", "b", "c"):
+        assert abs(fr[s] - 500 / 1000) < 1e-12
+
+
+def test_temperature_mix_low_tau_lifts_low_resource(mix_docs):
+    from flow_indexer_spark.operators.curation import temperature_mix
+
+    # sources hold a=600, b=300, c=100 tokens. tau=0.5 shares are
+    # sqrt-proportional: c's share (~0.193) exceeds its natural 0.1,
+    # so at budget=1000 c (and b) are kept whole while a is downsampled.
+    out = temperature_mix(mix_docs, budget=1000, tau=0.5)
+    fr = dict(out.select("source", "mix_fraction").distinct().collect())
+    z = 600**0.5 + 300**0.5 + 100**0.5
+    assert abs(fr["a"] - (600**0.5 / z) * 1000 / 600) < 1e-12
+    assert fr["a"] < 1.0
+    assert fr["b"] == 1.0 and fr["c"] == 1.0
+
+    with pytest.raises(ValueError):
+        temperature_mix(mix_docs, budget=0, tau=0.5)
+    with pytest.raises(ValueError):
+        temperature_mix(mix_docs, budget=100, tau=0.0)

@@ -140,3 +140,47 @@ def test_materialize_packs_tiles_streams_and_matches_plan(spark):
     tail_tokens = sum(len(s) for s in stream.values())
     n_pads = sum(r["input_ids"].count(PAD_ID) for r in padded)
     assert n_pads == budget * len(padded) - tail_tokens
+
+
+def test_sft_examples_ids_and_mask_aligned(spark):
+    from flow_indexer_spark.operators.tokenize import build_vocab, sft_examples
+
+    rows = [
+        Row(conv_id="c1", turn_idx=0, role="user", text="the cat sat"),
+        Row(conv_id="c1", turn_idx=1, role="assistant", text="on the mat"),
+        Row(conv_id="c1", turn_idx=2, role="user", text=""),
+        Row(conv_id="c1", turn_idx=3, role="assistant", text="the end"),
+        Row(conv_id="c2", turn_idx=0, role="assistant", text="zzz unseen"),
+    ]
+    t = spark.createDataFrame(rows)
+    vocab = build_vocab(t, max_size=100, min_count=2)  # only 'the' repeats
+    out = {r["conv_id"]: r.asDict() for r in sft_examples(t, vocab).collect()}
+
+    c1 = out["c1"]
+    # turn order preserved, empty turn contributes nothing
+    assert c1["n_tokens"] == 3 + 3 + 0 + 2
+    assert len(c1["input_ids"]) == len(c1["loss_mask"]) == c1["n_tokens"]
+    # mask is 1 exactly over the assistant turns' token spans
+    assert c1["loss_mask"] == [0, 0, 0, 1, 1, 1, 1, 1]
+    # 'the' is in-vocab (appears 4x); everything else is UNK
+    the_id = {r["token"]: r["token_id"] for r in vocab.collect()}["the"]
+    assert c1["input_ids"][0] == the_id  # "the cat sat"
+    assert c1["input_ids"][4] == the_id  # "on THE mat"
+    assert c1["input_ids"][1] == UNK_ID
+
+    c2 = out["c2"]  # all tokens OOV, single loss turn
+    assert c2["input_ids"] == [UNK_ID, UNK_ID]
+    assert c2["loss_mask"] == [1, 1]
+
+
+def test_sft_examples_custom_loss_roles(spark):
+    from flow_indexer_spark.operators.tokenize import build_vocab, sft_examples
+
+    rows = [
+        Row(conv_id="c", turn_idx=0, role="click", text="a b"),
+        Row(conv_id="c", turn_idx=1, role="view", text="c"),
+    ]
+    t = spark.createDataFrame(rows)
+    vocab = build_vocab(t, max_size=10, min_count=1)
+    r = sft_examples(t, vocab, loss_roles=("click",)).collect()[0]
+    assert r["loss_mask"] == [1, 1, 0]
