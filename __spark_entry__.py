@@ -2427,6 +2427,90 @@ def _q_corpus_snapshot_diff(spark, sf_dir):
     return corpus_diff(d, new).orderBy("doc_id")
 
 
+# Shared oracle CTE chain for the two DSIR queries: hashed 1..2-gram bag
+# features (B=512 buckets), add-0.5 smoothed raw/target distributions
+# (target = doc_id % 7 == 0), per-doc log importance weight.
+_DSIR_ORACLE_CTES = """
+    d AS (SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS tok
+          FROM documents),
+    g AS (SELECT doc_id,
+                 list_transform(
+                   tok || list_transform(
+                     range(1, CASE WHEN len(tok) >= 2
+                                   THEN len(tok) - 1 ELSE 0 END + 1),
+                     i -> array_to_string(list_slice(tok, i, i + 1), ' ')),
+                   s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) % 512
+                 ) AS bs
+          FROM d),
+    f AS (SELECT doc_id, unnest(bs) AS b FROM g),
+    craw AS (SELECT b, COUNT(*) AS c_raw FROM f GROUP BY 1),
+    ctgt AS (SELECT b, COUNT(*) AS c_tgt FROM f WHERE doc_id % 7 = 0
+             GROUP BY 1),
+    j AS (SELECT COALESCE(craw.b, ctgt.b) AS b,
+                 COALESCE(c_raw, 0) AS c_raw, COALESCE(c_tgt, 0) AS c_tgt
+          FROM craw FULL OUTER JOIN ctgt ON craw.b = ctgt.b),
+    tot AS (SELECT SUM(c_raw) AS n_raw, SUM(c_tgt) AS n_tgt FROM j),
+    lam AS (SELECT b,
+                   ln((c_tgt + 0.5) / (n_tgt + 0.5 * 512))
+                 - ln((c_raw + 0.5) / (n_raw + 0.5 * 512)) AS lam
+            FROM j, tot),
+    w0 AS (SELECT f.doc_id, COUNT(*) AS n_feats,
+                  ROUND(SUM(lam.lam), 9) AS logw
+           FROM f JOIN lam USING (b) GROUP BY 1),
+    w AS (SELECT d.doc_id, COALESCE(n_feats, 0) AS n_feats,
+                 COALESCE(logw, 0.0) AS logw
+          FROM d LEFT JOIN w0 USING (doc_id))
+"""
+
+
+@_register(
+    "dsir_importance_weights",
+    f"""
+    WITH {_DSIR_ORACLE_CTES}
+    SELECT doc_id, n_feats, logw FROM w ORDER BY doc_id
+    """,
+)
+def _q_dsir_importance_weights(spark, sf_dir):
+    """DSIR (Xie et al. 2023) importance weights: every doc scored by
+    log p_target/p_raw over hashed 1..2-gram bag features, target being
+    the doc_id%7==0 slice. The two feature distributions are one
+    groupBy(bucket) each (<=512 rows out), the log-ratio table is
+    broadcast back, and the per-doc score is a single (doc, sum)
+    shuffle — O(buckets) state regardless of corpus size."""
+    from flow_indexer_spark.operators.curation import dsir_weights
+
+    d = _t(spark, sf_dir, "documents")
+    out = dsir_weights(d, d.filter(F.col("doc_id") % 7 == 0))
+    return out.select("doc_id", "n_feats", "logw").orderBy("doc_id")
+
+
+@_register(
+    "dsir_gumbel_sample",
+    f"""
+    WITH {_DSIR_ORACLE_CTES}
+    SELECT doc_id, logw,
+           ROUND(logw - ln(-ln(
+             (CAST('0x' || substr(md5('dsir' || CAST(doc_id AS VARCHAR)), 1, 8)
+                   AS BIGINT) + 0.5) / 4294967296.0)), 9) AS gumbel_key
+    FROM w
+    ORDER BY gumbel_key DESC, doc_id
+    LIMIT 50
+    """,
+)
+def _q_dsir_gumbel_sample(spark, sf_dir):
+    """Importance RESAMPLING on top of the DSIR weights: Gumbel-top-k
+    (key = logw + hash-seeded Gumbel noise, take the 50 largest) — a
+    deterministic, rand()-free draw proportional to softmax(logw).
+    orderBy.limit compiles to TakeOrderedAndProject: per-partition
+    top-k, no global sort."""
+    from flow_indexer_spark.operators.curation import dsir_sample, dsir_weights
+
+    d = _t(spark, sf_dir, "documents")
+    w = dsir_weights(d, d.filter(F.col("doc_id") % 7 == 0))
+    return dsir_sample(w, 50).select("doc_id", "logw", "gumbel_key")
+
+
 _VOCAB_ORACLE_BODY = """
       SELECT tok AS token, COUNT(*) AS n
       FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))

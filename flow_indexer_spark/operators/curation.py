@@ -635,3 +635,126 @@ def temperature_mix(
         df.join(F.broadcast(fr), strata_col)
         .filter(bucket < F.floor(F.col("mix_fraction") * _BUCKETS))
     )
+
+
+def _gram_buckets(text_col: str, max_n: int, buckets: int) -> "F.Column":
+    """Hashed bag-of-n-grams feature ids for one document, sizes 1..max_n
+    combined (the DSIR feature space): every token n-gram — NOT distinct,
+    counts matter — hashed to ``buckets`` ids with the portable md5 hash.
+    Pure in-row transform; short docs contribute only the sizes they fit."""
+    from flow_indexer_spark.operators.dedup import tokens
+
+    tok = tokens(text_col)
+
+    # NB: a two-arg lambda in F.transform is called as (element, INDEX) —
+    # a `lambda i, g=g:` default binding would silently receive the array
+    # index as g. Bind the gram size via a factory closure instead.
+    def grams_of(g: int) -> "F.Column":
+        idx = F.sequence(F.lit(1), F.size(tok) - (g - 1))
+        return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tok, i, g)))
+
+    parts = []
+    for g in range(1, max_n + 1):
+        parts.append(
+            F.when(F.size(tok) >= g, grams_of(g)).otherwise(
+                F.array().cast("array<string>")
+            )
+        )
+    allg = F.concat(*parts) if len(parts) > 1 else parts[0]
+    return F.transform(allg, lambda s: md5_int32(s) % buckets)
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    max_n: int = 2,
+    buckets: int = 512,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Data Selection with Importance Resampling (Xie et al., 2023):
+    score every raw document by how target-like its hashed n-gram bag is,
+    log w(x) = sum over gram features of log p_target(b) / log p_raw(b),
+    with add-alpha smoothed bucket distributions estimated from the two
+    corpora themselves. High logw = looks like the target domain.
+
+    Topology (the part that must survive 10^12 rows): the two feature
+    distributions are ONE groupBy(bucket) count each — at most ``buckets``
+    rows out, map-side combined — and the log-ratio table (<= buckets
+    rows) is **broadcast** back; the per-doc score is then an
+    explode + broadcast-join + per-doc sum, i.e. a single shuffle of
+    (doc, partial-sum) pairs. Nothing driver-side, nothing O(vocab).
+
+    Returns (id, n_feats, logw) with logw rounded to 9 dp so the DuckDB
+    oracle twin (different summation order) lands on identical values.
+    """
+    if max_n < 1:
+        raise ValueError("max_n must be >= 1")
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0 (unsmoothed ratios divide by zero)")
+
+    def dist(df: DataFrame, name: str) -> DataFrame:
+        b = df.select(F.explode(_gram_buckets(text_col, max_n, buckets)).alias("b"))
+        return b.groupBy("b").agg(F.count("*").alias(f"c_{name}"))
+
+    r, t = dist(raw, "raw"), dist(target, "tgt")
+    joined = r.join(t, "b", "full_outer").select(
+        "b",
+        F.coalesce("c_raw", F.lit(0)).alias("c_raw"),
+        F.coalesce("c_tgt", F.lit(0)).alias("c_tgt"),
+    )
+    tot = joined.agg(
+        F.sum("c_raw").alias("n_raw"), F.sum("c_tgt").alias("n_tgt")
+    )
+    lam = joined.join(F.broadcast(tot)).select(
+        "b",
+        (
+            F.log((F.col("c_tgt") + alpha) / (F.col("n_tgt") + alpha * buckets))
+            - F.log((F.col("c_raw") + alpha) / (F.col("n_raw") + alpha * buckets))
+        ).alias("lam"),
+    )
+    feats = raw.select(
+        F.col(id_col),
+        F.explode_outer(_gram_buckets(text_col, max_n, buckets)).alias("b"),
+    )
+    return (
+        feats.join(F.broadcast(lam), "b", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("b").alias("n_feats"),
+            F.round(F.coalesce(F.sum("lam"), F.lit(0.0)), 9).alias("logw"),
+        )
+    )
+
+
+def dsir_sample(
+    weighted: DataFrame,
+    n_docs: int,
+    id_col: str = "doc_id",
+    logw_col: str = "logw",
+    salt: str = "dsir",
+) -> DataFrame:
+    """Importance **resampling** over :func:`dsir_weights` output: draw
+    ``n_docs`` docs without replacement with probability proportional to
+    softmax(logw), via the Gumbel-top-k trick — key_i = logw_i + g_i,
+    take the k largest. The Gumbel noise is hash-seeded
+    (u = (md5(salt||id)+0.5)/2^32, g = -ln(-ln u)) so the draw is fully
+    deterministic and reproducible across engines/backfills — no rand().
+
+    orderBy(key).limit(k) compiles to TakeOrderedAndProject: each
+    partition keeps k rows, no global sort. Returns the sampled rows
+    plus their gumbel_key.
+    """
+    if n_docs <= 0:
+        raise ValueError("n_docs must be positive")
+    key = F.coalesce(F.col(id_col).cast("string"), F.lit(""))
+    u = (md5_int32(F.concat(F.lit(salt), key)) + 0.5) / F.lit(float(2**32))
+    gumbel = -F.log(-F.log(u))
+    return (
+        weighted.withColumn(
+            "gumbel_key", F.round(F.col(logw_col) + gumbel, 9)
+        )
+        .orderBy(F.desc("gumbel_key"), id_col)
+        .limit(n_docs)
+    )

@@ -195,3 +195,49 @@ def test_temperature_mix_low_tau_lifts_low_resource(mix_docs):
         temperature_mix(mix_docs, budget=0, tau=0.5)
     with pytest.raises(ValueError):
         temperature_mix(mix_docs, budget=100, tau=0.0)
+
+
+@pytest.fixture(scope="module")
+def dsir_docs(spark):
+    # two disjoint-vocabulary populations: 'sci' docs vs 'web' docs
+    rows = []
+    for i in range(40):
+        v = "proton neutrino quark boson" if i % 2 == 0 else "click buy cheap deal"
+        rows.append(Row(doc_id=i, text=f"{v} {v}"))
+    return spark.createDataFrame(rows).cache()
+
+
+def test_dsir_weights_rank_target_like_docs_higher(dsir_docs):
+    from flow_indexer_spark.operators.curation import dsir_weights
+
+    target = dsir_docs.filter((F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 10))
+    out = {r["doc_id"]: r.asDict() for r in dsir_weights(dsir_docs, target).collect()}
+    # every science doc outscores every web doc
+    sci = [out[i]["logw"] for i in range(0, 40, 2)]
+    web = [out[i]["logw"] for i in range(1, 40, 2)]
+    assert min(sci) > max(web)
+    # n_feats = unigrams + bigrams = 8 + 7
+    assert all(out[i]["n_feats"] == 15 for i in out)
+
+
+def test_dsir_sample_is_deterministic_softmax_draw(dsir_docs):
+    from flow_indexer_spark.operators.curation import dsir_sample, dsir_weights
+
+    target = dsir_docs.filter(F.col("doc_id") % 2 == 0)
+    w = dsir_weights(dsir_docs, target)
+    s1 = sorted(r["doc_id"] for r in dsir_sample(w, 12).collect())
+    s2 = sorted(r["doc_id"] for r in dsir_sample(w, 12).collect())
+    assert len(s1) == 12 and s1 == s2  # rerun-stable
+    # weights dominate hash noise here: the draw should be mostly target docs
+    assert sum(1 for i in s1 if i % 2 == 0) >= 10
+    with pytest.raises(ValueError):
+        dsir_sample(w, 0)
+
+
+def test_dsir_weights_validates_params(dsir_docs):
+    from flow_indexer_spark.operators.curation import dsir_weights
+
+    with pytest.raises(ValueError):
+        dsir_weights(dsir_docs, dsir_docs, max_n=0)
+    with pytest.raises(ValueError):
+        dsir_weights(dsir_docs, dsir_docs, alpha=0.0)
