@@ -2511,6 +2511,65 @@ def _q_dsir_gumbel_sample(spark, sf_dir):
     return dsir_sample(w, 50).select("doc_id", "logw", "gumbel_key")
 
 
+@_register(
+    "ivf_kmeans_assign",
+    """
+    WITH v AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings),
+    h AS (SELECT vec_id, e,
+                 CAST('0x' || substr(md5('km' || CAST(vec_id AS VARCHAR)), 1, 8)
+                      AS BIGINT) AS hh
+          FROM v),
+    s AS (SELECT * FROM (
+            SELECT e AS c,
+                   ROW_NUMBER() OVER (ORDER BY hh, vec_id) - 1 AS label
+            FROM h) WHERE label < 4),
+    a1 AS (SELECT vec_id, label,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
+                    list_inner_product(e, c)
+                    / (sqrt(list_inner_product(e, e))
+                       * sqrt(list_inner_product(c, c))) DESC, label) AS rn
+           FROM v, s),
+    asg1 AS (SELECT vec_id, label FROM a1 WHERE rn = 1),
+    m AS (SELECT label, i, e[i] AS val
+          FROM asg1 JOIN v USING (vec_id),
+               UNNEST(generate_series(1, len(e))) AS t(i)),
+    c2 AS (SELECT label, i, AVG(val) AS cv FROM m GROUP BY 1, 2),
+    cl AS (SELECT label, list(cv ORDER BY i) AS c FROM c2 GROUP BY 1),
+    a2 AS (SELECT vec_id, label,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
+                    list_inner_product(e, c)
+                    / (sqrt(list_inner_product(e, e))
+                       * sqrt(list_inner_product(c, c))) DESC, label) AS rn
+           FROM v, cl)
+    SELECT vec_id, label AS assigned_label FROM a2 WHERE rn = 1
+    ORDER BY vec_id
+    """,
+)
+def _q_ivf_kmeans_assign(spark, sf_dir):
+    """IVF coarse-quantizer TRAINING: one spherical-k-means Lloyd
+    iteration from deterministic hash-seeded init (k=4), then
+    nearest-centroid assignment of every vector. E-step broadcasts the
+    k x dims centroid table (vector corpus never shuffles); M-step is
+    one groupBy(label, dim). The multi-iteration loop is kmeans_fit
+    (differential-tested vs numpy in test_kmeans.py); one iteration is
+    what stays SQL-expressible for the oracle. Ids only — float sims
+    are engine-rounding bait."""
+    from flow_indexer_spark.operators.similarity import (
+        assign_to_centroids,
+        kmeans_fit,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(e, k=4, n_iter=1)
+    return (
+        assign_to_centroids(e, cents)
+        .select("vec_id", "assigned_label")
+        .orderBy("vec_id")
+    )
+
+
 _VOCAB_ORACLE_BODY = """
       SELECT tok AS token, COUNT(*) AS n
       FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))

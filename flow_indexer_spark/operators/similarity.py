@@ -265,3 +265,82 @@ def ivf_topk(
         .orderBy(F.desc("cosine"), id_col)
         .limit(k)
     )
+
+
+def kmeans_seeds(
+    emb: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "km",
+) -> DataFrame:
+    """Deterministic k-means init: the k vectors first in md5-hash order
+    (a rand()-free uniform draw, reproducible across engines/backfills),
+    labeled 0..k-1 in that order, returned in the long (label, dim,
+    centroid) format :func:`assign_to_centroids` consumes. The
+    single-partition row_number window is over k rows post-limit — a
+    constant, never the corpus.
+    """
+    from pyspark.sql import Window
+
+    from flow_indexer_spark.operators.dedup import md5_int32
+
+    if k <= 0:
+        raise ValueError("k must be positive")
+    h = md5_int32(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    seeds = (
+        emb.select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+            h.alias("_h"),
+        )
+        .orderBy("_h", id_col)
+        .limit(k)
+    )
+    w = Window.orderBy("_h", id_col)
+    lab = seeds.select((F.row_number().over(w) - 1).alias("label"), "_v")
+    return lab.select(
+        "label", F.posexplode("_v").alias("dim", "centroid")
+    )
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "km",
+) -> DataFrame:
+    """Spherical k-means (cosine) Lloyd iterations as pure DataFrame ops —
+    the IVF coarse-quantizer TRAINER that :func:`label_centroids` /
+    :func:`ivf_topk` assume pre-existing list labels for.
+
+    Per iteration: E-step = :func:`assign_to_centroids` (centroids
+    broadcast, NO shuffle of the vector table), M-step =
+    :func:`label_centroids` (one groupBy(label, dim), shuffle bytes
+    O(k x dims)). Clusters that lose every member keep their previous
+    centroid (left-anti carryover) so k never silently shrinks. The
+    k x dims centroid table is ``localCheckpoint``-ed each round to
+    truncate the otherwise exponentially nesting lineage — the same
+    driver-free pattern MLlib uses, minus its driver collect.
+
+    Returns the trained centroids in long (label, dim, centroid) format;
+    compose with :func:`assign_to_centroids` for final assignments and
+    :func:`ivf_topk` for search.
+    """
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    cents = kmeans_seeds(emb, k, id_col, vec_col, salt)
+    for _ in range(n_iter):
+        assign = assign_to_centroids(emb, cents, id_col, vec_col)
+        labeled = emb.join(
+            assign.select(id_col, F.col("assigned_label").alias("_lab")),
+            id_col,
+        )
+        new = label_centroids(labeled, "_lab", vec_col)
+        missing = cents.join(
+            new.select("label").distinct(), "label", "left_anti"
+        )
+        cents = new.unionByName(missing).localCheckpoint(eager=True)
+    return cents
