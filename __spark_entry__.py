@@ -2570,6 +2570,34 @@ def _q_ivf_kmeans_assign(spark, sf_dir):
     )
 
 
+@_register(
+    "context_length_sweep",
+    """
+    WITH n AS (SELECT len(list_filter(string_split(text, ' '), x -> x <> ''))
+                 AS n
+               FROM documents),
+    L AS (SELECT unnest([32, 64, 128, 256]) AS max_len)
+    SELECT max_len,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n > max_len THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_truncated,
+           CAST(SUM(LEAST(n, max_len)) AS BIGINT) AS tokens_kept,
+           CAST(SUM(GREATEST(n - max_len, 0)) AS BIGINT) AS tokens_lost,
+           ROUND(SUM(GREATEST(n - max_len, 0)) * 1.0 / SUM(n), 9)
+             AS frac_tokens_lost
+    FROM n, L GROUP BY 1 ORDER BY 1
+    """,
+)
+def _q_context_length_sweep(spark, sf_dir):
+    """Context-length pre-flight: per candidate max_len, docs truncated
+    and corpus token share lost — one constant fan-out explode of a
+    literal lengths array, one |lengths|-row groupBy."""
+    from flow_indexer_spark.operators.tokenize import context_length_sweep
+
+    d = _t(spark, sf_dir, "documents")
+    return context_length_sweep(d)
+
+
 _VOCAB_ORACLE_BODY = """
       SELECT tok AS token, COUNT(*) AS n
       FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))

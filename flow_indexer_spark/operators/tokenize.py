@@ -298,3 +298,46 @@ def sft_examples(
         mask.alias("loss_mask"),
         F.size(ids).cast("int").alias("n_tokens"),
     )
+
+
+def context_length_sweep(
+    df: DataFrame,
+    lengths: tuple[int, ...] = (32, 64, 128, 256),
+    text_col: str = "text",
+    n_tokens_col: str | None = None,
+) -> DataFrame:
+    """Truncation-loss report for choosing a training context length:
+    for each candidate ``max_len``, how many docs would truncate and what
+    fraction of corpus tokens is lost. The standard pre-flight before
+    fixing the packing budget (:func:`materialize_packs`).
+
+    Per-row token count is in-row; the candidate lengths explode from a
+    LITERAL array (|lengths| rows per doc, constant fan-out), and the
+    single groupBy produces |lengths| rows — shuffle payload O(lengths),
+    map-side combined, regardless of corpus size.
+    """
+    from flow_indexer_spark.operators.dedup import tokens
+
+    if not lengths or any(l <= 0 for l in lengths):
+        raise ValueError("lengths must be non-empty positive ints")
+    n = (
+        F.col(n_tokens_col) if n_tokens_col else F.size(tokens(text_col))
+    ).cast("bigint")
+    per = df.select(
+        n.alias("_n"),
+        F.explode(F.array(*[F.lit(int(l)) for l in lengths])).alias("max_len"),
+    )
+    lost = F.sum(F.greatest(F.col("_n") - F.col("max_len"), F.lit(0)))
+    return (
+        per.groupBy("max_len")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("_n") > F.col("max_len")).cast("bigint")).alias(
+                "n_truncated"
+            ),
+            F.sum(F.least(F.col("_n"), F.col("max_len"))).alias("tokens_kept"),
+            lost.alias("tokens_lost"),
+            F.round(lost / F.sum("_n"), 9).alias("frac_tokens_lost"),
+        )
+        .orderBy("max_len")
+    )

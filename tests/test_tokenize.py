@@ -184,3 +184,29 @@ def test_sft_examples_custom_loss_roles(spark):
     vocab = build_vocab(t, max_size=10, min_count=1)
     r = sft_examples(t, vocab, loss_roles=("click",)).collect()[0]
     assert r["loss_mask"] == [1, 1, 0]
+
+
+def test_context_length_sweep_counts(spark):
+    from flow_indexer_spark.operators.tokenize import context_length_sweep
+
+    rows = [
+        Row(doc_id=1, text=" ".join(["a"] * 10)),
+        Row(doc_id=2, text=" ".join(["b"] * 3)),
+        Row(doc_id=3, text=""),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {r["max_len"]: r.asDict() for r in context_length_sweep(df, (4, 16)).collect()}
+    at4 = out[4]
+    assert at4["n_docs"] == 3 and at4["n_truncated"] == 1
+    assert at4["tokens_kept"] == 4 + 3 + 0
+    assert at4["tokens_lost"] == 6
+    assert abs(at4["frac_tokens_lost"] - 6 / 13) < 1e-9
+    at16 = out[16]
+    assert at16["n_truncated"] == 0 and at16["tokens_lost"] == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        context_length_sweep(df, ())
+    with _pytest.raises(ValueError):
+        context_length_sweep(df, (0, 8))
