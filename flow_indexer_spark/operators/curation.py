@@ -704,14 +704,22 @@ def dsir_weights(
         F.coalesce("c_raw", F.lit(0)).alias("c_raw"),
         F.coalesce("c_tgt", F.lit(0)).alias("c_tgt"),
     )
-    tot = joined.agg(
-        F.sum("c_raw").alias("n_raw"), F.sum("c_tgt").alias("n_tgt")
-    )
-    lam = joined.join(F.broadcast(tot)).select(
+    # Scalar totals via an unpartitioned window over the <=buckets-row
+    # table: a cross-join against a separate .agg() would make Spark
+    # re-execute BOTH corpus-scale gram-explode subtrees a second time
+    # (verified via explain: 5 parquet scans -> 3 with this shape).
+    w = Window.partitionBy()
+    lam = joined.select(
         "b",
         (
-            F.log((F.col("c_tgt") + alpha) / (F.col("n_tgt") + alpha * buckets))
-            - F.log((F.col("c_raw") + alpha) / (F.col("n_raw") + alpha * buckets))
+            F.log(
+                (F.col("c_tgt") + alpha)
+                / (F.sum("c_tgt").over(w) + alpha * buckets)
+            )
+            - F.log(
+                (F.col("c_raw") + alpha)
+                / (F.sum("c_raw").over(w) + alpha * buckets)
+            )
         ).alias("lam"),
     )
     feats = raw.select(
