@@ -202,6 +202,11 @@ def _bench_queries(spark, sf_dir: str) -> dict:
         "ann_ivf_topk",
         "tokenize_packs",
         "sft_loss_spans",
+        "dsir_importance_weights",
+        "ivf_kmeans_assign",
+        "sft_conversation_examples",
+        "context_length_sweep",
+        "curation_temperature_mix",
     ]
     qs = entry_mod.queries()
     out = {}
