@@ -114,3 +114,34 @@ def test_kmeans_seeds_are_hash_deterministic(spark):
     order = sorted(range(20), key=lambda i: (h(i), i))[:4]
     got0 = [r["centroid"] for r in sorted(a) if r[0] == 0 and r[1] == 0]
     assert got0 == [float(order[0])]
+
+
+def test_ivf_with_trained_centroids_recall(spark, blob_vectors):
+    """End-to-end IVF quality: train lists with kmeans_fit, search with
+    ivf_topk, measure recall@5 against the exact scan. With nprobe
+    covering 2 of 3 well-separated lists, the probe's own cluster is
+    always ranked first, so recall must be perfect here."""
+    from pyspark.sql import functions as F
+
+    from flow_indexer_spark.operators.similarity import (
+        assign_to_centroids,
+        ivf_topk,
+        kmeans_fit,
+        topk_cosine,
+    )
+
+    ids = list(range(30))
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in blob_vectors[i]]) for i in ids]
+    )
+    cents = kmeans_fit(df, k=3, n_iter=3)
+    labeled = df.join(
+        assign_to_centroids(df, cents).select(
+            "vec_id", F.col("assigned_label").alias("label")
+        ),
+        "vec_id",
+    )
+    probe = labeled.filter(F.col("vec_id") == 0)
+    exact = {r["vec_id"] for r in topk_cosine(labeled, list(blob_vectors[0]), k=5).collect()}
+    approx = {r["vec_id"] for r in ivf_topk(labeled, probe, k=5, nprobe=2).collect()}
+    assert len(exact & approx) / 5 >= 1.0

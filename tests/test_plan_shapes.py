@@ -108,3 +108,43 @@ def test_topk_is_take_ordered_not_global_sort(spark):
     out = topk_cosine(emb, [1.0, 0.0, 0.0], k=5)
     assert _count(out, "TakeOrderedAndProject") == 1
     assert _count(out, "Sort") == 0
+
+
+def test_dsir_weights_scans_corpus_exactly_three_times(docs):
+    """DSIR: two bucket-distribution scans + one per-doc feature scan.
+    The totals are window sums over the <=buckets-row table — a naive
+    agg+cross-join doubles the corpus-scale gram explodes to five scans
+    (measured before the fix)."""
+    from flow_indexer_spark.operators.curation import dsir_weights
+
+    out = dsir_weights(docs, docs.filter(F.col("doc_id") % 2 == 0))
+    scans = sum(1 for n in _nodes(out) if n.startswith("LocalTableScan") or n.startswith("Scan"))
+    assert scans == 3, _nodes(out)
+
+
+def test_kmeans_assign_broadcasts_centroids(spark):
+    """The E-step must broadcast the k x dims table — the vector corpus
+    never shuffles and no join degrades to sort-merge."""
+    from flow_indexer_spark.operators.similarity import (
+        assign_to_centroids,
+        kmeans_seeds,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 5), 1.0, 0.25]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = kmeans_seeds(emb, k=3)
+    out = assign_to_centroids(emb, cents)
+    assert _count(out, "BroadcastNestedLoopJoin") == 1  # k-row cross join
+    assert _count(out, "SortMergeJoin") == 0
+
+
+def test_context_length_sweep_is_single_agg_exchange(docs):
+    """One hash exchange for the |lengths|-row agg; the trailing orderBy
+    range exchange sorts |lengths| rows, not the corpus."""
+    from flow_indexer_spark.operators.tokenize import context_length_sweep
+
+    out = context_length_sweep(docs, (8, 16))
+    assert _shuffles(out) == 2  # agg + tiny final sort
+    assert _count(out, "SortMergeJoin") == 0
