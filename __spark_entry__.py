@@ -2598,6 +2598,74 @@ def _q_context_length_sweep(spark, sf_dir):
     return context_length_sweep(d)
 
 
+@_register(
+    "tokenizer_fertility",
+    """
+    WITH t AS (SELECT source,
+                 len(list_filter(string_split(text, ' '), x -> x <> '')) AS w,
+                 len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS b,
+                 length(text) AS c
+               FROM documents)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(w) AS BIGINT) AS n_words,
+           CAST(SUM(b) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(c) AS BIGINT) AS n_chars,
+           CASE WHEN SUM(w) = 0 THEN NULL
+                ELSE ROUND(SUM(b) * 1.0 / SUM(w), 9) END AS fertility,
+           CASE WHEN SUM(b) = 0 THEN NULL
+                ELSE ROUND(SUM(c) * 1.0 / SUM(b), 9) END AS chars_per_token
+    FROM t GROUP BY source ORDER BY source
+    """,
+)
+def _q_tokenizer_fertility(spark, sf_dir):
+    """Per-source tokenizer fertility (BPE-ish tokens per word) and
+    compression (chars per token) — in-row counts, one O(strata)
+    groupBy. The metric that flags domains a tokenizer fragments."""
+    from flow_indexer_spark.operators.textstats import tokenizer_fertility
+
+    d = _t(spark, sf_dir, "documents")
+    return tokenizer_fertility(d).orderBy("source")
+
+
+@_register(
+    "contrastive_hard_negatives",
+    """
+    WITH v AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings),
+    a AS (SELECT vec_id AS anchor_id, label AS alab, e AS q
+          FROM v WHERE vec_id IN (0, 7)),
+    s AS (SELECT a.anchor_id, v.vec_id,
+                 CASE WHEN v.label = a.alab THEN 'positive'
+                      ELSE 'negative' END AS kind,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY a.anchor_id,
+                     CASE WHEN v.label = a.alab THEN 'positive'
+                          ELSE 'negative' END
+                   ORDER BY list_inner_product(v.e, a.q)
+                     / (sqrt(list_inner_product(v.e, v.e))
+                        * sqrt(list_inner_product(a.q, a.q))) DESC,
+                   v.vec_id) AS rank
+          FROM v, a WHERE v.vec_id <> a.anchor_id)
+    SELECT anchor_id, vec_id, kind, rank FROM s
+    WHERE rank <= CASE WHEN kind = 'positive' THEN 1 ELSE 5 END
+    ORDER BY anchor_id, kind, rank
+    """,
+)
+def _q_contrastive_hard_negatives(spark, sf_dir):
+    """Contrastive pair mining for retriever training: per anchor, the
+    nearest same-label positive + 5 nearest different-label hard
+    negatives. Anchors broadcast (corpus never shuffles to score); one
+    per-(anchor, kind) top-k window. Ids only."""
+    from flow_indexer_spark.operators.similarity import hard_negatives
+
+    e = _t(spark, sf_dir, "embeddings")
+    anchors = e.filter(F.col("vec_id").isin(0, 7))
+    return hard_negatives(e, anchors, k_neg=5).orderBy(
+        "anchor_id", "kind", "rank"
+    )
+
+
 _VOCAB_ORACLE_BODY = """
       SELECT tok AS token, COUNT(*) AS n
       FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))

@@ -344,3 +344,56 @@ def kmeans_fit(
         )
         cents = new.unionByName(missing).localCheckpoint(eager=True)
     return cents
+
+
+def hard_negatives(
+    emb: DataFrame,
+    anchors: DataFrame,
+    k_neg: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive-training pair mining: for each anchor, the single
+    nearest SAME-label vector (the positive) plus the ``k_neg`` nearest
+    DIFFERENT-label vectors (hard negatives — the near-misses that teach
+    a retriever its decision boundary; random negatives are too easy).
+
+    ``anchors`` (a small probe set) is **broadcast**, so candidate
+    scoring is a per-row loop over anchors with no shuffle of the
+    corpus; the single shuffle is the per-(anchor, kind) top-k window
+    over scored candidates. At 10^9+ vectors, prune candidates FIRST
+    (sign-LSH bucket filter or :func:`ivf_topk` lists) and feed the
+    pruned set here — the ranking topology is unchanged.
+
+    Returns (anchor_id, id, kind 'positive'|'negative', rank) — ids
+    only; float sims are engine-rounding bait.
+    """
+    from pyspark.sql import Window
+
+    if k_neg < 1:
+        raise ValueError("k_neg must be >= 1")
+    a = anchors.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(vec_col).cast("array<double>").alias("_q"),
+        F.col(label_col).alias("_alab"),
+    )
+    v = F.col(vec_col).cast("array<double>")
+    scored = (
+        emb.join(F.broadcast(a), emb[id_col] != F.col("anchor_id"))
+        .withColumn("_sim", cosine(v, F.col("_q")))
+        .withColumn(
+            "kind",
+            F.when(F.col(label_col) == F.col("_alab"), "positive").otherwise(
+                "negative"
+            ),
+        )
+    )
+    w = Window.partitionBy("anchor_id", "kind").orderBy(
+        F.desc("_sim"), F.col(id_col)
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    keep = F.when(F.col("kind") == "positive", 1).otherwise(k_neg)
+    return ranked.filter(F.col("rank") <= keep).select(
+        "anchor_id", id_col, "kind", "rank"
+    )

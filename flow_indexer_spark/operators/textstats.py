@@ -321,3 +321,36 @@ def bigram_lm_scores(
         )
         .withColumn("ppl", F.exp(-F.col("avg_logp")))
     )
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    strata_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer fertility/compression report per stratum: BPE-ish tokens
+    per whitespace word (fertility — the standard metric for how well a
+    tokenizer fits a domain) and chars per token (compression). High
+    fertility on one source = the tokenizer fragments that domain; the
+    number that drives vocab re-training decisions.
+
+    All counts are in-row projections folded by ONE groupBy(strata) with
+    map-side combine — shuffle O(strata), never O(corpus)."""
+    words = F.sum(token_count(text_col).cast("bigint")).alias("n_words")
+    bpe = F.sum(bpe_token_count(text_col).cast("bigint")).alias("n_bpe_tokens")
+    chars = F.sum(F.length(F.col(text_col)).cast("bigint")).alias("n_chars")
+    out = df.groupBy(strata_col).agg(
+        F.count("*").alias("n_docs"), words, bpe, chars
+    )
+    safe = lambda num, den: F.when(  # noqa: E731
+        F.col(den) == 0, F.lit(None).cast("double")
+    ).otherwise(F.round(F.col(num) / F.col(den), 9))
+    return out.select(
+        strata_col,
+        "n_docs",
+        "n_words",
+        "n_bpe_tokens",
+        "n_chars",
+        safe("n_bpe_tokens", "n_words").alias("fertility"),
+        safe("n_chars", "n_bpe_tokens").alias("chars_per_token"),
+    )

@@ -9,7 +9,7 @@ import hashlib
 
 import numpy as np
 import pytest
-from pyspark.sql import Row
+from pyspark.sql import Row, functions as F
 
 from flow_indexer_spark.operators.similarity import (
     assign_to_centroids,
@@ -145,3 +145,33 @@ def test_ivf_with_trained_centroids_recall(spark, blob_vectors):
     exact = {r["vec_id"] for r in topk_cosine(labeled, list(blob_vectors[0]), k=5).collect()}
     approx = {r["vec_id"] for r in ivf_topk(labeled, probe, k=5, nprobe=2).collect()}
     assert len(exact & approx) / 5 >= 1.0
+
+
+def test_hard_negatives_semantics(spark):
+    from flow_indexer_spark.operators.similarity import hard_negatives
+
+    # anchor 0 (label A, along x); same-label 1 is nearest positive;
+    # different-label 10..13 ordered by angle from x-axis
+    rows = [
+        Row(vec_id=0, label=0, embedding=[1.0, 0.0]),
+        Row(vec_id=1, label=0, embedding=[0.9, 0.1]),
+        Row(vec_id=2, label=0, embedding=[0.1, 0.9]),
+        Row(vec_id=10, label=1, embedding=[0.8, 0.2]),
+        Row(vec_id=11, label=1, embedding=[0.6, 0.4]),
+        Row(vec_id=12, label=1, embedding=[0.4, 0.6]),
+        Row(vec_id=13, label=1, embedding=[0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows)
+    anchors = df.filter(F.col("vec_id") == 0)
+    out = hard_negatives(df, anchors, k_neg=2).collect()
+    pos = [r for r in out if r["kind"] == "positive"]
+    neg = sorted(
+        (r for r in out if r["kind"] == "negative"), key=lambda r: r["rank"]
+    )
+    assert len(pos) == 1 and pos[0]["vec_id"] == 1  # anchor itself excluded
+    assert [r["vec_id"] for r in neg] == [10, 11]  # hardest two negatives
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hard_negatives(df, anchors, k_neg=0)

@@ -49,3 +49,28 @@ def test_l2_normalize_unit_norm(spark):
     by = {r["vec_id"]: r["n"] for r in out}
     assert by[1][0] == pytest.approx(0.6) and by[1][1] == pytest.approx(0.8)
     assert by[2] == [0.0, 0.0]  # zero vector passes through
+
+
+def test_tokenizer_fertility_math(spark):
+    from pyspark.sql import Row
+    from flow_indexer_spark.operators.textstats import tokenizer_fertility
+
+    rows = [
+        Row(doc_id=1, source="a", text="ab cd12"),  # 2 words; bpe: ab,cd,12=3
+        Row(doc_id=2, source="a", text=""),
+        Row(doc_id=3, source="b", text="x!"),  # 1 word; bpe: x,! = 2
+    ]
+    out = {
+        r["source"]: r.asDict()
+        for r in tokenizer_fertility(spark.createDataFrame(rows)).collect()
+    }
+    a = out["a"]
+    assert (a["n_docs"], a["n_words"], a["n_bpe_tokens"], a["n_chars"]) == (2, 2, 3, 7)
+    assert abs(a["fertility"] - 1.5) < 1e-12
+    assert abs(a["chars_per_token"] - 7 / 3) < 1e-9
+    b = out["b"]
+    assert abs(b["fertility"] - 2.0) < 1e-12
+
+    empty = spark.createDataFrame([Row(doc_id=1, source="z", text="")])
+    z = tokenizer_fertility(empty).collect()[0]
+    assert z["fertility"] is None and z["chars_per_token"] is None
