@@ -3161,6 +3161,128 @@ def _q_curation_training_order(spark, sf_dir):
     return training_order(d).select("doc_id", "order_rank").orderBy("doc_id")
 
 
+_LOGREG_FEATS = ["n_tokens", "mean_token_len", "stopword_ratio"]
+
+
+def _logreg_oracle(n_iter: int = 4, lr: float = 0.5, dp: int = 8) -> str:
+    """Generate the nested-CTE SQL replica of fit_logreg's trajectory:
+    iteration i's gradient is an aggregate over the standardized feature
+    CTE cross-joined with iteration i's 1-row weight CTE — the exact
+    dataflow the Spark loop runs, unrolled. Per-step round(…, 8) on BOTH
+    engines pins the trajectories bit-identical (float-sum order and libm
+    exp differences are absorbed each step instead of compounding)."""
+    feats = _LOGREG_FEATS
+    ntok = "len(list_filter(string_split(text, ' '), x -> x <> ''))"
+    nstop = (
+        "len(list_filter(string_split(text, ' '), "
+        "x -> list_contains(['the','a','of','and','to'], x)))"
+    )
+    base = (
+        f"SELECT CAST({ntok} AS DOUBLE) AS n_tokens, "
+        f"CAST(length(text) AS DOUBLE) / GREATEST({ntok}, 1) AS mean_token_len, "
+        f"CAST({nstop} AS DOUBLE) / GREATEST({ntok}, 1) AS stopword_ratio, "
+        "CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y FROM documents"
+    )
+    wcols = feats + ["bias"]
+    parts = [f"f AS ({base})"]
+    stats = ", ".join(
+        f"avg({c}) AS m_{c}, GREATEST(stddev_pop({c}), 1e-9) AS s_{c}" for c in feats
+    )
+    parts.append(f"st AS (SELECT {stats} FROM f)")
+    zsel = ", ".join(f"({c} - m_{c}) / s_{c} AS {c}" for c in feats)
+    parts.append(f"z AS (SELECT {zsel}, y FROM f, st)")
+    w0 = ", ".join(f"CAST(0.0 AS DOUBLE) AS w_{c}" for c in wcols)
+    parts.append(f"w0 AS (SELECT {w0})")
+    for i in range(n_iter):
+        zx = " + ".join(f"w_{c} * {c}" for c in feats) + " + w_bias"
+        p = f"(1.0 / (1.0 + exp(-({zx}))))"
+        g = ", ".join(
+            [f"avg(({p} - y) * {c}) AS g_{c}" for c in feats]
+            + [f"avg({p} - y) AS g_bias"]
+        )
+        parts.append(f"g{i} AS (SELECT {g} FROM z, w{i})")
+        wn = ", ".join(
+            f"round(w_{c} - {lr} * g_{c}, {dp}) AS w_{c}" for c in wcols
+        )
+        parts.append(f"w{i + 1} AS (SELECT {wn} FROM w{i}, g{i})")
+    un = " UNION ALL ".join(
+        [f"SELECT '{c}' AS feature, w_{c} AS weight FROM w{n_iter}" for c in feats]
+        + [f"SELECT '_bias' AS feature, w_bias AS weight FROM w{n_iter}"]
+    )
+    return (
+        "WITH " + ",\n".join(parts) + f"\nSELECT feature, weight FROM ({un}) "
+        "ORDER BY feature"
+    )
+
+
+@_register("quality_train_logreg", _logreg_oracle())
+def _q_quality_train_logreg(spark, sf_dir):
+    """TRAIN the quality classifier on the engine: logistic-regression
+    full-batch gradient descent (4 steps, lr=0.5, z-scored features,
+    label = lang='en') as pure DataFrame aggs — per iteration ONE
+    partial-agg exchange collapsing to a dims+1 row, weights broadcast
+    back, corpus text scanned once (feature matrix checkpointed). The
+    oracle replays the identical trajectory as nested SQL CTEs; per-step
+    8-dp weight rounding keeps the two engines bit-identical."""
+    from flow_indexer_spark.operators.textstats import fit_logreg, quality_features
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "label", (F.col("lang") == "en").cast("double")
+    )
+    feats = quality_features(d, extra_cols=("label",))
+    return fit_logreg(feats, _LOGREG_FEATS, "label", n_iter=4, lr=0.5).orderBy(
+        "feature"
+    )
+
+
+@_register(
+    "dedup_semdedup",
+    """
+    WITH v AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings),
+    h AS (SELECT vec_id, e,
+                 CAST('0x' || substr(md5('km' || CAST(vec_id AS VARCHAR)), 1, 8)
+                      AS BIGINT) AS hh
+          FROM v),
+    s AS (SELECT * FROM (
+            SELECT e AS c,
+                   ROW_NUMBER() OVER (ORDER BY hh, vec_id) - 1 AS label
+            FROM h) WHERE label < 4),
+    a1 AS (SELECT vec_id, e, label,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
+                    list_inner_product(e, c)
+                    / (sqrt(list_inner_product(e, e))
+                       * sqrt(list_inner_product(c, c))) DESC, label) AS rn
+           FROM v, s),
+    av AS (SELECT vec_id, e, label FROM a1 WHERE rn = 1),
+    w AS (SELECT b.vec_id, MIN(a.vec_id) AS dup_of
+          FROM av a JOIN av b ON a.label = b.label AND a.vec_id < b.vec_id
+          WHERE list_inner_product(a.e, b.e)
+                  / (sqrt(list_inner_product(a.e, a.e))
+                     * sqrt(list_inner_product(b.e, b.e))) >= 0.35
+          GROUP BY b.vec_id)
+    SELECT av.vec_id, av.label AS assigned_label,
+           (w.dup_of IS NULL) AS keep, w.dup_of
+    FROM av LEFT JOIN w ON av.vec_id = w.vec_id
+    ORDER BY av.vec_id
+    """,
+)
+def _q_dedup_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): semantic dedup with the O(n^2)
+    cosine stage confined to k-means clusters (k=4 deterministic
+    hash-seeded centroids here; k is the scale lever — pairwise work
+    ~n^2/k across k independent cluster partitions). Assignment
+    broadcasts the k x dims table (the vector corpus never shuffles);
+    drop rule: some lower-id same-cluster vector has cosine >= 0.35.
+    Flags + witness id, not a filter, so the audit trail survives."""
+    from flow_indexer_spark.operators.dedup import semdedup
+    from flow_indexer_spark.operators.similarity import kmeans_seeds
+
+    e = _t(spark, sf_dir, "embeddings")
+    return semdedup(e, kmeans_seeds(e, k=4), threshold=0.35).orderBy("vec_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return dict(_QUERIES)

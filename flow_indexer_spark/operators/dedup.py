@@ -767,3 +767,78 @@ def duplicated_spans(
             ).alias("dup_fraction"),
         )
     )
+
+
+def semdedup(
+    emb: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup over
+    an embedding column with the O(n^2) pairwise cosine confined to
+    k-means clusters — the scale lever is k (cluster population ~n/k, so
+    pairwise work is ~n^2/k spread across k independent cluster
+    partitions; the paper runs k=50k on LAION).
+
+    ``centroids`` is a long-format (label, dim, centroid) table (from
+    :func:`~flow_indexer_spark.operators.similarity.kmeans_seeds` or
+    :func:`~flow_indexer_spark.operators.similarity.kmeans_fit`).
+    Dedup rule (deterministic, id-ordered): a vector is dropped when SOME
+    lower-id vector in the same cluster has cosine >= threshold with it.
+    Among kept vectors no same-cluster pair reaches the threshold, and
+    every dropped vector names a lower-id witness — both pinned by
+    property test.
+
+    Topology: assignment broadcasts the k x dims centroid table (the
+    vector corpus never shuffles to be assigned); the pairwise stage is a
+    self-join keyed on assigned_label — skew is bounded by the largest
+    cluster, which is exactly what raising k controls; the witness set
+    comes back as a left join on id (flag, not filter, so callers keep
+    the audit trail). The reference's whole-corpus ipset presence check
+    (/root/reference/ipset/ipset.go:56-76) generalizes here to
+    "presence of a semantically-equal earlier document".
+
+    Returns every input id with (assigned_label, keep, dup_of) where
+    dup_of is the smallest qualifying witness id (null when kept).
+    """
+    from flow_indexer_spark.operators.similarity import assign_to_centroids
+
+    asg = assign_to_centroids(emb, centroids, id_col, vec_col).select(
+        id_col, "assigned_label"
+    )
+    v = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).join(asg.select(F.col(id_col).alias("_id"), "assigned_label"), "_id")
+    a = v.select(
+        F.col("_id").alias("id_a"),
+        F.col("_v").alias("_va"),
+        F.col("assigned_label").alias("_lab"),
+    )
+    b = v.select(
+        F.col("_id").alias("id_b"),
+        F.col("_v").alias("_vb"),
+        F.col("assigned_label").alias("_lab"),
+    )
+    cos = _dot(F.col("_va"), F.col("_vb")) / (
+        F.sqrt(_dot(F.col("_va"), F.col("_va")))
+        * F.sqrt(_dot(F.col("_vb"), F.col("_vb")))
+    )
+    witnesses = (
+        a.join(b, "_lab")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cos >= float(threshold))
+        .groupBy("id_b")
+        .agg(F.min("id_a").alias("dup_of"))
+    )
+    return (
+        v.join(witnesses, v["_id"] == witnesses["id_b"], "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "assigned_label",
+            F.col("dup_of").isNull().alias("keep"),
+            "dup_of",
+        )
+    )

@@ -40,14 +40,19 @@ def stopword_count(text_col: str | Column = "text", stopwords: list[str] | None 
 
 
 def quality_features(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-doc quality feature columns: token/char/stopword counts plus the
     derived ratios used for corpus filtering (mean token length, stopword
-    ratio). One projection."""
+    ratio). One projection; ``extra_cols`` are carried through unchanged
+    (e.g. a label column feeding :func:`fit_logreg`)."""
     n_tok = token_count(text_col)
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in extra_cols],
         n_tok.alias("n_tokens"),
         F.length(text_col).alias("n_chars_raw"),
         stopword_count(text_col).alias("n_stopwords"),
@@ -320,6 +325,110 @@ def bigram_lm_scores(
             F.avg("_lp").alias("avg_logp"),
         )
         .withColumn("ppl", F.exp(-F.col("avg_logp")))
+    )
+
+
+def fit_logreg(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str = "label",
+    n_iter: int = 4,
+    lr: float = 0.5,
+    standardize: bool = True,
+    round_dp: int | None = 8,
+) -> DataFrame:
+    """TRAIN a logistic-regression quality classifier on the engine itself
+    — full-batch gradient descent as pure DataFrame ops. The missing half
+    of :func:`quality_score` (which applies a model trained elsewhere):
+    together they close the loop the fastText-style corpus filters run —
+    label a seed set, fit, score corpus-wide.
+
+    Per iteration: p = sigmoid(w·x + b) and the gradient
+    avg((p - y) * x_j) are ONE aggregation over the (cached) feature
+    matrix — a partial-agg exchange collapsing to a single dims+1-row —
+    and the weights return by broadcast cross join, exactly the
+    kmeans_fit topology with k×dims shrunk to dims+1. The corpus TEXT is
+    scanned once: the standardized feature matrix is localCheckpoint-ed
+    up front, so each iteration reads doubles, not documents. Weights are
+    ``localCheckpoint``-ed per round (1 row) to truncate lineage.
+
+    ``standardize`` z-scores each feature (population std, floored at
+    1e-9) so one learning rate fits all scales; ``round_dp`` rounds the
+    weight vector after EVERY update on the way out of the iteration —
+    with the same rounding applied in a reference implementation the
+    trajectories stay bit-identical across engines (float-sum order and
+    libm exp differences are absorbed at each step instead of
+    compounding). Returns long-format rows (feature, weight) with the
+    intercept as feature ``_bias``.
+
+    Mirrors the reference's dual-implementation differential discipline
+    (/root/reference/backend/nfdump.go vs nfdump_subprocess: same answer,
+    two engines): tests pin this against a numpy twin, and the driver
+    oracle re-runs the identical trajectory as nested SQL CTEs.
+    """
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    if not feature_cols:
+        raise ValueError("feature_cols must be non-empty")
+    spark = df.sparkSession
+    x = df.select(
+        *[F.col(c).cast("double").alias(c) for c in feature_cols],
+        F.col(label_col).cast("double").alias("_y"),
+    )
+    if standardize:
+        stats = x.agg(
+            *[F.avg(c).alias(f"_m_{c}") for c in feature_cols],
+            *[
+                F.greatest(F.stddev_pop(c), F.lit(1e-9)).alias(f"_s_{c}")
+                for c in feature_cols
+            ],
+        )
+        x = x.crossJoin(F.broadcast(stats)).select(
+            *[
+                ((F.col(c) - F.col(f"_m_{c}")) / F.col(f"_s_{c}")).alias(c)
+                for c in feature_cols
+            ],
+            "_y",
+        )
+    x = x.localCheckpoint(eager=True)
+
+    wcols = list(feature_cols) + ["_bias"]
+    w = spark.range(1).select(*[F.lit(0.0).alias(f"_w_{c}") for c in wcols])
+
+    def _rnd(col: Column) -> Column:
+        return F.round(col, round_dp) if round_dp is not None else col
+
+    for _ in range(n_iter):
+        j = x.crossJoin(F.broadcast(w))
+        z = F.col("_w__bias")
+        for c in feature_cols:
+            z = z + F.col(f"_w_{c}") * F.col(c)
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        g = j.agg(
+            *[
+                F.avg((p - F.col("_y")) * F.col(c)).alias(f"_g_{c}")
+                for c in feature_cols
+            ],
+            F.avg(p - F.col("_y")).alias("_g__bias"),
+        )
+        w = (
+            w.crossJoin(F.broadcast(g))
+            .select(
+                *[
+                    _rnd(
+                        F.col(f"_w_{c}") - F.lit(float(lr)) * F.col(f"_g_{c}")
+                    ).alias(f"_w_{c}")
+                    for c in wcols
+                ]
+            )
+            .localCheckpoint(eager=True)
+        )
+    pairs = [
+        F.struct(F.lit(c).alias("feature"), F.col(f"_w_{c}").alias("weight"))
+        for c in wcols
+    ]
+    return w.select(F.explode(F.array(*pairs)).alias("_p")).select(
+        "_p.feature", "_p.weight"
     )
 
 
