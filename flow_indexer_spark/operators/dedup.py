@@ -808,10 +808,18 @@ def semdedup(
     asg = assign_to_centroids(emb, centroids, id_col, vec_col).select(
         id_col, "assigned_label"
     )
-    v = emb.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).cast("array<double>").alias("_v"),
-    ).join(asg.select(F.col(id_col).alias("_id"), "assigned_label"), "_id")
+    # materialize (id, vec, label) ONCE: the table feeds three consumers
+    # (both self-join sides + the output) and Spark re-executes the whole
+    # broadcast-assignment subtree per consumer otherwise (measured: 3
+    # corpus scans -> 1). Same lineage-truncation idiom as kmeans_fit.
+    v = (
+        emb.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+        .join(asg.select(F.col(id_col).alias("_id"), "assigned_label"), "_id")
+        .localCheckpoint(eager=True)
+    )
     a = v.select(
         F.col("_id").alias("id_a"),
         F.col("_v").alias("_va"),

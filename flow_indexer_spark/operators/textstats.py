@@ -328,6 +328,45 @@ def bigram_lm_scores(
     )
 
 
+def _logreg_step(
+    x: DataFrame,
+    w: DataFrame,
+    feature_cols: list[str],
+    lr: float,
+    round_dp: int | None,
+) -> DataFrame:
+    """One gradient-descent update: p = sigmoid(w·x + b) and the per-dim
+    gradient avg((p - y) * x_j) fold into ONE aggregation over the
+    feature matrix (partial-agg exchange collapsing to a single
+    dims+1-column row); the 1-row weight table enters and leaves by
+    broadcast. Plan shape pinned in test_plan_shapes.py."""
+    wcols = list(feature_cols) + ["_bias"]
+    j = x.crossJoin(F.broadcast(w))
+    z = F.col("_w__bias")
+    for c in feature_cols:
+        z = z + F.col(f"_w_{c}") * F.col(c)
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    g = j.agg(
+        *[
+            F.avg((p - F.col("_y")) * F.col(c)).alias(f"_g_{c}")
+            for c in feature_cols
+        ],
+        F.avg(p - F.col("_y")).alias("_g__bias"),
+    )
+
+    def _rnd(col: Column) -> Column:
+        return F.round(col, round_dp) if round_dp is not None else col
+
+    return w.crossJoin(F.broadcast(g)).select(
+        *[
+            _rnd(F.col(f"_w_{c}") - F.lit(float(lr)) * F.col(f"_g_{c}")).alias(
+                f"_w_{c}"
+            )
+            for c in wcols
+        ]
+    )
+
+
 def fit_logreg(
     df: DataFrame,
     feature_cols: list[str],
@@ -395,33 +434,9 @@ def fit_logreg(
     wcols = list(feature_cols) + ["_bias"]
     w = spark.range(1).select(*[F.lit(0.0).alias(f"_w_{c}") for c in wcols])
 
-    def _rnd(col: Column) -> Column:
-        return F.round(col, round_dp) if round_dp is not None else col
-
     for _ in range(n_iter):
-        j = x.crossJoin(F.broadcast(w))
-        z = F.col("_w__bias")
-        for c in feature_cols:
-            z = z + F.col(f"_w_{c}") * F.col(c)
-        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-        g = j.agg(
-            *[
-                F.avg((p - F.col("_y")) * F.col(c)).alias(f"_g_{c}")
-                for c in feature_cols
-            ],
-            F.avg(p - F.col("_y")).alias("_g__bias"),
-        )
-        w = (
-            w.crossJoin(F.broadcast(g))
-            .select(
-                *[
-                    _rnd(
-                        F.col(f"_w_{c}") - F.lit(float(lr)) * F.col(f"_g_{c}")
-                    ).alias(f"_w_{c}")
-                    for c in wcols
-                ]
-            )
-            .localCheckpoint(eager=True)
+        w = _logreg_step(x, w, feature_cols, lr, round_dp).localCheckpoint(
+            eager=True
         )
     pairs = [
         F.struct(F.lit(c).alias("feature"), F.col(f"_w_{c}").alias("weight"))

@@ -148,3 +148,48 @@ def test_context_length_sweep_is_single_agg_exchange(docs):
     out = context_length_sweep(docs, (8, 16))
     assert _shuffles(out) == 2  # agg + tiny final sort
     assert _count(out, "SortMergeJoin") == 0
+
+
+def test_logreg_step_is_one_exchange_broadcast_weights(spark, docs):
+    """fit_logreg loop body: the gradient is ONE partial-agg exchange
+    collapsing to a dims+1 row; the weight vector enters and leaves by
+    broadcast (1-row nested-loop joins) — the corpus side never
+    shuffles and nothing drops to row-at-a-time Python."""
+    from flow_indexer_spark.operators.textstats import _logreg_step
+
+    x = docs.selectExpr(
+        "CAST(doc_id AS DOUBLE) AS f_a",
+        "CAST(length(text) AS DOUBLE) AS f_b",
+        "CAST(doc_id % 2 AS DOUBLE) AS _y",
+    )
+    w = spark.range(1).select(
+        F.lit(0.0).alias("_w_f_a"),
+        F.lit(0.0).alias("_w_f_b"),
+        F.lit(0.0).alias("_w__bias"),
+    )
+    out = _logreg_step(x, w, ["f_a", "f_b"], lr=0.5, round_dp=8)
+    assert _shuffles(out) == 1
+    assert _count(out, "BroadcastNestedLoopJoin") == 2
+    assert _count(out, "SortMergeJoin") == 0
+    assert _count(out, "BatchEvalPython") == 0
+
+
+def test_semdedup_joins_on_cluster_label_only(spark):
+    """semdedup: assignment is materialized ONCE (localCheckpoint — the
+    three consumers read the checkpointed RDD, not three re-executions
+    of the broadcast-assign subtree); the pairwise stage exchanges on
+    the cluster label, the witness agg and the output flag join add one
+    exchange each — 4 total, none corpus-wide more than once."""
+    from flow_indexer_spark.operators.dedup import semdedup
+    from flow_indexer_spark.operators.similarity import kmeans_seeds
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 3), 1.0, 0.5]) for i in range(80)],
+        "vec_id long, embedding array<double>",
+    )
+    out = semdedup(emb, kmeans_seeds(emb, 4), threshold=0.9)
+    nodes = _nodes(out)
+    assert sum(1 for n in nodes if n == "Exchange") == 4, nodes
+    # every scan is the in-memory checkpointed assignment, not parquet
+    assert all(not n.startswith("ScanParquet") for n in nodes)
+    assert _count(out, "BatchEvalPython") == 0
