@@ -3161,6 +3161,43 @@ def _q_curation_training_order(spark, sf_dir):
     return training_order(d).select("doc_id", "order_rank").orderBy("doc_id")
 
 
+@_register(
+    "curation_upsample_epochs",
+    """
+    WITH d AS (
+      SELECT doc_id, source,
+             CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.0
+                         ELSE 1.0 END AS f,
+             CAST('0x' || substr(md5('epoch' || CAST(doc_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 10000 AS h
+      FROM documents
+    ),
+    c AS (SELECT doc_id, source,
+                 CAST(FLOOR(f) AS INT)
+                   + CASE WHEN h < FLOOR((f - FLOOR(f)) * 10000)
+                          THEN 1 ELSE 0 END AS n
+          FROM d)
+    SELECT doc_id, source, CAST(t.e AS INT) AS epoch
+    FROM c, UNNEST(generate_series(0, n - 1)) AS t(e)
+    WHERE n >= 1
+    ORDER BY doc_id, epoch
+    """,
+)
+def _q_curation_upsample_epochs(spark, sf_dir):
+    """Epoch-based upsampling WITH replacement: src0 repeated 2.5 epochs
+    (deterministic hash rule grants half the docs the third copy), src1
+    dropped, everything else kept once — zero shuffles, the repeat knob
+    mix_to_token_budget (fraction <= 1) cannot express."""
+    from flow_indexer_spark.operators.curation import upsample_epochs
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        upsample_epochs(d, {"src0": 2.5, "src1": 0.0})
+        .select("doc_id", "source", "epoch")
+        .orderBy("doc_id", "epoch")
+    )
+
+
 _LOGREG_FEATS = ["n_tokens", "mean_token_len", "stopword_ratio"]
 
 

@@ -766,3 +766,60 @@ def dsir_sample(
         .orderBy(F.desc("gumbel_key"), id_col)
         .limit(n_docs)
     )
+
+
+def upsample_epochs(
+    df: DataFrame,
+    factors: dict[str, float],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    default_factor: float = 1.0,
+    salt: str = "epoch",
+) -> DataFrame:
+    """Per-source upsampling WITH replacement — the epoch/repeat knob of a
+    data recipe ("repeat books 2.5 epochs, web once"; repeating
+    low-resource sources a few epochs is near-free while >4 degrades,
+    Muennighoff et al. 2023). :func:`mix_to_token_budget` can only keep a
+    fraction <= 1 of a source; this is the other direction.
+
+    factor 2.5 -> every doc appears twice, and the deterministic hash
+    rule (hash(salt||id) mod 10000 < floor(0.5 * 10000)) grants half the
+    docs a third copy — rerun-stable, engine-portable, no rand().
+    factor 0 drops the source. Output repeats input rows with a 0-based
+    ``epoch`` copy index, so downstream global shuffling
+    (:func:`training_order` keyed on (id, epoch)) spreads the copies
+    apart instead of emitting them adjacent.
+
+    Topology: ZERO shuffles — the factor table folds into the projection
+    as a CASE expression and the copies come from an in-row
+    sequence+explode (guarded: a 0-copy row yields no sequence, never a
+    descending one). Composes into any scan at scan speed.
+    """
+    if any(f < 0 for f in factors.values()) or default_factor < 0:
+        raise ValueError("epoch factors must be >= 0")
+    fac = None
+    for name, f_val in factors.items():
+        cond = F.col(strata_col) == name
+        val = F.lit(float(f_val))
+        fac = F.when(cond, val) if fac is None else fac.when(cond, val)
+    fac = (
+        fac.otherwise(F.lit(float(default_factor)))
+        if fac is not None
+        else F.lit(float(default_factor))
+    )
+    whole = F.floor(fac).cast("int")
+    frac = fac - whole
+    key = F.coalesce(F.col(id_col).cast("string"), F.lit(""))
+    extra = (
+        md5_int32(F.concat(F.lit(salt), key)) % _BUCKETS
+        < F.floor(frac * _BUCKETS)
+    ).cast("int")
+    n_copies = whole + extra
+    return df.withColumn(
+        "epoch",
+        F.explode(
+            F.when(n_copies >= 1, F.sequence(F.lit(0), n_copies - 1)).otherwise(
+                F.array().cast("array<int>")
+            )
+        ),
+    )

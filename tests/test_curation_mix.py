@@ -241,3 +241,65 @@ def test_dsir_weights_validates_params(dsir_docs):
         dsir_weights(dsir_docs, dsir_docs, max_n=0)
     with pytest.raises(ValueError):
         dsir_weights(dsir_docs, dsir_docs, alpha=0.0)
+
+
+# --- upsample_epochs ---------------------------------------------------------
+
+
+def test_upsample_epochs_counts_and_determinism(spark):
+    from flow_indexer_spark.operators.curation import upsample_epochs
+
+    docs = spark.createDataFrame(
+        [(i, "books" if i % 2 == 0 else "web", f"d{i}") for i in range(200)],
+        "doc_id long, source string, text string",
+    )
+    out = upsample_epochs(docs, {"books": 2.5, "web": 1.0}).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["epoch"])
+    for i in range(200):
+        eps = sorted(by_doc[i])
+        assert eps == list(range(len(eps)))  # contiguous 0-based copies
+        if i % 2 == 1:
+            assert len(eps) == 1
+        else:
+            assert len(eps) in (2, 3)
+    n_books = sum(len(v) for d, v in by_doc.items() if d % 2 == 0)
+    assert 2.0 * 100 < n_books < 3.0 * 100  # ~2.5 epochs
+    # deterministic rerun
+    again = upsample_epochs(docs, {"books": 2.5, "web": 1.0}).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_upsample_epochs_zero_drops_and_validates(spark):
+    import pytest as _pytest
+
+    from flow_indexer_spark.operators.curation import upsample_epochs
+
+    docs = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y")], "doc_id long, source string, text string"
+    )
+    out = upsample_epochs(docs, {"a": 0.0}).collect()
+    assert [(r["doc_id"], r["epoch"]) for r in out] == [(2, 0)]
+    with _pytest.raises(ValueError):
+        upsample_epochs(docs, {"a": -1.0})
+
+
+def test_upsample_epochs_is_scan_speed(spark):
+    """Zero shuffles: factors fold into the projection, copies come from
+    an in-row guarded sequence+explode."""
+    import contextlib
+    import io
+    import re
+
+    from flow_indexer_spark.operators.curation import upsample_epochs
+
+    docs = spark.createDataFrame(
+        [(1, "a", "x")], "doc_id long, source string, text string"
+    )
+    out = upsample_epochs(docs, {"a": 1.5})
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    nodes = re.findall(r"^\(\d+\) (\S+)", buf.getvalue(), re.M)
+    assert "Exchange" not in nodes
