@@ -207,6 +207,11 @@ def _bench_queries(spark, sf_dir: str) -> dict:
         "sft_conversation_examples",
         "context_length_sweep",
         "curation_temperature_mix",
+        "tokenizer_fertility",
+        "contrastive_hard_negatives",
+        "quality_train_logreg",
+        "dedup_semdedup",
+        "curation_upsample_epochs",
     ]
     qs = entry_mod.queries()
     out = {}
