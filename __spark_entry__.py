@@ -3198,6 +3198,92 @@ def _q_curation_upsample_epochs(spark, sf_dir):
     )
 
 
+#: shared DuckDB CTE prefix for the PQ oracles: deterministic hash-seeded
+#: codebooks (m=4 subspaces x 16 dims, k=8 codewords = the first 8 vectors
+#: in md5 order, sliced), per-vector subspace slices, and the argmin codes.
+_PQ_CTES = """
+    v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings),
+    h AS (SELECT vec_id, e,
+                 CAST('0x' || substr(md5('pq' || CAST(vec_id AS VARCHAR)), 1, 8)
+                      AS BIGINT) AS hh
+          FROM v),
+    s AS (SELECT * FROM (
+            SELECT e AS c, ROW_NUMBER() OVER (ORDER BY hh, vec_id) - 1 AS label
+            FROM h) WHERE label < 8),
+    sub AS (SELECT vec_id, j, list_slice(e, j * 16 + 1, (j + 1) * 16) AS sv
+            FROM v, UNNEST(generate_series(0, 3)) t(j)),
+    cb AS (SELECT label, j, list_slice(c, j * 16 + 1, (j + 1) * 16) AS cv
+           FROM s, UNNEST(generate_series(0, 3)) t(j)),
+    d AS (SELECT vec_id, j, label,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                   ORDER BY list_distance(sv, cv) ASC, label ASC) AS rn
+          FROM sub JOIN cb USING (j)),
+    codes AS (SELECT vec_id, j AS subspace, label AS code FROM d WHERE rn = 1)
+"""
+
+
+@_register(
+    "embedding_pq_codes",
+    f"""
+    WITH {_PQ_CTES}
+    SELECT vec_id, CAST(subspace AS INT) AS subspace, CAST(code AS INT) AS code
+    FROM codes ORDER BY vec_id, subspace
+    """,
+)
+def _q_embedding_pq_codes(spark, sf_dir):
+    """Product quantization (Jegou et al. 2011) encode: every 64-dim
+    vector compressed to m=4 codes against deterministic hash-seeded
+    k=8 codebooks — the packed codebook collapses to ONE broadcast row
+    and the codes are a pure in-row argmin expression (ZERO shuffles of
+    the vector table). The Lloyd-trained codebook path (pq_fit n_iter>0)
+    is differential-tested vs numpy in test_pq.py; seeds stay
+    SQL-expressible for the oracle."""
+    from flow_indexer_spark.operators.similarity import pq_encode, pq_seeds
+
+    e = _t(spark, sf_dir, "embeddings")
+    cb = pq_seeds(e, m=4, k=8, dims=64)
+    codes = pq_encode(e, cb, m=4, dims=64)
+    return codes.select(
+        "vec_id", F.posexplode("codes").alias("subspace", "code")
+    ).orderBy("vec_id", "subspace")
+
+
+@_register(
+    "ann_pq_adc_topk",
+    f"""
+    WITH {_PQ_CTES},
+    q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+    qs AS (SELECT j, list_slice(qe, j * 16 + 1, (j + 1) * 16) AS qv
+           FROM q, UNNEST(generate_series(0, 3)) t(j)),
+    lut AS (SELECT cb.j, cb.label, list_distance(qs.qv, cb.cv) ** 2 AS dd
+            FROM cb JOIN qs USING (j)),
+    adc AS (SELECT vec_id, SUM(dd) AS dist
+            FROM codes JOIN lut ON codes.subspace = lut.j
+                               AND codes.code = lut.label
+            GROUP BY vec_id)
+    SELECT vec_id FROM adc ORDER BY dist ASC, vec_id LIMIT 20
+    """,
+)
+def _q_ann_pq_adc_topk(spark, sf_dir):
+    """PQ asymmetric-distance search: the probe (vec 0) builds one m x k
+    lookup table (constant-size agg, broadcast as ONE row); every
+    candidate's distance is an in-row fold over its codes — no vector
+    data read at query time, no shuffle, TakeOrderedAndProject top-k.
+    Ids only — float distances are engine-rounding bait."""
+    from flow_indexer_spark.operators.similarity import (
+        pq_encode,
+        pq_seeds,
+        pq_topk,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    probe = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    cb = pq_seeds(e, m=4, k=8, dims=64)
+    codes = pq_encode(e, cb, m=4, dims=64)
+    return pq_topk(codes, cb, list(probe), k=20, m=4).select("vec_id")
+
+
 _LOGREG_FEATS = ["n_tokens", "mean_token_len", "stopword_ratio"]
 
 

@@ -397,3 +397,252 @@ def hard_negatives(
     return ranked.filter(F.col("rank") <= keep).select(
         "anchor_id", id_col, "kind", "rank"
     )
+
+
+# --- product quantization (PQ) ----------------------------------------------
+#
+# The third leg of the vector-compression stack next to quantize_int8
+# (scalar) and ivf_topk (coarse partitioning): split each vector into m
+# subvectors, vector-quantize each subspace against its own k-codeword
+# codebook (Jegou et al. 2011, "Product Quantization for Nearest Neighbor
+# Search"), store m small ints per vector (m bytes at k<=256 vs 4*dims
+# float bytes), and answer queries with asymmetric distance (ADC): one
+# m x k lookup table per query, built once, summed per candidate.
+# The reference's fixed-width byte keys (ipset/ipset.go:23-37) are the
+# spiritual ancestor: a domain value compressed to a tiny comparable code.
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Squared Euclidean distance as an in-row fold (JVM codegen)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+
+
+def _pq_check(m: int, k: int, dims: int) -> int:
+    if m < 1 or k < 1 or dims < 1:
+        raise ValueError("m, k, dims must be positive")
+    if dims % m != 0:
+        raise ValueError(f"dims ({dims}) must be divisible by m ({m})")
+    return dims // m
+
+
+def pq_seeds(
+    emb: DataFrame,
+    m: int,
+    k: int,
+    dims: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "pq",
+) -> DataFrame:
+    """Deterministic PQ codebook init: the k vectors first in md5-hash
+    order (same rand()-free rule as kmeans_seeds), each sliced into m
+    subvectors — codebook[j][label] = seed_vec[j*dims/m : (j+1)*dims/m].
+    Long format (subspace, label, dim, centroid); dim is the index
+    WITHIN the subspace."""
+    sub = _pq_check(m, k, dims)
+    from pyspark.sql import Window
+
+    from flow_indexer_spark.operators.dedup import md5_int32
+
+    h = md5_int32(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    seeds = (
+        emb.select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+            h.alias("_h"),
+        )
+        .orderBy("_h", id_col)
+        .limit(k)
+    )
+    lab = seeds.select(
+        (F.row_number().over(Window.orderBy("_h", id_col)) - 1).alias("label"),
+        "_v",
+    )
+    sliced = lab.select(
+        "label",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda j: F.slice(F.col("_v"), j * sub + 1, sub),
+            )
+        ).alias("subspace", "_sv"),
+    )
+    return sliced.select(
+        "subspace", "label", F.posexplode("_sv").alias("dim", "centroid")
+    )
+
+
+def _pack_codebooks(codebooks: DataFrame) -> DataFrame:
+    """(subspace, label, dim, centroid) -> (subspace, cbs) where cbs is
+    the label-ordered array of centroid arrays. Aggregates a k*dims-row
+    table — constant-size, never the corpus."""
+    per_label = codebooks.groupBy("subspace", "label").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("dim", "centroid"))),
+            lambda s: s["centroid"],
+        ).alias("_cvec")
+    )
+    return per_label.groupBy("subspace").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("label", "_cvec"))),
+            lambda s: s["_cvec"],
+        ).alias("cbs")
+    )
+
+
+def _argmin_label(sv: Column, cbs: Column) -> Column:
+    """0-based index of the L2-nearest codeword (first/lowest label wins
+    ties) — a pure in-row expression over the packed codebook array."""
+    dists = F.transform(cbs, lambda c: _l2sq(sv, c))
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def pq_fit(
+    emb: DataFrame,
+    m: int,
+    k: int,
+    dims: int,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "pq",
+) -> DataFrame:
+    """Train PQ codebooks: per-subspace L2 Lloyd iterations, ALL m
+    subspaces trained in the same pass — each iteration is ONE corpus
+    scan (in-row slice to (id, subspace, subvec)), a broadcast join of
+    the m*k packed codebooks with an in-row argmin E-step (the corpus
+    never shuffles to be assigned), and ONE groupBy(subspace, label,
+    dim) mean M-step whose shuffle is O(k * dims) regardless of corpus
+    size. Codewords that lose every member carry over (left-anti), and
+    the constant-size codebook table is localCheckpoint-ed per round —
+    the kmeans_fit discipline applied per-subspace.
+
+    n_iter=0 returns the deterministic seeds (the SQL-expressible
+    variant the driver oracle uses)."""
+    sub = _pq_check(m, k, dims)
+    if n_iter < 0:
+        raise ValueError("n_iter must be >= 0")
+    cb = pq_seeds(emb, m, k, dims, id_col, vec_col, salt)
+    if n_iter == 0:
+        return cb
+    sv = emb.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda j: F.slice(
+                    F.col(vec_col).cast("array<double>"), j * sub + 1, sub
+                ),
+            )
+        ).alias("subspace", "_sv"),
+    )
+    for _ in range(n_iter):
+        packed = _pack_codebooks(cb)
+        asg = sv.join(F.broadcast(packed), "subspace").select(
+            "subspace",
+            _argmin_label(F.col("_sv"), F.col("cbs")).alias("label"),
+            "_sv",
+        )
+        new = asg.select(
+            "subspace", "label", F.posexplode("_sv").alias("dim", "_val")
+        ).groupBy("subspace", "label", "dim").agg(F.avg("_val").alias("centroid"))
+        missing = cb.join(
+            new.select("subspace", "label").distinct(),
+            ["subspace", "label"],
+            "left_anti",
+        )
+        cb = new.unionByName(missing).localCheckpoint(eager=True)
+    return cb
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: DataFrame,
+    m: int,
+    dims: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector to its m-code array — the PQ compression step.
+
+    The packed codebooks collapse to ONE row (array[m][k][dims/m]) and
+    broadcast; codes are a pure in-row expression (per subspace: slice,
+    L2 fold over k codewords, argmin) — ZERO shuffles of the vector
+    table, so encoding composes into any scan at scan speed. Output
+    (id, codes array<int>); at k<=256 the stored table is m bytes/vector.
+    """
+    sub = _pq_check(m, 1, dims)
+    books = _pack_codebooks(codebooks).groupBy().agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("subspace", "cbs"))),
+            lambda s: s["cbs"],
+        ).alias("_books")
+    )
+    v = F.col(vec_col).cast("array<double>")
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: _argmin_label(
+            F.slice(v, j * sub + 1, sub), F.element_at(F.col("_books"), j + 1)
+        ),
+    )
+    return emb.crossJoin(F.broadcast(books)).select(
+        F.col(id_col), codes.alias("codes")
+    )
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    codebooks: DataFrame,
+    probe_vec: list[float],
+    k: int = 10,
+    m: int | None = None,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over a PQ-coded table: the query
+    builds one m x k lookup table lut[j][label] = ||q_j - codeword||^2
+    (a constant-size agg over the codebook table, broadcast as ONE row),
+    and each candidate's distance is an in-row fold
+    sum_j lut[j][codes[j]] — no vector data touched at query time, no
+    shuffle, and orderBy.limit compiles to TakeOrderedAndProject.
+    Returns (id, adc_dist) ascending."""
+    q = [float(x) for x in probe_vec]
+    sub_counts = codebooks.select("subspace").distinct().count()
+    m = m if m is not None else sub_counts
+    if m < 1:
+        raise ValueError("m must be >= 1")
+    sub = len(q) // m
+    if sub * m != len(q):
+        raise ValueError(f"probe dims ({len(q)}) not divisible by m ({m})")
+    packed = _pack_codebooks(codebooks)
+    qsub = F.slice(
+        F.array(*[F.lit(x) for x in q]), F.col("subspace") * sub + 1, sub
+    )
+    lut = packed.select(
+        "subspace",
+        F.transform(F.col("cbs"), lambda c: _l2sq(qsub, c)).alias("_d"),
+    )
+    lut1 = lut.groupBy().agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("subspace", "_d"))),
+            lambda s: s["_d"],
+        ).alias("_lut")
+    )
+    dist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(
+            F.element_at(F.col("_lut"), j + 1),
+            F.element_at(F.col("codes"), j + 1) + 1,
+        ),
+    )
+    return (
+        codes_df.crossJoin(F.broadcast(lut1))
+        .select(F.col(id_col), dist.alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), id_col)
+        .limit(k)
+    )

@@ -193,3 +193,45 @@ def test_semdedup_joins_on_cluster_label_only(spark):
     # every scan is the in-memory checkpointed assignment, not parquet
     assert all(not n.startswith("ScanParquet") for n in nodes)
     assert _count(out, "BatchEvalPython") == 0
+
+
+def test_pq_encode_never_shuffles_the_vector_table(spark):
+    """PQ encode: the packed codebook collapses to ONE broadcast row and
+    codes are a pure in-row argmin — the corpus side reaches the output
+    through a single 1-row BroadcastNestedLoopJoin with no sort-merge
+    join and no Python; every Exchange in the plan aggregates the
+    constant k*dims codebook table, never the vectors."""
+    from flow_indexer_spark.operators.similarity import pq_encode, pq_seeds
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 5), 1.0, 0.25, float(i % 3)]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    cb = pq_seeds(emb, m=2, k=3, dims=4)
+    out = pq_encode(emb, cb, m=2, dims=4)
+    assert _count(out, "BroadcastNestedLoopJoin") == 1
+    assert _count(out, "SortMergeJoin") == 0
+    assert _count(out, "BatchEvalPython") == 0
+
+
+def test_pq_topk_is_lut_scan_plus_takeordered(spark):
+    """ADC search: one broadcast LUT row + in-row fold + top-k — the
+    codes table itself is never exchanged (TakeOrderedAndProject merges
+    per-partition top-k on the driver)."""
+    from flow_indexer_spark.operators.similarity import (
+        pq_encode,
+        pq_seeds,
+        pq_topk,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 5), 1.0, 0.25, float(i % 3)]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    cb = pq_seeds(emb, m=2, k=3, dims=4)
+    codes = pq_encode(emb, cb, m=2, dims=4)
+    out = pq_topk(codes, cb, [0.5, 1.0, 0.25, 2.0], k=5, m=2)
+    nodes = _nodes(out)
+    assert "TakeOrderedAndProject" in nodes
+    assert _count(out, "SortMergeJoin") == 0
+    assert _count(out, "BatchEvalPython") == 0
