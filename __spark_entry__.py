@@ -3284,6 +3284,106 @@ def _q_ann_pq_adc_topk(spark, sf_dir):
     return pq_topk(codes, cb, list(probe), k=20, m=4).select("vec_id")
 
 
+_BPE_MERGES = 6
+
+
+def _bpe_ctes(n_merges: int = _BPE_MERGES) -> str:
+    """Generated DuckDB replay of bpe_train's trajectory: w0 is the
+    word-frequency table with words exploded to space-joined character
+    symbols; each round r counts adjacent pairs (lateral UNNEST zip),
+    picks the (count DESC, left, right) winner, and applies it with the
+    same greedy left-to-right list_reduce fold the Spark op runs in-row
+    (sentinel-prepended so the accumulator always carries the leading
+    space = symbol boundary)."""
+    parts = [
+        """w0 AS (
+      SELECT _w AS word,
+             array_to_string(list_transform(generate_series(1, length(_w)),
+                                            i -> substr(_w, i, 1)), ' ') AS w,
+             _c AS c
+      FROM (SELECT _w, COUNT(*) AS _c
+            FROM (SELECT unnest(list_filter(string_split(text, ' '),
+                                            x -> x <> '')) AS _w
+                  FROM documents)
+            GROUP BY _w))"""
+    ]
+    for r in range(n_merges):
+        parts.append(
+            f"""p{r} AS (
+      SELECT s[i] AS l, s[i+1] AS r2, SUM(c) AS cnt
+      FROM (SELECT string_split(w, ' ') AS s, c FROM w{r}),
+           UNNEST(generate_series(1, len(s) - 1)) t(i)
+      GROUP BY 1, 2)"""
+        )
+        parts.append(
+            f"b{r} AS (SELECT l, r2, cnt FROM p{r} "
+            "ORDER BY cnt DESC, l ASC, r2 ASC LIMIT 1)"
+        )
+        parts.append(
+            f"""w{r + 1} AS (
+      SELECT word,
+             ltrim(list_reduce(list_prepend('', string_split(w, ' ')),
+               (acc, x) -> CASE
+                 WHEN ends_with(acc, ' ' || b.l) AND x = b.r2
+                 THEN substr(acc, 1, length(acc) - length(b.l) - 1)
+                      || ' ' || b.l || b.r2
+                 ELSE acc || ' ' || x END)) AS w,
+             c
+      FROM w{r}, b{r} b)"""
+        )
+    return ",\n".join(parts)
+
+
+@_register(
+    "tokenize_bpe_merges",
+    "WITH "
+    + _bpe_ctes()
+    + "\nSELECT merge_rank, left_sym, right_sym, pair_count FROM ("
+    + " UNION ALL ".join(
+        f"SELECT CAST({r} AS INT) AS merge_rank, l AS left_sym, "
+        f"r2 AS right_sym, CAST(cnt AS BIGINT) AS pair_count FROM b{r}"
+        for r in range(_BPE_MERGES)
+    )
+    + ") ORDER BY merge_rank",
+)
+def _q_tokenize_bpe_merges(spark, sf_dir):
+    """TRAIN a BPE tokenizer on the engine (Sennrich et al. 2016): the
+    corpus is scanned ONCE into a word-frequency table; every merge
+    round after that is vocab-sized work — pair-count agg, 1-row
+    TakeOrdered winner broadcast back, in-row greedy fold merge. The
+    oracle replays the identical 6-round trajectory as generated CTEs
+    (integer counts + lexicographic tie-breaks: bit-exact, no float
+    rounding needed, unlike fit_logreg)."""
+    from flow_indexer_spark.operators.tokenize import bpe_train
+
+    d = _t(spark, sf_dir, "documents")
+    return bpe_train(d, _BPE_MERGES).orderBy("merge_rank")
+
+
+@_register(
+    "tokenize_bpe_segment",
+    "WITH "
+    + _bpe_ctes()
+    + f"""
+    SELECT word, string_split(w, ' ') AS pieces,
+           CAST(len(string_split(w, ' ')) AS INT) AS n_pieces
+    FROM w{_BPE_MERGES} ORDER BY word
+    """,
+)
+def _q_tokenize_bpe_segment(spark, sf_dir):
+    """Apply the trained merges to the vocabulary: a NESTED in-row fold
+    (outer over the rank-ordered rule list packed into one broadcast
+    row, inner the per-rule greedy merge) — scan-speed segmentation, the
+    tokenizer-apply analogue of pq_encode. The oracle's answer comes
+    from the training replay's incrementally merged word table: two
+    different algorithms, same segmentation."""
+    from flow_indexer_spark.operators.tokenize import bpe_segment, bpe_train
+
+    d = _t(spark, sf_dir, "documents")
+    rules = bpe_train(d, _BPE_MERGES)
+    return bpe_segment(d, rules).orderBy("word")
+
+
 _LOGREG_FEATS = ["n_tokens", "mean_token_len", "stopword_ratio"]
 
 

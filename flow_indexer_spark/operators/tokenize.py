@@ -341,3 +341,161 @@ def context_length_sweep(
         )
         .orderBy("max_len")
     )
+
+
+# --- BPE merge training ------------------------------------------------------
+
+
+def _merge_fold(syms: "Column", left: "Column", right: "Column") -> "Column":
+    """Greedy left-to-right application of ONE merge (left,right)->left||right
+    over a symbol array, as a pure in-row fold: the accumulator is the
+    space-joined output (leading space = symbol boundary, so a symbol
+    that merely ENDS with `left` can never false-match). Returns the
+    ltrimmed space-joined result. 'a a a' + (a,a) -> 'aa a', the
+    standard non-overlapping BPE semantics."""
+    return F.ltrim(
+        F.aggregate(
+            syms,
+            F.lit(""),
+            lambda acc, x: F.when(
+                acc.endswith(F.concat(F.lit(" "), left)) & (x == right),
+                F.concat(
+                    F.substr(acc, F.lit(1), F.length(acc) - F.length(left) - 1),
+                    F.lit(" "),
+                    left,
+                    right,
+                ),
+            ).otherwise(F.concat(acc, F.lit(" "), x)),
+        )
+    )
+
+
+def _word_symbols(df: DataFrame, text_col: str) -> DataFrame:
+    """Corpus -> word-frequency table with each word exploded to its
+    space-joined character symbols — the ONE corpus-scale pass of BPE
+    training (everything after runs on the vocab-sized table)."""
+    from flow_indexer_spark.operators.dedup import tokens
+
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("_w"))
+        .groupBy("_w")
+        .agg(F.count("*").alias("_c"))
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("_w")),
+        lambda i: F.substr(F.col("_w"), i, F.lit(1)),
+    )
+    return words.select(F.concat_ws(" ", chars).alias("_sym"), "_c")
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+) -> DataFrame:
+    """TRAIN BPE merges on the engine (Sennrich et al. 2016): learn the
+    ``n_merges`` highest-count adjacent-symbol merges, ties broken on
+    (left, right) text so the rule list is deterministic across engines
+    and reruns.
+
+    Scale shape: the corpus is scanned ONCE into a word-frequency table
+    (one O(vocab) shuffle with map-side combine) — every merge round
+    after that runs on the vocab-sized table: pair counting is an in-row
+    adjacent-zip explode + one O(pairs) agg, the winning pair comes back
+    as a 1-row broadcast (TakeOrderedAndProject, no global sort), and the
+    merge applies as the in-row :func:`_merge_fold`. The word table is
+    localCheckpoint-ed per round (constant-size lineage), exactly the
+    kmeans_fit / fit_logreg iteration discipline. This is why real BPE
+    trainers keep word counts, not corpora — here that idiom is the
+    difference between n_merges corpus scans and one.
+
+    Returns (merge_rank, left_sym, right_sym, pair_count) ordered rule
+    rows; rounds stop early if no adjacent pair remains. The DuckDB
+    oracle replays the identical trajectory as generated CTEs, and
+    :func:`bpe_segment`'s nested-fold application is differentially
+    pinned against this loop's incrementally merged word table."""
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    words = _word_symbols(df, text_col).localCheckpoint(eager=True)
+    rules: DataFrame | None = None
+    for r in range(n_merges):
+        syms = F.split("_sym", " ")
+        pair_arr = F.when(
+            F.size(syms) >= 2,
+            F.zip_with(
+                F.slice(syms, 1, F.size(syms) - 1),
+                F.slice(syms, 2, F.size(syms) - 1),
+                lambda a, b: F.struct(a.alias("left_sym"), b.alias("right_sym")),
+            ),
+        ).otherwise(F.array().cast("array<struct<left_sym:string,right_sym:string>>"))
+        pc = (
+            words.select("_c", F.explode(pair_arr).alias("_p"))
+            .groupBy("_p.left_sym", "_p.right_sym")
+            .agg(F.sum("_c").alias("pair_count"))
+        )
+        best = (
+            pc.orderBy(F.desc("pair_count"), F.asc("left_sym"), F.asc("right_sym"))
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        if best.isEmpty():
+            break
+        rule = best.withColumn("merge_rank", F.lit(r))
+        rules = rule if rules is None else rules.unionByName(rule)
+        words = (
+            words.crossJoin(F.broadcast(best))
+            .select(
+                _merge_fold(
+                    F.split("_sym", " "), F.col("left_sym"), F.col("right_sym")
+                ).alias("_sym"),
+                "_c",
+            )
+            .localCheckpoint(eager=True)
+        )
+    if rules is None:
+        raise ValueError("corpus has no adjacent symbol pairs to merge")
+    return rules.select("merge_rank", "left_sym", "right_sym", "pair_count")
+
+
+def bpe_segment(
+    df: DataFrame,
+    rules: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply trained BPE merges to the corpus vocabulary: every distinct
+    word -> its subword pieces, by folding the rank-ordered rule list
+    over the word's character symbols (a NESTED in-row fold: outer over
+    rules, inner the per-rule :func:`_merge_fold`). The rule table packs
+    to ONE broadcast row, so segmentation is a scan-speed projection —
+    the tokenizer-apply analogue of pq_encode's broadcast-codebook
+    argmin. Output (word, pieces array<string>, n_pieces)."""
+    from flow_indexer_spark.operators.dedup import tokens
+
+    packed = rules.groupBy().agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct("merge_rank", "left_sym", "right_sym"))
+            ),
+            lambda s: F.struct(
+                s["left_sym"].alias("l"), s["right_sym"].alias("r")
+            ),
+        ).alias("_rules")
+    )
+    words = df.select(F.explode(tokens(text_col)).alias("word")).distinct()
+    chars = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.length("word")),
+            lambda i: F.substr(F.col("word"), i, F.lit(1)),
+        ),
+    )
+    seg = F.aggregate(
+        F.col("_rules"),
+        chars,
+        lambda acc, rule: _merge_fold(F.split(acc, " "), rule["l"], rule["r"]),
+    )
+    return (
+        words.crossJoin(F.broadcast(packed))
+        .select("word", F.split(seg, " ").alias("pieces"))
+        .withColumn("n_pieces", F.size("pieces"))
+    )
