@@ -212,6 +212,10 @@ def _bench_queries(spark, sf_dir: str) -> dict:
         "quality_train_logreg",
         "dedup_semdedup",
         "curation_upsample_epochs",
+        "embedding_pq_codes",
+        "ann_pq_adc_topk",
+        "tokenize_bpe_merges",
+        "tokenize_bpe_segment",
     ]
     qs = entry_mod.queries()
     out = {}

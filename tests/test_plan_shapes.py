@@ -235,3 +235,16 @@ def test_pq_topk_is_lut_scan_plus_takeordered(spark):
     assert "TakeOrderedAndProject" in nodes
     assert _count(out, "SortMergeJoin") == 0
     assert _count(out, "BatchEvalPython") == 0
+
+
+def test_bpe_segment_is_broadcast_rules_over_distinct_words(spark, docs):
+    """bpe_segment: the rule list packs to ONE broadcast row and the
+    nested merge fold is in-row — the only corpus-side exchange is the
+    distinct-words agg; no sort-merge join, no Python."""
+    from flow_indexer_spark.operators.tokenize import bpe_segment, bpe_train
+
+    rules = bpe_train(docs, 2)
+    out = bpe_segment(docs, rules)
+    assert _count(out, "BroadcastNestedLoopJoin") == 1
+    assert _count(out, "SortMergeJoin") == 0
+    assert _count(out, "BatchEvalPython") == 0
