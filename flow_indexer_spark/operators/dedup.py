@@ -377,17 +377,28 @@ def ngram_jaccard_pairs_prefix(
     equals Jaccard over the string sets unless two distinct grams of the
     same document collide in 64 bits — odds ~|G|^2/2^64, ignored.
 
-    Topology: gram-df count (one map-side-combinable shuffle), join df
-    back + per-doc sort (shuffle on doc id), prefix self-join (shuffle on
-    gram), then the verify joins. More stages than the baseline but the
-    candidate set is typically orders of magnitude smaller — the
-    difference between "finishes" and "does not" at 100 TB.
+    Topology: TWO gram-stream exchanges, not three. Document frequency
+    is a count window over ``partitionBy(gram)`` (one exchange — same
+    reducer-skew profile as the agg+join it replaces, since a mega-common
+    gram's rows co-locate either way), and the canonical position +
+    doc size come from ``row_number``/``count`` windows sharing ONE
+    ``partitionBy(doc)`` exchange (bounded by doc size, never skewed).
+    The join-df-back + groupBy-collect_list-sort-re-explode round trip
+    of the textbook MapReduce AllPairs layout is gone: the prefix filter
+    is a per-row predicate on the windowed position, and the verify-stage
+    gram arrays come straight from the in-row build. Then the prefix
+    self-join (shuffle on gram) and the verify joins as before. The
+    candidate set is typically orders of magnitude smaller than the
+    plain inverted-index join — the difference between "finishes" and
+    "does not" at 100 TB.
 
     ``max_bucket_df`` optionally caps prefix-bucket sizes like
     :func:`_banded_candidate_pairs` (recall tradeoff, default off): it
     only matters when the corpus holds huge groups of literal near-dups,
     whose pair OUTPUT is itself quadratic — run exact dedup first.
     """
+    from pyspark.sql import Window
+
     t = float(threshold)
     grams = fan_out(df).select(
         F.col(id_col).alias("_id"),
@@ -396,13 +407,20 @@ def ngram_jaccard_pairs_prefix(
         ).alias("_grams"),
     ).filter(F.size("_grams") > 0)
     exploded = grams.select("_id", F.explode("_grams").alias("_g"))
-    dfc = exploded.groupBy("_g").agg(F.count("*").alias("_df"))
-    ordered = (
-        exploded.join(dfc, "_g")
-        .groupBy("_id")
-        .agg(F.array_sort(F.collect_list(F.struct("_df", "_g"))).alias("_ord"))
+    by_doc = Window.partitionBy("_id")
+    annotated = exploded.withColumn(
+        "_df", F.count("*").over(Window.partitionBy("_g"))
+    ).select(
+        "_id",
+        "_g",
+        F.count("*").over(by_doc).alias("_sz"),
+        # 0-based canonical position: df ascending, hashed gram text as
+        # the tiebreak (grams are distinct within a doc — deterministic)
+        (F.row_number().over(by_doc.orderBy("_df", "_g")) - F.lit(1)).alias(
+            "_p"
+        ),
     )
-    sz = F.size("_ord")
+    sz = F.col("_sz")
     # prefix length |G| - ceil(t*|G|) + 1; the -1e-9 keeps an FP product
     # that lands epsilon above an exact integer from inflating the ceil
     # (which would shorten the prefix and silently drop pairs)
@@ -411,13 +429,7 @@ def ngram_jaccard_pairs_prefix(
         - F.ceil(F.lit(t) * sz.cast("double") - F.lit(1e-9)).cast("int")
         + F.lit(1)
     )
-    pre = ordered.select(
-        "_id",
-        sz.alias("_sz"),
-        F.posexplode(
-            F.slice(F.transform("_ord", lambda s: s["_g"]), F.lit(1), plen)
-        ).alias("_p", "_g"),
-    )
+    pre = annotated.filter(F.col("_p") < plen).select("_id", "_sz", "_p", "_g")
     if max_bucket_df is not None:
         ok = (
             pre.groupBy("_g")
