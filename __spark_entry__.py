@@ -3506,6 +3506,157 @@ def _q_dedup_semdedup(spark, sf_dir):
     return semdedup(e, kmeans_seeds(e, k=4), threshold=0.35).orderBy("vec_id")
 
 
+@_register(
+    "sketch_hll_distinct_users",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS hll_ok
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def _q_sketch_hll_distinct(spark, sf_dir):
+    """Mergeable HLL distinct-count rollup: per-day sketches built in ONE
+    map-side-combined shuffle, then UNIONED to the event_type grain from
+    the rollup alone — the re-aggregation COUNT(DISTINCT) cannot do.
+    The oracle carries the exact counts; ``hll_ok`` gates the sketch
+    path (estimate within 2% of exact — if the union or estimator
+    drifted, the value hash fails). Exact counts also flow through the
+    additive n_events column, checking the rollup's bookkeeping."""
+    from flow_indexer_spark.operators.sketches import (
+        rollup_estimates,
+        sketch_rollup,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    est = rollup_estimates(
+        sketch_rollup(ev, keys=("event_type",), value_col=None)
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    ok = (
+        F.abs(F.col("distinct_ids_est") - F.col("exact_users"))
+        <= F.col("exact_users") * F.lit(0.02)
+    )
+    return (
+        est.join(exact, "event_type")
+        .select("event_type", "n_events", "exact_users", ok.alias("hll_ok"))
+        .orderBy("event_type")
+    )
+
+
+@_register(
+    "sketch_theta_returning",
+    """
+    WITH d AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+                      user_id
+      FROM events
+    ),
+    bk AS (
+      SELECT bucket, lag(bucket) OVER (ORDER BY bucket) AS prev
+      FROM (SELECT DISTINCT bucket FROM d)
+    ),
+    cur_side AS (
+      SELECT bk.bucket,
+             CAST(SUM(CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_returning,
+             CAST(SUM(CASE WHEN p.user_id IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_new
+      FROM bk
+      JOIN d c ON c.bucket = bk.bucket
+      LEFT JOIN d p ON p.bucket = bk.prev AND p.user_id = c.user_id
+      WHERE bk.prev IS NOT NULL
+      GROUP BY bk.bucket
+    ),
+    prev_side AS (
+      SELECT bk.bucket,
+             CAST(SUM(CASE WHEN c.user_id IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_churned
+      FROM bk
+      JOIN d p ON p.bucket = bk.prev
+      LEFT JOIN d c ON c.bucket = bk.bucket AND c.user_id = p.user_id
+      WHERE bk.prev IS NOT NULL
+      GROUP BY bk.bucket
+    )
+    SELECT cur_side.bucket, n_returning, n_new, n_churned
+    FROM cur_side JOIN prev_side USING (bucket)
+    ORDER BY bucket
+    """,
+)
+def _q_sketch_theta_returning(spark, sf_dir):
+    """Theta-sketch distinct-set algebra: day-over-day returning / new /
+    churned user counts computed ENTIRELY from the stored per-day
+    sketches (intersection/difference estimates over a lag window on the
+    rollup) — no join back to raw events. Below the sketch's nominal
+    capacity (4096 entries) Theta stores raw hashes, so the estimates
+    are exact and hash-match the oracle's exact join-based answer —
+    pinning not just closeness but the set semantics of the operators."""
+    from flow_indexer_spark.operators.sketches import (
+        sketch_rollup,
+        theta_bucket_overlap,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    ov = theta_bucket_overlap(
+        sketch_rollup(ev, keys=(), value_col=None), keys=()
+    )
+    return ov.select(
+        "bucket",
+        F.round("returning_est").cast("bigint").alias("n_returning"),
+        F.round("new_est").cast("bigint").alias("n_new"),
+        F.round("churned_est").cast("bigint").alias("n_churned"),
+    ).orderBy("bucket")
+
+
+@_register(
+    "sketch_kll_value_ranks",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           TRUE AS p50_rank_ok, TRUE AS p90_rank_ok
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def _q_sketch_kll_ranks(spark, sf_dir):
+    """KLL quantile sketch rollup: per-day sketches of ``value`` merged
+    to the event_type grain, queried for p50/p90. The gate is KLL's own
+    contract — a RANK guarantee, not a value guarantee: the exact rank
+    of each returned quantile must sit within 4% of its target (default
+    k=200 gives ~1.65% rank error at 99% confidence; 4% is the guard
+    band). Rank verification joins the 5-row estimate table back to the
+    events by broadcast, so the check itself is one scan."""
+    from flow_indexer_spark.operators.sketches import (
+        rollup_estimates,
+        sketch_rollup,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    est = rollup_estimates(
+        sketch_rollup(ev, keys=("event_type",)), quantiles=(0.5, 0.9)
+    )
+    ranked = (
+        ev.join(F.broadcast(est), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.avg((F.col("value") <= F.col("value_p50")).cast("double")).alias(
+                "_r50"
+            ),
+            F.avg((F.col("value") <= F.col("value_p90")).cast("double")).alias(
+                "_r90"
+            ),
+        )
+    )
+    return ranked.select(
+        "event_type",
+        "n_events",
+        (F.abs(F.col("_r50") - 0.5) <= 0.04).alias("p50_rank_ok"),
+        (F.abs(F.col("_r90") - 0.9) <= 0.04).alias("p90_rank_ok"),
+    ).orderBy("event_type")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return dict(_QUERIES)

@@ -216,6 +216,9 @@ def _bench_queries(spark, sf_dir: str) -> dict:
         "ann_pq_adc_topk",
         "tokenize_bpe_merges",
         "tokenize_bpe_segment",
+        "sketch_hll_distinct_users",
+        "sketch_theta_returning",
+        "sketch_kll_value_ranks",
     ]
     qs = entry_mod.queries()
     out = {}

@@ -248,3 +248,27 @@ def test_bpe_segment_is_broadcast_rules_over_distinct_words(spark, docs):
     assert _count(out, "BroadcastNestedLoopJoin") == 1
     assert _count(out, "SortMergeJoin") == 0
     assert _count(out, "BatchEvalPython") == 0
+
+
+def test_sketch_rollup_is_one_exchange_objhash(spark):
+    """sketches.sketch_rollup: scan -> partial ObjectHashAggregate (map
+    tasks fold rows into local sketch states) -> ONE exchange of
+    fixed-size binaries -> final merge. No Python, no sort-merge join,
+    and shuffle volume independent of row count."""
+    from flow_indexer_spark.operators.sketches import (
+        rollup_estimates,
+        sketch_rollup,
+    )
+
+    ev = spark.range(1000).select(
+        (F.col("id") % 7).alias("user_id"),
+        F.lit("view").alias("event_type"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id")).alias("ts"),
+        F.col("id").cast("double").alias("value"),
+    )
+    r = sketch_rollup(ev)
+    assert _shuffles(r) == 1
+    assert _count(r, "ObjectHashAggregate") == 2  # partial + final
+    assert _count(r, "BatchEvalPython") == 0
+    # estimates run on the rollup only: exactly one more exchange
+    assert _shuffles(rollup_estimates(r)) == 2
