@@ -110,6 +110,52 @@ def rollup_estimates(
     return rollup.groupBy(*group_keys).agg(*aggs)
 
 
+def maintain_sketch_rollup(
+    spark,
+    delta: DataFrame,
+    rollup_path: str,
+    batch_id: str,
+    keys: Sequence[str] = ("event_type",),
+    ts_col: str = "ts",
+    granularity: str = "day",
+    id_col: str = "user_id",
+    value_col: str | None = "value",
+    lg_k: int = 12,
+) -> None:
+    """Fold a DELTA of events into a stored sketch rollup with O(delta)
+    work — the non-additive-stats twin of telemetry.maintain_rollup,
+    with the identical batch-keyed chunk idempotence: each batch writes
+    ONLY its own per-bucket sketch rows under ``batch=<id>`` via dynamic
+    partition overwrite, so a replay (crash mid-write, lost checkpoint,
+    double submit) replaces its own partition and never touches another
+    batch's chunks. Because HLL/Theta union and KLL merge are
+    associative and chunk-insensitive, the read-time fold
+    (:func:`rollup_estimates`) gives the same answers as a one-shot
+    build over all rows — stored history is never read or rewritten.
+    Late data lands as an extra chunk for its old bucket; no special
+    path."""
+    if not batch_id:
+        raise ValueError("batch_id must be a stable non-empty identifier")
+    chunk = sketch_rollup(
+        delta, keys, ts_col, granularity, id_col, value_col, lg_k
+    ).withColumn("batch", F.lit(batch_id))
+    (
+        chunk.coalesce(1)  # chunk is bucket-cardinality-sized
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch")
+        .parquet(rollup_path)
+    )
+
+
+def read_sketch_rollup(spark, rollup_path: str) -> DataFrame:
+    """The maintained chunked rollup, ready for
+    :func:`rollup_estimates` / :func:`compact_sketch_rollup` (both fold
+    chunk rows via the union/merge aggregates, so callers never see the
+    chunking)."""
+    return spark.read.parquet(rollup_path).drop("batch")
+
+
 def theta_bucket_overlap(
     rollup: DataFrame, keys: Sequence[str] = ()
 ) -> DataFrame:

@@ -59,3 +59,55 @@ def stream_rollup(
     else:
         q = writer.trigger(processingTime=processing_time).start()
     return q
+
+
+def stream_sketch_rollup(
+    spark,
+    source_path: str,
+    rollup_path: str,
+    checkpoint_path: str,
+    schema,
+    keys=("event_type",),
+    ts_col: str = "ts",
+    granularity: str = "day",
+    id_col: str = "user_id",
+    value_col: str | None = "value",
+    processing_time: str | None = None,
+):
+    """Exactly-once CONTINUOUS sketch aggregate: the same
+    checkpoint-replays-batch_id x idempotent-chunk-commit composition as
+    :func:`stream_rollup`, maintaining distinct-count / set-algebra /
+    quantile sketches instead of additive counts — the streaming answer
+    to "distinct users per day, live" that an exact streaming
+    COUNT(DISTINCT) would need unbounded state for. Zero state store:
+    each micro-batch folds to bucket-cardinality sketch rows and lands
+    as its own batch-keyed chunk (operators/sketches.py
+    maintain_sketch_rollup); union-at-read makes chunking invisible."""
+    from flow_indexer_spark.operators.sketches import maintain_sketch_rollup
+
+    stream = spark.readStream.schema(schema).parquet(source_path)
+
+    def _fold(batch_df, batch_id: int) -> None:
+        maintain_sketch_rollup(
+            spark,
+            batch_df,
+            rollup_path,
+            f"stream-{batch_id}",
+            keys=keys,
+            ts_col=ts_col,
+            granularity=granularity,
+            id_col=id_col,
+            value_col=value_col,
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+    )
+    if processing_time is None:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+    else:
+        q = writer.trigger(processingTime=processing_time).start()
+    return q
