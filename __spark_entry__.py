@@ -3657,6 +3657,94 @@ def _q_sketch_kll_ranks(spark, sf_dir):
     ).orderBy("event_type")
 
 
+@_register(
+    "media_real_decode",
+    """
+    WITH m AS (SELECT CAST(range AS INTEGER) AS i FROM range(48)),
+    a AS (
+      SELECT i, printf('m%05d', i) AS media_id,
+             4000 + (i % 4) * 2000 AS n
+      FROM m WHERE i % 2 = 0
+    ),
+    im AS (
+      SELECT i, printf('m%05d', i) AS media_id,
+             16 + (i % 5) * 8 AS w, 12 + (i % 3) * 8 AS h,
+             (7 * i) % 256 AS r
+      FROM m WHERE i % 2 = 1
+    )
+    SELECT media_id, 'audio' AS kind,
+           CAST(44 + 2 * n AS BIGINT) AS n_bytes,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(n // 8 AS BIGINT) AS duration_ms,
+           CAST(NULL AS INTEGER) AS width, CAST(NULL AS INTEGER) AS height,
+           CAST(NULL AS DOUBLE) AS mean_r, CAST(NULL AS DOUBLE) AS mean_g,
+           CAST(NULL AS DOUBLE) AS mean_b,
+           TRUE AS rms_ok, TRUE AS peak_ok, TRUE AS freq_ok, TRUE AS zcr_ok
+    FROM a
+    UNION ALL
+    SELECT media_id, 'image' AS kind,
+           CAST(5 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
+                + 4 + 3 * w * h AS BIGINT) AS n_bytes,
+           CAST(NULL AS INTEGER), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(w AS INTEGER), CAST(h AS INTEGER),
+           CAST(r AS DOUBLE), (w - 1) / 2.0, (h - 1) / 2.0,
+           NULL, NULL, NULL, NULL
+    FROM im
+    ORDER BY media_id
+    """,
+)
+def _q_media_real_decode(spark, sf_dir):
+    """REAL media decode, end to end: byte-real WAV tones and PPM images
+    synthesized on executors, parsed back by the genuine RIFF/PPM codecs
+    (operators/codecs.py) inside the same Arrow-batched mapInPandas
+    topology as the plumbing stage. The oracle re-derives every header
+    field (byte size, sample counts, dimensions) and the closed-form
+    pixel means from id arithmetic alone — exact equality proves the
+    writer and parser agree on the byte layout — while the signal
+    measurements (RMS, peak, dominant FFT bin, zero crossings) are gated
+    against whole-cycle sine theory. Compressed codecs remain the
+    documented NotImplementedError seam."""
+    from flow_indexer_spark.operators.codecs import (
+        AUDIO_AMP,
+        AUDIO_SR,
+        decode_real_media,
+        make_real_media,
+    )
+
+    d = decode_real_media(make_real_media(spark, 48))
+    i = F.substring("media_id", 2, 5).cast("int")
+    freq = (F.lit(200) * (F.lit(1) + i % 8)).cast("double")
+    is_audio = F.col("kind") == "audio"
+    rms_theory = F.lit(AUDIO_AMP) / F.sqrt(F.lit(2.0))
+    return d.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "sample_rate",
+        "n_samples",
+        "duration_ms",
+        "width",
+        "height",
+        "mean_r",
+        "mean_g",
+        "mean_b",
+        F.when(is_audio, F.abs(F.col("rms") - rms_theory) < 0.005).alias(
+            "rms_ok"
+        ),
+        F.when(
+            is_audio, F.abs(F.col("peak") - F.lit(AUDIO_AMP)) < 0.005
+        ).alias("peak_ok"),
+        F.when(is_audio, F.abs(F.col("dom_freq_hz") - freq) < 0.5).alias(
+            "freq_ok"
+        ),
+        F.when(
+            is_audio,
+            F.abs(F.col("zcr") - F.lit(2.0) * freq / AUDIO_SR) < 0.01,
+        ).alias("zcr_ok"),
+    ).orderBy("media_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return dict(_QUERIES)

@@ -219,6 +219,7 @@ def _bench_queries(spark, sf_dir: str) -> dict:
         "sketch_hll_distinct_users",
         "sketch_theta_returning",
         "sketch_kll_value_ranks",
+        "media_real_decode",
     ]
     qs = entry_mod.queries()
     out = {}

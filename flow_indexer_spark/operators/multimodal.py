@@ -67,12 +67,16 @@ FEATURE_SCHEMA = StructType(
 
 
 def real_decoder(payload: bytes, kind: str) -> dict:
-    """STUB — the genuine codec path. Needs PIL / ffmpeg / librosa, which
-    are not installed in this container. The signature and the schema it
-    must fill are fixed by FEATURE_SCHEMA."""
+    """STUB — the genuine COMPRESSED codec path. Needs PIL / ffmpeg /
+    librosa, which are not installed in this container. The signature and
+    the schema it must fill are fixed by FEATURE_SCHEMA. For the
+    uncompressed formats this environment CAN decode (RIFF/WAV PCM,
+    binary PPM), the real path exists: operators/codecs.py
+    ``uncompressed_decoder`` + ``decode_real_media``."""
     raise NotImplementedError(
-        "media codecs (PIL/ffmpeg/librosa) unavailable in this environment; "
-        "use deterministic_fake_decoder for plumbing tests"
+        "compressed media codecs (PIL/ffmpeg/librosa) unavailable in this "
+        "environment; operators/codecs.py decodes WAV/PPM for real, and "
+        "deterministic_fake_decoder covers plumbing tests"
     )
 
 

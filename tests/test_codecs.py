@@ -1,0 +1,101 @@
+"""Real codec path: byte-exact WAV/PPM write-parse round trips, header
+robustness (extra RIFF chunks, PPM comments), signal physics, and the
+distributed decode stage."""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from flow_indexer_spark.operators.codecs import (
+    AUDIO_SR,
+    audio_params,
+    decode_ppm,
+    decode_real_media,
+    decode_wav,
+    image_params,
+    make_ppm_bytes,
+    make_real_media,
+    make_wav_bytes,
+    uncompressed_decoder,
+)
+
+
+def test_wav_roundtrip_physics():
+    for i in (0, 2, 4, 6, 14):
+        n, f = audio_params(i)
+        d = decode_wav(make_wav_bytes(i))
+        assert d["sample_rate"] == AUDIO_SR
+        assert d["n_samples"] == n
+        assert d["duration_ms"] == n * 1000 // AUDIO_SR
+        assert abs(d["rms"] - 0.5 / math.sqrt(2)) < 0.005
+        assert abs(d["peak"] - 0.5) < 0.005
+        assert d["dom_freq_hz"] == pytest.approx(f, abs=0.5)
+        assert abs(d["zcr"] - 2 * f / AUDIO_SR) < 0.01
+
+
+def test_wav_parser_walks_chunks_not_offsets():
+    """A LIST chunk between fmt and data (common in real encoders) must
+    not break the parse — the walker reads the chunk list, and odd-sized
+    chunks are padded per RIFF."""
+    raw = make_wav_bytes(0)
+    fmt_chunk = raw[12:36]
+    data_chunk = raw[36:]
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # odd+pad
+    body = fmt_chunk + extra + data_chunk
+    doctored = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    assert decode_wav(doctored) == decode_wav(raw)
+
+
+def test_wav_rejects_unsupported_encodings():
+    raw = bytearray(make_wav_bytes(0))
+    raw[22] = 2  # channels = 2
+    with pytest.raises(NotImplementedError):
+        decode_wav(bytes(raw))
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxJUNK" + b"\x00" * 40)
+
+
+def test_ppm_roundtrip_and_comment_header():
+    for i in (1, 3, 5, 7):
+        w, h, r = image_params(i)
+        d = decode_ppm(make_ppm_bytes(i))
+        assert (d["width"], d["height"]) == (w, h)
+        assert d["mean_r"] == float(r)
+        assert d["mean_g"] == (w - 1) / 2
+        assert d["mean_b"] == (h - 1) / 2
+        assert d["edge_energy"] > 0  # gradients are real
+    raw = make_ppm_bytes(1)
+    w, h, _ = image_params(1)
+    commented = f"P6\n# synthetic\n{w} {h}\n# maxval next\n255\n".encode() + raw[
+        len(f"P6\n{w} {h}\n255\n") :
+    ]
+    assert decode_ppm(commented) == decode_ppm(raw)
+
+
+def test_compressed_formats_stay_blocked():
+    with pytest.raises(NotImplementedError):
+        uncompressed_decoder(b"\x89PNG\r\n\x1a\n....", "image")
+    with pytest.raises(NotImplementedError):
+        uncompressed_decoder(b"\xff\xd8\xff\xe0jpeg", "image")
+
+
+def test_decode_real_media_distributed(spark):
+    out = decode_real_media(make_real_media(spark, 12)).collect()
+    assert len(out) == 12
+    by_id = {r.media_id: r for r in out}
+    for i in range(12):
+        r = by_id[f"m{i:05d}"]
+        if i % 2 == 0:
+            n, f = audio_params(i)
+            assert (r.kind, r.sample_rate, r.n_samples) == ("audio", AUDIO_SR, n)
+            assert r.width is None
+            assert r.dom_freq_hz == pytest.approx(f, abs=0.5)
+        else:
+            w, h, red = image_params(i)
+            assert (r.kind, r.width, r.height) == ("image", w, h)
+            assert r.sample_rate is None
+            assert r.mean_r == float(red)
