@@ -251,16 +251,16 @@ def boilerplate_fraction(
     (df > min_df) — a set at most total_grams/min_df big, so it is
     broadcast. The full gram table is never joined against itself.
     """
-    from flow_indexer_spark.operators.dedup import fan_out, token_ngrams
+    from flow_indexer_spark.operators.dedup import fan_out, token_ngram_hashes
 
-    # grams are 64-bit-hashed in the same in-row projection: the df-count
-    # shuffle and the broadcast build move longs, not n-token strings
-    # (distinctness is preserved — in-doc 64-bit collisions are ~|G|^2/2^64)
+    # grams are 64-bit-hashed in the same in-row projection — string-free
+    # (dedup.token_ngram_hashes: per-token hash + rotate-xor fold, no
+    # per-gram string allocation): the df-count shuffle and the broadcast
+    # build move longs, not n-token strings (distinctness is preserved —
+    # in-doc 64-bit collisions are ~|G|^2/2^64)
     g = fan_out(df).select(
         F.col(id_col),
-        F.transform(
-            token_ngrams(text_col, n), lambda x: F.xxhash64(x)
-        ).alias("_grams"),
+        token_ngram_hashes(text_col, n).alias("_grams"),
     ).filter(F.size("_grams") > 0)
     e = g.select(id_col, F.explode("_grams").alias("_g"))
     common = (
