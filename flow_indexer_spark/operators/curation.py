@@ -642,25 +642,32 @@ def _gram_buckets(text_col: str, max_n: int, buckets: int) -> "F.Column":
     combined (the DSIR feature space): every token n-gram — NOT distinct,
     counts matter — hashed to ``buckets`` ids with the portable md5 hash.
     Pure in-row transform; short docs contribute only the sizes they fit."""
+    from flow_indexer_spark.functions.inrow import bind
     from flow_indexer_spark.operators.dedup import tokens
-
-    tok = tokens(text_col)
 
     # NB: a two-arg lambda in F.transform is called as (element, INDEX) —
     # a `lambda i, g=g:` default binding would silently receive the array
     # index as g. Bind the gram size via a factory closure instead.
-    def grams_of(g: int) -> "F.Column":
-        idx = F.sequence(F.lit(1), F.size(tok) - (g - 1))
-        return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tok, i, g)))
-
-    parts = []
-    for g in range(1, max_n + 1):
-        parts.append(
-            F.when(F.size(tok) >= g, grams_of(g)).otherwise(
-                F.array().cast("array<string>")
+    # The token array itself is bound once (functions/inrow.py): slicing
+    # tokens(text) inside the lambda bodies would re-split the text per
+    # gram index and size, O(max_n * len^2).
+    def _all_grams(tok: "F.Column") -> "F.Column":
+        def grams_of(g: int) -> "F.Column":
+            idx = F.sequence(F.lit(1), F.size(tok) - (g - 1))
+            return F.transform(
+                idx, lambda i: F.concat_ws(" ", F.slice(tok, i, g))
             )
-        )
-    allg = F.concat(*parts) if len(parts) > 1 else parts[0]
+
+        parts = []
+        for g in range(1, max_n + 1):
+            parts.append(
+                F.when(F.size(tok) >= g, grams_of(g)).otherwise(
+                    F.array().cast("array<string>")
+                )
+            )
+        return F.concat(*parts) if len(parts) > 1 else parts[0]
+
+    allg = bind(tokens(text_col), _all_grams)
     return F.transform(allg, lambda s: md5_int32(s) % buckets)
 
 

@@ -271,15 +271,21 @@ def simhash_near_pairs(
 def token_ngrams(text_col: str | Column = "text", n: int = 3) -> Column:
     """Distinct token n-grams as joined strings (in-row). Guarded for short
     docs: Spark's sequence(1, 0) counts DOWN ([1,0]), so the gram transform
-    only applies when the doc has >= n tokens."""
-    tok = tokens(text_col)
-    idx = F.sequence(F.lit(1), F.size(tok) - (n - 1))
-    grams = F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tok, i, n)))
-    )
-    return F.when(F.size(tok) >= n, grams).otherwise(
-        F.array().cast("array<string>")
-    )
+    only applies when the doc has >= n tokens. The token array is bound
+    once (functions/inrow.py) — referencing ``tokens(text)`` directly in
+    the lambda body would re-split the text per gram index, O(len^2)."""
+    from flow_indexer_spark.functions.inrow import bind
+
+    def _grams(tok: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.size(tok) - (n - 1))
+        grams = F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tok, i, n)))
+        )
+        return F.when(F.size(tok) >= n, grams).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return bind(tokens(text_col), _grams)
 
 
 def token_ngram_hashes(text_col: str | Column = "text", n: int = 3) -> Column:
@@ -291,22 +297,32 @@ def token_ngram_hashes(text_col: str | Column = "text", n: int = 3) -> Column:
     up to 64-bit collisions (~|G|^2/2^64, same bound already accepted for
     the string-hash path); values differ, so use only where downstream
     math depends on gram IDENTITY, not on a specific hash function (all
-    current callers — Jaccard over hash sets, df counts — qualify)."""
-    tok = tokens(text_col)
-    th = F.transform(tok, lambda x: F.xxhash64(x))
-    idx = F.sequence(F.lit(1), F.size(tok) - (n - 1))
+    current callers — Jaccard over hash sets, df counts — qualify).
+    Token and token-hash arrays are bound once (functions/inrow.py) —
+    the sliding-window slice would otherwise re-tokenize+re-hash per
+    gram index, O(len^2)."""
+    from flow_indexer_spark.functions.inrow import bind
+
     mix = lambda acc, h: (
         F.shiftleft(acc, 7).bitwiseOR(F.shiftrightunsigned(acc, 57))
     ).bitwiseXOR(h)
-    gh = F.transform(
-        idx,
-        lambda i: F.aggregate(
-            F.slice(th, i, n), F.lit(0).cast("long"), mix
-        ),
-    )
-    return F.when(F.size(tok) >= n, F.array_distinct(gh)).otherwise(
-        F.array().cast("array<long>")
-    )
+
+    def _over_hashes(tok: Column) -> Column:
+        def _grams(th: Column) -> Column:
+            idx = F.sequence(F.lit(1), F.size(tok) - (n - 1))
+            gh = F.transform(
+                idx,
+                lambda i: F.aggregate(
+                    F.slice(th, i, n), F.lit(0).cast("long"), mix
+                ),
+            )
+            return F.when(F.size(tok) >= n, F.array_distinct(gh)).otherwise(
+                F.array().cast("array<long>")
+            )
+
+        return bind(F.transform(tok, lambda x: F.xxhash64(x)), _grams)
+
+    return bind(tokens(text_col), _over_hashes)
 
 
 def ngram_jaccard_pairs(

