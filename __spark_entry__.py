@@ -3745,6 +3745,60 @@ def _q_media_real_decode(spark, sf_dir):
     ).orderBy("media_id")
 
 
+@_register(
+    "media_png_decode",
+    """
+    WITH m AS (SELECT CAST(range AS INTEGER) AS i FROM range(48)),
+    im AS (
+      SELECT i, printf('m%05d', i) AS media_id,
+             16 + (i % 5) * 8 AS w, 12 + (i % 3) * 8 AS h,
+             (7 * i) % 256 AS r
+      FROM m
+    )
+    SELECT media_id, 'image' AS kind,
+           CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           CAST(r AS DOUBLE) AS mean_r,
+           (w - 1) / 2.0 AS mean_g, (h - 1) / 2.0 AS mean_b,
+           TRUE AS compressed_ok, TRUE AS edge_ok
+    FROM im
+    ORDER BY media_id
+    """,
+)
+def _q_media_png_decode(spark, sf_dir):
+    """Genuinely COMPRESSED media decode: real PNG files (zlib DEFLATE
+    IDAT, CRC-verified chunks, scanline filters 0-4 cycling by row) are
+    synthesized on executors and parsed back by the pure-stdlib PNG
+    codec (operators/codecs.py) in the same Arrow-batched mapInPandas
+    stage as the WAV/PPM path. The oracle re-derives dimensions and the
+    closed-form gradient-plane means from id arithmetic — exact equality
+    proves filter/unfilter and inflate round the bytes perfectly — while
+    compressed_ok gates that the file is genuinely smaller than raw
+    pixels and edge_ok gates the luma-gradient theory value
+    (0.587 + 0.114). Reference analogue: the pcap backend's binary
+    payload decode (/root/reference/backend/pcap.go:17-54), here for a
+    deflate-compressed container."""
+    from flow_indexer_spark.operators.codecs import (
+        decode_real_media,
+        make_png_media,
+    )
+
+    d = decode_real_media(make_png_media(spark, 48))
+    raw_bytes = F.col("width").cast("long") * F.col("height") * 3
+    return d.select(
+        "media_id",
+        "kind",
+        "width",
+        "height",
+        "mean_r",
+        "mean_g",
+        "mean_b",
+        (F.col("n_bytes") < raw_bytes).alias("compressed_ok"),
+        (F.abs(F.col("edge_energy") - F.lit(0.587 + 0.114)) < 1e-9).alias(
+            "edge_ok"
+        ),
+    ).orderBy("media_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return dict(_QUERIES)

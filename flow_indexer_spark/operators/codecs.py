@@ -24,6 +24,7 @@ DuckDB oracle twin re-deriving both from id arithmetic alone.
 from __future__ import annotations
 
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -159,6 +160,13 @@ def decode_ppm(payload: bytes) -> dict:
         .reshape(h, w, 3)
         .astype(np.float64)
     )
+    return _image_features(px)
+
+
+def _image_features(px: np.ndarray) -> dict:
+    """Pixel-plane measurements shared by every image codec (PPM, PNG):
+    per-plane means, luma deviation, gradient edge energy."""
+    h, w = px.shape[:2]
     luma = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
     gx = np.abs(np.diff(luma, axis=1)).mean() if w > 1 else 0.0
     gy = np.abs(np.diff(luma, axis=0)).mean() if h > 1 else 0.0
@@ -173,16 +181,181 @@ def decode_ppm(payload: bytes) -> dict:
     }
 
 
+# --- PNG: a genuinely COMPRESSED codec on stdlib zlib ----------------------
+#
+# DEFLATE (the only compression PNG uses) ships in the standard library,
+# so unlike JPEG/MP4 this "compressed format" is fully decodable here:
+# CRC-verified chunk walk -> zlib inflate -> scanline unfiltering (all
+# five filter types, including the sequential Paeth predictor). The
+# encoder cycles through every filter type so the decoder's unfilter
+# paths are all exercised by the round trip.
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_BPP = 3  # 8-bit RGB
+
+
+def _png_chunk(typ: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + typ
+        + body
+        + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+    )
+
+
+def _filter_row(ft: int, row: np.ndarray, prev: np.ndarray) -> np.ndarray:
+    """Apply PNG filter `ft` to one scanline (encode direction). All five
+    filters vectorize on encode because predictors read ORIGINAL bytes."""
+    r = row.astype(np.int32)
+    p = prev.astype(np.int32)
+    zero = np.zeros(_BPP, np.int32)
+    left = np.concatenate([zero, r[:-_BPP]])
+    ul = np.concatenate([zero, p[:-_BPP]])
+    if ft == 0:
+        out = r
+    elif ft == 1:  # Sub
+        out = r - left
+    elif ft == 2:  # Up
+        out = r - p
+    elif ft == 3:  # Average
+        out = r - ((left + p) >> 1)
+    elif ft == 4:  # Paeth
+        pa = np.abs(p - ul)
+        pb = np.abs(left - ul)
+        pc = np.abs(left + p - 2 * ul)
+        pred = np.where(
+            (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, p, ul)
+        )
+        out = r - pred
+    else:
+        raise ValueError(f"bad PNG filter type {ft}")
+    return (out & 255).astype(np.uint8)
+
+
+def _unfilter_row(ft: int, line: np.ndarray, prev: np.ndarray) -> np.ndarray:
+    """Reverse one scanline filter (decode direction). Sub reduces to a
+    per-channel cumulative sum (mod distributes over addition); Up is a
+    plain vector add; Average/Paeth are inherently sequential in x
+    because the predictor reads RECONSTRUCTED left neighbors."""
+    if ft == 0:
+        return line.copy()
+    if ft == 2:  # Up — uint8 wraparound is the mod-256 we want
+        return line + prev
+    if ft == 1:  # Sub — cumsum per channel, mod at the end
+        ch = line.reshape(-1, _BPP).astype(np.uint32)
+        return (np.cumsum(ch, axis=0) % 256).astype(np.uint8).reshape(-1)
+    l32 = line.reshape(-1, _BPP).astype(np.int32)
+    p32 = prev.reshape(-1, _BPP).astype(np.int32)
+    out = np.empty_like(l32)
+    left = np.zeros(_BPP, np.int32)
+    ul = np.zeros(_BPP, np.int32)
+    if ft == 3:  # Average
+        for x in range(l32.shape[0]):
+            out[x] = (l32[x] + ((left + p32[x]) >> 1)) & 255
+            left = out[x]
+    elif ft == 4:  # Paeth
+        for x in range(l32.shape[0]):
+            pa = np.abs(p32[x] - ul)
+            pb = np.abs(left - ul)
+            pc = np.abs(left + p32[x] - 2 * ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, p32[x], ul)
+            )
+            out[x] = (l32[x] + pred) & 255
+            left = out[x]
+            ul = p32[x]
+    else:
+        raise ValueError(f"bad PNG filter type {ft}")
+    return out.astype(np.uint8).reshape(-1)
+
+
+def make_png_bytes(i: int) -> bytes:
+    """A real PNG file for media index i: signature, IHDR (8-bit RGB,
+    non-interlaced), one zlib-DEFLATE IDAT, IEND — same gradient pixel
+    planes as :func:`make_ppm_bytes`, so PNG-vs-PPM decode is an exact
+    differential test. Scanline filters cycle 0..4 by row to exercise
+    every unfilter path."""
+    w, h, red = image_params(i)
+    px = np.empty((h, w, 3), dtype=np.uint8)
+    px[:, :, 0] = red
+    px[:, :, 1] = np.arange(w, dtype=np.uint8)[None, :]
+    px[:, :, 2] = np.arange(h, dtype=np.uint8)[:, None]
+    rows = px.reshape(h, w * _BPP)
+    raw = bytearray()
+    prev = np.zeros(w * _BPP, np.uint8)
+    for y in range(h):
+        ft = y % 5
+        raw.append(ft)
+        raw += _filter_row(ft, rows[y], prev).tobytes()
+        prev = rows[y]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> dict:
+    """Parse a PNG payload: CRC-verified chunk walk, IDAT inflate,
+    scanline unfilter, then the shared pixel-feature kernel. Only the
+    8-bit RGB non-interlaced profile is supported (palette/alpha/Adam7
+    raise NotImplementedError, like the WAV codec's PCM-only stance)."""
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 12 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        typ = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(typ + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in PNG chunk {typ!r}")
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif typ == b"IDAT":
+            idat += body
+        elif typ == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if (depth, ctype, comp, filt, interlace) != (8, 2, 0, 0, 0):
+        raise NotImplementedError("only 8-bit RGB non-interlaced PNG")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * _BPP
+    if len(raw) != h * (stride + 1):
+        raise ValueError("IDAT scanline length mismatch")
+    px = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    for y in range(h):
+        off = y * (stride + 1)
+        line = np.frombuffer(raw, np.uint8, stride, off + 1)
+        prev = _unfilter_row(raw[off], line, prev)
+        px[y] = prev
+    return _image_features(px.reshape(h, w, 3).astype(np.float64))
+
+
 def uncompressed_decoder(payload: bytes, kind: str) -> dict:
-    """The real_decoder seam, filled for the formats this environment can
-    genuinely decode: sniffs the container magic and dispatches. Anything
-    compressed stays the clearly-marked blocked path."""
+    """The real_decoder seam: sniffs the container magic and dispatches
+    to a genuine parser — RIFF/WAV, PPM, and (DEFLATE-compressed) PNG.
+    Formats whose codecs genuinely aren't in this environment (JPEG's
+    DCT entropy coding, MP4/H.264) stay the clearly-marked blocked
+    path."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload)
     if payload[:2] == b"P6":
         return decode_ppm(payload)
+    if payload[:8] == PNG_SIG:
+        return decode_png(payload)
     raise NotImplementedError(
-        "compressed codecs (JPEG/PNG/MP4) unavailable in this environment"
+        "codecs for JPEG/MP4 unavailable in this environment"
     )
 
 
@@ -237,6 +410,36 @@ def make_real_media(spark, n: int = 48) -> DataFrame:
                         make_wav_bytes(i) if i % 2 == 0 else make_ppm_bytes(i)
                         for i in ids
                     ],
+                }
+            )
+
+    return spark.range(n).repartition(
+        max(2, spark.sparkContext.defaultParallelism // 4)
+    ).mapInPandas(_gen, schema)
+
+
+def make_png_media(spark, n: int = 48) -> DataFrame:
+    """Distributed synthesis of real DEFLATE-compressed PNG payloads —
+    one per id, same executor-side mapInPandas topology as
+    :func:`make_real_media`. Pixel content matches make_ppm_bytes(i)
+    exactly, so PNG decode is differential-checkable against the
+    uncompressed PPM path."""
+    schema = StructType(
+        [
+            StructField("media_id", StringType(), False),
+            StructField("kind", StringType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].tolist()
+            yield pd.DataFrame(
+                {
+                    "media_id": [f"m{i:05d}" for i in ids],
+                    "kind": ["image"] * len(ids),
+                    "payload": [make_png_bytes(i) for i in ids],
                 }
             )
 

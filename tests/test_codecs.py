@@ -6,17 +6,24 @@ from __future__ import annotations
 
 import math
 import struct
+import zlib
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
 from flow_indexer_spark.operators.codecs import (
     AUDIO_SR,
+    _filter_row,
+    _unfilter_row,
     audio_params,
+    decode_png,
     decode_ppm,
     decode_real_media,
     decode_wav,
     image_params,
+    make_png_bytes,
+    make_png_media,
     make_ppm_bytes,
     make_real_media,
     make_wav_bytes,
@@ -78,9 +85,69 @@ def test_ppm_roundtrip_and_comment_header():
 
 def test_compressed_formats_stay_blocked():
     with pytest.raises(NotImplementedError):
-        uncompressed_decoder(b"\x89PNG\r\n\x1a\n....", "image")
-    with pytest.raises(NotImplementedError):
         uncompressed_decoder(b"\xff\xd8\xff\xe0jpeg", "image")
+    with pytest.raises(NotImplementedError):
+        uncompressed_decoder(b"\x00\x00\x00\x18ftypmp42", "video")
+
+
+def test_png_roundtrip_matches_ppm_exactly():
+    """The PNG path is a REAL compressed codec: encode (filters 0-4
+    cycling by row, zlib DEFLATE) then decode must reproduce the exact
+    features of the uncompressed PPM twin, and the file must actually
+    be smaller than the raw pixels."""
+    for i in range(10):
+        png = make_png_bytes(i)
+        assert decode_png(png) == decode_ppm(make_ppm_bytes(i))
+        w, h, _ = image_params(i)
+        assert len(png) < 3 * w * h
+    assert uncompressed_decoder(make_png_bytes(3), "image") == decode_png(
+        make_png_bytes(3)
+    )
+
+
+def test_png_unfilter_inverts_every_filter_type():
+    """Filter/unfilter are exact inverses per type, including the
+    sequential Average and Paeth predictors, on adversarial byte rows
+    (wraparound values, non-gradient noise)."""
+    rng = np.random.default_rng(7)
+    prev = rng.integers(0, 256, 30, dtype=np.uint8)
+    row = rng.integers(0, 256, 30, dtype=np.uint8)
+    for ft in range(5):
+        enc = _filter_row(ft, row, prev)
+        assert np.array_equal(_unfilter_row(ft, enc, prev), row), ft
+
+
+def test_png_rejects_corruption_and_unsupported():
+    raw = bytearray(make_png_bytes(1))
+    raw[40] ^= 0xFF  # flip a byte inside a chunk -> CRC must catch it
+    with pytest.raises(ValueError):
+        decode_png(bytes(raw))
+    with pytest.raises(ValueError):
+        decode_png(b"\x89PNG\r\n\x1a\n" + b"\x00" * 8)
+    with pytest.raises(ValueError):
+        decode_png(b"not a png")
+    # 16-bit depth is out of profile -> NotImplementedError, like WAV
+    deep = bytearray(make_png_bytes(1))
+    ihdr_off = 8 + 8  # sig + len/type of IHDR
+    body = bytearray(deep[ihdr_off : ihdr_off + 13])
+    body[8] = 16
+    deep[ihdr_off : ihdr_off + 13] = body
+    deep[ihdr_off + 13 : ihdr_off + 17] = struct.pack(
+        ">I", zlib.crc32(b"IHDR" + bytes(body)) & 0xFFFFFFFF
+    )
+    with pytest.raises(NotImplementedError):
+        decode_png(bytes(deep))
+
+
+def test_png_media_distributed(spark):
+    out = decode_real_media(make_png_media(spark, 10)).collect()
+    assert len(out) == 10
+    for r in out:
+        i = int(r.media_id[1:])
+        w, h, red = image_params(i)
+        assert (r.kind, r.width, r.height) == ("image", w, h)
+        assert r.mean_r == float(red)
+        assert r.n_bytes < 3 * w * h
 
 
 def test_decode_real_media_distributed(spark):
