@@ -3799,6 +3799,124 @@ def _q_media_png_decode(spark, sf_dir):
     ).orderBy("media_id")
 
 
+@_register(
+    "skew_salted_join",
+    """
+    WITH prof AS (
+      SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value
+      FROM events GROUP BY user_id
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN e.value = p.max_value THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_at_max,
+           CAST(SUM(p.n_events) AS BIGINT) AS total_user_events
+    FROM events e JOIN prof p USING (user_id)
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+)
+def _q_skew_salted_join(spark, sf_dir):
+    """Skew-safe salted equi-join (operators/joins.py salted_join): the
+    events fact joins a per-user profile on user_id with every key's
+    rows spread across 8 deterministic salt partitions — row-identical
+    to the plain join (which is exactly what the oracle runs), so the
+    value-hash proves the salting topology changes the shuffle layout
+    and nothing else. The per-type rollup keeps the output stable:
+    counts, exact double-equality hits against the per-user max, and
+    summed profile fan-in. Reference analogue: the hot-IP posting key
+    that serializes the reference's per-key store writes
+    (/root/reference/store/leveldb.go:261-278), join-shaped."""
+    from flow_indexer_spark.operators.joins import salted_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    prof = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"), F.max("value").alias("max_value")
+    )
+    j = salted_join(
+        ev, prof, "user_id", n_salt=8, salt_from=["event_id"], how="inner"
+    )
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum((F.col("value") == F.col("max_value")).cast("long")).alias(
+                "n_at_max"
+            ),
+            F.sum("n_events").alias("total_user_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_register(
+    "preference_pairs_docs",
+    """
+    WITH ranked AS (
+      SELECT lang, source, doc_id, CAST(n_chars AS DOUBLE) AS score,
+             ROW_NUMBER() OVER (PARTITION BY lang, source
+                                ORDER BY CAST(n_chars AS DOUBLE) DESC, doc_id ASC) AS rt,
+             ROW_NUMBER() OVER (PARTITION BY lang, source
+                                ORDER BY CAST(n_chars AS DOUBLE) ASC, doc_id DESC) AS rb,
+             COUNT(*) OVER (PARTITION BY lang, source) AS n
+      FROM documents
+    ),
+    c AS (
+      SELECT lang, source, rt AS pair_rank, doc_id AS chosen_id,
+             score AS chosen_score
+      FROM ranked WHERE rt <= 2 AND 2 * rt <= n
+    ),
+    r AS (
+      SELECT lang, source, rb AS pair_rank, doc_id AS rejected_id,
+             score AS rejected_score
+      FROM ranked WHERE rb <= 2 AND 2 * rb <= n
+    )
+    SELECT c.lang, c.source, c.pair_rank, c.chosen_id, r.rejected_id,
+           c.chosen_score, r.rejected_score,
+           c.chosen_score - r.rejected_score AS margin
+    FROM c JOIN r ON c.lang = r.lang AND c.source = r.source
+                 AND c.pair_rank = r.pair_rank
+    WHERE c.chosen_score - r.rejected_score > 0
+      AND c.chosen_score - r.rejected_score >= 1.0
+    ORDER BY c.lang, c.source, c.pair_rank
+    """,
+)
+def _q_preference_pairs_docs(spark, sf_dir):
+    """DPO/RLHF preference-pair construction (operators/curation.py
+    preference_pairs): within each (lang, source) stratum the r-th
+    longest document is paired against the r-th shortest (r <= 2,
+    margin >= 1 char), the best-vs-worst pairing DPO data prep uses
+    over scored candidate pools. Two window sorts over one group-key
+    exchange, never a collect_list — prompt groups of any size stay
+    out of executor memory. The oracle is the same total order spelled
+    in SQL windows; exact pair identity (ids, scores, margins) gates
+    both the ranking determinism and the 2r <= n self-pair guard."""
+    from flow_indexer_spark.operators.curation import preference_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        preference_pairs(
+            docs,
+            ["lang", "source"],
+            "doc_id",
+            "n_chars",
+            max_pairs_per_group=2,
+            min_margin=1.0,
+        )
+        .select(
+            "lang",
+            "source",
+            "pair_rank",
+            "chosen_id",
+            "rejected_id",
+            "chosen_score",
+            "rejected_score",
+            "margin",
+        )
+        .orderBy("lang", "source", "pair_rank")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return dict(_QUERIES)

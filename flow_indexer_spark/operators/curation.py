@@ -830,3 +830,74 @@ def upsample_epochs(
             )
         ),
     )
+
+
+def preference_pairs(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    score_col: str,
+    max_pairs_per_group: int = 3,
+    min_margin: float = 0.0,
+) -> DataFrame:
+    """DPO/RLHF preference-pair construction: within each group (a
+    prompt's candidate responses, a source's scored documents), pair the
+    r-th best row with the r-th worst, for r = 1..max_pairs_per_group.
+
+    Output: group_cols + (pair_rank, chosen_id, rejected_id,
+    chosen_score, rejected_score, margin), keeping only pairs where
+    chosen strictly beats rejected by at least ``min_margin``.
+
+    Determinism: both rankings order by (score, id) — the bottom window
+    is the EXACT reverse of the top window, so top-rank r and
+    bottom-rank r name the same total order from opposite ends; the
+    ``2*r <= n`` guard then guarantees a row is never paired with
+    itself, ties included. No rand(), so backfills regenerate identical
+    pairs.
+
+    Scale: two window sorts over ONE hash exchange on the group key
+    (huge groups stay out of executor memory — no collect_list), then an
+    equi-join of the two already-filtered rank heads (<= k rows per
+    group each). Skewed prompt groups behave: the window is a sort
+    within a partition, not a per-key reduction onto one task.
+    """
+    if max_pairs_per_group < 1:
+        raise ValueError("max_pairs_per_group must be >= 1")
+    score = F.col(score_col).cast("double")
+    w_top = Window.partitionBy(*group_cols).orderBy(
+        score.desc(), F.col(id_col).asc()
+    )
+    w_bot = Window.partitionBy(*group_cols).orderBy(
+        score.asc(), F.col(id_col).desc()
+    )
+    ranked = df.select(
+        *group_cols,
+        F.col(id_col).alias("_id"),
+        score.alias("_score"),
+        F.row_number().over(w_top).alias("_rt"),
+        F.row_number().over(w_bot).alias("_rb"),
+        F.count("*").over(Window.partitionBy(*group_cols)).alias("_n"),
+    )
+    k = F.lit(max_pairs_per_group)
+    chosen = ranked.filter(
+        (F.col("_rt") <= k) & (2 * F.col("_rt") <= F.col("_n"))
+    ).select(
+        *group_cols,
+        F.col("_rt").alias("pair_rank"),
+        F.col("_id").alias("chosen_id"),
+        F.col("_score").alias("chosen_score"),
+    )
+    rejected = ranked.filter(
+        (F.col("_rb") <= k) & (2 * F.col("_rb") <= F.col("_n"))
+    ).select(
+        *group_cols,
+        F.col("_rb").alias("pair_rank"),
+        F.col("_id").alias("rejected_id"),
+        F.col("_score").alias("rejected_score"),
+    )
+    margin = F.col("chosen_score") - F.col("rejected_score")
+    return (
+        chosen.join(rejected, [*group_cols, "pair_rank"])
+        .withColumn("margin", margin)
+        .filter((F.col("margin") > 0) & (F.col("margin") >= float(min_margin)))
+    )

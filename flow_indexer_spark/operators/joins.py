@@ -157,3 +157,55 @@ def interval_join(
     lo = pt >= F.col(start_col).cast("timestamp")
     hi = pt <= en if inclusive_end else pt < en
     return j.filter(lo & hi)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    n_salt: int = 8,
+    salt_from: list[str] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe large-large equi-join: row-identical to
+    ``left.join(right, on, how)``, but each join key's rows are spread
+    across ``n_salt`` shuffle partitions instead of landing on one task.
+
+    The classic salting pattern for the case AQE's skew-join split can't
+    fix (one key so hot that even a split partition is one task's work,
+    or a build side too big to broadcast): the left (big, skewed) side
+    gets a DETERMINISTIC salt — hash of ``salt_from`` columns (default:
+    all non-key left columns) mod n_salt, never ``rand()`` so retries
+    and resumed stages recompute the same salt — and the right side is
+    replicated n_salt times via a generated salt sequence, so the join
+    on (key..., salt) sees every pair exactly once.
+
+    Cost model: right side shuffles n_salt× its bytes; left side spreads
+    evenly. Use when |right| * n_salt << |left|'s hot-key mass. ``how``
+    supports inner/left joins (each left row carries exactly one salt,
+    and every salt value exists on the replicated right, so left-outer
+    semantics are preserved).
+
+    The reference hits the same wall with hot IPs: one entity key whose
+    posting list dwarfs the rest (store/leveldb.go:261-278 serializes
+    per-key); build_postings salts the aggregate the same way
+    (operators/postings.py) — this is the join-shaped twin.
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    if n_salt < 1:
+        raise ValueError("n_salt must be >= 1")
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(f"salted_join supports inner/left, not {how!r}")
+    salt_cols = salt_from or [c for c in left.columns if c not in on]
+    if not salt_cols:
+        raise ValueError("no salt_from columns and left has only key columns")
+    l = left.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(n_salt)).cast(
+            "int"
+        ),
+    )
+    r = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)).cast("array<int>"))
+    )
+    return l.join(r, on + ["_salt"], how).drop("_salt")

@@ -192,3 +192,62 @@ def test_pack_sequences_matches_python_replay(spark):
 
     with _pytest.raises(ValueError):
         pack_sequences(df, budget=0)
+
+
+# --- preference pairs -------------------------------------------------------
+
+
+def test_preference_pairs_hand_fixture(spark):
+    from flow_indexer_spark.operators.curation import preference_pairs
+
+    rows = [
+        # group g1: scores 10,8,5,3,1 -> pairs (10,1), (8,3); 5 is the
+        # unpaired middle (2*3 > 5)
+        ("g1", 1, 10.0), ("g1", 2, 8.0), ("g1", 3, 5.0),
+        ("g1", 4, 3.0), ("g1", 5, 1.0),
+        # group g2: a single row can never pair
+        ("g2", 6, 7.0),
+        # group g3: two equal scores -> margin 0, filtered out
+        ("g3", 7, 4.0), ("g3", 8, 4.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, id long, score double")
+    out = preference_pairs(df, ["g"], "id", "score", max_pairs_per_group=3)
+    got = sorted(
+        (r.g, r.pair_rank, r.chosen_id, r.rejected_id, r.margin)
+        for r in out.collect()
+    )
+    assert got == [("g1", 1, 1, 5, 9.0), ("g1", 2, 2, 4, 5.0)]
+
+
+def test_preference_pairs_never_self_pairs_on_ties(spark):
+    """All-equal-score groups with even sizes: every candidate pair has
+    margin 0 and must be filtered; with distinct scores but heavy ties
+    elsewhere, chosen_id != rejected_id always holds."""
+    from flow_indexer_spark.operators.curation import preference_pairs
+
+    rows = [("g", i, float(i % 3)) for i in range(20)]
+    df = spark.createDataFrame(rows, "g string, id long, score double")
+    out = preference_pairs(df, ["g"], "id", "score", max_pairs_per_group=10)
+    for r in out.collect():
+        assert r.chosen_id != r.rejected_id
+        assert r.margin > 0
+        assert r.chosen_score > r.rejected_score
+
+
+def test_preference_pairs_min_margin_and_determinism(spark):
+    from flow_indexer_spark.operators.curation import preference_pairs
+
+    import random
+
+    random.seed(5)
+    rows = [
+        (f"g{i % 7}", i, round(random.random() * 10, 2)) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "g string, id long, score double")
+    wide = preference_pairs(df, ["g"], "id", "score", 5, min_margin=0.0)
+    tight = preference_pairs(df, ["g"], "id", "score", 5, min_margin=4.0)
+    w = {tuple(r) for r in wide.collect()}
+    t = {tuple(r) for r in tight.collect()}
+    assert t <= w
+    assert all(r[-1] >= 4.0 for r in t)
+    assert {tuple(r) for r in wide.collect()} == w  # stable re-run

@@ -185,3 +185,70 @@ def test_interval_join_matches_brute_force_random(spark):
         ).collect()
     }
     assert fast == slow
+
+
+# --- salted join ------------------------------------------------------------
+
+
+def _salted_fixture(spark):
+    random.seed(11)
+    # one brutally hot key (70% of rows) + a long tail, plus keys that
+    # exist on only one side (exercise inner vs left semantics)
+    left = [
+        (1 if random.random() < 0.7 else random.randint(2, 20),
+         i, round(random.random(), 3))
+        for i in range(400)
+    ] + [(99, 999, 1.0)]  # key with no right match
+    right = [(k, f"dim{k}", k * 10) for k in range(0, 15)]
+    l = _df(spark, left, "k long, row_id long, v double")
+    r = _df(spark, right, "k long, name string, weight long")
+    return l, r
+
+
+def test_salted_join_row_identical_to_plain(spark):
+    from flow_indexer_spark.operators.joins import salted_join
+
+    l, r = _salted_fixture(spark)
+    for how in ("inner", "left"):
+        plain = sorted(map(tuple, l.join(r, "k", how).collect()))
+        for n_salt in (1, 3, 8):
+            salted = sorted(
+                map(tuple, salted_join(l, r, "k", n_salt, how=how).collect())
+            )
+            assert salted == plain, (how, n_salt)
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """The point of salting: the hot key's rows must occupy n_salt
+    distinct salt values (deterministically), not one."""
+    from flow_indexer_spark.operators.joins import salted_join
+
+    l, r = _salted_fixture(spark)
+    n_salt = 8
+    salts = (
+        l.filter("k = 1")
+        .select(
+            F.pmod(F.xxhash64("row_id", "v"), F.lit(n_salt)).alias("s")
+        )
+        .distinct()
+        .count()
+    )
+    assert salts == n_salt
+    # and the salted plan keeps determinism: same result twice
+    a = sorted(map(tuple, salted_join(l, r, "k", n_salt, salt_from=["row_id", "v"]).collect()))
+    b = sorted(map(tuple, salted_join(l, r, "k", n_salt, salt_from=["row_id", "v"]).collect()))
+    assert a == b
+
+
+def test_salted_join_rejects_bad_args(spark):
+    import pytest
+
+    from flow_indexer_spark.operators.joins import salted_join
+
+    l, r = _salted_fixture(spark)
+    with pytest.raises(ValueError):
+        salted_join(l, r, "k", 0)
+    with pytest.raises(ValueError):
+        salted_join(l, r, "k", 4, how="full")
+    with pytest.raises(ValueError):
+        salted_join(l.select("k"), r, "k", 4)
