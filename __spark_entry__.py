@@ -3917,6 +3917,77 @@ def _q_preference_pairs_docs(spark, sf_dir):
     )
 
 
+@_register(
+    "corpus_validation",
+    """
+    WITH base AS (
+      SELECT COUNT(*) AS n,
+             SUM(CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END) AS r_notnull,
+             SUM(CASE WHEN length(text) > 0 THEN 1 ELSE 0 END) AS r_nonempty,
+             SUM(CASE WHEN lang IN ('en','de','fr','es') THEN 1 ELSE 0 END)
+               AS r_lang,
+             SUM(CASE WHEN n_chars BETWEEN 1 AND 500 THEN 1 ELSE 0 END)
+               AS r_range,
+             SUM(CASE WHEN n_chars = length(text) THEN 1 ELSE 0 END)
+               AS r_consist
+      FROM documents
+    ),
+    uq AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN c = 1 THEN c ELSE 0 END) AS BIGINT) AS p
+      FROM (SELECT COUNT(*) AS c FROM documents GROUP BY doc_id)
+    ),
+    rules AS (
+      SELECT 'not_null(text)' AS rule, n, r_notnull AS n_pass, 1.0 AS mr
+        FROM base
+      UNION ALL SELECT 'non_empty(text)', n, r_nonempty, 1.0 FROM base
+      UNION ALL SELECT 'in_set(lang,[en,de,fr,es])', n, r_lang, 0.7 FROM base
+      UNION ALL SELECT 'in_range(n_chars,1,500)', n, r_range, 0.9 FROM base
+      UNION ALL SELECT 'chars_match_text', n, r_consist, 1.0 FROM base
+      UNION ALL SELECT 'unique(doc_id)', n, p, 1.0 FROM uq
+    )
+    SELECT rule, CAST(n AS BIGINT) AS n_rows, CAST(n_pass AS BIGINT) AS n_pass,
+           CAST(n - n_pass AS BIGINT) AS n_fail,
+           n_pass / CAST(n AS DOUBLE) AS pass_rate,
+           n_pass >= CEIL(mr * n) AS ok
+    FROM rules
+    ORDER BY rule
+    """,
+)
+def _q_corpus_validation(spark, sf_dir):
+    """Declarative data-quality gate (operators/validate.py): five
+    row-local rules (null/empty/domain/range/cross-field consistency)
+    compiled into ONE conditional-sum aggregate over a single corpus
+    scan plus one uniqueness shuffle, unpivoted executor-side into the
+    long (rule, counts) report — the generalization of the reference's
+    per-document error accumulation in stats responses
+    (/root/reference/flowindexer/flowindexer.go:391-393). The domain and
+    range rules intentionally FAIL on real rows (zh docs, >500-char
+    docs) so the oracle pins exact failure counts, threshold gating
+    (0.7/0.9 pass-rate floors), and the strict uniqueness verdict."""
+    from flow_indexer_spark.operators.validate import (
+        in_range,
+        in_set,
+        non_empty,
+        not_null,
+        rule,
+        validate,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return validate(
+        docs,
+        [
+            not_null("text"),
+            non_empty("text"),
+            in_set("lang", ["en", "de", "fr", "es"], min_pass_rate=0.7),
+            in_range("n_chars", 1, 500, min_pass_rate=0.9),
+            rule("chars_match_text", F.col("n_chars") == F.length("text")),
+        ],
+        unique_keys=[["doc_id"]],
+    ).orderBy("rule")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return dict(_QUERIES)

@@ -220,6 +220,10 @@ def _bench_queries(spark, sf_dir: str) -> dict:
         "sketch_theta_returning",
         "sketch_kll_value_ranks",
         "media_real_decode",
+        "media_png_decode",
+        "skew_salted_join",
+        "preference_pairs_docs",
+        "corpus_validation",
     ]
     qs = entry_mod.queries()
     out = {}
