@@ -3988,6 +3988,44 @@ def _q_corpus_validation(spark, sf_dir):
     ).orderBy("rule")
 
 
+@_register(
+    "image_phash_neardup",
+    """
+    SELECT printf('m%05d', 2 * CAST(range AS INTEGER)) AS id_a,
+           printf('m%05d', 2 * CAST(range AS INTEGER) + 1) AS id_b,
+           TRUE AS dist_ok
+    FROM range(24)
+    ORDER BY id_a
+    """,
+)
+def _q_image_phash_neardup(spark, sf_dir):
+    """Perceptual-hash near-duplicate IMAGE detection, end to end
+    (operators/imagehash.py): 48 real PNG payloads (24 seeded smooth
+    images + their dense-noise twins) synthesized and DEFLATE-encoded on
+    executors, decoded back through the genuine PNG parser, DCT-hashed
+    to 63 bits in the Arrow batch, then paired by the banded-Hamming
+    join (4x16-bit band buckets -> equi-join -> exact bit_count verify,
+    same topology and bucket cap as the text simhash path,
+    operators/dedup.py). Ground truth is exact: the fixture family
+    measures twin distance <= 2 and unrelated distance >= 16, so the
+    oracle pins the full (2k, 2k+1) pair list — any missed twin or any
+    false pair breaks the row/hash match."""
+    from flow_indexer_spark.operators.imagehash import (
+        image_phash,
+        make_phash_media,
+        phash_near_pairs,
+    )
+
+    h = image_phash(make_phash_media(spark, 24))
+    return (
+        phash_near_pairs(h, max_dist=8)
+        .select(
+            "id_a", "id_b", (F.col("dist") <= 8).alias("dist_ok")
+        )
+        .orderBy("id_a")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return dict(_QUERIES)

@@ -224,6 +224,7 @@ def _bench_queries(spark, sf_dir: str) -> dict:
         "skew_salted_join",
         "preference_pairs_docs",
         "corpus_validation",
+        "image_phash_neardup",
     ]
     qs = entry_mod.queries()
     out = {}

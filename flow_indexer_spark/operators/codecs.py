@@ -134,8 +134,8 @@ def decode_wav(payload: bytes) -> dict:
     }
 
 
-def decode_ppm(payload: bytes) -> dict:
-    """Parse a binary PPM (P6) payload and measure pixel features."""
+def _ppm_pixels(payload: bytes) -> np.ndarray:
+    """Parse a binary PPM (P6) payload to its (h, w, 3) uint8 pixels."""
     if payload[:2] != b"P6":
         raise ValueError("not a P6 PPM payload")
     # header: magic, whitespace-separated width height maxval, 1 ws byte
@@ -155,12 +155,25 @@ def decode_ppm(payload: bytes) -> dict:
     w, h, maxval = fields
     if maxval != 255:
         raise NotImplementedError("only 8-bit PPM supported")
-    px = (
-        np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
-        .reshape(h, w, 3)
-        .astype(np.float64)
-    )
-    return _image_features(px)
+    return np.frombuffer(
+        payload, dtype=np.uint8, count=w * h * 3, offset=pos
+    ).reshape(h, w, 3)
+
+
+def decode_ppm(payload: bytes) -> dict:
+    """Parse a binary PPM (P6) payload and measure pixel features."""
+    return _image_features(_ppm_pixels(payload).astype(np.float64))
+
+
+def decode_pixels(payload: bytes) -> np.ndarray:
+    """Decode an image payload (PPM or PNG) to its raw (h, w, 3) uint8
+    pixel array — the seam perceptual hashing and any future vision
+    featurizer read from, so they stay codec-agnostic."""
+    if payload[:2] == b"P6":
+        return _ppm_pixels(payload)
+    if payload[:8] == PNG_SIG:
+        return _png_pixels(payload)
+    raise ValueError("not a decodable image payload")
 
 
 def _image_features(px: np.ndarray) -> dict:
@@ -269,18 +282,13 @@ def _unfilter_row(ft: int, line: np.ndarray, prev: np.ndarray) -> np.ndarray:
     return out.astype(np.uint8).reshape(-1)
 
 
-def make_png_bytes(i: int) -> bytes:
-    """A real PNG file for media index i: signature, IHDR (8-bit RGB,
-    non-interlaced), one zlib-DEFLATE IDAT, IEND — same gradient pixel
-    planes as :func:`make_ppm_bytes`, so PNG-vs-PPM decode is an exact
-    differential test. Scanline filters cycle 0..4 by row to exercise
-    every unfilter path."""
-    w, h, red = image_params(i)
-    px = np.empty((h, w, 3), dtype=np.uint8)
-    px[:, :, 0] = red
-    px[:, :, 1] = np.arange(w, dtype=np.uint8)[None, :]
-    px[:, :, 2] = np.arange(h, dtype=np.uint8)[:, None]
-    rows = px.reshape(h, w * _BPP)
+def encode_png(px: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 pixel array as a real PNG file:
+    signature, IHDR (8-bit RGB, non-interlaced), one zlib-DEFLATE IDAT,
+    IEND. Scanline filters cycle 0..4 by row to exercise every
+    unfilter path on decode."""
+    h, w = px.shape[:2]
+    rows = np.ascontiguousarray(px, dtype=np.uint8).reshape(h, w * _BPP)
     raw = bytearray()
     prev = np.zeros(w * _BPP, np.uint8)
     for y in range(h):
@@ -297,11 +305,28 @@ def make_png_bytes(i: int) -> bytes:
     )
 
 
+def make_png_bytes(i: int) -> bytes:
+    """A real PNG file for media index i — same gradient pixel planes
+    as :func:`make_ppm_bytes`, so PNG-vs-PPM decode is an exact
+    differential test."""
+    w, h, red = image_params(i)
+    px = np.empty((h, w, 3), dtype=np.uint8)
+    px[:, :, 0] = red
+    px[:, :, 1] = np.arange(w, dtype=np.uint8)[None, :]
+    px[:, :, 2] = np.arange(h, dtype=np.uint8)[:, None]
+    return encode_png(px)
+
+
 def decode_png(payload: bytes) -> dict:
-    """Parse a PNG payload: CRC-verified chunk walk, IDAT inflate,
-    scanline unfilter, then the shared pixel-feature kernel. Only the
-    8-bit RGB non-interlaced profile is supported (palette/alpha/Adam7
-    raise NotImplementedError, like the WAV codec's PCM-only stance)."""
+    """Parse a PNG payload and measure pixel features."""
+    return _image_features(_png_pixels(payload).astype(np.float64))
+
+
+def _png_pixels(payload: bytes) -> np.ndarray:
+    """Parse a PNG payload to its (h, w, 3) uint8 pixels: CRC-verified
+    chunk walk, IDAT inflate, scanline unfilter. Only the 8-bit RGB
+    non-interlaced profile is supported (palette/alpha/Adam7 raise
+    NotImplementedError, like the WAV codec's PCM-only stance)."""
     if payload[:8] != PNG_SIG:
         raise ValueError("not a PNG payload")
     pos, ihdr, idat = 8, None, bytearray()
@@ -339,7 +364,7 @@ def decode_png(payload: bytes) -> dict:
         line = np.frombuffer(raw, np.uint8, stride, off + 1)
         prev = _unfilter_row(raw[off], line, prev)
         px[y] = prev
-    return _image_features(px.reshape(h, w, 3).astype(np.float64))
+    return px.reshape(h, w, 3)
 
 
 def uncompressed_decoder(payload: bytes, kind: str) -> dict:
