@@ -4026,6 +4026,65 @@ def _q_image_phash_neardup(spark, sf_dir):
     )
 
 
+@_register(
+    "source_drift_psi",
+    """
+    WITH edges AS (
+      SELECT MIN(CAST(n_chars AS DOUBLE)) AS lo,
+             MAX(CAST(n_chars AS DOUBLE)) AS hi
+      FROM documents
+    ),
+    b AS (
+      SELECT source,
+             CAST(LEAST(GREATEST(
+               CASE WHEN hi > lo
+                    THEN FLOOR((CAST(n_chars AS DOUBLE) - lo) / (hi - lo) * 8)
+                    ELSE 0 END, 0), 7) AS INTEGER) AS bin
+      FROM documents, edges
+    ),
+    cnt AS (SELECT source, bin, COUNT(*) AS c FROM b GROUP BY 1, 2),
+    grid AS (
+      SELECT s.source, g.bin, COALESCE(c.c, 0) AS c
+      FROM (SELECT DISTINCT source FROM cnt) s
+      CROSS JOIN (SELECT CAST(range AS INTEGER) AS bin FROM range(8)) g
+      LEFT JOIN cnt c ON c.source = s.source AND c.bin = g.bin
+    ),
+    tots AS (
+      SELECT source, bin, c,
+             SUM(c) OVER (PARTITION BY source) AS ng,
+             SUM(c) OVER (PARTITION BY bin) AS gb,
+             SUM(c) OVER () AS N
+      FROM grid
+    ),
+    terms AS (
+      SELECT source, bin, ng,
+             ((c + 0.5) / (ng + 4.0) - (gb - c + 0.5) / (N - ng + 4.0))
+             * LN(((c + 0.5) / (ng + 4.0))
+                  / ((gb - c + 0.5) / (N - ng + 4.0))) AS term
+      FROM tots
+    )
+    SELECT source, CAST(MAX(ng) AS BIGINT) AS n_rows,
+           SUM(term ORDER BY bin) AS psi,
+           SUM(term ORDER BY bin) > 0.25 AS drifted
+    FROM terms GROUP BY source ORDER BY source
+    """,
+)
+def _q_source_drift_psi(spark, sf_dir):
+    """Per-source distribution drift (operators/diagnostics.py
+    distribution_drift): leave-one-out PSI of each source's n_chars
+    profile against the rest of the corpus, 8 equal-width bins with
+    Laplace smoothing. One (group, bin) shuffle does all corpus-sized
+    work; the per-source sum folds an array_sort'ed in-row array so the
+    summation order is pinned — the oracle sums the identical terms
+    with ORDER BY bin, making the double hash-comparable bit for bit.
+    This is the snapshot gate that catches a source whose length/
+    quality profile silently changed between crawls."""
+    from flow_indexer_spark.operators.diagnostics import distribution_drift
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return distribution_drift(docs, "n_chars", "source").orderBy("source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return dict(_QUERIES)

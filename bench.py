@@ -225,6 +225,7 @@ def _bench_queries(spark, sf_dir: str) -> dict:
         "preference_pairs_docs",
         "corpus_validation",
         "image_phash_neardup",
+        "source_drift_psi",
     ]
     qs = entry_mod.queries()
     out = {}
