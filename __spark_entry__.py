@@ -4085,6 +4085,41 @@ def _q_source_drift_psi(spark, sf_dir):
     return distribution_drift(docs, "n_chars", "source").orderBy("source")
 
 
+@_register(
+    "audio_fp_neardup",
+    """
+    SELECT printf('m%05d', 2 * CAST(range AS INTEGER)) AS id_a,
+           printf('m%05d', 2 * CAST(range AS INTEGER) + 1) AS id_b,
+           TRUE AS dist_ok
+    FROM range(24)
+    ORDER BY id_a
+    """,
+)
+def _q_audio_fp_neardup(spark, sf_dir):
+    """Spectral audio near-duplicate detection, end to end
+    (operators/audiohash.py): 48 real WAV payloads (24 seeded
+    colored-noise clips + additive-noise twins) synthesized on
+    executors, decoded by the genuine RIFF parser, fingerprinted to 64
+    adjacent-log-band-difference bits in the Arrow batch, then paired
+    by the SAME banded-Hamming join the image pHash path uses (4x16-bit
+    band buckets, exact bit_count verify, bucket cap). Fixture family
+    measures twin distance <= 2 vs unrelated >= 22, so the oracle pins
+    the full (2k, 2k+1) ground-truth pair list — any missed twin or
+    false pair breaks the match."""
+    from flow_indexer_spark.operators.audiohash import (
+        audio_fingerprint,
+        audio_near_pairs,
+        make_audiofp_media,
+    )
+
+    fp = audio_fingerprint(make_audiofp_media(spark, 24))
+    return (
+        audio_near_pairs(fp, max_dist=8)
+        .select("id_a", "id_b", (F.col("dist") <= 8).alias("dist_ok"))
+        .orderBy("id_a")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return dict(_QUERIES)

@@ -226,6 +226,7 @@ def _bench_queries(spark, sf_dir: str) -> dict:
         "corpus_validation",
         "image_phash_neardup",
         "source_drift_psi",
+        "audio_fp_neardup",
     ]
     qs = entry_mod.queries()
     out = {}

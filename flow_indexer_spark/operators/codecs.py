@@ -59,28 +59,34 @@ def image_params(i: int) -> tuple[int, int, int]:
     return 16 + (i % 5) * 8, 12 + (i % 3) * 8, (7 * i) % 256
 
 
-def make_wav_bytes(i: int) -> bytes:
-    """A real RIFF/WAVE file: 44-byte canonical PCM header + 16-bit LE
-    mono samples of a whole-cycle sine tone."""
-    n, freq = audio_params(i)
-    t = np.arange(n, dtype=np.float64)
-    samples = np.round(
-        AUDIO_AMP * 32767.0 * np.sin(2.0 * np.pi * freq * t / AUDIO_SR)
-    ).astype("<i2")
-    data = samples.tobytes()
+def encode_wav(samples: np.ndarray, sr: int = AUDIO_SR) -> bytes:
+    """Encode int16 mono samples as a real RIFF/WAVE file: 44-byte
+    canonical PCM header + 16-bit LE data chunk."""
+    data = np.ascontiguousarray(samples, dtype="<i2").tobytes()
     hdr = struct.pack(
         "<4sI4s4sIHHIIHH4sI",
         b"RIFF", 36 + len(data), b"WAVE",
         b"fmt ", 16,
         1,                      # PCM
         1,                      # mono
-        AUDIO_SR,
-        AUDIO_SR * 2,           # byte rate
+        sr,
+        sr * 2,                 # byte rate
         2,                      # block align
         16,                     # bits per sample
         b"data", len(data),
     )
     return hdr + data
+
+
+def make_wav_bytes(i: int) -> bytes:
+    """A real RIFF/WAVE file of a whole-cycle sine tone for media
+    index i."""
+    n, freq = audio_params(i)
+    t = np.arange(n, dtype=np.float64)
+    samples = np.round(
+        AUDIO_AMP * 32767.0 * np.sin(2.0 * np.pi * freq * t / AUDIO_SR)
+    ).astype("<i2")
+    return encode_wav(samples)
 
 
 def make_ppm_bytes(i: int) -> bytes:
@@ -96,10 +102,10 @@ def make_ppm_bytes(i: int) -> bytes:
 
 # --- real decoders ----------------------------------------------------------
 
-def decode_wav(payload: bytes) -> dict:
-    """Parse a RIFF/WAVE PCM payload and measure signal features. Walks
-    the chunk list (not fixed offsets), so files with extra chunks still
-    decode; only 16-bit mono PCM is supported here."""
+def decode_wav_samples(payload: bytes) -> tuple[int, np.ndarray]:
+    """Parse a RIFF/WAVE PCM payload to (sample_rate, int16 samples).
+    Walks the chunk list (not fixed offsets), so files with extra
+    chunks still decode; only 16-bit mono PCM is supported here."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos, fmt, data = 12, None, None
@@ -118,7 +124,13 @@ def decode_wav(payload: bytes) -> dict:
     audio_format, channels, sr, _br, _ba, bits = fmt
     if (audio_format, channels, bits) != (1, 1, 16):
         raise NotImplementedError("only 16-bit mono PCM supported")
-    s = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    return sr, np.frombuffer(data, dtype="<i2")
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Parse a RIFF/WAVE PCM payload and measure signal features."""
+    sr, raw = decode_wav_samples(payload)
+    s = raw.astype(np.float64) / 32768.0
     n = s.size
     spec = np.abs(np.fft.rfft(s))
     spec[0] = 0.0  # DC is not a tone
