@@ -1,15 +1,17 @@
-"""REAL media codecs for the uncompressed formats: RIFF/WAV PCM audio
-and binary PPM (P6) images — pure stdlib ``struct`` + numpy, no external
-codec libraries.
+"""REAL media codecs — pure stdlib ``struct``/``zlib`` + numpy, no
+external codec libraries: RIFF/WAV PCM audio, binary PPM (P6) images,
+and DEFLATE-compressed PNG (CRC-verified chunk walk, all five scanline
+filters).
 
 This fills the ``real_decoder`` seam of :mod:`operators.multimodal` for
 the formats this environment CAN decode: the plumbing module ships the
 Arrow-batched mapInPandas stage and byte-budget partitioning; this
 module supplies genuine byte-format parsing (header field extraction,
-PCM sample decode, pixel-plane decode) and signal-level features (RMS /
-peak / zero-crossing rate / dominant FFT frequency for audio; per-plane
-means / luma deviation / gradient edge energy for images). Compressed
-codecs (JPEG/PNG/MP4) remain the environment-blocked
+PCM sample decode, pixel-plane decode/unfilter/inflate) and
+signal-level features (RMS / peak / zero-crossing rate / dominant FFT
+frequency for audio; per-plane means / luma deviation / gradient edge
+energy for images). Only JPEG/MP4 (DCT and H.264 entropy coders absent
+from the container) remain the environment-blocked
 ``NotImplementedError`` path — reference analogue: the pcap backend
 decodes the packet framing it understands and rejects the rest
 (/root/reference/backend/pcap.go:17-54).
@@ -379,7 +381,7 @@ def _png_pixels(payload: bytes) -> np.ndarray:
     return px.reshape(h, w, 3)
 
 
-def uncompressed_decoder(payload: bytes, kind: str) -> dict:
+def media_decoder(payload: bytes, kind: str) -> dict:
     """The real_decoder seam: sniffs the container magic and dispatches
     to a genuine parser — RIFF/WAV, PPM, and (DEFLATE-compressed) PNG.
     Formats whose codecs genuinely aren't in this environment (JPEG's
@@ -394,6 +396,11 @@ def uncompressed_decoder(payload: bytes, kind: str) -> dict:
     raise NotImplementedError(
         "codecs for JPEG/MP4 unavailable in this environment"
     )
+
+
+#: pre-PNG name, kept for callers that imported the seam before the
+#: compressed path existed
+uncompressed_decoder = media_decoder
 
 
 # --- the Spark stage --------------------------------------------------------
@@ -498,7 +505,7 @@ def decode_real_media(df: DataFrame) -> DataFrame:
                 pdf["media_id"], pdf["kind"], pdf["payload"]
             ):
                 payload = bytes(p) if p is not None else b""
-                feats = uncompressed_decoder(payload, kind)
+                feats = media_decoder(payload, kind)
                 row = {"media_id": mid, "kind": kind, "n_bytes": len(payload)}
                 row.update({c: feats.get(c) for c in _COLS})
                 rows.append(row)

@@ -72,7 +72,7 @@ def real_decoder(payload: bytes, kind: str) -> dict:
     the schema it must fill are fixed by FEATURE_SCHEMA. For the
     uncompressed formats this environment CAN decode (RIFF/WAV PCM,
     binary PPM), the real path exists: operators/codecs.py
-    ``uncompressed_decoder`` + ``decode_real_media``."""
+    ``media_decoder`` + ``decode_real_media``."""
     raise NotImplementedError(
         "compressed media codecs (PIL/ffmpeg/librosa) unavailable in this "
         "environment; operators/codecs.py decodes WAV/PPM for real, and "
