@@ -4065,15 +4065,24 @@ def _q_image_phash_neardup(spark, sf_dir):
     )
     SELECT source, CAST(MAX(ng) AS BIGINT) AS n_rows,
            SUM(term ORDER BY bin) AS psi,
-           SUM(term ORDER BY bin) > 0.25 AS drifted
-    FROM terms GROUP BY source ORDER BY source
+           7.0 * (1.0 / MAX(ng) + 1.0 / (MAX(N) - MAX(ng))) AS noise_floor,
+           SUM(term ORDER BY bin)
+             > 0.25 + 2 * (7.0 * (1.0 / MAX(ng)
+                                  + 1.0 / (MAX(N) - MAX(ng)))) AS drifted
+    FROM (SELECT source, bin, ng, term,
+                 SUM(ng) OVER () / 8 AS N
+          FROM terms) GROUP BY source ORDER BY source
     """,
 )
 def _q_source_drift_psi(spark, sf_dir):
     """Per-source distribution drift (operators/diagnostics.py
     distribution_drift): leave-one-out PSI of each source's n_chars
     profile against the rest of the corpus, 8 equal-width bins with
-    Laplace smoothing. One (group, bin) shuffle does all corpus-sized
+    Laplace smoothing, flagged only when the PSI clears the textbook
+    threshold PLUS twice the chi-square sampling noise floor
+    (n_bins-1)*(1/n_grp + 1/n_rest) — 25-row groups sit at ~0.3 PSI
+    from noise alone, so an un-floored 0.25 threshold would flag half
+    the healthy sources. One (group, bin) shuffle does all corpus-sized
     work; the per-source sum folds an array_sort'ed in-row array so the
     summation order is pinned — the oracle sums the identical terms
     with ORDER BY bin, making the double hash-comparable bit for bit.

@@ -91,9 +91,12 @@ def distribution_drift(
     group vs pooled corpus: pooling would dilute the reference with the
     outlier's own mass and flag every OTHER group as the blend shifts.
     Common operating points: < 0.1 stable, 0.1-0.25 moderate, > 0.25
-    drifted (the default threshold).
+    drifted (the default threshold) — applied ON TOP of a per-group
+    sampling noise floor (see below), because the textbook thresholds
+    assume populations, not 25-row samples.
 
-    Output: (group, n_rows, psi, drifted) — ``drifted`` = psi > threshold.
+    Output: (group, n_rows, psi, noise_floor, drifted).
+
 
     Scale: ONE map-side-combined shuffle over (group, bin) pairs does
     all the corpus-sized work; the grid that follows (every group x
@@ -157,19 +160,39 @@ def distribution_drift(
         "bin",
         "c",
         "_ng",
+        "_N",
         ((p_g - p_r) * F.log(p_g / p_r)).alias("_term"),
     )
     folded = terms.groupBy("grp").agg(
         F.first("_ng").alias("n_rows"),
+        F.first("_N").alias("_N"),
         F.aggregate(
             F.array_sort(F.collect_list(F.struct("bin", "_term"))),
             F.lit(0.0),
             lambda acc, x: acc + x["_term"],
         ).alias("psi"),
     )
+    # Sampling noise floor: under NO drift, PSI is approximately a
+    # scaled chi-square — E[PSI] ≈ (n_bins-1) * (1/n_group + 1/n_rest)
+    # (each direction of the symmetrized divergence contributes a
+    # chi-square/2n). Small groups therefore show large PSI from noise
+    # alone (25 rows x 8 bins -> ~0.3, above every textbook threshold),
+    # so the drift flag demands psi > threshold + 2*floor: the 2x
+    # absorbs the floor's own dispersion, and a group too small to
+    # measure (floor -> inf) can never be flagged — you cannot infer
+    # drift from a handful of rows.
+    n_rest = F.col("_N") - F.col("n_rows")
+    floor = (
+        F.lit(float(n_bins - 1))
+        * (
+            1.0 / F.col("n_rows")
+            + F.when(n_rest > 0, 1.0 / n_rest).otherwise(F.lit(float("inf")))
+        )
+    )
     return folded.select(
         F.col("grp").alias(group_col),
         "n_rows",
         "psi",
-        (F.col("psi") > threshold).alias("drifted"),
+        floor.alias("noise_floor"),
+        (F.col("psi") > threshold + 2 * floor).alias("drifted"),
     )

@@ -39,7 +39,8 @@ def _python_psi(rows, n_bins=8):
             pg = (c[b] + 0.5) / (ng + n_bins / 2)
             pr = (tot[b] - c[b] + 0.5) / (N - ng + n_bins / 2)
             psi += (pg - pr) * math.log(pg / pr)
-        out[g] = (ng, psi)
+        floor = (n_bins - 1) * (1 / ng + 1 / (N - ng)) if N > ng else float("inf")
+        out[g] = (ng, psi, floor)
     return out
 
 
@@ -55,7 +56,7 @@ def test_drift_matches_python_replay(spark):
     }
     exp = _python_psi(rows)
     assert set(got) == set(exp)
-    for g, (ng, psi) in exp.items():
+    for g, (ng, psi, floor) in exp.items():
         assert got[g][0] == ng
         assert got[g][1] == pytest.approx(psi, rel=1e-12)
     assert got["s17"][2] is True          # the shifted group is flagged
@@ -86,3 +87,21 @@ def test_drift_rejects_bad_bins(spark):
     df = spark.createDataFrame([("a", 1.0)], "source string, value double")
     with pytest.raises(ValueError):
         distribution_drift(df, "value", "source", n_bins=1)
+
+
+def test_drift_noise_floor_protects_small_groups(spark):
+    """25-row groups produce PSI ~0.3 from sampling noise alone; the
+    chi-square noise floor must keep them un-flagged, while a genuinely
+    shifted group of the same size still clears threshold + 2*floor."""
+    import random
+
+    random.seed(11)
+    rows = [(f"s{i % 20}", random.gauss(50, 10)) for i in range(500)]
+    rows = [(g, v + 60 if g == "s3" else v) for g, v in rows]
+    df = spark.createDataFrame(rows, "source string, value double")
+    out = {r.source: r for r in distribution_drift(df, "value", "source").collect()}
+    assert all(r.n_rows == 25 for r in out.values())
+    flagged = {g for g, r in out.items() if r.drifted}
+    assert flagged == {"s3"}
+    for r in out.values():
+        assert r.noise_floor == pytest.approx(7 * (1 / 25 + 1 / 475), rel=1e-12)

@@ -71,3 +71,36 @@ def test_spark_submit_py_files_ingest(spark, transcripts, tmp_path):
         f"SELECT COUNT(*) FROM '{out_root}/postings/**/*.parquet'"
     ).fetchone()[0]
     assert n_postings > 0
+
+
+def test_audit_job_cli(tmp_path):
+    """The audit gate CLI: one JSON line, strict mode exits nonzero on a
+    failing rule, clean config exits zero."""
+    env = dict(os.environ)
+    env["PYSPARK_PYTHON"] = sys.executable
+    env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+    base = [
+        sys.executable,
+        os.path.join(REPO, "jobs", "audit_job.py"),
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--cpus", "4",
+    ]
+    ok = subprocess.run(
+        base + ["--lang-allow", "en,de,fr,es,zh", "--strict"],
+        capture_output=True, text=True, env=env, cwd=REPO,
+    )
+    assert ok.returncode == 0, ok.stderr[-2000:]
+    line = [l for l in ok.stdout.splitlines() if l.startswith("{")][-1]
+    rep = json.loads(line)
+    assert rep["ok"] is True
+    assert rep["rules"]["unique(doc_id)"]["ok"] is True
+    assert rep["n_rows"] > 0
+    assert rep["skew_top"]
+
+    bad = subprocess.run(
+        base + ["--lang-allow", "en", "--lang-min-rate", "0.99", "--strict"],
+        capture_output=True, text=True, env=env, cwd=REPO,
+    )
+    assert bad.returncode == 1
+    rep = json.loads([l for l in bad.stdout.splitlines() if l.startswith("{")][-1])
+    assert rep["failed_rules"]
