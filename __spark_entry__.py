@@ -4129,6 +4129,39 @@ def _q_audio_fp_neardup(spark, sf_dir):
     )
 
 
+@_register(
+    "corpus_report_cube",
+    """
+    SELECT CASE WHEN GROUPING(lang) = 1 THEN 'ALL' ELSE lang END AS lang,
+           CASE WHEN GROUPING(source) = 1 THEN 'ALL' ELSE source END
+             AS source,
+           COUNT(*) AS n_rows,
+           CAST(SUM(n_chars) AS BIGINT) AS total_value,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_value
+    FROM documents
+    GROUP BY CUBE (lang, source)
+    ORDER BY lang, source
+    """,
+)
+def _q_corpus_report_cube(spark, sf_dir):
+    """Every marginal of the (lang, source) corpus report in ONE pass
+    (operators/telemetry.py cube_report): per-cell, per-lang,
+    per-source, and grand-total row/char statistics via DataFrame.cube
+    — a single Expand + map-side-combined shuffle instead of 2^d
+    separate groupBys, with grouping() keeping genuine NULL dim values
+    distinct from the rolled-up ALL label. The cube completes the
+    multi-granularity family next to rollup_counts' hierarchical
+    prefixes (reference analogue: the two-level coarse/fine histogram,
+    /root/reference/flowindexer/flowindexer.go:352-366, generalized to
+    all cross-marginals)."""
+    from flow_indexer_spark.operators.telemetry import cube_report
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return cube_report(docs, ["lang", "source"], "n_chars").orderBy(
+        "lang", "source"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return dict(_QUERIES)

@@ -227,6 +227,7 @@ def _bench_queries(spark, sf_dir: str) -> dict:
         "image_phash_neardup",
         "source_drift_psi",
         "audio_fp_neardup",
+        "corpus_report_cube",
     ]
     qs = entry_mod.queries()
     out = {}

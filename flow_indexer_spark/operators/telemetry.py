@@ -256,3 +256,45 @@ def daily_anomaly(
         avg_t.alias("trailing_avg"),
         (F.col("n").cast("double") / avg_t).alias("ratio"),
     ).orderBy("klass", "bucket")
+
+
+def cube_report(
+    df: DataFrame,
+    dims: list[str],
+    value_col: str,
+    all_label: str = "ALL",
+) -> DataFrame:
+    """Every marginal of a d-dimensional corpus report in ONE pass:
+    ``DataFrame.cube`` computes all 2^d groupings (per (lang, source),
+    per lang, per source, grand total) through a single Expand +
+    map-side-combined shuffle — the data is scanned once, not 2^d
+    times. Rolled-up dimensions carry ``all_label``, distinguished from
+    genuine NULL data values via ``grouping()`` (unlike rollup_counts'
+    sentinel-only approach, a null-valued dim here stays visibly
+    'None'). The sibling of :func:`rollup_counts`, which covers only
+    the d+1 hierarchical prefixes.
+    Output: dims + (n_rows, total_value, avg_value)."""
+    if not dims:
+        raise ValueError("dims must be non-empty")
+    v = F.col(value_col).cast("long")
+    return (
+        df.cube(*[F.col(d) for d in dims])
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(v).alias("total_value"),
+            (F.sum(v) / F.count(F.lit(1))).alias("avg_value"),
+            *[F.grouping(d).alias(f"_g_{d}") for d in dims],
+        )
+        .select(
+            *[
+                F.when(F.col(f"_g_{d}") == 1, F.lit(all_label))
+                .otherwise(F.col(d).cast("string"))
+                .alias(d)
+                for d in dims
+            ],
+            "n_rows",
+            "total_value",
+            "avg_value",
+        )
+        .orderBy(*dims)
+    )

@@ -36,3 +36,29 @@ def test_skew_report_rejects_bad_args(spark):
         skew_report(df, [])
     with pytest.raises(ValueError):
         skew_report(df, ["a"], top_k=0)
+
+
+def test_cube_report_all_marginals(spark):
+    """cube_report: all 2^d marginals in one pass; grouping() keeps a
+    genuine NULL dim value distinct from the rolled-up ALL label."""
+    from flow_indexer_spark.operators.telemetry import cube_report
+
+    rows = [
+        ("en", "a", 10), ("en", "b", 20), ("de", "a", 30), (None, "a", 40),
+    ]
+    df = spark.createDataFrame(rows, "lang string, source string, n long")
+    out = {
+        (r.lang, r.source): (r.n_rows, r.total_value)
+        for r in cube_report(df, ["lang", "source"], "n").collect()
+    }
+    # 4 observed cells + 3 lang marginals + 2 source marginals + grand
+    assert len(out) == 10
+    assert out[("ALL", "ALL")] == (4, 100)
+    assert out[("en", "ALL")] == (2, 30)
+    assert out[("ALL", "a")] == (3, 80)
+    assert out[(None, "a")] == (1, 40)   # null data value, NOT the ALL label
+    assert out[("en", "b")] == (1, 20)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        cube_report(df, [], "n")
