@@ -235,3 +235,167 @@ def run_ingest(
         "stage_ms": stage_ms,
         "turns_per_sec": total("n_turns") / max(wall / 1000.0, 1e-9),
     }
+
+
+def forget_conversations(
+    spark: SparkSession,
+    config: PipelineConfig,
+    conv_ids: list[str],
+) -> dict:
+    """Right-to-be-forgotten: purge a set of conversations from BOTH
+    sinks — routed rows deleted, posting lists rewritten without the
+    forgotten (conv_id, turn_idx) entries — with an audit record
+    appended to the manifest. The reference can only drop whole index
+    DBs; a compliance pipeline must delete per-document, so this is a
+    deliberate capability extension on the same write-audit layout.
+
+    Scale design: the forget list is small (a deletion request batch),
+    so it rides into the scans as an IN-list predicate; only the
+    (entity_class, batch_id) partitions that actually CONTAIN a
+    forgotten conversation are rewritten, via dynamic partition
+    overwrite — untouched partitions (the overwhelming majority at
+    10^12 turns: a conversation lives in one batch) keep their files
+    byte-identical. Posting chunks are rewritten by an in-row
+    ``filter()`` over the postings array; chunks left empty are
+    dropped. ts_min/ts_max stay as-is: after deletion they remain
+    VALID OUTER BOUNDS (deletion can only shrink the true range), so
+    time pruning stays correct, merely conservative — exactness comes
+    back at the next compaction. Partitions whose every row is
+    forgotten are removed directly (local-FS scope, same as
+    compact_postings; use a catalog DELETE/rewrite at S3 scale).
+
+    Idempotent: re-running with the same ids is a no-op (the filters
+    find nothing), so a crashed forget run is retried safely.
+
+    Returns {n_routed_forgotten, n_postings_forgotten,
+    n_partitions_rewritten, run_id}.
+    """
+    import os
+    import shutil
+
+    if not conv_ids:
+        raise ValueError("conv_ids must be non-empty")
+    ids = [str(c) for c in conv_ids]
+    run_id = new_batch_id()
+    overwrite_mode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        routed = spark.read.parquet(config.routed_path)
+        pairs = {
+            (r.entity_class, r.batch_id)
+            for r in routed.filter(F.col("conv_id").isin(ids))
+            .select("entity_class", "batch_id")
+            .distinct()
+            .collect()
+        }
+        n_routed = n_post = 0
+        if pairs:
+            in_pairs = F.concat_ws(
+                "/", F.col("entity_class"), F.col("batch_id")
+            ).isin([f"{ec}/{b}" for ec, b in pairs])
+            aff = routed.filter(in_pairs)
+            n_routed = aff.filter(F.col("conv_id").isin(ids)).count()
+            # materialize survivors BEFORE overwriting the path they came
+            # from (Spark refuses to overwrite a path still being read);
+            # memory is bounded by the affected partitions only
+            keep = aff.filter(~F.col("conv_id").isin(ids)).localCheckpoint(
+                eager=True
+            )
+            keep.write.mode("overwrite").partitionBy(
+                "entity_class", "batch_id"
+            ).parquet(config.routed_path)
+            kept_pairs = {
+                (r.entity_class, r.batch_id)
+                for r in keep.select("entity_class", "batch_id")
+                .distinct()
+                .collect()
+            }
+            for ec, b in pairs - kept_pairs:  # wholly-forgotten partitions
+                shutil.rmtree(
+                    os.path.join(
+                        config.routed_path,
+                        f"entity_class={ec}",
+                        f"batch_id={b}",
+                    ),
+                    ignore_errors=True,
+                )
+
+            post = spark.read.parquet(config.postings_path)
+            post_pairs = F.concat_ws(
+                "/", F.col("entity_class"), F.col("batch_id")
+            ).isin([f"{ec}/{b}" for ec, b in pairs])
+            touched = F.exists(
+                "postings", lambda x: x["conv_id"].isin(ids)
+            )
+            aff_post = post.filter(post_pairs)
+            n_post = (
+                aff_post.filter(touched)
+                .select(
+                    F.sum(
+                        F.size(
+                            F.filter(
+                                "postings",
+                                lambda x: x["conv_id"].isin(ids),
+                            )
+                        )
+                    ).alias("n")
+                )
+                .collect()[0]["n"]
+                or 0
+            )
+            new_post = (
+                aff_post.withColumn(
+                    "postings",
+                    F.filter(
+                        "postings", lambda x: ~x["conv_id"].isin(ids)
+                    ),
+                )
+                .withColumn("ndocs", F.size("postings"))
+                .filter(F.size("postings") > 0)
+                .localCheckpoint(eager=True)
+            )
+            new_post.write.mode("overwrite").partitionBy(
+                "batch_id", "entity_class"
+            ).parquet(config.postings_path)
+            kept_post_pairs = {
+                (r.entity_class, r.batch_id)
+                for r in new_post.select("entity_class", "batch_id")
+                .distinct()
+                .collect()
+            }
+            for ec, b in pairs - kept_post_pairs:
+                shutil.rmtree(
+                    os.path.join(
+                        config.postings_path,
+                        f"batch_id={b}",
+                        f"entity_class={ec}",
+                    ),
+                    ignore_errors=True,
+                )
+        commit_partitions(
+            spark,
+            config.manifest_path,
+            [
+                {
+                    "src_partition": f"forget:{run_id}",
+                    "state": "forgotten",
+                    "n_turns": 0,
+                    "n_entities": n_routed,
+                    "n_errors": 0,
+                    "wall_ms": 0,
+                }
+            ],
+            run_id=run_id,
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", overwrite_mode
+        )
+    return {
+        "run_id": run_id,
+        "n_routed_forgotten": n_routed if pairs else 0,
+        "n_postings_forgotten": n_post if pairs else 0,
+        "n_partitions_rewritten": len(pairs),
+    }

@@ -31,7 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     ap = argparse.ArgumentParser(description="flow_indexer_spark ingest job")
-    ap.add_argument("--input", required=True, help="transcripts parquet path/table")
+    ap.add_argument("--input", required=False, default=None, help="transcripts parquet path/table (not needed with --forget)")
     ap.add_argument("--output", required=True, help="index output root")
     ap.add_argument("--salt", type=int, default=16, help="postings agg salt buckets")
     ap.add_argument(
@@ -50,9 +50,19 @@ def main() -> None:
     )
     ap.add_argument("--no-incremental", action="store_true")
     ap.add_argument("--streaming", action="store_true", help="AvailableNow stream tick")
+    ap.add_argument(
+        "--forget",
+        default=None,
+        metavar="CONV_ID[,CONV_ID...]",
+        help="right-to-be-forgotten mode: purge these conversations from "
+        "the routed table and posting lists (no ingest happens; --input "
+        "is ignored)",
+    )
     ap.add_argument("--compact", action="store_true", help="compact postings after")
     ap.add_argument("--cpus", type=int, default=None, help="local[N] (omit on cluster)")
     args = ap.parse_args()
+    if not args.forget and not args.input:
+        ap.error("--input is required unless --forget is given")
 
     from flow_indexer_spark.session import get_spark
     from flow_indexer_spark.plans.pipeline import PipelineConfig, run_ingest
@@ -68,7 +78,13 @@ def main() -> None:
         chunk_mode=None if args.chunk_mode == "none" else args.chunk_mode,
         incremental=not args.no_incremental,
     )
-    if args.streaming:
+    if args.forget:
+        from flow_indexer_spark.plans.pipeline import forget_conversations
+
+        metrics = forget_conversations(
+            spark, cfg, args.forget.split(",")
+        )
+    elif args.streaming:
         from flow_indexer_spark.streaming.ingest import stream_ingest
 
         stream_ingest(spark, args.input, cfg)

@@ -253,3 +253,62 @@ def test_lineage_records(spark, pipeline_out):
     assert all(r.run_id == metrics["run_id"] for r in rows)
     assert sum(r.n_turns for r in rows) == metrics["n_turns"]
     assert sum(r.n_entities for r in rows) == metrics["n_entities"]
+
+
+def test_forget_conversations_purges_both_sinks(spark, transcripts, dims, tmp_path):
+    """Right-to-be-forgotten: after forgetting a conversation, search
+    finds nothing for it, routed rows are gone, untouched batch
+    partitions keep their files, the audit row lands in the manifest,
+    and a re-run is a no-op."""
+    from flow_indexer_spark.operators import queries as Q
+    from flow_indexer_spark.plans.pipeline import (
+        PipelineConfig,
+        forget_conversations,
+        run_ingest,
+    )
+
+    cfg = PipelineConfig(output_root=str(tmp_path / "idx"))
+    tool_registry, role_taxonomy = dims
+    run_ingest(spark, transcripts, cfg, tool_registry, role_taxonomy)
+
+    routed = spark.read.parquet(cfg.routed_path)
+    victim = routed.select("conv_id").first()["conv_id"]
+    before_rows = routed.count()
+    victim_rows = routed.filter(F.col("conv_id") == victim).count()
+    post_before = spark.read.parquet(cfg.postings_path)
+    victim_postings = post_before.select(
+        F.sum(
+            F.size(F.filter("postings", lambda x: x["conv_id"] == victim))
+        ).alias("n")
+    ).collect()[0]["n"]
+    assert victim_rows > 0 and victim_postings > 0
+
+    res = forget_conversations(spark, cfg, [victim])
+    assert res["n_routed_forgotten"] == victim_rows
+    assert res["n_postings_forgotten"] == victim_postings
+
+    routed_after = spark.read.parquet(cfg.routed_path)
+    assert routed_after.filter(F.col("conv_id") == victim).count() == 0
+    assert routed_after.count() == before_rows - victim_rows
+    post_after = spark.read.parquet(cfg.postings_path)
+    leaked = post_after.select(
+        F.sum(
+            F.size(F.filter("postings", lambda x: x["conv_id"] == victim))
+        ).alias("n")
+    ).collect()[0]["n"]
+    assert (leaked or 0) == 0
+    # no empty chunks survive, and search semantics stay intact
+    assert post_after.filter(F.size("postings") == 0).count() == 0
+    hot = Q.search(post_after, "10.0.0.1")
+    assert hot.filter(F.col("conv_id") == victim).count() == 0
+    assert hot.count() > 0  # other conversations still indexed
+
+    man = spark.read.parquet(cfg.manifest_path)
+    audit = man.filter(F.col("state") == "forgotten").collect()
+    assert len(audit) == 1 and audit[0]["n_entities"] == victim_rows
+
+    # idempotent retry: nothing left to forget
+    res2 = forget_conversations(spark, cfg, [victim])
+    assert res2["n_routed_forgotten"] == 0
+    assert res2["n_partitions_rewritten"] == 0
+    assert spark.read.parquet(cfg.routed_path).count() == before_rows - victim_rows
