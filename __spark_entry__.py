@@ -853,7 +853,7 @@ _register(
     )
     SELECT doc_id, n_tokens, shard,
            CAST(shard AS VARCHAR) || '-' || CAST(pos // 512 AS VARCHAR) AS pack_id,
-           pos % 512 AS offset
+           CAST(pos % 512 AS BIGINT) AS offset
     FROM p ORDER BY doc_id
     """,
 )(_q_sequence_packing)
@@ -2817,14 +2817,14 @@ def _q_tokenize_packs(spark, sf_dir):
       FROM t
     )
     SELECT conv_id, turn_idx, n_tokens,
-           COALESCE(SUM(n_tokens) OVER (
+           CAST(COALESCE(SUM(n_tokens) OVER (
                PARTITION BY conv_id ORDER BY turn_idx
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-             AS start_tok,
-           COALESCE(SUM(n_tokens) OVER (
+             AS BIGINT) AS start_tok,
+           CAST(COALESCE(SUM(n_tokens) OVER (
                PARTITION BY conv_id ORDER BY turn_idx
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-             + n_tokens AS end_tok,
+             + n_tokens AS BIGINT) AS end_tok,
            role = 'click' AS is_loss
     FROM d ORDER BY conv_id, turn_idx
     """,
