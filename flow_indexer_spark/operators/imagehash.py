@@ -205,11 +205,15 @@ def phash_near_pairs(
         F.explode(bands).alias("band"),
     ).select("_id", "_h", "band.band_idx", "band.band_val")
     if max_bucket_df is not None:
+        # Plain shuffle join, NOT broadcast: the surviving-bucket set is
+        # O(distinct hashes x n_bands) — corpus-proportional, so a
+        # broadcast would blow the driver at scale. Same guard shape as
+        # dedup._banded_candidate_pairs.
         sizes = b.groupBy("band_idx", "band_val").agg(
             F.count(F.lit(1)).alias("_df")
         )
         b = b.join(
-            F.broadcast(sizes.filter(F.col("_df") <= max_bucket_df)),
+            sizes.filter(F.col("_df") <= max_bucket_df),
             ["band_idx", "band_val"],
         ).drop("_df")
     left = b.select(

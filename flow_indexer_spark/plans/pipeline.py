@@ -255,7 +255,16 @@ def forget_conversations(
     forgotten conversation are rewritten, via dynamic partition
     overwrite — untouched partitions (the overwhelming majority at
     10^12 turns: a conversation lives in one batch) keep their files
-    byte-identical. Posting chunks are rewritten by an in-row
+    byte-identical. The two sinks are scoped INDEPENDENTLY and by
+    CONTENT: routed partitions by a conv_id membership scan, postings
+    partitions by ``exists(postings, x -> x.conv_id IN ids)`` — NOT by
+    the routed rows' batch_ids, because postings batch_ids diverge from
+    routed batch_ids after ``compact_postings`` (everything lands under
+    ``batch_id=compact-*``) and under merged rebuilds. Entity-free
+    turns live under the Hive null partition, so entity_class is
+    coalesced to ``__HIVE_DEFAULT_PARTITION__`` on both sides of every
+    partition-membership test (concat_ws silently drops NULLs) and in
+    the directory paths. Posting chunks are rewritten by an in-row
     ``filter()`` over the postings array; chunks left empty are
     dropped. ts_min/ts_max stay as-is: after deletion they remain
     VALID OUTER BOUNDS (deletion can only shrink the true range), so
@@ -281,20 +290,22 @@ def forget_conversations(
         "spark.sql.sources.partitionOverwriteMode", "static"
     )
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    hive_null = "__HIVE_DEFAULT_PARTITION__"
+    ecn = F.coalesce(F.col("entity_class"), F.lit(hive_null))
     try:
         routed = spark.read.parquet(config.routed_path)
         pairs = {
-            (r.entity_class, r.batch_id)
+            (r.ec, r.batch_id)
             for r in routed.filter(F.col("conv_id").isin(ids))
-            .select("entity_class", "batch_id")
+            .select(ecn.alias("ec"), "batch_id")
             .distinct()
             .collect()
         }
         n_routed = n_post = 0
         if pairs:
-            in_pairs = F.concat_ws(
-                "/", F.col("entity_class"), F.col("batch_id")
-            ).isin([f"{ec}/{b}" for ec, b in pairs])
+            in_pairs = F.concat_ws("/", ecn, F.col("batch_id")).isin(
+                [f"{ec}/{b}" for ec, b in pairs]
+            )
             aff = routed.filter(in_pairs)
             n_routed = aff.filter(F.col("conv_id").isin(ids)).count()
             # materialize survivors BEFORE overwriting the path they came
@@ -307,8 +318,8 @@ def forget_conversations(
                 "entity_class", "batch_id"
             ).parquet(config.routed_path)
             kept_pairs = {
-                (r.entity_class, r.batch_id)
-                for r in keep.select("entity_class", "batch_id")
+                (r.ec, r.batch_id)
+                for r in keep.select(ecn.alias("ec"), "batch_id")
                 .distinct()
                 .collect()
             }
@@ -322,14 +333,23 @@ def forget_conversations(
                     ignore_errors=True,
                 )
 
-            post = spark.read.parquet(config.postings_path)
-            post_pairs = F.concat_ws(
-                "/", F.col("entity_class"), F.col("batch_id")
-            ).isin([f"{ec}/{b}" for ec, b in pairs])
-            touched = F.exists(
-                "postings", lambda x: x["conv_id"].isin(ids)
+        # Postings are scoped by CONTENT, independently of the routed
+        # pairs: after compaction or a merged rebuild the postings live
+        # under batch_ids the routed table has never heard of.
+        post = spark.read.parquet(config.postings_path)
+        touched = F.exists("postings", lambda x: x["conv_id"].isin(ids))
+        post_pairs = {
+            (r.ec, r.batch_id)
+            for r in post.filter(touched)
+            .select(ecn.alias("ec"), "batch_id")
+            .distinct()
+            .collect()
+        }
+        if post_pairs:
+            in_post_pairs = F.concat_ws("/", ecn, F.col("batch_id")).isin(
+                [f"{ec}/{b}" for ec, b in post_pairs]
             )
-            aff_post = post.filter(post_pairs)
+            aff_post = post.filter(in_post_pairs)
             n_post = (
                 aff_post.filter(touched)
                 .select(
@@ -360,12 +380,12 @@ def forget_conversations(
                 "batch_id", "entity_class"
             ).parquet(config.postings_path)
             kept_post_pairs = {
-                (r.entity_class, r.batch_id)
-                for r in new_post.select("entity_class", "batch_id")
+                (r.ec, r.batch_id)
+                for r in new_post.select(ecn.alias("ec"), "batch_id")
                 .distinct()
                 .collect()
             }
-            for ec, b in pairs - kept_post_pairs:
+            for ec, b in post_pairs - kept_post_pairs:
                 shutil.rmtree(
                     os.path.join(
                         config.postings_path,
@@ -395,7 +415,7 @@ def forget_conversations(
         )
     return {
         "run_id": run_id,
-        "n_routed_forgotten": n_routed if pairs else 0,
-        "n_postings_forgotten": n_post if pairs else 0,
-        "n_partitions_rewritten": len(pairs),
+        "n_routed_forgotten": n_routed,
+        "n_postings_forgotten": n_post,
+        "n_partitions_rewritten": len(pairs) + len(post_pairs),
     }

@@ -2,6 +2,8 @@
 equality, enrich null path, manifest resume idempotence — the north_rule
 correctness criteria."""
 
+import datetime
+
 import pandas as pd
 import pytest
 from pyspark.sql import functions as F
@@ -312,3 +314,91 @@ def test_forget_conversations_purges_both_sinks(spark, transcripts, dims, tmp_pa
     assert res2["n_routed_forgotten"] == 0
     assert res2["n_partitions_rewritten"] == 0
     assert spark.read.parquet(cfg.routed_path).count() == before_rows - victim_rows
+
+
+def test_forget_after_compaction_purges_compacted_postings(
+    spark, transcripts, dims, tmp_path
+):
+    """Postings purge must be scoped by CONTENT: after compact_postings
+    rewrites everything under batch_id=compact-*, the routed table's
+    batch_ids no longer name any postings partition — a routed-derived
+    scope would match nothing and silently leak the forgotten entries."""
+    from flow_indexer_spark.operators.compact import compact_postings
+    from flow_indexer_spark.plans.pipeline import (
+        PipelineConfig,
+        forget_conversations,
+        run_ingest,
+    )
+
+    cfg = PipelineConfig(output_root=str(tmp_path / "idx"))
+    tool_registry, role_taxonomy = dims
+    run_ingest(spark, transcripts, cfg, tool_registry, role_taxonomy)
+    compact_postings(spark, cfg.postings_path, min_files=1)
+    post = spark.read.parquet(cfg.postings_path)
+    assert post.filter(~F.col("batch_id").startswith("compact-")).count() == 0
+
+    victim = post.select(
+        F.explode("postings").alias("p")
+    ).select("p.conv_id").first()["conv_id"]
+    victim_postings = post.select(
+        F.sum(
+            F.size(F.filter("postings", lambda x: x["conv_id"] == victim))
+        ).alias("n")
+    ).collect()[0]["n"]
+    assert victim_postings > 0
+
+    res = forget_conversations(spark, cfg, [victim])
+    assert res["n_postings_forgotten"] == victim_postings
+
+    post_after = spark.read.parquet(cfg.postings_path)
+    leaked = post_after.select(
+        F.sum(
+            F.size(F.filter("postings", lambda x: x["conv_id"] == victim))
+        ).alias("n")
+    ).collect()[0]["n"]
+    assert (leaked or 0) == 0
+    assert post_after.filter(F.size("postings") == 0).count() == 0
+
+
+def test_forget_purges_entity_free_turns(spark, transcripts, dims, tmp_path):
+    """Entity-free turns route to the Hive null partition
+    (entity_class=__HIVE_DEFAULT_PARTITION__). concat_ws drops NULLs,
+    so an un-coalesced membership test skips those rows and the
+    forgotten turn's full text survives in the routed table."""
+    from flow_indexer_spark.plans.pipeline import (
+        PipelineConfig,
+        forget_conversations,
+        run_ingest,
+    )
+
+    cfg = PipelineConfig(output_root=str(tmp_path / "idx"))
+    tool_registry, role_taxonomy = dims
+    victim = "conv-nullclass"
+    extra = spark.createDataFrame(
+        [
+            (victim, 0, None, "plain words, nothing extractable", None,
+             datetime.datetime(2015, 4, 1)),
+            (victim, 1, "user", "reach me at 10.77.0.1 please", None,
+             datetime.datetime(2015, 4, 1, 0, 1)),
+        ],
+        schema=transcripts.schema,
+    )
+    run_ingest(
+        spark, transcripts.unionByName(extra), cfg, tool_registry, role_taxonomy
+    )
+    routed = spark.read.parquet(cfg.routed_path)
+
+    nullclass = routed.filter(F.col("entity_class").isNull())
+    null_total = nullclass.count()
+    victim_null_rows = nullclass.filter(F.col("conv_id") == victim).count()
+    victim_rows = routed.filter(F.col("conv_id") == victim).count()
+    assert victim_null_rows > 0 and victim_rows > victim_null_rows
+
+    res = forget_conversations(spark, cfg, [victim])
+    assert res["n_routed_forgotten"] == victim_rows  # null rows counted too
+
+    routed_after = spark.read.parquet(cfg.routed_path)
+    assert routed_after.filter(F.col("conv_id") == victim).count() == 0
+    # the surviving null-partition rows of OTHER conversations are intact
+    other_null = routed_after.filter(F.col("entity_class").isNull()).count()
+    assert other_null == null_total - victim_null_rows
