@@ -345,7 +345,19 @@ def main() -> None:
             "clean_pairs_used": len(clean),
         }
 
-    print(json.dumps(result))
+    # Full per-query detail goes to a file; stdout gets a COMPACT headline
+    # line LAST (the driver captures the output tail, and a 112-entry
+    # queries dict overflowed it in round 2 -> "parsed": null). The
+    # headline keeps the driver contract keys but trims "queries" to the
+    # slowest 10.
+    with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as f:
+        json.dump(result, f, indent=1, sort_keys=True)
+    headline = dict(result)
+    slowest = sorted(result["queries"].items(), key=lambda kv: -kv[1])[:10]
+    headline["queries"] = dict(slowest)
+    headline["n_queries_benched"] = len(result["queries"])
+    headline["full_results"] = "BENCH_FULL.json"
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":

@@ -653,26 +653,100 @@ def embedding_near_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    n_blocks: int = 8,
 ) -> DataFrame:
-    """Exact cosine near-dup pairs (brute force) — the correctness baseline.
-    O(n^2/2) comparisons; at scale use :func:`sign_lsh_near_pairs` to
-    bucket first. Vectors are cast to double so the fold order (left to
-    right over array elements) gives bit-stable sums."""
+    """Exact cosine near-dup pairs — the correctness baseline that checks
+    EVERY pair (at scale use :func:`sign_lsh_near_pairs` to bucket
+    first). Computed as a blocked gram matrix: vectors hash into
+    ``n_blocks`` blocks, each of the n_blocks*(n_blocks+1)/2 block pairs
+    becomes one applyInPandas group that runs a single BLAS matmul
+    (rectangular across blocks, triangular within). Same-pair coverage
+    is exact — a pair lands in exactly the (min(blk), max(blk)) group —
+    and replication is x n_blocks, the standard blocked all-pairs
+    tradeoff. The earlier formulation (crossJoin + higher-order-function
+    cosine) evaluated the HOF lambdas interpreted per element per pair —
+    the pattern measured ~20x slower than the gram kernel in semdedup
+    (PLANS.md §3i). Per-group memory is (n/n_blocks)^2 * 8 B; raise
+    ``n_blocks`` with corpus size (work stays n^2 total, spread over
+    more, smaller groups)."""
+    import pandas as _pd  # noqa: PLC0415
+
+    from pyspark.sql.types import (  # noqa: PLC0415
+        DoubleType,
+        StructField,
+        StructType,
+    )
+
     v = emb.select(
-        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("_blk"),
     )
-    a = v.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
-    b = v.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
-    cos = _dot(F.col("_va"), F.col("_vb")) / (
-        F.sqrt(_dot(F.col("_va"), F.col("_va"))) * F.sqrt(_dot(F.col("_vb"), F.col("_vb")))
+    memb = v.select(
+        "_id",
+        "_v",
+        "_blk",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.least("_blk", F.lit(c)).alias("_bi"),
+                        F.greatest("_blk", F.lit(c)).alias("_bj"),
+                    )
+                    for c in range(n_blocks)
+                ]
+            )
+        ).alias("_bp"),
+    ).select("_id", "_v", "_blk", "_bp._bi", "_bp._bj")
+
+    id_type = dict(zip(v.schema.names, v.schema.fields))["_id"].dataType
+    out_schema = StructType(
+        [
+            StructField("id_a", id_type, False),
+            StructField("id_b", id_type, False),
+            StructField("cosine", DoubleType(), False),
+        ]
     )
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cos)
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
-    )
+    thr = float(threshold)
+
+    def _block_pairs(key, pdf):
+        bi, bj = key
+
+        def _mat(sub: _pd.DataFrame):
+            if not len(sub):
+                return np.empty(0), np.zeros((0, 0))
+            sub = sub.sort_values("_id")
+            ids = sub["_id"].to_numpy()
+            V = np.array(sub["_v"].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(V, axis=1)
+            norms[norms == 0] = 1.0
+            return ids, V / norms[:, None]
+
+        out_a, out_b, out_c = [], [], []
+        if bi == bj:
+            ids, Vn = _mat(pdf)
+            G = Vn @ Vn.T
+            r, c = np.nonzero(np.triu(G >= thr, k=1))
+            for x, y in zip(r, c):  # ids ascending -> id_a < id_b
+                out_a.append(ids[x])
+                out_b.append(ids[y])
+                out_c.append(G[x, y])
+        else:
+            ia, An = _mat(pdf[pdf["_blk"] == bi])
+            ib, Bn = _mat(pdf[pdf["_blk"] == bj])
+            if len(ia) and len(ib):
+                G = An @ Bn.T
+                r, c = np.nonzero(G >= thr)
+                for x, y in zip(r, c):  # block ids are hash-ordered: normalize
+                    a, b = ia[x], ib[y]
+                    if b < a:
+                        a, b = b, a
+                    out_a.append(a)
+                    out_b.append(b)
+                    out_c.append(G[x, y])
+        return _pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_c})
+
+    return memb.groupBy("_bi", "_bj").applyInPandas(_block_pairs, out_schema)
 
 
 def sign_lsh_bucket(vec_col: str | Column = "embedding", n_bits: int = 8) -> Column:

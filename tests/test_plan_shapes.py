@@ -199,6 +199,28 @@ def test_semdedup_joins_on_cluster_label_only(spark):
     assert _count(out, "BatchEvalPython") == 0
 
 
+def test_embedding_near_pairs_is_blocked_gram_kernel(spark):
+    """embedding_near_pairs: the exact all-pairs baseline runs as a
+    blocked gram matrix — ONE (block_i, block_j)-keyed exchange into a
+    single Arrow-batched BLAS kernel (FlatMapGroupsInPandas), with the
+    block membership an in-row literal explode. No cartesian product,
+    no per-pair interpreted HOF cosine (the pattern measured ~20x slower
+    in semdedup, PLANS.md §3i)."""
+    from flow_indexer_spark.operators.dedup import embedding_near_pairs
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 3), 1.0, 0.5]) for i in range(80)],
+        "vec_id long, embedding array<double>",
+    )
+    out = embedding_near_pairs(emb, threshold=0.9)
+    nodes = _nodes(out)
+    assert _count(out, "FlatMapGroupsInPandas") == 1
+    assert _shuffles(out) == 1, nodes
+    assert _count(out, "CartesianProduct") == 0
+    assert _count(out, "BroadcastNestedLoopJoin") == 0
+    assert _count(out, "BatchEvalPython") == 0
+
+
 def test_pq_encode_never_shuffles_the_vector_table(spark):
     """PQ encode: the packed codebook collapses to ONE broadcast row and
     codes are a pure in-row argmin — the corpus side reaches the output
