@@ -199,6 +199,92 @@ def dedup_against_state(
     return out
 
 
+def forget_from_state(
+    spark,
+    state_path: str,
+    ids: list,
+    id_col: str = "doc_id",
+) -> dict:
+    """Right-to-be-forgotten for the dedup signature state — the
+    companion to ``plans.pipeline.forget_conversations``, which purges
+    the routed and postings sinks but cannot know about signature
+    tables callers maintain separately. Without this, a forgotten
+    document's content hash and MinHash bands REMAIN in state, so a
+    future re-submission of the forgotten text would still classify as
+    a duplicate — i.e. the engine would keep acting on data it was
+    asked to delete. The contract here is full purge: after
+    ``forget_from_state``, re-ingesting the same or near-same text is
+    classified 'unique' again (covered by
+    ``tests/test_dedup_state.py::test_forget_then_reingest``).
+
+    Scale shape mirrors forget_conversations: the forget list rides
+    into the state scan as an IN-list predicate; only the ``batch=``
+    partitions that actually contain a forgotten id are rewritten
+    (dynamic partition overwrite), and partitions left EMPTY by the
+    purge are removed directly — dynamic overwrite never rewrites a
+    partition absent from the written frame, so an all-forgotten batch
+    would otherwise survive untouched. Idempotent: re-running finds no
+    rows and rewrites nothing.
+
+    Returns {n_rows_forgotten, n_partitions_rewritten,
+    n_partitions_removed}.
+    """
+    import os
+    import shutil
+
+    ids = list(ids)
+    noop = {
+        "n_rows_forgotten": 0,
+        "n_partitions_rewritten": 0,
+        "n_partitions_removed": 0,
+    }
+    if not ids:
+        return noop
+    state = read_state(spark, state_path)
+    if state is None:
+        return noop
+    hit = F.col(id_col).isin(ids)
+    # one small agg over the IN-list scan: forgotten + surviving rows
+    # per affected partition (the forget list is a deletion-request
+    # batch, so this frame is tiny)
+    per_batch = (
+        state.filter(
+            F.col("batch").isin(
+                [
+                    r["batch"]
+                    for r in state.filter(hit).select("batch").distinct().collect()
+                ]
+            )
+        )
+        .groupBy("batch")
+        .agg(
+            F.sum(hit.cast("bigint")).alias("_forgot"),
+            F.sum((~hit).cast("bigint")).alias("_kept"),
+        )
+        .collect()
+    )
+    if not per_batch:
+        return noop
+    rewrite = [r["batch"] for r in per_batch if r["_kept"] > 0]
+    remove = [r["batch"] for r in per_batch if r["_kept"] == 0]
+    if rewrite:
+        (
+            state.filter(F.col("batch").isin(rewrite) & ~hit)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch")
+            .parquet(state_path)
+        )
+    for b in remove:
+        # local-FS scope, same as compact_postings; catalog DELETE at S3 scale
+        shutil.rmtree(os.path.join(state_path, f"batch={b}"), ignore_errors=True)
+    return {
+        "n_rows_forgotten": int(sum(r["_forgot"] for r in per_batch)),
+        "n_partitions_rewritten": len(rewrite),
+        "n_partitions_removed": len(remove),
+    }
+
+
 def _check_meta(state_path: str, n_bands: int, rows_per_band: int) -> None:
     """Record the signature parameters beside the state on first commit
     and reject mismatched later batches: ``rows_per_band`` changes band

@@ -376,42 +376,120 @@ def hard_negatives(
     a retriever its decision boundary; random negatives are too easy).
 
     ``anchors`` (a small probe set) is **broadcast**, so candidate
-    scoring is a per-row loop over anchors with no shuffle of the
-    corpus; the single shuffle is the per-(anchor, kind) top-k window
-    over scored candidates. At 10^9+ vectors, prune candidates FIRST
-    (sign-LSH bucket filter or :func:`ivf_topk` lists) and feed the
-    pruned set here — the ranking topology is unchanged.
+    scoring never shuffles the corpus; the single shuffle is the
+    per-(anchor, kind) top-k window over the batch-pruned candidates.
+    At 10^9+ vectors, prune candidates FIRST (sign-LSH bucket filter or
+    :func:`ivf_topk` lists) and feed the pruned set here — the ranking
+    topology is unchanged.
+
+    Scoring runs as an Arrow-batched BLAS kernel (``mapInPandas``): the
+    packed anchor matrix broadcasts as ONE row, each corpus batch does a
+    single ``V @ A.T`` matmul, and the kernel emits only its per-batch
+    top (1 positive + k_neg negatives) per anchor — map-side top-k
+    pruning, so the window shuffle carries O(batches × anchors × k_neg)
+    rows instead of O(corpus × anchors). (The earlier per-pair
+    higher-order-function cosine evaluated interpreted per element —
+    the pattern measured ~20× slower than the gram kernel in semdedup,
+    PLANS.md §3i.) The global window then ranks the pruned candidates
+    exactly: per-batch top-k keeps use the identical (sim DESC, id ASC)
+    comparator, so pruning never drops a global winner.
 
     Returns (anchor_id, id, kind 'positive'|'negative', rank) — ids
     only; float sims are engine-rounding bait.
     """
-    from pyspark.sql import Window
+    import numpy as np  # noqa: PLC0415
+    import pandas as _pd  # noqa: PLC0415
+    from pyspark.sql import Window  # noqa: PLC0415
+    from pyspark.sql.types import (  # noqa: PLC0415
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+    )
 
     if k_neg < 1:
         raise ValueError("k_neg must be >= 1")
-    a = anchors.select(
-        F.col(id_col).alias("anchor_id"),
-        F.col(vec_col).cast("array<double>").alias("_q"),
-        F.col(label_col).alias("_alab"),
+    packed = anchors.groupBy().agg(
+        F.collect_list(
+            F.struct(
+                F.col(id_col).alias("aid"),
+                F.col(label_col).cast("string").alias("alab"),
+                F.col(vec_col).cast("array<double>").alias("q"),
+            )
+        ).alias("_anchors")
     )
-    v = F.col(vec_col).cast("array<double>")
-    scored = (
-        emb.join(F.broadcast(a), emb[id_col] != F.col("anchor_id"))
-        .withColumn("_sim", cosine(v, F.col("_q")))
-        .withColumn(
-            "kind",
-            F.when(F.col(label_col) == F.col("_alab"), "positive").otherwise(
-                "negative"
-            ),
-        )
+    src = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).cast("string").alias("_lab"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).crossJoin(F.broadcast(packed))
+
+    id_type = src.schema["_id"].dataType
+    mid_schema = StructType(
+        [
+            StructField("anchor_id", id_type, False),
+            StructField("_cid", id_type, False),
+            StructField("kind", StringType(), False),
+            StructField("_sim", DoubleType(), False),
+        ]
     )
+    kn = int(k_neg)
+
+    def _score_batches(it):
+        aids = alabs = Qn = None
+        for pdf in it:
+            if not len(pdf):
+                continue
+            if aids is None:
+                alist = pdf["_anchors"].iloc[0]
+                aids = np.array([a["aid"] for a in alist])
+                alabs = np.array([a["alab"] for a in alist], dtype=object)
+                Q = np.array([list(a["q"]) for a in alist], dtype=np.float64)
+                qn = np.linalg.norm(Q, axis=1)
+                qn[qn == 0] = 1.0
+                Qn = Q / qn[:, None]
+            ids = pdf["_id"].to_numpy()
+            labs = pdf["_lab"].to_numpy()
+            V = np.array(pdf["_v"].tolist(), dtype=np.float64)
+            nv = np.linalg.norm(V, axis=1)
+            nv[nv == 0] = 1.0
+            S = (V / nv[:, None]) @ Qn.T  # (batch, n_anchors)
+            out_a, out_c, out_k, out_s = [], [], [], []
+            for j in range(len(aids)):
+                # identical comparator to the global window: sim DESC, id ASC
+                order = np.lexsort((ids, -S[:, j]))
+                n_pos = n_neg = 0
+                for i in order:
+                    if ids[i] == aids[j]:
+                        continue
+                    if labs[i] == alabs[j]:
+                        if n_pos >= 1:
+                            continue
+                        n_pos += 1
+                        kind = "positive"
+                    else:
+                        if n_neg >= kn:
+                            if n_pos >= 1:
+                                break
+                            continue
+                        n_neg += 1
+                        kind = "negative"
+                    out_a.append(aids[j])
+                    out_c.append(ids[i])
+                    out_k.append(kind)
+                    out_s.append(S[i, j])
+            yield _pd.DataFrame(
+                {"anchor_id": out_a, "_cid": out_c, "kind": out_k, "_sim": out_s}
+            )
+
+    pruned = src.mapInPandas(_score_batches, mid_schema)
     w = Window.partitionBy("anchor_id", "kind").orderBy(
-        F.desc("_sim"), F.col(id_col)
+        F.desc("_sim"), F.col("_cid")
     )
-    ranked = scored.withColumn("rank", F.row_number().over(w))
+    ranked = pruned.withColumn("rank", F.row_number().over(w))
     keep = F.when(F.col("kind") == "positive", 1).otherwise(k_neg)
     return ranked.filter(F.col("rank") <= keep).select(
-        "anchor_id", id_col, "kind", "rank"
+        "anchor_id", F.col("_cid").alias(id_col), "kind", "rank"
     )
 
 

@@ -74,6 +74,73 @@ def test_bpe_segment_matches_incremental_merges(corpus):
         assert "".join(pieces) == w
 
 
+def test_accept_merge_batch_rules():
+    """Driver-side batch acceptance: the first conflicting pair's count
+    bounds every merge-created pair, so only strictly-above-the-bound
+    disjoint prefixes are safe; full-horizon reads treat the unseen tail
+    as a conflict; ties at the bound fall back to the single round-1
+    winner."""
+    from pyspark.sql import Row
+
+    from flow_indexer_spark.operators.tokenize import _accept_merge_batch
+
+    def r(l, rt, c):
+        return Row(left_sym=l, right_sym=rt, pair_count=c)
+
+    def pairs(acc):
+        return [(x.left_sym, x.right_sym) for x in acc]
+
+    # conflict at 90 bounds created pairs: only counts > 90 are safe
+    top = [r("a", "b", 100), r("b", "c", 90), r("d", "e", 80)]
+    assert pairs(_accept_merge_batch(top, 64, 10)) == [("a", "b")]
+    # disjoint pairs above the bound batch together
+    top = [r("a", "b", 100), r("d", "e", 95), r("b", "c", 90)]
+    assert pairs(_accept_merge_batch(top, 64, 10)) == [("a", "b"), ("d", "e")]
+    # horizon filled conflict-free: last fetched count is the bound
+    top = [r("a", "b", 100), r("d", "e", 95)]
+    assert pairs(_accept_merge_batch(top, 2, 10)) == [("a", "b")]
+    # whole pair table seen conflict-free: no pair shares a symbol, all safe
+    assert pairs(_accept_merge_batch(top, 64, 10)) == [("a", "b"), ("d", "e")]
+    # tie at the bound: tie-break unknowable after merges -> round-1 winner only
+    top = [r("a", "b", 100), r("b", "c", 100)]
+    assert pairs(_accept_merge_batch(top, 64, 10)) == [("a", "b")]
+    # budget truncates the accepted prefix
+    top = [r("a", "b", 100), r("d", "e", 95), r("f", "g", 90)]
+    assert pairs(_accept_merge_batch(top, 64, 2)) == [("a", "b"), ("d", "e")]
+    # repeated-symbol pair occupies its symbol once, still conflicts later
+    top = [r("a", "a", 100), r("a", "b", 90)]
+    assert pairs(_accept_merge_batch(top, 64, 10)) == [("a", "a")]
+
+
+def test_bpe_batched_merges_match_sequential(spark):
+    """merge_horizon=1 degenerates to the one-merge-per-job sequential
+    loop; the batched default must produce the bit-identical rule
+    trajectory (and match the plain-python twin) on a wide-alphabet
+    corpus where rounds genuinely accept multi-merge batches."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [
+        "".join(rng.choice("abcdefghijklmnopqrstuv") for _ in range(rng.randint(2, 9)))
+        for _ in range(300)
+    ]
+    texts = [" ".join(rng.choices(vocab, k=12)) for _ in range(60)]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+
+    def rules(horizon):
+        return [
+            (r["merge_rank"], r["left_sym"], r["right_sym"], r["pair_count"])
+            for r in bpe_train(df, 24, merge_horizon=horizon)
+            .orderBy("merge_rank")
+            .collect()
+        ]
+
+    batched = rules(64)
+    assert batched == rules(1)
+    want, _ = _py_bpe(texts, 24)
+    assert [(l, rt, c) for _, l, rt, c in batched] == want
+
+
 def test_bpe_stops_early_and_validates(spark, corpus):
     single = spark.createDataFrame([("a b c",)], "text string")
     # single-char words -> no adjacent pairs at all

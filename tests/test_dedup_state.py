@@ -197,3 +197,71 @@ def test_signature_param_mismatch_rejected_via_meta(spark, state_path):
             spark, _docs(spark, [(2, "d e f")]), state_path, "b2",
             n_bands=2, rows_per_band=1,
         )
+
+
+def test_forget_then_reingest(spark, state_path):
+    """Right-to-be-forgotten contract: after forget_from_state, the
+    forgotten doc's content hash and MinHash bands are gone, so
+    re-submitting the same (or near-same) text classifies 'unique'
+    again — the state stops acting on deleted data. Non-forgotten
+    signatures keep matching, re-forget is a no-op, and a partition
+    emptied by the purge is removed outright (dynamic overwrite alone
+    would leave it untouched)."""
+    from flow_indexer_spark.operators.dedup_state import forget_from_state
+
+    b1 = _docs(spark, [(1, "alpha beta gamma"), (2, "delta epsilon zeta")])
+    dedup_against_state(spark, b1, state_path, "b1")
+    b2 = _docs(spark, [(3, "solitary sentinel content")])
+    dedup_against_state(spark, b2, state_path, "b2")
+
+    # before forgetting: both texts are known duplicates
+    probe = _docs(spark, [(90, "alpha beta gamma"), (91, "solitary sentinel content")])
+    kinds = {
+        r["doc_id"]: r["dup_kind"]
+        for r in dedup_against_state(spark, probe, state_path, "probe1").collect()
+    }
+    assert kinds == {90: "exact", 91: "exact"}  # dups never enter state
+
+    # forget doc 1 (partial partition) and doc 3 (empties batch=b2)
+    audit = forget_from_state(spark, state_path, [1, 3], id_col="doc_id")
+    assert audit["n_rows_forgotten"] == 2
+    assert audit["n_partitions_rewritten"] == 1  # b1 keeps doc 2
+    assert audit["n_partitions_removed"] == 1  # b2 emptied
+    st = read_state(spark, state_path)
+    assert {r["doc_id"] for r in st.collect()} == {2}
+
+    # re-ingesting forgotten text is unique again; kept signature still hits
+    re = _docs(
+        spark,
+        [
+            (100, "alpha beta gamma"),  # was doc 1 — forgotten
+            (101, "gamma alpha beta"),  # near-dup of forgotten text
+            (102, "solitary sentinel content"),  # was doc 3 — forgotten
+            (103, "delta epsilon zeta"),  # doc 2 still in state
+        ],
+    )
+    kinds = {
+        r["doc_id"]: r["dup_kind"]
+        for r in dedup_against_state(spark, re, state_path, "b3").collect()
+    }
+    assert kinds == {100: "unique", 101: "unique", 102: "unique", 103: "exact"}
+
+    # idempotent: nothing left to forget
+    again = forget_from_state(spark, state_path, [1, 3], id_col="doc_id")
+    assert again == {
+        "n_rows_forgotten": 0,
+        "n_partitions_rewritten": 0,
+        "n_partitions_removed": 0,
+    }
+
+
+def test_forget_on_missing_or_empty_state(spark, state_path):
+    from flow_indexer_spark.operators.dedup_state import forget_from_state
+
+    noop = {
+        "n_rows_forgotten": 0,
+        "n_partitions_rewritten": 0,
+        "n_partitions_removed": 0,
+    }
+    assert forget_from_state(spark, state_path, [1]) == noop  # no state yet
+    assert forget_from_state(spark, state_path, []) == noop  # empty forget list

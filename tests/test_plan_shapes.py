@@ -221,6 +221,28 @@ def test_embedding_near_pairs_is_blocked_gram_kernel(spark):
     assert _count(out, "BatchEvalPython") == 0
 
 
+def test_hard_negatives_is_broadcast_anchor_blas_scan(spark):
+    """hard_negatives: anchors pack to ONE broadcast row, scoring is a
+    single Arrow-batched MapInPandas BLAS kernel with map-side top-k
+    pruning, and the only corpus-wide Exchange is the per-(anchor,kind)
+    rank window over the pruned candidates — never a corpus shuffle to
+    score, never a per-pair interpreted HOF cosine."""
+    from flow_indexer_spark.operators.similarity import hard_negatives
+
+    emb = spark.createDataFrame(
+        [(i, i % 3, [float(i % 7), float(i % 5), 1.0]) for i in range(60)],
+        "vec_id long, label int, embedding array<double>",
+    )
+    anchors = emb.filter(F.col("vec_id") < 2)
+    out = hard_negatives(emb, anchors, k_neg=3)
+    nodes = _nodes(out)
+    assert _count(out, "MapInPandas") == 1, nodes
+    assert _count(out, "BroadcastNestedLoopJoin") == 1  # the 1-row anchor pack
+    assert _shuffles(out) <= 2, nodes  # anchor-pack agg + the rank window
+    assert _count(out, "CartesianProduct") == 0
+    assert _count(out, "BatchEvalPython") == 0
+
+
 def test_pq_encode_never_shuffles_the_vector_table(spark):
     """PQ encode: the packed codebook collapses to ONE broadcast row and
     codes are a pure in-row argmin — the corpus side reaches the output
