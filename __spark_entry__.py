@@ -3800,6 +3800,59 @@ def _q_media_png_decode(spark, sf_dir):
 
 
 @_register(
+    "media_jpeg_decode",
+    """
+    WITH m AS (SELECT CAST(range AS INTEGER) AS i FROM range(48)),
+    im AS (
+      SELECT printf('m%05d', i) AS media_id,
+             16 + (i % 5) * 8 AS w, 12 + (i % 3) * 8 AS h
+      FROM m
+    )
+    SELECT media_id, 'image' AS kind,
+           CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           TRUE AS mean_r_ok, TRUE AS mean_g_ok, TRUE AS mean_b_ok,
+           TRUE AS edge_ok
+    FROM im
+    ORDER BY media_id
+    """,
+)
+def _q_media_jpeg_decode(spark, sf_dir):
+    """LOSSY media decode: real baseline-JFIF files (numpy 8x8 DCT,
+    quality-scaled Annex K quantization, canonical Huffman entropy
+    coding — operators/jpegcodec.py, no PIL) are synthesized on
+    executors and parsed back by the pure-numpy JPEG decoder in the
+    same Arrow-batched mapInPandas stage as the WAV/PPM/PNG paths.
+    Dimensions are exact header fields; the gradient-plane means and
+    edge energy are gated against closed-form theory within lossy-codec
+    tolerance (measured worst-case mean error 0.35 at quality 90 across
+    the fixture sweep; bit equality is a PNG property, not a JPEG one).
+    This shrinks the environment-blocked codec seam to MP4/H.264 only.
+    Reference analogue: /root/reference/backend/pcap.go:17-54."""
+    from flow_indexer_spark.operators.codecs import (
+        decode_real_media,
+        make_jpeg_media,
+    )
+
+    d = decode_real_media(make_jpeg_media(spark, 48))
+    i = F.substring("media_id", 2, 5).cast("int")
+    red = ((F.lit(7) * i) % 256).cast("double")
+    mean_g_theory = (F.col("width") - 1) / 2.0
+    mean_b_theory = (F.col("height") - 1) / 2.0
+    return d.select(
+        "media_id",
+        "kind",
+        "width",
+        "height",
+        (F.abs(F.col("mean_r") - red) < 0.75).alias("mean_r_ok"),
+        (F.abs(F.col("mean_g") - mean_g_theory) < 0.75).alias("mean_g_ok"),
+        (F.abs(F.col("mean_b") - mean_b_theory) < 0.75).alias("mean_b_ok"),
+        (F.abs(F.col("edge_energy") - F.lit(0.587 + 0.114)) < 0.15).alias(
+            "edge_ok"
+        ),
+    ).orderBy("media_id")
+
+
+@_register(
     "skew_salted_join",
     """
     WITH prof AS (

@@ -10,11 +10,12 @@ module supplies genuine byte-format parsing (header field extraction,
 PCM sample decode, pixel-plane decode/unfilter/inflate) and
 signal-level features (RMS / peak / zero-crossing rate / dominant FFT
 frequency for audio; per-plane means / luma deviation / gradient edge
-energy for images). Only JPEG/MP4 (DCT and H.264 entropy coders absent
-from the container) remain the environment-blocked
-``NotImplementedError`` path — reference analogue: the pcap backend
-decodes the packet framing it understands and rejects the rest
-(/root/reference/backend/pcap.go:17-54).
+energy for images). Baseline JPEG decodes too — :mod:`jpegcodec`
+implements the DCT + canonical-Huffman pipeline on numpy. Only
+MP4/H.264 (a full motion-compensation video stack) remains the
+environment-blocked ``NotImplementedError`` path — reference analogue:
+the pcap backend decodes the packet framing it understands and rejects
+the rest (/root/reference/backend/pcap.go:17-54).
 
 The synthesizer writes byte-real WAV/PPM files with closed-form physics
 (whole-cycle sine tones, axis-gradient color planes), so the decoder's
@@ -180,13 +181,17 @@ def decode_ppm(payload: bytes) -> dict:
 
 
 def decode_pixels(payload: bytes) -> np.ndarray:
-    """Decode an image payload (PPM or PNG) to its raw (h, w, 3) uint8
-    pixel array — the seam perceptual hashing and any future vision
-    featurizer read from, so they stay codec-agnostic."""
+    """Decode an image payload (PPM, PNG, or baseline JPEG) to its raw
+    (h, w, 3) uint8 pixel array — the seam perceptual hashing and any
+    future vision featurizer read from, so they stay codec-agnostic."""
     if payload[:2] == b"P6":
         return _ppm_pixels(payload)
     if payload[:8] == PNG_SIG:
         return _png_pixels(payload)
+    if payload[:2] == b"\xff\xd8":
+        from flow_indexer_spark.operators.jpegcodec import _jpeg_pixels
+
+        return _jpeg_pixels(payload)
     raise ValueError("not a decodable image payload")
 
 
@@ -211,7 +216,8 @@ def _image_features(px: np.ndarray) -> dict:
 # --- PNG: a genuinely COMPRESSED codec on stdlib zlib ----------------------
 #
 # DEFLATE (the only compression PNG uses) ships in the standard library,
-# so unlike JPEG/MP4 this "compressed format" is fully decodable here:
+# so like baseline JPEG (jpegcodec.py) and unlike MP4 this "compressed
+# format" is fully decodable here:
 # CRC-verified chunk walk -> zlib inflate -> scanline unfiltering (all
 # five filter types, including the sequential Paeth predictor). The
 # encoder cycles through every filter type so the decoder's unfilter
@@ -383,9 +389,10 @@ def _png_pixels(payload: bytes) -> np.ndarray:
 
 def media_decoder(payload: bytes, kind: str) -> dict:
     """The real_decoder seam: sniffs the container magic and dispatches
-    to a genuine parser — RIFF/WAV, PPM, and (DEFLATE-compressed) PNG.
-    Formats whose codecs genuinely aren't in this environment (JPEG's
-    DCT entropy coding, MP4/H.264) stay the clearly-marked blocked
+    to a genuine parser — RIFF/WAV, PPM, (DEFLATE-compressed) PNG, and
+    baseline JPEG (:mod:`operators.jpegcodec`, pure numpy DCT +
+    canonical Huffman). Only MP4/H.264 (a full motion-compensation
+    video stack) remains the clearly-marked environment-blocked
     path."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload)
@@ -393,8 +400,12 @@ def media_decoder(payload: bytes, kind: str) -> dict:
         return decode_ppm(payload)
     if payload[:8] == PNG_SIG:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from flow_indexer_spark.operators.jpegcodec import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "codecs for JPEG/MP4 unavailable in this environment"
+        "codec for MP4/H.264 unavailable in this environment"
     )
 
 
@@ -484,6 +495,48 @@ def make_png_media(spark, n: int = 48) -> DataFrame:
                     "media_id": [f"m{i:05d}" for i in ids],
                     "kind": ["image"] * len(ids),
                     "payload": [make_png_bytes(i) for i in ids],
+                }
+            )
+
+    return spark.range(n).repartition(
+        max(2, spark.sparkContext.defaultParallelism // 4)
+    ).mapInPandas(_gen, schema)
+
+
+def make_jpeg_bytes(i: int, quality: int = 90) -> bytes:
+    """A real baseline-JFIF file for media index i — same gradient pixel
+    planes as :func:`make_ppm_bytes`, so JPEG decode is checkable
+    against the same closed-form means (within lossy-codec tolerance,
+    unlike PNG's bit-exact round trip)."""
+    from flow_indexer_spark.operators.jpegcodec import encode_jpeg
+
+    w, h, red = image_params(i)
+    px = np.empty((h, w, 3), dtype=np.uint8)
+    px[:, :, 0] = red
+    px[:, :, 1] = np.arange(w, dtype=np.uint8)[None, :]
+    px[:, :, 2] = np.arange(h, dtype=np.uint8)[:, None]
+    return encode_jpeg(px, quality)
+
+
+def make_jpeg_media(spark, n: int = 48) -> DataFrame:
+    """Distributed synthesis of real baseline-JPEG payloads — same
+    executor-side mapInPandas topology as :func:`make_real_media`."""
+    schema = StructType(
+        [
+            StructField("media_id", StringType(), False),
+            StructField("kind", StringType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].tolist()
+            yield pd.DataFrame(
+                {
+                    "media_id": [f"m{i:05d}" for i in ids],
+                    "kind": ["image"] * len(ids),
+                    "payload": [make_jpeg_bytes(i) for i in ids],
                 }
             )
 

@@ -83,11 +83,20 @@ def test_ppm_roundtrip_and_comment_header():
     assert decode_ppm(commented) == decode_ppm(raw)
 
 
-def test_compressed_formats_stay_blocked():
-    with pytest.raises(NotImplementedError):
-        uncompressed_decoder(b"\xff\xd8\xff\xe0jpeg", "image")
+def test_mp4_stays_blocked_jpeg_decodes():
+    """MP4/H.264 is the one remaining env-blocked codec; JPEG left the
+    blocked list in round 3 (operators/jpegcodec.py), so a JPEG-magic
+    payload now reaches the real parser — garbage after the magic is a
+    parse error (ValueError), not a capability gap."""
     with pytest.raises(NotImplementedError):
         uncompressed_decoder(b"\x00\x00\x00\x18ftypmp42", "video")
+    with pytest.raises(ValueError):
+        uncompressed_decoder(b"\xff\xd8\xff\xe0jpeg", "image")
+    from flow_indexer_spark.operators.codecs import make_jpeg_bytes
+
+    feats = uncompressed_decoder(make_jpeg_bytes(5), "image")
+    w, h, _red = image_params(5)
+    assert (feats["width"], feats["height"]) == (w, h)
 
 
 def test_png_roundtrip_matches_ppm_exactly():
