@@ -3853,6 +3853,78 @@ def _q_media_jpeg_decode(spark, sf_dir):
 
 
 @_register(
+    "media_mp4_frames",
+    """
+    WITH v AS (SELECT CAST(range AS INTEGER) AS i FROM range(24)),
+    p AS (
+      SELECT i, printf('v%05d', i) AS media_id,
+             6 + (i % 3) * 3 AS n_frames,
+             16 + (i % 5) * 8 AS w, 12 + (i % 3) * 8 AS h
+      FROM v
+    ),
+    f AS (
+      SELECT p.*, CAST(r.range AS INTEGER) AS frame_idx
+      FROM p, range(12) r
+      WHERE r.range < p.n_frames AND r.range % 2 = 0
+    )
+    SELECT media_id, 'jpeg' AS codec,
+           CAST(n_frames AS INTEGER) AS n_frames,
+           CAST(n_frames * 100 AS BIGINT) AS duration_ms,
+           frame_idx, CAST(frame_idx * 100 AS BIGINT) AS t_ms,
+           CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           TRUE AS mean_r_ok, TRUE AS mean_g_ok, TRUE AS mean_b_ok,
+           TRUE AS edge_ok
+    FROM f
+    ORDER BY media_id, frame_idx
+    """,
+)
+def _q_media_mp4_frames(spark, sf_dir):
+    """VIDEO frame sampling over a real container: MJPEG-in-MP4 files
+    (operators/mp4codec.py — spec-shaped ISO BMFF box tree with full
+    stts/stsc/stsz/stco sample tables, every frame an independent
+    baseline JFIF sample from the round-3 JPEG encoder) are synthesized
+    on executors, then every 2nd frame is sampled by walking the sample
+    tables and entropy-decoding ONLY the sampled byte extents (skipped
+    frames are never decoded — the sampling pushes down into the byte
+    walk, the video analogue of columnar projection pushdown). The
+    oracle re-derives the container fields (frame counts, timeline,
+    dimensions) from id arithmetic — exact equality proves writer and
+    parser agree on the box grammar and chunk-map expansion — while the
+    sampled frames' gradient means are gated within the measured lossy
+    JPEG tolerance. Inter-coded bitstreams (H.264) remain the one
+    documented NotImplementedError. Reference analogue:
+    /root/reference/backend/pcap.go:17-54."""
+    from flow_indexer_spark.operators.mp4codec import (
+        make_mp4_media,
+        video_frame_features,
+    )
+
+    d = video_frame_features(make_mp4_media(spark, 24), every_n=2)
+    i = F.substring("media_id", 2, 5).cast("int")
+    red = ((F.lit(7) * i + F.lit(11) * F.col("frame_idx")) % 256).cast(
+        "double"
+    )
+    mean_g_theory = (F.col("width") - 1) / 2.0
+    mean_b_theory = (F.col("height") - 1) / 2.0
+    return d.select(
+        "media_id",
+        "codec",
+        "n_frames",
+        "duration_ms",
+        "frame_idx",
+        "t_ms",
+        "width",
+        "height",
+        (F.abs(F.col("mean_r") - red) < 0.75).alias("mean_r_ok"),
+        (F.abs(F.col("mean_g") - mean_g_theory) < 0.75).alias("mean_g_ok"),
+        (F.abs(F.col("mean_b") - mean_b_theory) < 0.75).alias("mean_b_ok"),
+        (F.abs(F.col("edge_energy") - F.lit(0.587 + 0.114)) < 0.15).alias(
+            "edge_ok"
+        ),
+    ).orderBy("media_id", "frame_idx")
+
+
+@_register(
     "skew_salted_join",
     """
     WITH prof AS (

@@ -99,7 +99,25 @@ def _cfg(out_root: str):
     return PipelineConfig(output_root=out_root, postings_layout="local")
 
 
-def _bench_pipeline(spark, sf_dir: str, mult: int, cpus: int, runs: int = 3) -> dict:
+def _steal_sample() -> tuple[int, int]:
+    """(steal_jiffies, total_jiffies) from the aggregate /proc/stat cpu
+    line — the hypervisor-steal counter this host visibly accrues."""
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+        return vals[7], sum(vals)
+    except (OSError, IndexError, ValueError):
+        return 0, 0
+
+
+#: a timed run whose window shows <5% hypervisor steal is "clean"; the
+#: round-2/3 logs show stolen windows at 15-50% and quiet ones at 1-3%.
+STEAL_CLEAN = 0.05
+
+
+def _bench_pipeline(
+    spark, sf_dir: str, mult: int, cpus: int, runs: int = 3, max_extra: int = 4
+) -> dict:
     """End-to-end parse -> enrich -> route -> index measurement (turns/sec):
     the full run_ingest (routed sink + postings index + manifest)."""
     from pyspark.sql import functions as F
@@ -135,25 +153,41 @@ def _bench_pipeline(spark, sf_dir: str, mult: int, cpus: int, runs: int = 3) -> 
     # best-of-3: JVM JIT, GC timing, and file-commit jitter dominate at this
     # toy scale; the fastest run is the least-noise estimate of the plan cost
     # outputs on tmpfs when available (see _session: per-node disk model)
+    # Best-of-N with steal-aware extension: best-of is already the right
+    # estimator under one-sided hypervisor noise (steal only ever slows a
+    # run), but round 3 showed a whole 3-run window can land inside one
+    # steal episode (all three runs ~2x slow, headline 64k vs 136k
+    # turns/sec on identical code). Measure per-run steal from /proc/stat
+    # and keep extending — up to ``max_extra`` more runs — until at least
+    # one run executed in a clean window. Every draw is reported.
     out_base = "/dev/shm" if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK) else None
     best = None
-    for _ in range(runs):
+    attempts = []
+    for i in range(runs + max_extra):
+        if i >= runs and any(a["steal"] <= STEAL_CLEAN for a in attempts):
+            break
         out_root = tempfile.mkdtemp(prefix="bench_out_", dir=out_base)
         cfg = _cfg(out_root)
+        s0, j0 = _steal_sample()
         t0 = time.monotonic()
         metrics = run_ingest(spark, t, cfg)
         wall = time.monotonic() - t0
+        s1, j1 = _steal_sample()
+        steal = round((s1 - s0) / max(1, j1 - j0), 3)
+        attempts.append({"wall_s": round(wall, 3), "steal": steal})
         shutil.rmtree(out_root, ignore_errors=True)
         assert metrics["n_turns"] == n_turns
         if best is None or wall < best[0]:
-            best = (wall, metrics)
+            best = (wall, metrics, steal)
     t.unpersist()
-    wall, metrics = best
+    wall, metrics, steal = best
     return {
         "n_turns": n_turns,
         "n_entities": metrics["n_entities"],
         "wall_s": round(wall, 3),
         "turns_per_sec": round(n_turns / wall, 1),
+        "steal_frac": steal,
+        "runs": attempts,
         "stage_ms": metrics["stage_ms"],
     }
 
@@ -250,7 +284,10 @@ def _child(cpus: int) -> None:
     spark = _session(cpus, shuffle_partitions=2 * SCALING_N * 4)
     # best-of-2 inside a child: keeps the (N, 4N) session pair short enough
     # to fit one host-noise window (pairing is what cancels the noise)
-    res = _bench_pipeline(spark, SF_DIR, MULT, cpus, runs=2)
+    # short windows keep the (N, 4N) pair inside one host-noise regime —
+    # the pair estimator upstream is what cancels steal; allow just one
+    # extra attempt when both runs were visibly stolen from
+    res = _bench_pipeline(spark, SF_DIR, MULT, cpus, runs=2, max_extra=1)
     spark.stop()
     print(json.dumps({"cpus": cpus, **res}))
 
@@ -291,6 +328,9 @@ def main() -> None:
         "sf": SF_DIR,
         "n_turns": pipeline["n_turns"],
         "turns_per_sec": pipeline["turns_per_sec"],
+        "ingest_steal_frac": pipeline["steal_frac"],
+        "ingest_runs": pipeline["runs"],
+        "ingest_stage_ms": pipeline["stage_ms"],
         "cpus": args.cpus,
     }
 

@@ -389,11 +389,14 @@ def _png_pixels(payload: bytes) -> np.ndarray:
 
 def media_decoder(payload: bytes, kind: str) -> dict:
     """The real_decoder seam: sniffs the container magic and dispatches
-    to a genuine parser — RIFF/WAV, PPM, (DEFLATE-compressed) PNG, and
+    to a genuine parser — RIFF/WAV, PPM, (DEFLATE-compressed) PNG,
     baseline JPEG (:mod:`operators.jpegcodec`, pure numpy DCT +
-    canonical Huffman). Only MP4/H.264 (a full motion-compensation
-    video stack) remains the clearly-marked environment-blocked
-    path."""
+    canonical Huffman), and ISO BMFF/MP4 (:mod:`operators.mp4codec`:
+    real box walk + sample tables; MJPEG tracks decode — the summary
+    row carries duration plus first-frame image features). Only
+    inter-coded video bitstreams (H.264 et al., a full motion-
+    compensation stack) remain the clearly-marked environment-blocked
+    path, raised from inside the MP4 frame decode."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload)
     if payload[:2] == b"P6":
@@ -404,9 +407,19 @@ def media_decoder(payload: bytes, kind: str) -> dict:
         from flow_indexer_spark.operators.jpegcodec import decode_jpeg
 
         return decode_jpeg(payload)
-    raise NotImplementedError(
-        "codec for MP4/H.264 unavailable in this environment"
-    )
+    if payload[4:8] == b"ftyp":
+        from flow_indexer_spark.operators.mp4codec import mp4_frames, parse_mp4
+
+        info = parse_mp4(payload)
+        _, _, first = next(mp4_frames(payload, every_n=max(1, info["n_frames"])))
+        return {
+            "kind": "video",
+            "n_bytes": len(payload),
+            "duration_ms": info["duration_ms"],
+            "n_samples": info["n_frames"],
+            **_image_features(first),
+        }
+    raise NotImplementedError("unrecognized media container")
 
 
 #: pre-PNG name, kept for callers that imported the seam before the

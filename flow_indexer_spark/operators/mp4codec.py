@@ -1,0 +1,478 @@
+"""Real ISO BMFF (MP4) container codec: box-tree writer/parser plus
+MJPEG frame sampling, no external media library.
+
+Closes the container half of the video seam left after round 3's JPEG
+work (reference analogue: the pcap backend decodes every packet format
+its library supports, /root/reference/backend/pcap.go:17-54; here the
+"packet format" is the MP4 box grammar of ISO/IEC 14496-12). What is
+and is not real:
+
+- The CONTAINER is fully real both directions: ``encode_mp4_mjpeg``
+  writes a spec-shaped ftyp/mdat/moov tree (mvhd, tkhd, mdhd, hdlr,
+  vmhd, dinf/dref, and a complete sample table — stsd visual sample
+  entry, stts, stsc with multi-sample chunks, stsz, stco), and
+  ``parse_mp4`` walks boxes generically (32/64-bit and to-EOF sizes),
+  expands the stts timeline and the stsc/stco chunk map into exact
+  per-sample byte extents.
+- FRAME DECODE is real for codec ``jpeg`` (Motion JPEG: every sample
+  is a baseline JFIF image, decoded by :mod:`operators.jpegcodec`).
+  ``avc1``/``hev1`` and any other inter-coded bitstream raise
+  ``NotImplementedError`` — a full motion-compensation stack is the
+  one genuinely environment-blocked piece left.
+- Frame SAMPLING pushes down into the byte walk: requesting every Nth
+  frame touches only those samples' byte ranges; skipped frames are
+  never entropy-decoded. At scale that is the difference between
+  reading ~1/N of the mdat and decoding all of it — the same
+  projection-pushdown argument as a columnar scan.
+
+Spark-side the stage is the usual iterator ``mapInPandas`` (one Arrow
+batch resident per task); a 2 GB practical ceiling per payload cell
+applies as with all binary columns, so hour-long videos arrive as
+pre-split segments — exactly how production video tables store them.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from flow_indexer_spark.operators.codecs import _image_features, image_params
+
+VIDEO_FPS = 10
+_CHUNK_SAMPLES = 4  # encoder packs <=4 samples per chunk: exercises stsc
+
+
+# --- box writers ------------------------------------------------------------
+
+def _box(typ: bytes, *payload: bytes) -> bytes:
+    body = b"".join(payload)
+    return struct.pack(">I", 8 + len(body)) + typ + body
+
+
+def _full(typ: bytes, version: int, flags: int, *payload: bytes) -> bytes:
+    return _box(typ, struct.pack(">I", (version << 24) | flags), *payload)
+
+
+_UNITY_MATRIX = struct.pack(
+    ">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000
+)
+
+
+def encode_mp4_mjpeg(
+    frames: list[np.ndarray], fps: int = VIDEO_FPS, quality: int = 90
+) -> bytes:
+    """Write (h, w, 3) uint8 frames as a self-contained MJPEG-in-MP4
+    file: ftyp, one mdat holding every frame as an independent baseline
+    JFIF sample, and a moov whose sample table chunks samples in groups
+    of ``_CHUNK_SAMPLES`` (multiple stco entries, a real stsc map — not
+    the single-chunk degenerate case)."""
+    from flow_indexer_spark.operators.jpegcodec import encode_jpeg
+
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape[:2]
+    samples = [encode_jpeg(f, quality) for f in frames]
+    sizes = [len(s) for s in samples]
+    n = len(samples)
+
+    ftyp = _box(b"ftyp", b"isom", struct.pack(">I", 512), b"isom", b"mp41")
+    mdat = _box(b"mdat", *samples)
+
+    # chunk layout: groups of _CHUNK_SAMPLES samples, offsets into mdat
+    # payload (which starts 8 bytes into the mdat box, after ftyp)
+    base = len(ftyp) + 8
+    chunk_offsets, chunk_counts = [], []
+    off = base
+    for c0 in range(0, n, _CHUNK_SAMPLES):
+        chunk_offsets.append(off)
+        cnt = min(_CHUNK_SAMPLES, n - c0)
+        chunk_counts.append(cnt)
+        off += sum(sizes[c0 : c0 + cnt])
+
+    # stsc runs: (first_chunk, samples_per_chunk, sample_desc_index)
+    stsc_entries = []
+    for ci, cnt in enumerate(chunk_counts, start=1):
+        if not stsc_entries or stsc_entries[-1][1] != cnt:
+            stsc_entries.append((ci, cnt, 1))
+
+    duration_movie = n * 1000 // fps  # mvhd/tkhd use timescale 1000
+
+    entry = _box(
+        b"jpeg",
+        b"\x00" * 6,
+        struct.pack(">H", 1),              # data_reference_index
+        b"\x00" * 16,                      # pre_defined / reserved
+        struct.pack(">HH", w, h),
+        struct.pack(">II", 0x00480000, 0x00480000),  # 72 dpi
+        struct.pack(">I", 0),
+        struct.pack(">H", 1),              # frame_count per sample
+        bytes([6]) + b"mjpeg" + b"\x00" * 26,  # compressorname (32 B)
+        struct.pack(">Hh", 24, -1),        # depth, pre_defined
+    )
+    stbl = _box(
+        b"stbl",
+        _full(b"stsd", 0, 0, struct.pack(">I", 1), entry),
+        _full(b"stts", 0, 0, struct.pack(">III", 1, n, 1)),
+        _full(
+            b"stsc",
+            0,
+            0,
+            struct.pack(">I", len(stsc_entries)),
+            *(struct.pack(">III", *e) for e in stsc_entries),
+        ),
+        _full(
+            b"stsz",
+            0,
+            0,
+            struct.pack(">II", 0, n),
+            *(struct.pack(">I", s) for s in sizes),
+        ),
+        _full(
+            b"stco",
+            0,
+            0,
+            struct.pack(">I", len(chunk_offsets)),
+            *(struct.pack(">I", o) for o in chunk_offsets),
+        ),
+    )
+    minf = _box(
+        b"minf",
+        _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0)),
+        _box(
+            b"dinf",
+            _full(b"dref", 0, 0, struct.pack(">I", 1), _full(b"url ", 0, 1)),
+        ),
+        stbl,
+    )
+    mdia = _box(
+        b"mdia",
+        _full(
+            b"mdhd",
+            0,
+            0,
+            struct.pack(">IIIIHH", 0, 0, fps, n, 0x55C4, 0),  # lang 'und'
+        ),
+        _full(
+            b"hdlr",
+            0,
+            0,
+            struct.pack(">I", 0),
+            b"vide",
+            b"\x00" * 12,
+            b"VideoHandler\x00",
+        ),
+        minf,
+    )
+    trak = _box(
+        b"trak",
+        _full(
+            b"tkhd",
+            0,
+            3,  # enabled | in_movie
+            struct.pack(">IIII", 0, 0, 1, 0),   # track_ID 1
+            struct.pack(">I", duration_movie),
+            b"\x00" * 8,
+            struct.pack(">HHHH", 0, 0, 0, 0),
+            _UNITY_MATRIX,
+            struct.pack(">II", w << 16, h << 16),
+        ),
+        mdia,
+    )
+    mvhd = _full(
+        b"mvhd",
+        0,
+        0,
+        struct.pack(">IIII", 0, 0, 1000, duration_movie),
+        struct.pack(">IHH", 0x00010000, 0x0100, 0),  # rate, volume
+        b"\x00" * 8,
+        _UNITY_MATRIX,
+        b"\x00" * 24,
+        struct.pack(">I", 2),  # next_track_ID
+    )
+    return ftyp + mdat + _box(b"moov", mvhd, trak)
+
+
+# --- box parser -------------------------------------------------------------
+
+def _boxes(buf: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for each box in [start, end):
+    handles 32-bit sizes, 64-bit largesize (size==1) and to-end-of-file
+    (size==0)."""
+    off = start
+    while off + 8 <= end:
+        (size,) = struct.unpack_from(">I", buf, off)
+        typ = buf[off + 4 : off + 8]
+        hdr = 8
+        if size == 1:
+            if off + 16 > end:
+                raise ValueError("truncated largesize box")
+            (size,) = struct.unpack_from(">Q", buf, off + 8)
+            hdr = 16
+        elif size == 0:
+            size = end - off
+        if size < hdr or off + size > end:
+            raise ValueError(f"corrupt box {typ!r} at {off}")
+        yield typ, off + hdr, off + size
+        off += size
+    if off != end:
+        raise ValueError("trailing bytes after last box")
+
+
+def _child(buf: bytes, start: int, end: int, typ: bytes) -> tuple[int, int]:
+    for t, s, e in _boxes(buf, start, end):
+        if t == typ:
+            return s, e
+    raise ValueError(f"missing {typ!r} box")
+
+
+def _full_body(buf: bytes, start: int) -> int:
+    """Skip a full box's version+flags word; only version 0 tables are
+    emitted here and accepted back (version 1 = 64-bit fields)."""
+    if buf[start] != 0:
+        raise NotImplementedError("version-1 full boxes unsupported")
+    return start + 4
+
+
+def parse_mp4(payload: bytes) -> dict:
+    """Parse the container: codec fourcc, dimensions, timescale, and
+    exact per-sample (offset, size, start_time) extents from the
+    stts/stsc/stsz/stco tables. No frame is decoded here."""
+    buf = bytes(payload)
+    top = {t: (s, e) for t, s, e in _boxes(buf, 0, len(buf))}
+    if b"ftyp" not in top or b"moov" not in top:
+        raise ValueError("not an ISO BMFF file")
+    moov = top[b"moov"]
+
+    # first video track
+    stbl = mdhd = None
+    for t, s, e in _boxes(buf, *moov):
+        if t != b"trak":
+            continue
+        mdia = _child(buf, s, e, b"mdia")
+        h_s, h_e = _child(buf, *mdia, b"hdlr")
+        if buf[_full_body(buf, h_s) + 4 : _full_body(buf, h_s) + 8] != b"vide":
+            continue
+        mdhd = _child(buf, *mdia, b"mdhd")
+        minf = _child(buf, *mdia, b"minf")
+        stbl = _child(buf, *minf, b"stbl")
+        break
+    if stbl is None:
+        raise ValueError("no video track")
+
+    p = _full_body(buf, mdhd[0])
+    timescale, media_duration = struct.unpack_from(">II", buf, p + 8)
+
+    # stsd: first sample entry carries fourcc + dimensions
+    p = _full_body(buf, _child(buf, *stbl, b"stsd")[0])
+    (n_entries,) = struct.unpack_from(">I", buf, p)
+    if n_entries < 1:
+        raise ValueError("empty stsd")
+    codec = buf[p + 8 : p + 12].decode("latin1")
+    width, height = struct.unpack_from(">HH", buf, p + 12 + 24)
+
+    p = _full_body(buf, _child(buf, *stbl, b"stts")[0])
+    (n_stts,) = struct.unpack_from(">I", buf, p)
+    stts = [
+        struct.unpack_from(">II", buf, p + 4 + 8 * k) for k in range(n_stts)
+    ]
+
+    p = _full_body(buf, _child(buf, *stbl, b"stsz")[0])
+    fixed, n_samples = struct.unpack_from(">II", buf, p)
+    sizes = (
+        [fixed] * n_samples
+        if fixed
+        else [
+            struct.unpack_from(">I", buf, p + 8 + 4 * k)[0]
+            for k in range(n_samples)
+        ]
+    )
+
+    p = _full_body(buf, _child(buf, *stbl, b"stsc")[0])
+    (n_stsc,) = struct.unpack_from(">I", buf, p)
+    stsc = [
+        struct.unpack_from(">III", buf, p + 4 + 12 * k) for k in range(n_stsc)
+    ]
+
+    p = _full_body(buf, _child(buf, *stbl, b"stco")[0])
+    (n_chunks,) = struct.unpack_from(">I", buf, p)
+    stco = [
+        struct.unpack_from(">I", buf, p + 4 + 4 * k)[0] for k in range(n_chunks)
+    ]
+
+    # expand chunk map -> per-sample byte offsets (spec algorithm: each
+    # stsc run applies from its first_chunk until the next run's)
+    offsets: list[int] = []
+    run = 0
+    for ci, chunk_off in enumerate(stco, start=1):
+        while run + 1 < len(stsc) and stsc[run + 1][0] <= ci:
+            run += 1
+        off = chunk_off
+        for _ in range(stsc[run][1]):
+            if len(offsets) >= n_samples:
+                break
+            offsets.append(off)
+            off += sizes[len(offsets) - 1]
+    if len(offsets) != n_samples:
+        raise ValueError("stsc/stco cover fewer samples than stsz declares")
+
+    # expand stts -> per-sample start times (media timescale units)
+    starts: list[int] = []
+    t = 0
+    for cnt, delta in stts:
+        for _ in range(cnt):
+            if len(starts) >= n_samples:
+                break
+            starts.append(t)
+            t += delta
+    if len(starts) != n_samples:
+        raise ValueError("stts covers fewer samples than stsz declares")
+
+    return {
+        "codec": codec,
+        "width": int(width),
+        "height": int(height),
+        "timescale": int(timescale),
+        "duration_ms": int(round(1000 * media_duration / timescale)),
+        "n_frames": n_samples,
+        "sizes": sizes,
+        "offsets": offsets,
+        "starts": starts,
+    }
+
+
+def mp4_frames(
+    payload: bytes, every_n: int = 1
+) -> Iterator[tuple[int, int, np.ndarray]]:
+    """Yield (frame_idx, t_ms, pixels) for every Nth sample. Only the
+    sampled samples' byte ranges are entropy-decoded — the skip is real,
+    not decode-then-drop. Non-MJPEG tracks raise NotImplementedError
+    (inter-coded bitstreams need a motion-compensation stack this
+    environment cannot host)."""
+    from flow_indexer_spark.operators.jpegcodec import _jpeg_pixels
+
+    info = parse_mp4(payload)
+    if info["codec"] != "jpeg":
+        raise NotImplementedError(
+            f"codec {info['codec']!r}: only MJPEG samples are decodable here"
+        )
+    buf = bytes(payload)
+    for k in range(0, info["n_frames"], every_n):
+        off, size = info["offsets"][k], info["sizes"][k]
+        t_ms = round(1000 * info["starts"][k] / info["timescale"])
+        yield k, t_ms, _jpeg_pixels(buf[off : off + size])
+
+
+# --- deterministic fixtures -------------------------------------------------
+
+def video_params(i: int) -> tuple[int, int, int]:
+    """(n_frames, width, height) for video index i — dimensions shared
+    with the image fixtures so the frame-mean theory carries over."""
+    w, h, _ = image_params(i)
+    return 6 + (i % 3) * 3, w, h
+
+
+def make_mp4_bytes(i: int, quality: int = 90) -> bytes:
+    """A real MJPEG-in-MP4 file: frame t of video i is the gradient
+    plane image with R = (7i + 11t) mod 256 (constant per frame — the
+    "motion" is a closed-form red drift), G = x, B = y."""
+    n, w, h = video_params(i)
+    frames = []
+    for t in range(n):
+        px = np.empty((h, w, 3), dtype=np.uint8)
+        px[:, :, 0] = (7 * i + 11 * t) % 256
+        px[:, :, 1] = np.arange(w, dtype=np.uint8)[None, :]
+        px[:, :, 2] = np.arange(h, dtype=np.uint8)[:, None]
+        frames.append(px)
+    return encode_mp4_mjpeg(frames, fps=VIDEO_FPS, quality=quality)
+
+
+def make_mp4_media(spark, n: int = 24) -> DataFrame:
+    """Executor-side synthesis of real MP4 payloads — same mapInPandas
+    topology as codecs.make_real_media (bytes never touch the driver)."""
+    schema = StructType(
+        [
+            StructField("media_id", StringType(), False),
+            StructField("kind", StringType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].tolist()
+            yield pd.DataFrame(
+                {
+                    "media_id": [f"v{i:05d}" for i in ids],
+                    "kind": ["video"] * len(ids),
+                    "payload": [make_mp4_bytes(i) for i in ids],
+                }
+            )
+
+    return spark.range(n).repartition(
+        max(2, spark.sparkContext.defaultParallelism // 4)
+    ).mapInPandas(_gen, schema)
+
+
+# --- the Spark stage --------------------------------------------------------
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("codec", StringType(), False),
+        StructField("n_frames", IntegerType(), False),
+        StructField("duration_ms", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("t_ms", LongType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("mean_r", DoubleType(), False),
+        StructField("mean_g", DoubleType(), False),
+        StructField("mean_b", DoubleType(), False),
+        StructField("luma_std", DoubleType(), False),
+        StructField("edge_energy", DoubleType(), False),
+    ]
+)
+
+
+def video_frame_features(df: DataFrame, every_n: int = 2) -> DataFrame:
+    """Explode (media_id, payload) videos into every-Nth-frame feature
+    rows. One video's sampled frames stay inside one task (no shuffle:
+    a narrow mapInPandas over however the payload table is already
+    partitioned); the per-frame kernel is the shared image feature
+    measurement used by every still-image codec."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                info = parse_mp4(bytes(payload))
+                for k, t_ms, px in mp4_frames(bytes(payload), every_n):
+                    rows.append(
+                        {
+                            "media_id": media_id,
+                            "codec": info["codec"],
+                            "n_frames": info["n_frames"],
+                            "duration_ms": info["duration_ms"],
+                            "frame_idx": k,
+                            "t_ms": t_ms,
+                            **_image_features(px),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAME_SCHEMA.fields]
+            )
+
+    return df.select("media_id", "payload").mapInPandas(_frames, FRAME_SCHEMA)
