@@ -255,6 +255,8 @@ def _bench_queries(spark, sf_dir: str) -> dict:
         "sketch_kll_value_ranks",
         "media_real_decode",
         "media_png_decode",
+        "media_jpeg_decode",
+        "media_mp4_frames",
         "skew_salted_join",
         "preference_pairs_docs",
         "corpus_validation",
@@ -309,30 +311,38 @@ def main() -> None:
     ap.add_argument("--child", action="store_true")
     ap.add_argument("--cpus", type=int, default=CPUS)
     ap.add_argument("--no-scaling", action="store_true")
+    # measure ONLY the (N, 4N) child pairs — for re-evidencing the
+    # scaling criterion in a clean host window without paying the ~25 min
+    # query sweep again (the full run is what the driver executes)
+    ap.add_argument("--scaling-only", action="store_true")
     args = ap.parse_args()
 
     if args.child:
         _child(args.cpus)
         return
 
-    spark = _session(args.cpus)
-    queries = _bench_queries(spark, SF_DIR)
-    pipeline = _bench_pipeline(spark, SF_DIR, MULT, args.cpus)
-    spark.stop()
-
     result = {
         "metric": "end-to-end parse->index->route throughput (turns/sec)",
-        "value": pipeline["wall_s"],
         "unit": "sec",
-        "queries": queries,
         "sf": SF_DIR,
-        "n_turns": pipeline["n_turns"],
-        "turns_per_sec": pipeline["turns_per_sec"],
-        "ingest_steal_frac": pipeline["steal_frac"],
-        "ingest_runs": pipeline["runs"],
-        "ingest_stage_ms": pipeline["stage_ms"],
         "cpus": args.cpus,
     }
+    if not args.scaling_only:
+        spark = _session(args.cpus)
+        queries = _bench_queries(spark, SF_DIR)
+        pipeline = _bench_pipeline(spark, SF_DIR, MULT, args.cpus)
+        spark.stop()
+        result.update(
+            {
+                "value": pipeline["wall_s"],
+                "queries": queries,
+                "n_turns": pipeline["n_turns"],
+                "turns_per_sec": pipeline["turns_per_sec"],
+                "ingest_steal_frac": pipeline["steal_frac"],
+                "ingest_runs": pipeline["runs"],
+                "ingest_stage_ms": pipeline["stage_ms"],
+            }
+        )
 
     if not args.no_scaling:
         # The sandbox host shows time-correlated CPU steal: whole multi-
@@ -361,6 +371,17 @@ def main() -> None:
                 and p[1]["turns_per_sec"] >= 0.85 * max_hi
             ]
 
+        def _steal_clean(pairs):
+            # both sides of the pair measured their own /proc/stat steal
+            # (children report steal_frac); a pair is trustworthy only if
+            # NEITHER side's winning run sat in a stolen window
+            return [
+                p
+                for p in pairs
+                if p[0]["steal_frac"] <= STEAL_CLEAN
+                and p[1]["steal_frac"] <= STEAL_CLEAN
+            ]
+
         pairs = []
         while True:
             lo_i = _run_child(SCALING_N)
@@ -368,9 +389,20 @@ def main() -> None:
             pairs.append(
                 (lo_i, hi_i, (hi_i["turns_per_sec"] / lo_i["turns_per_sec"]) / 4.0)
             )
-            if len(pairs) >= 7 or (len(pairs) >= 3 and len(_clean(pairs)) >= 3):
+            if len(pairs) >= 10:
                 break
-        clean = _clean(pairs) or pairs
+            if (
+                len(pairs) >= 3
+                and len(_clean(pairs)) >= 3
+                and _steal_clean(pairs)
+            ):
+                break
+        # prefer pairs whose measured steal is low (absolute evidence);
+        # fall back to the relative filter when every window was dirty —
+        # and say so, because a dirty-window reading UNDERSTATES the true
+        # dedicated-hardware ratio (steal is one-sided)
+        sc = _steal_clean(pairs)
+        clean = [p for p in _clean(pairs) if p in sc] or sc or _clean(pairs) or pairs
         clean.sort(key=lambda p: p[2])
         lo, hi, eff = clean[-1]  # max clean pair (one-sided noise model)
         result["scaling"] = {
@@ -382,7 +414,12 @@ def main() -> None:
             "estimator": "max of interference-clean pairs (steal is one-sided)",
             "median_clean_efficiency": round(clean[len(clean) // 2][2], 3),
             "all_pair_efficiencies": sorted(round(p[2], 3) for p in pairs),
+            "all_pair_steals": [
+                [p[0]["steal_frac"], p[1]["steal_frac"]] for p in pairs
+            ],
             "clean_pairs_used": len(clean),
+            "steal_clean_pairs": len(sc),
+            "window_dirty": not sc,
         }
 
     # Full per-query detail goes to a file; stdout gets a COMPACT headline
@@ -390,6 +427,9 @@ def main() -> None:
     # queries dict overflowed it in round 2 -> "parsed": null). The
     # headline keeps the driver contract keys but trims "queries" to the
     # slowest 10.
+    if args.scaling_only:
+        print(json.dumps(result))
+        return
     with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as f:
         json.dump(result, f, indent=1, sort_keys=True)
     headline = dict(result)

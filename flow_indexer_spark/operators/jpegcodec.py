@@ -355,7 +355,19 @@ JPEG_SIG = b"\xff\xd8"
 def _jpeg_pixels(payload: bytes) -> np.ndarray:
     """Decode a baseline JFIF payload to (h, w, 3) uint8 RGB. Supports
     the profile :func:`encode_jpeg` writes and libjpeg's common baseline
-    4:4:4 output; everything else raises NotImplementedError."""
+    4:4:4 output; everything else raises NotImplementedError. Corrupt
+    streams fail CLASSIFIABLY: any internal struct/index error from
+    mangled tables or entropy data surfaces as ValueError, so decode
+    lineage can count it as an error row rather than crash the task."""
+    try:
+        return _jpeg_pixels_unchecked(payload)
+    except (ValueError, NotImplementedError):
+        raise
+    except (struct.error, IndexError, KeyError, OverflowError) as exc:
+        raise ValueError(f"corrupt JPEG stream: {exc!r}") from exc
+
+
+def _jpeg_pixels_unchecked(payload: bytes) -> np.ndarray:
     if payload[:2] != JPEG_SIG:
         raise ValueError("not a JPEG payload")
     pos = 2

@@ -246,6 +246,13 @@ def _full_body(buf: bytes, start: int) -> int:
     return start + 4
 
 
+def _need(cond: bool, what: str) -> None:
+    """Corrupt payloads must fail CLASSIFIABLY (ValueError -> an error
+    row in decode lineage), never as a raw struct/index error."""
+    if not cond:
+        raise ValueError(f"corrupt sample table: {what}")
+
+
 def parse_mp4(payload: bytes) -> dict:
     """Parse the container: codec fourcc, dimensions, timescale, and
     exact per-sample (offset, size, start_time) extents from the
@@ -272,25 +279,37 @@ def parse_mp4(payload: bytes) -> dict:
     if stbl is None:
         raise ValueError("no video track")
 
-    p = _full_body(buf, mdhd[0])
+    p, e = _full_body(buf, mdhd[0]), mdhd[1]
+    _need(p + 16 <= e, "mdhd too short")
     timescale, media_duration = struct.unpack_from(">II", buf, p + 8)
+    _need(timescale > 0, "zero timescale")
 
     # stsd: first sample entry carries fourcc + dimensions
-    p = _full_body(buf, _child(buf, *stbl, b"stsd")[0])
+    s, e = _child(buf, *stbl, b"stsd")
+    p = _full_body(buf, s)
+    _need(p + 4 <= e, "stsd too short")
     (n_entries,) = struct.unpack_from(">I", buf, p)
     if n_entries < 1:
         raise ValueError("empty stsd")
+    _need(p + 40 <= e, "stsd entry too short")
     codec = buf[p + 8 : p + 12].decode("latin1")
     width, height = struct.unpack_from(">HH", buf, p + 12 + 24)
 
-    p = _full_body(buf, _child(buf, *stbl, b"stts")[0])
+    s, e = _child(buf, *stbl, b"stts")
+    p = _full_body(buf, s)
+    _need(p + 4 <= e, "stts too short")
     (n_stts,) = struct.unpack_from(">I", buf, p)
+    _need(p + 4 + 8 * n_stts <= e, "stts overruns its box")
     stts = [
         struct.unpack_from(">II", buf, p + 4 + 8 * k) for k in range(n_stts)
     ]
 
-    p = _full_body(buf, _child(buf, *stbl, b"stsz")[0])
+    s, e = _child(buf, *stbl, b"stsz")
+    p = _full_body(buf, s)
+    _need(p + 8 <= e, "stsz too short")
     fixed, n_samples = struct.unpack_from(">II", buf, p)
+    if not fixed:
+        _need(p + 8 + 4 * n_samples <= e, "stsz overruns its box")
     sizes = (
         [fixed] * n_samples
         if fixed
@@ -300,14 +319,21 @@ def parse_mp4(payload: bytes) -> dict:
         ]
     )
 
-    p = _full_body(buf, _child(buf, *stbl, b"stsc")[0])
+    s, e = _child(buf, *stbl, b"stsc")
+    p = _full_body(buf, s)
+    _need(p + 4 <= e, "stsc too short")
     (n_stsc,) = struct.unpack_from(">I", buf, p)
+    _need(p + 4 + 12 * n_stsc <= e, "stsc overruns its box")
+    _need(n_stsc >= 1 or n_samples == 0, "empty stsc")
     stsc = [
         struct.unpack_from(">III", buf, p + 4 + 12 * k) for k in range(n_stsc)
     ]
 
-    p = _full_body(buf, _child(buf, *stbl, b"stco")[0])
+    s, e = _child(buf, *stbl, b"stco")
+    p = _full_body(buf, s)
+    _need(p + 4 <= e, "stco too short")
     (n_chunks,) = struct.unpack_from(">I", buf, p)
+    _need(p + 4 + 4 * n_chunks <= e, "stco overruns its box")
     stco = [
         struct.unpack_from(">I", buf, p + 4 + 4 * k)[0] for k in range(n_chunks)
     ]

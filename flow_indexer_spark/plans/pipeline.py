@@ -223,6 +223,7 @@ def run_ingest(
         metrics + list(extra_manifest_rows or []),
         run_id=run_id,
     )
+    _mark("manifest_commit")
     total = lambda k: sum(m[k] for m in metrics)  # noqa: E731
     return {
         "skipped": False,

@@ -83,13 +83,19 @@ def test_ppm_roundtrip_and_comment_header():
     assert decode_ppm(commented) == decode_ppm(raw)
 
 
-def test_mp4_stays_blocked_jpeg_decodes():
-    """MP4/H.264 is the one remaining env-blocked codec; JPEG left the
-    blocked list in round 3 (operators/jpegcodec.py), so a JPEG-magic
-    payload now reaches the real parser — garbage after the magic is a
+def test_mp4_container_parses_bitstream_stays_blocked_jpeg_decodes():
+    """Round 3 moved the video seam inward twice: JPEG left the blocked
+    list (operators/jpegcodec.py), then the MP4 CONTAINER did too
+    (operators/mp4codec.py — media_decoder sniffs ftyp and parses the
+    box tree; only non-MJPEG track decode raises NotImplementedError,
+    covered in test_mp4). Garbage after any recognized magic is now a
     parse error (ValueError), not a capability gap."""
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         uncompressed_decoder(b"\x00\x00\x00\x18ftypmp42", "video")
+    from flow_indexer_spark.operators.mp4codec import make_mp4_bytes
+
+    d = uncompressed_decoder(make_mp4_bytes(0), "video")
+    assert d["kind"] == "video" and d["n_samples"] == 6
     with pytest.raises(ValueError):
         uncompressed_decoder(b"\xff\xd8\xff\xe0jpeg", "image")
     from flow_indexer_spark.operators.codecs import make_jpeg_bytes
