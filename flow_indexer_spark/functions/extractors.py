@@ -50,12 +50,59 @@ _IPV6 = (
 # Boundaries: an IP token may not be preceded/followed by word chars, dots
 # or colons (rejects 1.2.3.4.5 and embedded substrings) — the reference's
 # \b-style guards in backend/syslog.go:16-22.
-IP_PATTERN = r"(?<![\w.:])(?:" + _IPV4 + "|" + _IPV6 + r")(?![\w.:])"
+#: fully-validating form: every match IS an RFC-shaped address (no 999
+#: octets, no 9-group colon runs). Kept as the differential oracle for
+#: the loose scan below and for callers that need match==valid.
+IP_PATTERN_STRICT = r"(?<![\w.:])(?:" + _IPV4 + "|" + _IPV6 + r")(?![\w.:])"
+
+# The SCAN pattern is deliberately LOOSER: extraction always validates
+# candidates afterwards (ipaddress semantics in normalize_ip_array_udf /
+# the _V4_FULL gate in the hybrid), so the scan only has to (a) honor the
+# same boundary guards and (b) match every valid address form a
+# boundary-delimited run can spell. The change is CORRECTNESS-driven:
+# the strict alternation drops general v4-embedded IPv6 like
+# 64:ff9b::1.2.3.4 (it only special-cased ::ffff:v4); the loose scan +
+# run-enumeration oracle tests pin exact parity with "every maximal
+# [\w.:] run that ipaddress accepts". The v6 candidate is the BROADEST
+# linear form — any hex/dot/colon run containing a colon (counted-group
+# forms backtrack combinatorially in java.util.regex, and narrower forms
+# miss valid spellings). The junk candidates this admits (timestamps,
+# ports) are rejected EXCEPTION-FREE by a structural pre-check in the
+# normalizer: valid v6 text contains "::" or exactly 7 colons (6 with an
+# embedded dotted quad) — cheap string ops, not a 3 us ValueError.
+# End-to-end cost is NEUTRAL: clean-window (steal<2%) best-of-3 on the
+# bench corpus (2M x 420-char turns, local[32], scan+normalize fused)
+# measures strict+udf 3.88 s vs broad+udf 3.89 s — the cheaper
+# per-position scan offsets the extra junk tokens crossing Arrow.
+_IPV4_CAND = r"\d{1,3}(?:\.\d{1,3}){3}"
+_IPV6_CAND = r"[0-9A-Fa-f.:]*:[0-9A-Fa-f.:]*"
+IP_PATTERN = r"(?<![\w.:])(?:" + _IPV4_CAND + "|" + _IPV6_CAND + r")(?![\w.:])"
 
 TOOL_MARKER_PATTERN = r"<tool:([A-Za-z0-9_\-.]+)>"
 ROLE_MARKER_PATTERN = r"(?<![\w@])@([a-z][a-z0-9_]*)"
 
 ENTITY_COLS = ["entity_class", "entity_key"]
+
+
+def _v4_fast_key(tok: str) -> str | None:
+    """Dotted-quad token -> 8-hex key with EXACT ipaddress.IPv4Address
+    semantics (4 parts, ASCII digits, <=255, no leading zeros), ~8x
+    cheaper than constructing an ipaddress object. Returns None for
+    anything that is not a valid plain IPv4 literal."""
+    parts = tok.split(".")
+    if len(parts) != 4:
+        return None
+    vals = []
+    for p in parts:
+        if not 1 <= len(p) <= 3 or not p.isascii() or not p.isdigit():
+            return None
+        if len(p) > 1 and p[0] == "0":  # ipaddress rejects leading zeros
+            return None
+        v = int(p)
+        if v > 255:
+            return None
+        vals.append(v)
+    return "%02x%02x%02x%02x" % tuple(vals)
 
 
 @pandas_udf(ArrayType(StringType()))
@@ -64,17 +111,36 @@ def normalize_ip_array_udf(cands: pd.Series) -> pd.Series:
 
     Arrow-batched; validation drops non-IPs (the empty-field guard,
     /root/reference/backend/syslog.go:50-56); output order = first
-    occurrence (order is irrelevant downstream — postings re-sort)."""
+    occurrence (order is irrelevant downstream — postings re-sort).
+    Colon-free tokens take the :func:`_v4_fast_key` fast path (~8x
+    cheaper than ipaddress object construction; candidates are
+    overwhelmingly v4 in the usual log/transcript mix) — it is what
+    keeps this all-Python normalizer at parity with the JVM-v4 hybrid
+    even under the loose scan's junk candidates; ipaddress remains the
+    authority for every colon-bearing token (:: expansion, v4-mapped,
+    zone-less v6) and the differential tests pin fast-path ==
+    ipaddress on the fixtures."""
 
     def norm(arr):
         if arr is None:
             return []
         out, seen = [], set()
         for tok in arr:
-            try:
-                key = ipaddress.ip_address(tok).packed.hex()
-            except ValueError:
-                continue
+            if ":" not in tok:
+                key = _v4_fast_key(tok)
+                if key is None:
+                    continue
+            else:
+                # exception-free structural pre-reject (exact: valid v6
+                # text has "::", or 7 colons, or 6 colons + dotted quad)
+                if "::" not in tok and tok.count(":") != (
+                    6 if "." in tok else 7
+                ):
+                    continue
+                try:
+                    key = ipaddress.ip_address(tok).packed.hex()
+                except ValueError:
+                    continue
             if key not in seen:
                 seen.add(key)
                 out.append(key)
@@ -127,18 +193,41 @@ def _ipv4_token_to_key(tok):
     )
 
 
+def _v6_plausible(t):
+    """JVM-side structural gate for candidates that deserve the Python
+    ipaddress authority: contains a colon AND ("::" present, or exactly
+    8 colon-split parts, or 7 parts with an embedded dotted quad) —
+    the same exact rule as the normalizer's exception-free pre-reject.
+    Everything else (timestamps, ports, dotted junk) dies in codegen."""
+    return t.contains(":") & (
+        t.contains("::")
+        | (
+            F.size(F.split(t, ":", -1))
+            == F.when(t.contains("."), F.lit(7)).otherwise(F.lit(8))
+        )
+    )
+
+
 def normalize_ip_candidates(cands):
     """Candidate token array -> distinct canonical hex keys, hybrid path:
-    IPv4 tokens convert in the JVM (the hot path — most log/transcript IPs
-    are v4); only v6-ish candidates cross the Arrow boundary for
-    ipaddress-based validation/canonicalization (:: expansion, v4-mapped
-    forms, fake-candidate rejection). The Python batch payload is the
-    v6-only sub-array — usually empty — so the per-row Arrow cost is
-    bytes, not the whole candidate set."""
+    IPv4 tokens convert in the JVM (the hot path — most log/transcript
+    IPs are v4); only STRUCTURALLY PLAUSIBLE v6 candidates cross the
+    Arrow boundary for ipaddress-based validation/canonicalization
+    (:: expansion, v4-embedded forms). The structural ``_v6_plausible``
+    gate keeps the Python payload tiny, and on PRE-MATERIALIZED
+    candidate arrays this path wins big (0.6 s vs 3.1 s full-UDF on 32M
+    candidates — Arrow->Python object conversion is ~1-2 us/token
+    regardless of what Python does with it). But FUSED with the regex
+    scan in one whole-stage pipeline it LOSES (5.8 s vs 3.9 s at 2M
+    turns, local[32], clean steal window): the per-token ``rlike`` /
+    ``split`` HOF passes re-run in the JVM hot loop while the UDF's
+    Arrow transfer overlaps the scan for free. Kept as the tested
+    alternative for workflows that normalize stored candidate columns;
+    ``extract_entities`` uses the all-Python normalizer."""
     v4_keys = F.transform(
         F.filter(cands, lambda t: t.rlike(_V4_FULL)), _ipv4_token_to_key
     )
-    v6_keys = normalize_ip_array_udf(F.filter(cands, lambda t: ~t.rlike(_V4_FULL)))
+    v6_keys = normalize_ip_array_udf(F.filter(cands, _v6_plausible))
     return F.array_distinct(F.concat(v4_keys, v6_keys))
 
 
@@ -183,13 +272,17 @@ def extract_entities(
         if use_pandas_ip_extractor
         else F.regexp_extract_all(txt, F.lit(IP_PATTERN), F.lit(0))
     )
-    # Measured on the bench corpus (420-char turns, 1 IP/~50 chars): the
-    # mega-regex scan itself dominates (regex-only == full pipeline wall);
-    # the Arrow normalize overlaps it for free, and the JVM-v4 hybrid
-    # (normalize_ip_candidates) or a tokenize+anchored-match scan are both
-    # measurably *slower* here (extra rlike passes; candidates are dense).
-    # Keep the single-UDF path; the hybrid stays as a tested alternative
-    # for sparse-entity corpora.
+    # Round-3 clean-window measurement (interleaved best-of-3, steal<2%,
+    # 2M x 420-char turns, local[32], scan+normalize fused): strict+udf
+    # 3.88 s, broad+udf 3.89 s, broad+hybrid 5.8 s, strict+hybrid
+    # 6.18 s. The all-Python normalizer (with its _v4_fast_key fast path
+    # and exception-free v6 pre-reject) overlaps the scan for free,
+    # while the hybrid's extra JVM rlike/split passes over every token
+    # cost ~50% — so the UDF stays the default under BOTH scans, and the
+    # loose scan is a free correctness upgrade. (An earlier 8.3->5.6 s
+    # reading favoring the hybrid was hypervisor-steal-polluted; see
+    # bench.py STEAL_CLEAN.) The hybrid stays as the tested alternative
+    # for normalizing pre-materialized candidate columns.
     ip_keys = normalize_ip_array_udf(ip_cands)
 
     tool_from_col = F.when(

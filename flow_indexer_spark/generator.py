@@ -114,24 +114,31 @@ def make_dims(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
     """tool_registry / role_taxonomy dims. 'ghost_tool' appears in
     transcripts but not here (left-join null path); 'never_used' is a dim
     row never referenced (FIXTURES.md §2)."""
+    # pandas/Arrow LocalRelations: broadcast-dim builds re-evaluate their
+    # source per action, and the pickled-list path pays a Python-worker
+    # launch each time (see sources/manifest._local_manifest_df)
     tool_registry = spark.createDataFrame(
-        [
-            ("search", "search", "infra-team"),
-            ("browser", "search", "infra-team"),
-            ("python_exec", "exec", "runtime-team"),
-            ("file_read", "file", "runtime-team"),
-            ("calculator", "exec", "runtime-team"),
-            ("never_used", "misc", "nobody"),
-        ],
-        ["tool", "tool_class", "owner"],
+        pd.DataFrame(
+            [
+                ("search", "search", "infra-team"),
+                ("browser", "search", "infra-team"),
+                ("python_exec", "exec", "runtime-team"),
+                ("file_read", "file", "runtime-team"),
+                ("calculator", "exec", "runtime-team"),
+                ("never_used", "misc", "nobody"),
+            ],
+            columns=["tool", "tool_class", "owner"],
+        )
     )
     role_taxonomy = spark.createDataFrame(
-        [
-            ("user", "human"),
-            ("assistant", "model"),
-            ("system", "infra"),
-            ("tool", "infra"),
-        ],
-        ["role", "role_class"],
+        pd.DataFrame(
+            [
+                ("user", "human"),
+                ("assistant", "model"),
+                ("system", "infra"),
+                ("tool", "infra"),
+            ],
+            columns=["role", "role_class"],
+        )
     )
     return tool_registry, role_taxonomy

@@ -521,8 +521,17 @@ def bpe_train(
         words = words.select(merged.alias("_sym"), "_c").localCheckpoint(eager=True)
     if not rules_rows:
         raise ValueError("corpus has no adjacent symbol pairs to merge")
+    # pandas/Arrow LocalRelation, not a pickled-list RDD: the rule table
+    # is re-evaluated by every downstream action (segment's broadcast,
+    # the oracle replay) and the Python-RDD path costs a Python-worker
+    # launch each time (see sources/manifest._local_manifest_df)
+    import pandas as pd
+
     return df.sparkSession.createDataFrame(
-        rules_rows,
+        pd.DataFrame(
+            rules_rows,
+            columns=["merge_rank", "left_sym", "right_sym", "pair_count"],
+        ),
         "merge_rank int, left_sym string, right_sym string, pair_count bigint",
     )
 

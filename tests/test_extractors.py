@@ -118,3 +118,114 @@ def test_differential_hybrid_vs_pure_python_normalize(spark, transcripts):
         F.array_sort(normalize_ip_array_udf(cands)).alias("python"),
     )
     assert df.filter(F.col("hybrid") != F.col("python")).count() == 0
+
+
+# --- loose candidate scan vs strict scan (round-3 speedup) ------------------
+
+def _valid_keys(pattern, text):
+    import ipaddress
+    import re as _re
+
+    out = set()
+    for tok in _re.findall(pattern, text):
+        try:
+            out.add(ipaddress.ip_address(tok).packed.hex())
+        except ValueError:
+            pass
+    return out
+
+
+_SCAN_ADVERSARIAL = [
+    "plain 10.0.0.1 and fe80::1 in text",
+    "1.2.3.4.5 999.999.999.999 01.2.3.4 256.1.1.1",
+    "v4 mapped ::ffff:192.168.0.1 and 64:ff9b::1.2.3.4",
+    "::1:2:3:4:5:6:7 has eight colons",
+    "1:2:3:4:5:6:7:8 1:2:3:4:5:6:7:8:9 1::2::3",
+    "fe80:: :: ::1 a::b ab:cd 12:30 time",
+    "trailing 1.2.3.4: colon and :5.6.7.8 leading",
+    "x1.2.3.4 1.2.3.4x 1.2.3.456 1.2.3.4567",
+    "deadbeef:cafe dead:beef:cafe:babe:dead:beef:cafe:babe",
+    "port 10.0.0.1:8080 url http://1.2.3.4/x?q=::2",
+    "12345:1 1:54321 0.0.0.0 255.255.255.255",
+    "00::1 0:0:0:0:0:0:0:1 cafe::",
+]
+
+
+def _run_oracle_keys(text):
+    """Third-authority ground truth, independent of BOTH scan patterns:
+    the boundary rule says an IP token may not touch [\\w.:] on either
+    side, so every candidate is a maximal run of those characters —
+    enumerate the runs and let ipaddress alone decide validity."""
+    import ipaddress
+    import re as _re
+
+    out = set()
+    for run in _re.findall(r"[\w.:]+", text):
+        try:
+            out.add(ipaddress.ip_address(run).packed.hex())
+        except ValueError:
+            pass
+    return out
+
+
+def test_loose_scan_equals_run_oracle_adversarial():
+    """The loose candidate pattern + ipaddress validation must equal the
+    run-enumeration oracle exactly, and must be a SUPERSET of the strict
+    pattern's keys (the strict alternation's one blind spot is general
+    v4-embedded IPv6 like 64:ff9b::1.2.3.4, which the loose scan fixes —
+    it only special-cased ::ffff:v4)."""
+    from flow_indexer_spark.functions.extractors import (
+        IP_PATTERN,
+        IP_PATTERN_STRICT,
+    )
+
+    for text in _SCAN_ADVERSARIAL:
+        got = _valid_keys(IP_PATTERN, text)
+        want = _run_oracle_keys(text)
+        assert got == want, (text, got, want)
+        assert _valid_keys(IP_PATTERN_STRICT, text) <= got, text
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_scan_atoms = st.one_of(
+    st.from_regex(r"(?:[0-9]{1,4}\.){1,4}[0-9]{1,4}", fullmatch=True),
+    st.from_regex(r"[0-9A-Fa-f:]{1,24}", fullmatch=True),
+    st.from_regex(r"(?:[0-9A-Fa-f]{1,4}:){1,8}[0-9A-Fa-f]{0,4}", fullmatch=True),
+    st.sampled_from(
+        ["::", "::1", "10.0.0.1", "1.2.3.4.5", "::ffff:1.2.3.4", "fe80::",
+         "word", "a.b", "x:", ".", ":", "@", "<tool:x>"]
+    ),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_scan_atoms, max_size=8), st.sampled_from([" ", "  ", ",", " | "]))
+def test_loose_scan_equals_run_oracle_property(atoms, sep):
+    from flow_indexer_spark.functions.extractors import (
+        IP_PATTERN,
+        IP_PATTERN_STRICT,
+    )
+
+    text = sep.join(atoms)
+    got = _valid_keys(IP_PATTERN, text)
+    assert got == _run_oracle_keys(text)
+    assert _valid_keys(IP_PATTERN_STRICT, text) <= got
+
+
+def test_v4_fast_key_matches_ipaddress():
+    import ipaddress
+
+    from flow_indexer_spark.functions.extractors import _v4_fast_key
+
+    cases = [
+        "10.0.0.1", "0.0.0.0", "255.255.255.255", "1.2.3.4",
+        "256.1.1.1", "01.2.3.4", "1.2.3", "1.2.3.4.5", "", "1..2.3",
+        "999.1.2.3", "1.2.3.004", "00.0.0.0", "12.34.56.789",
+    ]
+    for tok in cases:
+        try:
+            want = ipaddress.ip_address(tok).packed.hex()
+        except ValueError:
+            want = None
+        assert _v4_fast_key(tok) == want, tok
