@@ -4287,6 +4287,166 @@ def _q_corpus_report_cube(spark, sf_dir):
     )
 
 
+@_register(
+    "entity_pagerank",
+    f"""
+    WITH t AS ({_SYNTH_SQL}),
+    e AS (
+      SELECT DISTINCT 'ip' AS cls, {_SYNTH_IP_KEY_SQL} AS ky, conv_id, turn_idx FROM t
+      UNION
+      SELECT DISTINCT 'role' AS cls, role AS ky, conv_id, turn_idx
+      FROM t WHERE role IS NOT NULL AND role <> ''
+    ),
+    ok AS (SELECT cls, ky FROM e GROUP BY cls, ky HAVING COUNT(*) <= 5000),
+    e2 AS (SELECT e.* FROM e JOIN ok USING (cls, ky)),
+    p AS (
+      SELECT a.cls AS ca, a.ky AS ka, b.cls AS cb, b.ky AS kb, COUNT(*) AS w
+      FROM e2 a JOIN e2 b
+        ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+      WHERE (a.cls < b.cls) OR (a.cls = b.cls AND a.ky < b.ky)
+      GROUP BY 1, 2, 3, 4
+    ),
+    edges AS (
+      SELECT ca AS sc, ka AS sk, cb AS dc, kb AS dk, w FROM p
+      UNION ALL
+      SELECT cb, kb, ca, ka, w FROM p
+    ),
+    nodes AS (SELECT DISTINCT cls, ky FROM e2),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    outw AS (SELECT sc, sk, SUM(w) AS ow FROM edges GROUP BY 1, 2),
+    pr0 AS (SELECT cls, ky, 1.0 / (SELECT n FROM nn) AS pr FROM nodes),
+    s1 AS (
+      SELECT dc AS cls, dk AS ky, SUM(pr * w / ow ORDER BY sc, sk) AS s
+      FROM edges JOIN outw USING (sc, sk)
+      JOIN pr0 ON pr0.cls = sc AND pr0.ky = sk
+      GROUP BY 1, 2
+    ),
+    i1 AS (
+      SELECT nodes.cls, nodes.ky,
+             (1.0 - 0.85) / (SELECT n FROM nn)
+               + 0.85 * COALESCE(s1.s, 0.0) AS pr
+      FROM nodes LEFT JOIN s1 ON s1.cls = nodes.cls AND s1.ky = nodes.ky
+    ),
+    s2 AS (
+      SELECT dc AS cls, dk AS ky, SUM(pr * w / ow ORDER BY sc, sk) AS s
+      FROM edges JOIN outw USING (sc, sk)
+      JOIN i1 ON i1.cls = sc AND i1.ky = sk
+      GROUP BY 1, 2
+    ),
+    i2 AS (
+      SELECT nodes.cls, nodes.ky,
+             (1.0 - 0.85) / (SELECT n FROM nn)
+               + 0.85 * COALESCE(s2.s, 0.0) AS pr
+      FROM nodes LEFT JOIN s2 ON s2.cls = nodes.cls AND s2.ky = nodes.ky
+    ),
+    s3 AS (
+      SELECT dc AS cls, dk AS ky, SUM(pr * w / ow ORDER BY sc, sk) AS s
+      FROM edges JOIN outw USING (sc, sk)
+      JOIN i2 ON i2.cls = sc AND i2.ky = sk
+      GROUP BY 1, 2
+    ),
+    i3 AS (
+      SELECT nodes.cls, nodes.ky,
+             (1.0 - 0.85) / (SELECT n FROM nn)
+               + 0.85 * COALESCE(s3.s, 0.0) AS pr
+      FROM nodes LEFT JOIN s3 ON s3.cls = nodes.cls AND s3.ky = nodes.ky
+    )
+    SELECT cls AS entity_class, ky AS entity_key, pr AS pagerank
+    FROM i3 ORDER BY entity_class, entity_key
+    """,
+)
+def _q_entity_pagerank(spark, sf_dir):
+    """Damped 3-iteration PageRank over the capped entity co-occurrence
+    graph (operators/graph.py; Page et al. 1999) — 'which entities
+    matter', the centrality complement to the reference's 'which
+    documents contain this entity'. The oracle is the identical
+    recurrence unrolled (fixed K keeps tolerance out of the equality
+    contract); per-node contribution sums fold in sorted source order
+    on both engines, so the double trajectory is bit-exact."""
+    from flow_indexer_spark.functions.extractors import extract_entities
+    from flow_indexer_spark.operators.graph import pagerank, undirected_edges
+    from flow_indexer_spark.operators.transcripts import (
+        capped_entities,
+        entity_cooccurrence,
+    )
+
+    t = synth_transcripts(spark, sf_dir)
+    # nodes AND edges derive from the capped entity set; materialize it
+    # once so the regex-extract upstream runs once, not per consumer
+    ents = capped_entities(extract_entities(t), max_entity_df=5000).localCheckpoint(
+        eager=True
+    )
+    nodes = ents.select(
+        F.col("entity_class").alias("node_class"),
+        F.col("entity_key").alias("node_key"),
+    ).distinct()
+    edges = undirected_edges(entity_cooccurrence(ents, max_entity_df=None))
+    return (
+        pagerank(nodes, edges, damping=0.85, n_iter=3)
+        .select(
+            F.col("node_class").alias("entity_class"),
+            F.col("node_key").alias("entity_key"),
+            "pagerank",
+        )
+        .orderBy("entity_class", "entity_key")
+    )
+
+
+#: LPM demo blocks: overlapping v4 prefixes so the longest-match rule is
+#: exercised (synth IPs are 10.u%200.e%200.7 — u%200==7 rows land in the
+#: /16, everything else in the /8), plus a v6 block no v4 key may match.
+_LPM_BLOCKS = [
+    ("net-10", "10.0.0.0/8"),
+    ("net-10-hot", "10.7.0.0/16"),
+    ("rfc1918-192", "192.168.0.0/16"),
+    ("v6-doc", "2001:db8::/32"),
+]
+
+
+@_register(
+    "ip_block_enrich",
+    f"""
+    WITH t AS ({_SYNTH_SQL}),
+    k AS (SELECT DISTINCT {_SYNTH_IP_KEY_SQL} AS entity_key FROM t),
+    b(name, pfx, plen, klen) AS (VALUES
+      ('net-10', '0a', 8, 8),
+      ('net-10-hot', '0a07', 16, 8),
+      ('rfc1918-192', 'c0a8', 16, 8),
+      ('v6-doc', '20010db8', 32, 32)),
+    m AS (
+      SELECT entity_key, name, plen,
+             ROW_NUMBER() OVER (
+               PARTITION BY entity_key ORDER BY plen DESC, name DESC
+             ) AS rn
+      FROM k JOIN b ON LENGTH(entity_key) = klen
+                   AND substr(entity_key, 1, LENGTH(pfx)) = pfx
+    )
+    SELECT k.entity_key, m.name AS block_name,
+           CAST(m.plen AS INTEGER) AS prefix_len
+    FROM k LEFT JOIN m ON m.entity_key = k.entity_key AND m.rn = 1
+    ORDER BY k.entity_key
+    """,
+)
+def _q_ip_block_enrich(spark, sf_dir):
+    """Longest-prefix-match CIDR block classification of every distinct
+    extracted IP entity (operators/ipblocks.py) — the inverse of the
+    reference's CIDR range query. Driver-visible dims take the in-row
+    literal-map path (zero joins, one scan); the prefix-length-bucketed
+    broadcast-equi-join twin handles dataset-sized block tables and is
+    differential-pinned equal."""
+    from flow_indexer_spark.functions.extractors import extract_entities
+    from flow_indexer_spark.operators.ipblocks import lpm_enrich_inrow
+
+    t = synth_transcripts(spark, sf_dir)
+    keys = (
+        extract_entities(t)
+        .filter(F.col("entity_class") == "ip")
+        .select("entity_key")
+        .distinct()
+    )
+    return lpm_enrich_inrow(keys, _LPM_BLOCKS).orderBy("entity_key")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return dict(_QUERIES)

@@ -264,6 +264,8 @@ def _bench_queries(spark, sf_dir: str) -> dict:
         "source_drift_psi",
         "audio_fp_neardup",
         "corpus_report_cube",
+        "entity_pagerank",
+        "ip_block_enrich",
     ]
     qs = entry_mod.queries()
     out = {}

@@ -70,6 +70,29 @@ def response_latency(
     )
 
 
+def capped_entities(
+    entity_rows: DataFrame,
+    max_entity_df: int | None = 1000,
+) -> DataFrame:
+    """Distinct per-turn entity occurrences with the document-frequency
+    skew cap applied: entities present in more than ``max_entity_df``
+    turns are dropped entirely. Shared by :func:`entity_cooccurrence`
+    and the graph analytics built on it (operators/graph.py) so both
+    see the identical node universe."""
+    e = entity_rows.select(
+        "entity_class", "entity_key", "conv_id", "turn_idx"
+    ).dropDuplicates()
+    if max_entity_df is not None:
+        ok = (
+            e.groupBy("entity_class", "entity_key")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_entity_df)
+            .select("entity_class", "entity_key")
+        )
+        e = e.join(ok, ["entity_class", "entity_key"])
+    return e
+
+
 def entity_cooccurrence(
     entity_rows: DataFrame,
     max_entity_df: int | None = 1000,
@@ -87,17 +110,7 @@ def entity_cooccurrence(
     turn_idx) — extraction output or the routed table. Output:
     (class_a, key_a, class_b, key_b, n_turns), pairs ordered a < b.
     """
-    e = entity_rows.select(
-        "entity_class", "entity_key", "conv_id", "turn_idx"
-    ).dropDuplicates()
-    if max_entity_df is not None:
-        ok = (
-            e.groupBy("entity_class", "entity_key")
-            .agg(F.count("*").alias("_df"))
-            .filter(F.col("_df") <= max_entity_df)
-            .select("entity_class", "entity_key")
-        )
-        e = e.join(ok, ["entity_class", "entity_key"])
+    e = capped_entities(entity_rows, max_entity_df)
     a = e.select(
         F.col("entity_class").alias("class_a"),
         F.col("entity_key").alias("key_a"),
