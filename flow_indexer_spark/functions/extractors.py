@@ -272,18 +272,22 @@ def extract_entities(
         if use_pandas_ip_extractor
         else F.regexp_extract_all(txt, F.lit(IP_PATTERN), F.lit(0))
     )
-    # Round-3 clean-window measurement (interleaved best-of-3, steal<2%,
-    # 2M x 420-char turns, local[32], scan+normalize fused): strict+udf
-    # 3.88 s, broad+udf 3.89 s, broad+hybrid 5.8 s, strict+hybrid
-    # 6.18 s. The all-Python normalizer (with its _v4_fast_key fast path
-    # and exception-free v6 pre-reject) overlaps the scan for free,
-    # while the hybrid's extra JVM rlike/split passes over every token
-    # cost ~50% — so the UDF stays the default under BOTH scans, and the
-    # loose scan is a free correctness upgrade. (An earlier 8.3->5.6 s
-    # reading favoring the hybrid was hypervisor-steal-polluted; see
-    # bench.py STEAL_CLEAN.) The hybrid stays as the tested alternative
-    # for normalizing pre-materialized candidate columns.
-    ip_keys = normalize_ip_array_udf(ip_cands)
+    # Round-3 clean-window decomposition (best-of-3, steal<2%, 2M x
+    # 420-char turns, 32M candidates, local[32]): scan alone 1.27 s;
+    # scan+UDF fused 3.87 s — the Arrow->Python normalize is the
+    # CRITICAL PATH (~2.5 s), not free overlap. Alternatives measured
+    # and rejected: JVM split-validation per token 5.3 s (higher-order-
+    # function lambdas evaluate as interpreted expression trees outside
+    # WholeStageCodegen — worse than shipping tokens to Python), the
+    # rlike hybrid 5.18 s, a single-pass 3-way combined regex saves
+    # only 0.17 s of the scan side. The win that survives: dedup the
+    # token array with native array_distinct BEFORE the Arrow boundary
+    # — repeated IPs within a turn are the common case in log-style
+    # text, and the Python cost is per-token while distinct is a cheap
+    # compiled array op: fused stage 3.87 s -> 2.56 s here. Key-level
+    # dedup still happens in the UDF (distinct tokens can share a key,
+    # e.g. "::1" vs "0:0:0:0:0:0:0:1"), so output is identical.
+    ip_keys = normalize_ip_array_udf(F.array_distinct(ip_cands))
 
     tool_from_col = F.when(
         F.col("tool").startswith("{"), F.get_json_object(F.col("tool"), "$.tool")
