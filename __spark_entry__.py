@@ -3925,6 +3925,77 @@ def _q_media_mp4_frames(spark, sf_dir):
 
 
 @_register(
+    "media_h264_frames",
+    """
+    WITH v AS (SELECT CAST(range AS INTEGER) AS i FROM range(24)),
+    p AS (
+      SELECT i, printf('v%05d', i) AS media_id,
+             6 + (i % 3) * 3 AS n_frames,
+             16 + (i % 5) * 8 AS w, 12 + (i % 3) * 8 AS h
+      FROM v
+    ),
+    f AS (
+      SELECT p.*, CAST(r.range AS INTEGER) AS frame_idx
+      FROM p, range(12) r
+      WHERE r.range < p.n_frames AND r.range % 2 = 0
+    )
+    SELECT media_id, 'avc1' AS codec,
+           CAST(n_frames AS INTEGER) AS n_frames,
+           CAST(n_frames * 100 AS BIGINT) AS duration_ms,
+           frame_idx, CAST(frame_idx * 100 AS BIGINT) AS t_ms,
+           CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           TRUE AS mean_r_ok, TRUE AS mean_g_ok, TRUE AS mean_b_ok,
+           TRUE AS edge_ok
+    FROM f
+    ORDER BY media_id, frame_idx
+    """,
+)
+def _q_media_h264_frames(spark, sf_dir):
+    """The H.264 half of the video seam, CLOSED for the subset this
+    environment can genuinely host: real ISO/IEC 14496-10 bitstreams
+    (NAL units with emulation prevention, Exp-Golomb SPS/PPS/slice
+    headers, avcC configuration records) whose IDR slices code every
+    macroblock as I_PCM — lossless raw 4:2:0 samples inside true AVC
+    syntax (operators/h264codec.py). Same container fixtures/pixel
+    theory as media_mp4_frames, codec 'avc1'; sampling decodes only
+    the sampled samples' extents. The remaining NotImplementedError is
+    now CLASSIFIED from the parsed bitstream itself — predicted
+    macroblocks, P/B slices, CABAC — not assumed from the fourcc."""
+    from flow_indexer_spark.operators.mp4codec import (
+        make_h264_media,
+        video_frame_features,
+    )
+
+    d = video_frame_features(make_h264_media(spark, 24), every_n=2)
+    i = F.substring("media_id", 2, 5).cast("int")
+    red = ((F.lit(7) * i + F.lit(11) * F.col("frame_idx")) % 256).cast(
+        "double"
+    )
+    mean_g_theory = (F.col("width") - 1) / 2.0
+    mean_b_theory = (F.col("height") - 1) / 2.0
+    return d.select(
+        "media_id",
+        "codec",
+        "n_frames",
+        "duration_ms",
+        "frame_idx",
+        "t_ms",
+        "width",
+        "height",
+        (F.abs(F.col("mean_r") - red) < 0.75).alias("mean_r_ok"),
+        (F.abs(F.col("mean_g") - mean_g_theory) < 0.75).alias("mean_g_ok"),
+        (F.abs(F.col("mean_b") - mean_b_theory) < 0.75).alias("mean_b_ok"),
+        # wider than the MJPEG gate (0.15): I_PCM luma is exact, but the
+        # features recompute luma from decoded RGB, and 4:2:0 chroma
+        # nearest-upsampling adds 2-px gradient steps the 4:4:4 JPEG
+        # path doesn't have (measured family max deviation 0.152)
+        (F.abs(F.col("edge_energy") - F.lit(0.587 + 0.114)) < 0.25).alias(
+            "edge_ok"
+        ),
+    ).orderBy("media_id", "frame_idx")
+
+
+@_register(
     "skew_salted_join",
     """
     WITH prof AS (

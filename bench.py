@@ -266,6 +266,7 @@ def _bench_queries(spark, sf_dir: str) -> dict:
         "corpus_report_cube",
         "entity_pagerank",
         "ip_block_enrich",
+        "media_h264_frames",
     ]
     qs = entry_mod.queries()
     out = {}

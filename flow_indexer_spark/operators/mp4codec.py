@@ -15,10 +15,13 @@ and is not real:
   expands the stts timeline and the stsc/stco chunk map into exact
   per-sample byte extents.
 - FRAME DECODE is real for codec ``jpeg`` (Motion JPEG: every sample
-  is a baseline JFIF image, decoded by :mod:`operators.jpegcodec`).
-  ``avc1``/``hev1`` and any other inter-coded bitstream raise
-  ``NotImplementedError`` — a full motion-compensation stack is the
-  one genuinely environment-blocked piece left.
+  is a baseline JFIF image, decoded by :mod:`operators.jpegcodec`) and
+  for ``avc1`` whose slices are IDR/I_PCM — real H.264 NAL/Exp-Golomb
+  syntax around raw 4:2:0 samples (:mod:`operators.h264codec`). The
+  ``NotImplementedError`` seam is now CLASSIFIED from the parsed
+  bitstream: predicted macroblocks, P/B slices, and CABAC raise it
+  (a prediction/motion-compensation stack is the genuinely
+  environment-blocked piece), as do other codec fourccs (hev1 etc).
 - Frame SAMPLING pushes down into the byte walk: requesting every Nth
   frame touches only those samples' byte ranges; skipped frames are
   never entropy-decoded. At scale that is the difference between
@@ -71,6 +74,24 @@ _UNITY_MATRIX = struct.pack(
 )
 
 
+def _visual_entry(fourcc: bytes, w: int, h: int, name: bytes, *children: bytes) -> bytes:
+    """stsd visual sample entry (the 78-byte body every video codec
+    shares) plus codec-specific child boxes (e.g. avcC)."""
+    return _box(
+        fourcc,
+        b"\x00" * 6,
+        struct.pack(">H", 1),              # data_reference_index
+        b"\x00" * 16,                      # pre_defined / reserved
+        struct.pack(">HH", w, h),
+        struct.pack(">II", 0x00480000, 0x00480000),  # 72 dpi
+        struct.pack(">I", 0),
+        struct.pack(">H", 1),              # frame_count per sample
+        bytes([len(name)]) + name + b"\x00" * (31 - len(name)),
+        struct.pack(">Hh", 24, -1),        # depth, pre_defined
+        *children,
+    )
+
+
 def encode_mp4_mjpeg(
     frames: list[np.ndarray], fps: int = VIDEO_FPS, quality: int = 90
 ) -> bytes:
@@ -85,6 +106,29 @@ def encode_mp4_mjpeg(
         raise ValueError("need at least one frame")
     h, w = frames[0].shape[:2]
     samples = [encode_jpeg(f, quality) for f in frames]
+    return _encode_mp4(samples, w, h, fps, _visual_entry(b"jpeg", w, h, b"mjpeg"))
+
+
+def encode_mp4_h264(frames: list[np.ndarray], fps: int = VIDEO_FPS) -> bytes:
+    """Write frames as H.264-in-MP4: an ``avc1`` track whose avcC box
+    carries the real SPS/PPS and whose samples are length-prefixed IDR
+    I_PCM NAL units (operators/h264codec.py) — same container writer,
+    different sample entry."""
+    from flow_indexer_spark.operators import h264codec as h264
+
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape[:2]
+    samples = [h264.encode_frame_sample(f, k) for k, f in enumerate(frames)]
+    avcc = _box(b"avcC", h264.make_avcc(h264.make_sps(w, h), h264.make_pps()))
+    return _encode_mp4(
+        samples, w, h, fps, _visual_entry(b"avc1", w, h, b"h264 ipcm", avcc)
+    )
+
+
+def _encode_mp4(
+    samples: list[bytes], w: int, h: int, fps: int, entry: bytes
+) -> bytes:
     sizes = [len(s) for s in samples]
     n = len(samples)
 
@@ -110,18 +154,6 @@ def encode_mp4_mjpeg(
 
     duration_movie = n * 1000 // fps  # mvhd/tkhd use timescale 1000
 
-    entry = _box(
-        b"jpeg",
-        b"\x00" * 6,
-        struct.pack(">H", 1),              # data_reference_index
-        b"\x00" * 16,                      # pre_defined / reserved
-        struct.pack(">HH", w, h),
-        struct.pack(">II", 0x00480000, 0x00480000),  # 72 dpi
-        struct.pack(">I", 0),
-        struct.pack(">H", 1),              # frame_count per sample
-        bytes([6]) + b"mjpeg" + b"\x00" * 26,  # compressorname (32 B)
-        struct.pack(">Hh", 24, -1),        # depth, pre_defined
-    )
     stbl = _box(
         b"stbl",
         _full(b"stsd", 0, 0, struct.pack(">I", 1), entry),
@@ -295,6 +327,16 @@ def parse_mp4(payload: bytes) -> dict:
     codec = buf[p + 8 : p + 12].decode("latin1")
     width, height = struct.unpack_from(">HH", buf, p + 12 + 24)
 
+    # codec-specific sample-entry children (avcC for avc1): the visual
+    # entry body is a fixed 78 bytes, children follow inside the entry
+    (entry_size,) = struct.unpack_from(">I", buf, p + 4)
+    avcc = None
+    child_start, child_end = p + 4 + 8 + 78, min(p + 4 + entry_size, e)
+    if child_start < child_end:
+        for t, cs, ce in _boxes(buf, child_start, child_end):
+            if t == b"avcC":
+                avcc = buf[cs:ce]
+
     s, e = _child(buf, *stbl, b"stts")
     p = _full_body(buf, s)
     _need(p + 4 <= e, "stts too short")
@@ -376,6 +418,7 @@ def parse_mp4(payload: bytes) -> dict:
         "sizes": sizes,
         "offsets": offsets,
         "starts": starts,
+        "avcc": avcc,
     }
 
 
@@ -384,21 +427,33 @@ def mp4_frames(
 ) -> Iterator[tuple[int, int, np.ndarray]]:
     """Yield (frame_idx, t_ms, pixels) for every Nth sample. Only the
     sampled samples' byte ranges are entropy-decoded — the skip is real,
-    not decode-then-drop. Non-MJPEG tracks raise NotImplementedError
-    (inter-coded bitstreams need a motion-compensation stack this
-    environment cannot host)."""
+    not decode-then-drop. Decodable codecs: ``jpeg`` (Motion JPEG) and
+    ``avc1`` whose slices are IDR/I_PCM (operators/h264codec.py — the
+    classifier parses the real NAL/slice syntax, so predicted
+    macroblocks, P/B slices and CABAC raise NotImplementedError from
+    the bitstream itself, not from the fourcc)."""
     from flow_indexer_spark.operators.jpegcodec import _jpeg_pixels
 
     info = parse_mp4(payload)
-    if info["codec"] != "jpeg":
-        raise NotImplementedError(
-            f"codec {info['codec']!r}: only MJPEG samples are decodable here"
-        )
     buf = bytes(payload)
+    if info["codec"] == "jpeg":
+        decode = _jpeg_pixels
+    elif info["codec"] == "avc1":
+        from flow_indexer_spark.operators.h264codec import decode_frame_sample
+
+        if info["avcc"] is None:
+            raise ValueError("avc1 track without avcC configuration")
+        avcc = info["avcc"]
+        decode = lambda b: decode_frame_sample(b, avcc)  # noqa: E731
+    else:
+        raise NotImplementedError(
+            f"codec {info['codec']!r}: only MJPEG and I_PCM H.264 samples "
+            "are decodable here"
+        )
     for k in range(0, info["n_frames"], every_n):
         off, size = info["offsets"][k], info["sizes"][k]
         t_ms = round(1000 * info["starts"][k] / info["timescale"])
-        yield k, t_ms, _jpeg_pixels(buf[off : off + size])
+        yield k, t_ms, decode(buf[off : off + size])
 
 
 # --- deterministic fixtures -------------------------------------------------
@@ -425,9 +480,22 @@ def make_mp4_bytes(i: int, quality: int = 90) -> bytes:
     return encode_mp4_mjpeg(frames, fps=VIDEO_FPS, quality=quality)
 
 
-def make_mp4_media(spark, n: int = 24) -> DataFrame:
-    """Executor-side synthesis of real MP4 payloads — same mapInPandas
-    topology as codecs.make_real_media (bytes never touch the driver)."""
+def make_h264_bytes(i: int) -> bytes:
+    """The same deterministic frame family as :func:`make_mp4_bytes`,
+    but coded as real H.264 I_PCM-in-avc1 (operators/h264codec.py) —
+    identical pixel theory, different (lossless-luma) bitstream."""
+    n, w, h = video_params(i)
+    frames = []
+    for t in range(n):
+        px = np.empty((h, w, 3), dtype=np.uint8)
+        px[:, :, 0] = (7 * i + 11 * t) % 256
+        px[:, :, 1] = np.arange(w, dtype=np.uint8)[None, :]
+        px[:, :, 2] = np.arange(h, dtype=np.uint8)[:, None]
+        frames.append(px)
+    return encode_mp4_h264(frames, fps=VIDEO_FPS)
+
+
+def _media_gen(spark, n: int, prefix: str, make_bytes) -> DataFrame:
     schema = StructType(
         [
             StructField("media_id", StringType(), False),
@@ -441,15 +509,26 @@ def make_mp4_media(spark, n: int = 24) -> DataFrame:
             ids = pdf["id"].tolist()
             yield pd.DataFrame(
                 {
-                    "media_id": [f"v{i:05d}" for i in ids],
+                    "media_id": [f"{prefix}{i:05d}" for i in ids],
                     "kind": ["video"] * len(ids),
-                    "payload": [make_mp4_bytes(i) for i in ids],
+                    "payload": [make_bytes(i) for i in ids],
                 }
             )
 
     return spark.range(n).repartition(
         max(2, spark.sparkContext.defaultParallelism // 4)
     ).mapInPandas(_gen, schema)
+
+
+def make_mp4_media(spark, n: int = 24) -> DataFrame:
+    """Executor-side synthesis of real MP4 payloads — same mapInPandas
+    topology as codecs.make_real_media (bytes never touch the driver)."""
+    return _media_gen(spark, n, "v", make_mp4_bytes)
+
+
+def make_h264_media(spark, n: int = 24) -> DataFrame:
+    """Executor-side synthesis of real H.264-in-MP4 payloads."""
+    return _media_gen(spark, n, "v", make_h264_bytes)
 
 
 # --- the Spark stage --------------------------------------------------------

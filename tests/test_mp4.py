@@ -87,16 +87,21 @@ def test_truncated_raises_value_error():
         parse_mp4(b[: len(b) // 2])
 
 
-def test_non_mjpeg_codec_is_the_documented_seam():
-    """Patch the stsd sample-entry fourcc to avc1: the container still
-    parses (box grammar is codec-agnostic) but frame decode raises the
-    documented NotImplementedError."""
+def test_unsupported_codec_is_the_documented_seam():
+    """An hev1 (HEVC) track: the container still parses (box grammar is
+    codec-agnostic) but frame decode raises the documented
+    NotImplementedError. An avc1 fourcc WITHOUT its avcC record is a
+    malformed file -> ValueError (since round 3c, avc1 I_PCM itself
+    decodes for real — tests/test_h264.py)."""
     data = bytearray(make_mp4_bytes(0))
     j = data.rindex(b"stsd")
     assert bytes(data[j + 16 : j + 20]) == b"jpeg"
-    data[j + 16 : j + 20] = b"avc1"
-    assert parse_mp4(bytes(data))["codec"] == "avc1"
+    data[j + 16 : j + 20] = b"hev1"
+    assert parse_mp4(bytes(data))["codec"] == "hev1"
     with pytest.raises(NotImplementedError):
+        list(mp4_frames(bytes(data)))
+    data[j + 16 : j + 20] = b"avc1"
+    with pytest.raises(ValueError, match="without avcC"):
         list(mp4_frames(bytes(data)))
 
 
