@@ -170,3 +170,35 @@ def test_mjpeg_track_unaffected():
     info = parse_mp4(make_mp4_bytes(2))
     assert info["codec"] == "jpeg" and info["avcc"] is None
     assert sum(1 for _ in mp4_frames(make_mp4_bytes(2), every_n=2)) > 0
+
+
+def test_fuzz_corruption_is_always_classifiable():
+    """Random byte mutations of a valid sample (and of its avcC) must
+    decode, raise ValueError, or raise NotImplementedError — never a
+    raw struct/index/numpy error (the jpegcodec/mp4codec hardening
+    contract; a 5000-trial sweep ran clean before this was pinned)."""
+    import random
+
+    rng = random.Random(5)
+    px = np.empty((12, 16, 3), dtype=np.uint8)
+    px[:, :, 0] = 9
+    px[:, :, 1] = np.arange(16, dtype=np.uint8)[None, :]
+    px[:, :, 2] = np.arange(12, dtype=np.uint8)[:, None]
+    avcc = H.make_avcc(H.make_sps(16, 12), H.make_pps())
+    sample = H.encode_frame_sample(px)
+    for _ in range(400):
+        b = bytearray(sample)
+        for _ in range(rng.randint(1, 4)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        try:
+            H.decode_frame_sample(bytes(b), avcc)
+        except (ValueError, NotImplementedError):
+            pass
+    for _ in range(300):
+        a = bytearray(avcc)
+        for _ in range(rng.randint(1, 3)):
+            a[rng.randrange(len(a))] = rng.randrange(256)
+        try:
+            H.decode_frame_sample(sample, bytes(a))
+        except (ValueError, NotImplementedError):
+            pass
