@@ -91,7 +91,10 @@ def load_config(path: str) -> AppConfig:
     known_top = {"http", "indexers"}
     if unknown := set(raw) - known_top:
         raise ValueError(f"unknown config keys: {sorted(unknown)}")
-    http_bind = (raw.get("http") or {}).get("bind")
+    http = raw.get("http") or {}
+    if unknown := set(http) - {"bind"}:
+        raise ValueError(f"http: unknown keys {sorted(unknown)}")
+    http_bind = http.get("bind")
     specs = []
     seen = set()
     spec_fields = {f.name for f in fields(IndexerSpec)}
@@ -169,16 +172,43 @@ def index_all(
     return results
 
 
-def open_indexers(spark: SparkSession, cfg: AppConfig) -> dict[str, IndexerHandle]:
+def open_indexers(
+    spark: SparkSession,
+    cfg: AppConfig,
+    previous: dict[str, IndexerHandle] | None = None,
+) -> dict[str, IndexerHandle]:
     """name -> IndexerHandle for the HTTP layer. The indexer's input
     table doubles as the transcripts side of /stats and /dump. Re-call
     after each ingest tick: a DataFrame snapshots the parquet file
     listing when opened (RefreshStores analogue,
-    /root/reference/flowindexer/flowindexer.go:281-316)."""
+    /root/reference/flowindexer/flowindexer.go:281-316).
+
+    Per-indexer failure isolation, matching ``index_all``'s: an indexer
+    whose ingest failed (or hasn't run yet) has no readable postings
+    output, and ``spark.read.parquet`` on it raises. That must not take
+    the daemon down — the reference's RunDaemon keeps every other
+    indexer serving when one breaks. On open failure the indexer keeps
+    its ``previous`` handle (stale-but-serving) or, with none, is
+    skipped for this refresh; either way the error is logged to stderr
+    and the remaining indexers open normally."""
+    import sys
+
     out = {}
+    previous = previous or {}
     for spec in cfg.indexers:
-        out[spec.name] = IndexerHandle(
-            postings=spark.read.parquet(f"{spec.output}/postings"),
-            transcripts=_read_input(spark, spec),
-        )
+        try:
+            out[spec.name] = IndexerHandle(
+                postings=spark.read.parquet(f"{spec.output}/postings"),
+                transcripts=_read_input(spark, spec),
+            )
+        except Exception as e:  # noqa: BLE001 - per-indexer isolation
+            print(
+                f"open_indexers: indexer {spec.name!r} not readable "
+                f"({type(e).__name__}: {e}); "
+                + ("keeping previous handle" if spec.name in previous
+                   else "skipping"),
+                file=sys.stderr,
+            )
+            if spec.name in previous:
+                out[spec.name] = previous[spec.name]
     return out

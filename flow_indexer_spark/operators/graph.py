@@ -21,13 +21,18 @@ Skew: a mega-hub destination concentrates its in-edges on one reducer
 — bounded upstream by entity_cooccurrence's ``max_entity_df`` cap,
 the same knob that bounds the pair join itself.
 
-Float determinism: per-node contribution sums fold in sorted
-``(src_class, src_key)`` order via ``aggregate(array_sort(
-collect_list(...)))`` — the diagnostics.py PSI pattern — so the
-double-precision trajectory is bit-identical to the oracle's
-``SUM(term ORDER BY src_class, src_key)``. A plain ``F.sum`` would be
-partition-order-dependent; at production scale swap it in and accept
-last-bit wobble (documented, not default).
+Float determinism: with ``deterministic=True`` (default — the oracle
+path) per-node contribution sums fold in sorted ``(src_class,
+src_key)`` order via ``aggregate(array_sort(collect_list(...)))`` —
+the diagnostics.py PSI pattern — so the double-precision trajectory is
+bit-identical to the oracle's ``SUM(term ORDER BY src_class,
+src_key)``. That fold materializes a destination's whole in-edge array
+on one reducer (bounded here by ``max_entity_df``, but a mega-hub at
+production scale is exactly the row you can't afford to widen), so
+``deterministic=False`` swaps in plain ``F.sum`` — partial-aggregating,
+partition-order-dependent within double-precision rounding (last-bit
+wobble, agreement pinned to <1e-12 relative in test_graph_blocks) —
+the path a 100 TB run should use.
 """
 
 from __future__ import annotations
@@ -42,6 +47,7 @@ def pagerank(
     edges: DataFrame,
     damping: float = 0.85,
     n_iter: int = 3,
+    deterministic: bool = True,
 ) -> DataFrame:
     """Damped PageRank over a weighted DIRECTED edge list.
 
@@ -83,25 +89,30 @@ def pagerank(
         F.col("node_class"), F.col("node_key"), F.lit(1.0 / n).alias("pr")
     )
     for _ in range(n_iter):
-        contribs = e.join(
+        joined = e.join(
             pr,
             (e["src_class"] == pr["node_class"]) & (e["src_key"] == pr["node_key"]),
-        ).select(
-            F.col("dst_class"),
-            F.col("dst_key"),
-            F.struct(
-                "src_class",
-                "src_key",
-                (F.col("pr") * F.col("weight") / F.col("_outw")).alias("c"),
-            ).alias("_s"),
         )
-        summed = contribs.groupBy("dst_class", "dst_key").agg(
-            F.aggregate(
-                F.array_sort(F.collect_list("_s")),
-                F.lit(0.0),
-                lambda acc, x: acc + x["c"],
-            ).alias("_sum")
-        )
+        term = F.col("pr") * F.col("weight") / F.col("_outw")
+        if deterministic:
+            contribs = joined.select(
+                F.col("dst_class"),
+                F.col("dst_key"),
+                F.struct("src_class", "src_key", term.alias("c")).alias("_s"),
+            )
+            summed = contribs.groupBy("dst_class", "dst_key").agg(
+                F.aggregate(
+                    F.array_sort(F.collect_list("_s")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["c"],
+                ).alias("_sum")
+            )
+        else:
+            # scale path: partial-aggregating hash sum — no per-
+            # destination array, a hub's in-edges combine map-side
+            summed = joined.select(
+                F.col("dst_class"), F.col("dst_key"), term.alias("_c")
+            ).groupBy("dst_class", "dst_key").agg(F.sum("_c").alias("_sum"))
         pr = nodes.join(
             summed,
             (nodes["node_class"] == summed["dst_class"])

@@ -344,6 +344,22 @@ def decode_idr_ipcm(nal: bytes, sps: dict) -> tuple[np.ndarray, np.ndarray, np.n
     r.u(1, "long_term_reference_flag")
     r.se("slice_qp_delta")
     mb_w, mb_h = sps["mb_width"], sps["mb_height"]
+    # Plausibility gate BEFORE allocating: ue(v) admits dimensions up to
+    # ~2^32 MBs, so a corrupt/hostile SPS could otherwise demand a
+    # multi-TiB np.empty (MemoryError — a raw numpy error escaping the
+    # module's "corruption classifies as ValueError" contract, and an
+    # executor-OOM vector on arbitrary media tables). Every I_PCM
+    # macroblock carries >=384 payload bytes (256 luma + 2x64 chroma),
+    # so the slice RBSP itself bounds any picture this decoder could
+    # finish decoding. Gate only above a 64 MiB claimed payload: below
+    # that the allocation is harmless and per-MB parsing must stay the
+    # classifier (a short slice whose first mb_type is I_4x4 is an
+    # unsupported-coding-tool stream, not a corrupt one).
+    if mb_w * mb_h * 384 > max(len(rbsp), 1 << 26):
+        raise ValueError(
+            f"SPS claims {mb_w}x{mb_h} macroblocks but the slice has only "
+            f"{len(rbsp)} RBSP bytes (< 384/MB I_PCM floor): corrupt stream"
+        )
     y = np.empty((mb_h * 16, mb_w * 16), dtype=np.uint8)
     cb = np.empty((mb_h * 8, mb_w * 8), dtype=np.uint8)
     cr = np.empty_like(cb)

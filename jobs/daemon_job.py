@@ -80,8 +80,12 @@ def main() -> None:
             if server is not None:
                 # RefreshStores: swap in handles that see the new files
                 # (atomic class-attribute assignment; in-flight requests
-                # keep the handles they already grabbed)
-                server.RequestHandlerClass.indexers = open_indexers(spark, cfg)
+                # keep the handles they already grabbed). previous= keeps
+                # a stale-but-serving handle for any indexer whose output
+                # became unreadable this tick (per-indexer isolation).
+                server.RequestHandlerClass.indexers = open_indexers(
+                    spark, cfg, previous=server.RequestHandlerClass.indexers
+                )
     except KeyboardInterrupt:
         pass
     finally:

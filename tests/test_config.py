@@ -157,3 +157,31 @@ def test_index_all_isolates_a_failing_indexer(spark, dims, tmp_path):
     metrics = index_all(spark, cfg, tool_registry, role_taxonomy)
     assert "error" in metrics["bad"]
     assert metrics["good"]["n_turns"] > 0
+
+
+def test_open_indexers_isolates_a_failing_indexer(spark, dims, tmp_path, capsys):
+    """The daemon's refresh path must match index_all's isolation: one
+    indexer whose ingest failed (no readable postings output) must not
+    crash open_indexers — the other indexers keep serving, like the
+    reference's RunDaemon (flowindexer.go:439-465). With a previous
+    handle available, the broken indexer keeps serving stale data."""
+    tool_registry, role_taxonomy = dims
+    inp = str(tmp_path / "t")
+    make_transcripts(spark, 4).write.parquet(inp)
+    cfg = AppConfig(
+        indexers=(
+            IndexerSpec(name="bad", input=str(tmp_path / "missing"),
+                        output=str(tmp_path / "bad_out")),
+            IndexerSpec(name="good", input=inp, output=str(tmp_path / "good_out")),
+        )
+    )
+    index_all(spark, cfg, tool_registry, role_taxonomy)
+    handles = open_indexers(spark, cfg)  # must not raise
+    assert set(handles) == {"good"}  # bad skipped, not fatal
+    assert handles["good"].postings.count() > 0
+    assert "bad" in capsys.readouterr().err
+    # previous= keeps a stale-but-serving handle across a broken refresh
+    prev = {"bad": handles["good"], **handles}
+    again = open_indexers(spark, cfg, previous=prev)
+    assert set(again) == {"bad", "good"}
+    assert again["bad"] is prev["bad"]

@@ -5,8 +5,11 @@ order-insensitive values."""
 
 from __future__ import annotations
 
+import datetime as _dt
 import math
 import os
+import re
+from decimal import Decimal
 
 import duckdb
 import pytest
@@ -25,17 +28,45 @@ def _duck(sf_dir: str):
     return con
 
 
+def _canon_val(v) -> str:
+    """Type-TAGGED canonical rendering. Both sides (Spark collect() and
+    DuckDB fetchall()) pass through this one canonicalizer, and the tag
+    makes the Python TYPE part of the compared value: a bool-vs-int or
+    Decimal-vs-float divergence fails here even when str(v) coincides
+    ("True" never equals "1", "bool:..." never equals "int:...") — the
+    residual class the r3 verdict flagged in the stringified comparator
+    after the HUGEINT audit killed the big one."""
+    if v is None:
+        return "null"
+    if isinstance(v, bool):  # MUST precede int: bool subclasses int
+        return f"bool:{v}"
+    if isinstance(v, int):
+        return f"int:{v}"
+    if isinstance(v, float):
+        return "float:nan" if math.isnan(v) else f"float:{v:.9g}"
+    if isinstance(v, Decimal):
+        return f"decimal:{format(v.normalize(), 'f')}"
+    if isinstance(v, _dt.datetime):  # MUST precede date: datetime subclasses it
+        return f"ts:{v.isoformat()}"
+    if isinstance(v, _dt.date):
+        return f"date:{v.isoformat()}"
+    if isinstance(v, (bytes, bytearray)):
+        return f"bytes:{bytes(v).hex()}"
+    if isinstance(v, str):
+        return f"str:{v}"
+    if hasattr(v, "asDict"):  # pyspark Row (struct column)
+        v = v.asDict(recursive=False)
+    if isinstance(v, dict):
+        inner = ",".join(f"{k}={_canon_val(x)}" for k, x in sorted(v.items()))
+        return "map:{" + inner + "}"
+    if isinstance(v, (list, tuple)):
+        return "list:[" + ",".join(_canon_val(x) for x in v) + "]"
+    return f"{type(v).__name__}:{v}"
+
+
 def _canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        vals = []
-        for i in order:
-            v = r[i]
-            if isinstance(v, float):
-                v = f"{v:.9g}" if not math.isnan(v) else "nan"
-            vals.append(str(v))
-        out.append(tuple(vals))
+    out = [tuple(_canon_val(r[i]) for i in order) for r in rows]
     out.sort()
     return out
 
@@ -61,6 +92,37 @@ def test_query_matches_oracle(spark, name):
     a, b = _canon(srows, scols), _canon(orows, ocols)
     mismatches = [(x, y) for x, y in zip(a, b) if x != y]
     assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+
+
+def test_survey_count_matches_registry():
+    """SURVEY.md's 'Driver contract: N queries' line is generated-by-pin:
+    this fails whenever the doc drifts from the live registry (the r3
+    ADVICE found exactly that risk in a hand-maintained count)."""
+    n = len(entry_mod.queries())
+    survey = os.path.join(os.path.dirname(__file__), "..", "SURVEY.md")
+    with open(survey) as fh:
+        m = re.search(r"Driver contract: (\d+) queries", fh.read())
+    assert m, "SURVEY.md lost its 'Driver contract: N queries' line"
+    assert int(m.group(1)) == n, f"SURVEY says {m.group(1)}, registry has {n}"
+    missing = set(entry_mod.oracle_sql()) - set(entry_mod.queries())
+    assert not missing, f"oracles without queries: {sorted(missing)}"
+
+
+def test_canon_is_type_aware():
+    """The comparator itself: same-rendering values of different Python
+    types must NOT canonicalize equal (bool/int, Decimal/float/int,
+    date/timestamp, str/number)."""
+    assert _canon_val(True) != _canon_val(1)
+    assert _canon_val(Decimal("1")) != _canon_val(1)
+    assert _canon_val(Decimal("1.5")) != _canon_val(1.5)
+    assert _canon_val("1") != _canon_val(1)
+    assert _canon_val(_dt.date(2015, 4, 1)) != _canon_val(
+        _dt.datetime(2015, 4, 1)
+    )
+    # ...and equivalent values of the SAME type canonicalize equal even
+    # when their default renderings differ
+    assert _canon_val(Decimal("1.50")) == _canon_val(Decimal("1.5"))
+    assert _canon_val(0.1 + 0.2) == _canon_val(0.3)  # 9-sig-fig float fold
 
 
 def test_entry_smoke(spark):

@@ -93,6 +93,34 @@ def test_pagerank_rejects_empty_or_no_iters(spark):
         pagerank(_nodes(spark, ["a"]), _edges(spark, [("a", "a", 1)]), n_iter=0)
 
 
+def test_pagerank_scale_path_agrees_and_drops_collect_list(spark):
+    """deterministic=False (the production/100 TB path) must (a) agree
+    with the sorted-fold oracle path within float-rounding (<1e-12
+    relative — the two differ only in double summation order), and
+    (b) contain NO per-destination array materialization: its plan has
+    no collect_list / ObjectHashAggregate, so a mega-hub's in-edges
+    combine map-side instead of widening one reducer row."""
+    names = [f"n{i}" for i in range(12)]
+    # hub topology: everyone points at n0 (the skew case the kwarg is for)
+    triples = [(f"n{i}", "n0", i + 1) for i in range(1, 12)]
+    triples += [("n0", "n1", 3), ("n3", "n4", 2), ("n4", "n3", 2)]
+    det = pagerank(_nodes(spark, names), _edges(spark, triples), n_iter=4)
+    fast_df = pagerank(
+        _nodes(spark, names), _edges(spark, triples), n_iter=4,
+        deterministic=False,
+    )
+    a = {r["node_key"]: r["pagerank"] for r in det.collect()}
+    b = {r["node_key"]: r["pagerank"] for r in fast_df.collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert b[k] == pytest.approx(a[k], rel=1e-12), k
+    fast_plan = fast_df._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in fast_plan
+    assert "ObjectHashAggregate" not in fast_plan
+    det_plan = det._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" in det_plan  # the oracle path keeps the fold
+
+
 # --- LPM block enrichment ---------------------------------------------------
 
 BLOCKS = [

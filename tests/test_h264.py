@@ -140,6 +140,27 @@ def test_corruption_is_classifiable_valueerror():
         H.parse_sps(H.make_pps())  # PPS fed to SPS parser
 
 
+def test_hostile_sps_dimensions_classify_before_allocating():
+    """A syntactically valid SPS may claim ~2^32 macroblocks; the
+    decoder must reject it as ValueError BEFORE np.empty (a
+    200000x200000-MB claim is a 9.31 TiB allocation -> MemoryError,
+    a raw numpy error escaping the corruption contract and an
+    executor-OOM vector on arbitrary media tables)."""
+    z16, z8 = np.zeros((16, 16), np.uint8), np.zeros((8, 8), np.uint8)
+    slice_nal = H.encode_idr_ipcm(z16, z8, z8)  # 1x1-MB payload
+    huge = H.parse_sps(H.make_sps(16, 16))
+    for mbs in ((200_000, 200_000), (10_000, 1_000), (1 << 16, 1 << 10)):
+        hostile = dict(huge, mb_width=mbs[0], mb_height=mbs[1])
+        with pytest.raises(ValueError, match="corrupt stream"):
+            H.decode_idr_ipcm(slice_nal, hostile)
+    # ...while a frame under the gate still classifies per-MB (here the
+    # rbsp trailing bits after MB0 parse as mb_type I_4x4 -> classified
+    # unsupported-tool, never a raw numpy/struct error)
+    small = dict(huge, mb_width=4, mb_height=4)
+    with pytest.raises((ValueError, NotImplementedError)):
+        H.decode_idr_ipcm(slice_nal, small)
+
+
 def test_avcc_roundtrip():
     sps_nal, pps_nal = H.make_sps(48, 28), H.make_pps()
     sps2, pps2 = H.parse_avcc(H.make_avcc(sps_nal, pps_nal))
