@@ -61,6 +61,11 @@ class IndexerSpec:
     chunk_size: int | None = None
     postings_layout: str = "range"
     incremental: bool = True
+    #: optional netblock dimension: [[name, cidr], ...] — every routed
+    #: row gets longest-prefix-match (block_name, prefix_len) columns
+    #: (operators/ipblocks.py; in-row LPM, validated at load time so a
+    #: bad CIDR fails the config load, not the 100th ingest tick)
+    ip_blocks: tuple | None = None
 
     def pipeline_config(self) -> PipelineConfig:
         return PipelineConfig(
@@ -70,6 +75,9 @@ class IndexerSpec:
             chunk_size=self.chunk_size,
             postings_layout=self.postings_layout,
             incremental=self.incremental,
+            ip_blocks=tuple(tuple(b) for b in self.ip_blocks)
+            if self.ip_blocks
+            else None,
         )
 
 
@@ -105,6 +113,16 @@ def load_config(path: str) -> AppConfig:
         if missing := required - set(ix):
             raise ValueError(f"indexer[{i}]: missing keys {sorted(missing)}")
         spec = IndexerSpec(**ix)
+        if spec.ip_blocks:
+            from flow_indexer_spark.operators.ipblocks import block_table
+
+            for b in spec.ip_blocks:
+                if not (isinstance(b, (list, tuple)) and len(b) == 2):
+                    raise ValueError(
+                        f"indexer[{i}]: ip_blocks entries must be "
+                        f"[name, cidr] pairs, got {b!r}"
+                    )
+            block_table([tuple(b) for b in spec.ip_blocks])  # raises on bad CIDR
         if spec.name in seen:
             raise ValueError(f"duplicate indexer name: {spec.name!r}")
         seen.add(spec.name)

@@ -51,6 +51,42 @@ def fold_posting_chunks(postings):
     )
 
 
+def recompute_ts_bounds(folded, turn_ts):
+    """Re-derive each posting row's ts_min/ts_max EXACTLY from the turns
+    it still references. Posting structs carry only (conv_id, turn_idx),
+    so after ``forget_conversations`` the stored bounds are stale outer
+    bounds (pipeline.py documents "exactness comes back at the next
+    compaction" — this is that step). ``turn_ts`` is any (conv_id,
+    turn_idx, ts) source, normally the routed table.
+
+    Scale shape: one explode + one shuffle equi-join on (conv_id,
+    turn_idx) + one re-aggregation on the posting key — all partial-
+    aggregating, no per-key arrays beyond the postings rows themselves.
+    That is a full-table pass, which is exactly what compaction already
+    is; it adds no new asymptotics to the rewrite."""
+    keys = [
+        c for c in ("entity_class", "entity_key", "chunk_id")
+        if c in folded.columns
+    ]
+    # routed stores a turn once per entity class it contains; ts is a
+    # per-turn fact, so any representative is exact
+    turn_ts = turn_ts.groupBy("conv_id", "turn_idx").agg(F.max("ts").alias("_ts"))
+    exploded = folded.select(*keys, F.explode("postings").alias("_p")).select(
+        *keys,
+        F.col("_p.conv_id").alias("conv_id"),
+        F.col("_p.turn_idx").alias("turn_idx"),
+    )
+    bounds = (
+        exploded.join(turn_ts, ["conv_id", "turn_idx"])
+        .groupBy(*keys)
+        .agg(F.min("_ts").alias("ts_min"), F.max("_ts").alias("ts_max"))
+    )
+    # left join: a posting entry with no surviving turn row keeps null
+    # bounds rather than silently dropping the chunk (conservative —
+    # null never satisfies a pruning predicate's negation)
+    return folded.drop("ts_min", "ts_max").join(bounds, keys, "left")
+
+
 def compact_postings(
     spark: SparkSession,
     path: str,
@@ -58,6 +94,7 @@ def compact_postings(
     min_files: int = 8,
     sort_col: str = "entity_key",
     partition_col: str = "entity_class",
+    routed_path: str | None = None,
 ) -> dict:
     """Rewrite the postings table if fragmented: read, fold chunk rows,
     range-repartition on (partition, sort) keys, re-sort within
@@ -70,6 +107,11 @@ def compact_postings(
     The output lands under a fresh ``batch_id=compact-*`` directory —
     ingest's orphan cleanup treats compact ids as always-published, so a
     compacted table survives subsequent incremental runs.
+
+    ``routed_path``: when given, ts_min/ts_max are recomputed exactly
+    from the routed turns (see :func:`recompute_ts_bounds`) instead of
+    folded from the stored outer bounds — this is what re-tightens time
+    pruning after ``forget_conversations`` deliberately left them stale.
     """
     before = _parquet_file_count(path)
     if before < min_files:
@@ -77,6 +119,11 @@ def compact_postings(
 
     df = spark.read.parquet(path)
     folded = fold_posting_chunks(df.drop("batch_id") if "batch_id" in df.columns else df)
+    if routed_path is not None:
+        turn_ts = spark.read.parquet(routed_path).select(
+            "conv_id", "turn_idx", "ts"
+        )
+        folded = recompute_ts_bounds(folded, turn_ts)
     out = folded.withColumn("batch_id", F.lit("compact-" + uuid.uuid4().hex[:8]))
     parent = os.path.dirname(os.path.abspath(path))
     tmp = tempfile.mkdtemp(prefix="_compact_", dir=parent)

@@ -73,6 +73,13 @@ class PipelineConfig:
     postings_layout: str = "range"
     use_pandas_ip_extractor: bool = False
     incremental: bool = True
+    #: optional (name, cidr) netblock dimension: every routed row's
+    #: entity_key gets longest-prefix-match (block_name, prefix_len)
+    #: columns via the join-free in-row LPM (operators/ipblocks.py
+    #: lpm_enrich_inrow — one projection inside the extract stage's
+    #: codegen span, zero extra shuffles on the ingest hot path).
+    #: config.py exposes this as the per-indexer ``ip_blocks`` key.
+    ip_blocks: tuple[tuple[str, str], ...] | None = None
     extra: dict = field(default_factory=dict)
 
     @property
@@ -144,6 +151,17 @@ def run_ingest(
         keep_empty_turns=True,  # routed retains every turn -> exact lineage counts
     )
     routed = enrich(extracted, tool_registry, role_taxonomy)
+    if config.ip_blocks:
+        from flow_indexer_spark.operators.ipblocks import lpm_enrich_inrow
+
+        routed = lpm_enrich_inrow(routed, [tuple(b) for b in config.ip_blocks])
+        # the LPM probe guards on key LENGTH (hex-width = family); a
+        # non-ip entity whose key happens to be 8/32 chars must not
+        # inherit a block — scope the columns to the ip class
+        is_ip = F.col("entity_class") == "ip"
+        routed = routed.withColumn(
+            "block_name", F.when(is_ip, F.col("block_name"))
+        ).withColumn("prefix_len", F.when(is_ip, F.col("prefix_len")))
 
     # Routed sink first (pre-shuffle reuse of the extraction output): one
     # pipelined scan of the input, landing under this run's batch dir.
@@ -270,7 +288,9 @@ def forget_conversations(
     dropped. ts_min/ts_max stay as-is: after deletion they remain
     VALID OUTER BOUNDS (deletion can only shrink the true range), so
     time pruning stays correct, merely conservative — exactness comes
-    back at the next compaction. Partitions whose every row is
+    back at the next compaction (``compact_postings(...,
+    routed_path=...)`` -> ``recompute_ts_bounds``, tested by
+    test_compact.py::test_compact_tightens_ts_bounds_after_forget). Partitions whose every row is
     forgotten are removed directly (local-FS scope, same as
     compact_postings; use a catalog DELETE/rewrite at S3 scale).
 

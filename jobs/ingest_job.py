@@ -95,7 +95,10 @@ def main() -> None:
     if args.compact:
         from flow_indexer_spark.operators.compact import compact_postings
 
-        metrics["compaction"] = compact_postings(spark, cfg.postings_path, min_files=2)
+        metrics["compaction"] = compact_postings(
+            spark, cfg.postings_path, min_files=2,
+            routed_path=cfg.routed_path,  # re-tightens post-forget ts bounds
+        )
     print(json.dumps(metrics, default=str))
     spark.stop()
 

@@ -159,6 +159,79 @@ def test_index_all_isolates_a_failing_indexer(spark, dims, tmp_path):
     assert metrics["good"]["n_turns"] > 0
 
 
+def test_ip_blocks_config_enriches_routed_sink(spark, dims, tmp_path):
+    """Per-indexer ``ip_blocks`` key: RFC1918 blocks declared in the
+    config must land as LPM (block_name, prefix_len) columns on the
+    routed sink, with per-block counts oracle-checked against the
+    ipaddress module applied to the same routed keys."""
+    import ipaddress
+
+    tool_registry, role_taxonomy = dims
+    inp = str(tmp_path / "t")
+    make_transcripts(spark, 24).write.parquet(inp)
+    blocks = [
+        ["rfc1918-10", "10.0.0.0/8"],
+        ["rfc1918-172", "172.16.0.0/12"],
+        ["rfc1918-192", "192.168.0.0/16"],
+        ["rfc1918-192-hot", "192.168.9.0/24"],  # overlap: longest must win
+    ]
+    cfg = load_config(
+        _write_config(
+            tmp_path,
+            {"indexers": [{"name": "conn", "input": inp,
+                           "output": str(tmp_path / "out"),
+                           "ip_blocks": blocks}]},
+        )
+    )
+    metrics = index_all(spark, cfg, tool_registry, role_taxonomy)
+    assert metrics["conn"]["n_turns"] > 0
+    routed = spark.read.parquet(str(tmp_path / "out" / "routed"))
+    assert {"block_name", "prefix_len"} <= set(routed.columns)
+
+    got = {
+        r["block_name"]: r["n"]
+        for r in routed.groupBy("block_name").agg(F.count("*").alias("n")).collect()
+    }
+
+    # independent oracle: longest-prefix-match each routed row's key via
+    # the ipaddress module (None for non-ip rows and unmatched ips)
+    nets = [(n, ipaddress.ip_network(c)) for n, c in blocks]
+    want: dict = {}
+    for r in routed.select("entity_class", "entity_key").collect():
+        name = None
+        if r["entity_class"] == "ip" and len(r["entity_key"]) == 8:
+            addr = ipaddress.ip_address(bytes.fromhex(r["entity_key"]))
+            cands = [(net.prefixlen, n) for n, net in nets if addr in net]
+            if cands:
+                name = max(cands)[1]
+        want[name] = want.get(name, 0) + 1
+    assert got == want
+    assert got.get("rfc1918-192-hot", 0) > 0  # the overlap actually fired
+    assert got.get("rfc1918-10", 0) > 0
+    # no non-ip row carries a block
+    assert routed.filter(
+        (F.col("entity_class") != "ip") & F.col("block_name").isNotNull()
+    ).count() == 0
+
+
+def test_ip_blocks_config_rejects_bad_entries(tmp_path):
+    base = {"name": "a", "input": "/a", "output": "/b"}
+    with pytest.raises(ValueError, match="pairs"):
+        load_config(_write_config(
+            tmp_path, {"indexers": [{**base, "ip_blocks": ["10.0.0.0/8"]}]}
+        ))
+    with pytest.raises(ValueError, match="nibble-aligned"):
+        load_config(_write_config(
+            tmp_path,
+            {"indexers": [{**base, "ip_blocks": [["x", "10.0.0.0/9"]]}]},
+        ))
+    with pytest.raises(ValueError):
+        load_config(_write_config(
+            tmp_path,
+            {"indexers": [{**base, "ip_blocks": [["x", "999.0.0.0/8"]]}]},
+        ))
+
+
 def test_open_indexers_isolates_a_failing_indexer(spark, dims, tmp_path, capsys):
     """The daemon's refresh path must match index_all's isolation: one
     indexer whose ingest failed (no readable postings output) must not
