@@ -1,0 +1,571 @@
+"""H.264 I_16x16 intra-predicted macroblocks with CAVLC residuals —
+the prediction/transform slice of the codec seam (pure Python/numpy).
+
+Round 3 shipped the real NAL/Exp-Golomb/I_PCM layer
+(:mod:`operators.h264codec`); every *predicted* macroblock still
+classified as ``NotImplementedError``. This module implements the
+spec-conformant subset of the prediction+transform stack that a
+no-codec-library environment can genuinely host and verify:
+
+* **I_16x16 macroblocks, DC prediction mode (Intra_16x16_DC, spec
+  8.3.3)** — each MB's 16x16 luma is predicted from the reconstructed
+  bottom row / right column of its top/left neighbours ((sum_top +
+  sum_left + 16) >> 5 when both are available, (sum + 8) >> 4 for one,
+  128 for none), so predictions CHAIN across the picture and a decoder
+  bug anywhere corrupts everything after it — the property the tests
+  pin.
+* **Chroma DC prediction (mode 0, spec 8.3.4)** with the per-4x4
+  corner/edge segment rules.
+* **CAVLC residual coding (spec 9.2)** for the Intra16x16DCLevel
+  (4x4 luma DC, 16 coeffs) and ChromaDCLevel (2x2, 4 coeffs) blocks:
+  coeff_token, trailing-one sign, level_prefix/level_suffix with the
+  suffixLength-0 escape rules (prefix 14 -> 4-bit suffix, prefix 15 ->
+  12-bit suffix), total_zeros — the real entropy layer, bit-exact both
+  directions. The implemented alphabet is TotalCoeff <= 1 per DC block
+  (what the DC-only encoder emits): a parsed TotalCoeff >= 2 classifies
+  as NotImplementedError, never misdecodes.
+* **The standard's integer transform/scaling chain (8.5)**: 4x4
+  inverse Hadamard for the luma DC block, 2x2 inverse Hadamard for
+  chroma DC, LevelScale dequantization with the qP-dependent
+  shift/rounding split (8.5.10 luma DC, 8.5.11 chroma DC), chroma QP
+  mapping (Table 8-15), and the DC-only 4x4 reconstruction
+  ``(dc + 32) >> 6``.
+
+The encoder approximates each MB by its mean (luma) and per-MB chroma
+means — a DC-only transform code. That is lossy exactly like a real
+all-I encoder at high QP, so frame-level tests gate plane MEANS within
+a tolerance rather than bytes, while the bit layer (CAVLC, transforms,
+prediction chain) round-trips exactly and is tested coefficient-by-
+coefficient.
+
+Still classified from parsed syntax (the remaining seam):
+Intra_16x16 V/H/Planar prediction modes, luma AC residuals
+(CodedBlockPatternLuma != 0 -> the TotalCoeff>1 CAVLC contexts),
+chroma AC (cbp chroma 2), I_4x4/I_8x8 spatial prediction, and
+everything h264codec already classifies (P/B, CABAC, non-IDR).
+
+Reference analogue: the pcap backend decodes every packet format its
+library supports (/root/reference/backend/pcap.go:17-54); this is the
+same completeness pressure applied to the one format the sandbox has
+no library for.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from flow_indexer_spark.operators.h264codec import (
+    _BitReader,
+    _BitWriter,
+    nal_to_rbsp,
+    rbsp_to_nal,
+)
+
+# --- quantization tables (spec 8.5.9) ---------------------------------------
+
+#: LevelScale4x4 normAdjust at position (0,0) for qP%6 = 0..5
+_LS00 = (10, 11, 13, 14, 16, 18)
+
+#: Table 8-15: qPi -> QPc (identity below 30)
+_QPC = {
+    30: 29, 31: 30, 32: 31, 33: 32, 34: 32, 35: 33, 36: 34, 37: 34,
+    38: 35, 39: 35, 40: 36, 41: 36, 42: 37, 43: 37, 44: 37, 45: 38,
+    46: 38, 47: 38, 48: 39, 49: 39, 50: 39, 51: 39,
+}
+
+
+def chroma_qp(qp_y: int, offset: int = 0) -> int:
+    qpi = min(51, max(0, qp_y + offset))
+    return _QPC.get(qpi, qpi)
+
+
+#: 4x4 zigzag scan: scan index -> (row, col) (Table 8-13, frame)
+_ZIGZAG4 = (
+    (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
+    (2, 1), (3, 0), (3, 1), (2, 2), (1, 3), (2, 3), (3, 2), (3, 3),
+)
+
+_H4 = np.array(
+    [[1, 1, 1, 1], [1, 1, -1, -1], [1, -1, -1, 1], [1, -1, 1, -1]],
+    dtype=np.int64,
+)
+_H2 = np.array([[1, 1], [1, -1]], dtype=np.int64)
+
+
+def dequant_luma_dc(f: np.ndarray, qp: int) -> np.ndarray:
+    """Spec 8.5.10: scale the inverse-Hadamard'd luma DC block."""
+    ls = _LS00[qp % 6]
+    if qp >= 36:
+        return (f * ls) << (qp // 6 - 6)
+    return (f * ls + (1 << (5 - qp // 6))) >> (6 - qp // 6)
+
+
+def dequant_chroma_dc(f: np.ndarray, qpc: int) -> np.ndarray:
+    """Spec 8.5.11: scale the inverse-Hadamard'd 2x2 chroma DC block."""
+    return ((f * _LS00[qpc % 6]) << (qpc // 6)) >> 5
+
+
+# --- CAVLC (spec 9.2) — TotalCoeff <= 1 alphabet ----------------------------
+
+#: coeff_token, 0 <= nC < 2 column of Table 9-5, the only luma context
+#: this subset reaches (all stored neighbour TotalCoeffs are 0 when
+#: CodedBlockPatternLuma == 0, so nC = (0+0+1)>>1 = 0 always)
+_CT_LUMA = {(0, 0): "1", (1, 0): "000101", (1, 1): "01"}
+#: coeff_token, nC == -1 (ChromaDCLevel) column of Table 9-5
+_CT_CHROMA = {(0, 0): "01", (1, 0): "000111", (1, 1): "1"}
+
+#: total_zeros for TotalCoeff == 1 (Table 9-7, maxNumCoeff 16)
+_TZ16 = (
+    "1", "011", "010", "0011", "0010", "00011", "00010", "000011",
+    "000010", "0000011", "0000010", "00000011", "00000010", "000000011",
+    "000000010", "000000001",
+)
+#: total_zeros for TotalCoeff == 1, chroma DC (Table 9-9(a), maxNumCoeff 4)
+_TZ4 = ("1", "01", "001", "000")
+
+
+def _write_bits(w: _BitWriter, bits: str) -> None:
+    for b in bits:
+        w.u(int(b), 1)
+
+
+def _read_vlc(r: _BitReader, table: dict, what: str) -> tuple:
+    """Read one prefix-free code from a {symbol: bitstring} table."""
+    by_code = {v: k for k, v in table.items()}
+    maxlen = max(len(v) for v in table.values())
+    acc = ""
+    while len(acc) <= maxlen:
+        acc += str(r.u(1, what))
+        if acc in by_code:
+            return by_code[acc]
+    raise NotImplementedError(
+        f"{what}: code {acc!r} outside the TotalCoeff<=1 CAVLC alphabet "
+        "(TotalCoeff>=2 residual blocks not implemented)"
+    )
+
+
+def cavlc_encode_dc(w: _BitWriter, coeffs: list[int], chroma: bool) -> None:
+    """Encode a DC residual block (16 luma-DC or 4 chroma-DC coeffs in
+    scan order) holding AT MOST one nonzero coefficient."""
+    nz = [(i, c) for i, c in enumerate(coeffs) if c]
+    if len(nz) > 1:
+        raise ValueError("DC-only encoder emits at most one coefficient")
+    ct = _CT_CHROMA if chroma else _CT_LUMA
+    tz_tab = _TZ4 if chroma else _TZ16
+    if not nz:
+        _write_bits(w, ct[(0, 0)])
+        return
+    pos, level = nz[0]
+    t1 = 1 if abs(level) == 1 else 0
+    _write_bits(w, ct[(1, t1)])
+    if t1:
+        w.u(0 if level > 0 else 1, 1)  # trailing_ones_sign_flag
+    else:
+        # 9.2.2.1, suffixLength == 0, first coeff with TrailingOnes < 3
+        level_code = 2 * (abs(level) - 1) + (0 if level > 0 else 1) - 2
+        if level_code < 14:
+            _write_bits(w, "0" * level_code + "1")
+        elif level_code < 30:
+            _write_bits(w, "0" * 14 + "1")
+            w.u(level_code - 14, 4)
+        elif level_code < 30 + 4096:
+            _write_bits(w, "0" * 15 + "1")
+            w.u(level_code - 30, 12)
+        else:
+            raise ValueError(f"level {level} exceeds the suffixLength-0 escape")
+    # total_zeros = zeros preceding the (single, last) coefficient
+    _write_bits(w, tz_tab[pos])
+    # TotalCoeff == 1 -> no run_before elements (9.2.3)
+
+
+def cavlc_decode_dc(r: _BitReader, chroma: bool) -> list[int]:
+    """Decode one DC residual block -> coefficient list in scan order
+    (16 luma / 4 chroma). TotalCoeff >= 2 codes classify."""
+    n = 4 if chroma else 16
+    ct = _CT_CHROMA if chroma else _CT_LUMA
+    tz_tab = _TZ4 if chroma else _TZ16
+    tc, t1 = _read_vlc(r, ct, "coeff_token")
+    out = [0] * n
+    if tc == 0:
+        return out
+    if t1:
+        level = 1 if r.u(1, "trailing_ones_sign_flag") == 0 else -1
+    else:
+        prefix = 0
+        while r.u(1, "level_prefix") == 0:
+            prefix += 1
+            if prefix > 15:
+                raise ValueError("oversized level_prefix")
+        if prefix < 14:
+            level_code = prefix
+        elif prefix == 14:
+            level_code = 14 + r.u(4, "level_suffix")
+        else:
+            level_code = 30 + r.u(12, "level_suffix")
+        level_code += 2  # undo the TrailingOnes<3 first-coeff adjustment
+        level = (level_code // 2) + 1
+        if level_code % 2:
+            level = -level
+    tz = _read_vlc(r, {i: c for i, c in enumerate(tz_tab)}, "total_zeros")
+    out[tz] = level
+    return out
+
+
+# --- intra prediction (spec 8.3.3 / 8.3.4) -----------------------------------
+
+
+def pred16_dc(recon: np.ndarray, mx: int, my: int) -> int:
+    """Intra_16x16_DC predicted value for the MB at (mx, my) from the
+    reconstructed plane (luma)."""
+    x, y = 16 * mx, 16 * my
+    top = recon[y - 1, x : x + 16].astype(np.int64) if my > 0 else None
+    left = recon[y : y + 16, x - 1].astype(np.int64) if mx > 0 else None
+    if top is not None and left is not None:
+        return int((top.sum() + left.sum() + 16) >> 5)
+    if top is not None:
+        return int((top.sum() + 8) >> 4)
+    if left is not None:
+        return int((left.sum() + 8) >> 4)
+    return 128
+
+
+def pred_chroma_dc(recon: np.ndarray, mx: int, my: int) -> np.ndarray:
+    """Chroma DC (mode 0) prediction: 2x2 array of predicted values,
+    one per 4x4 chroma block of the MB at (mx, my). Corner rule per
+    8.3.4: blocks on the main diagonal average both edges; (4,0)
+    prefers its top segment, (0,4) its left segment."""
+    x, y = 8 * mx, 8 * my
+    have_top, have_left = my > 0, mx > 0
+    out = np.empty((2, 2), dtype=np.int64)
+    for by in range(2):
+        for bx in range(2):
+            top = (
+                recon[y - 1, x + 4 * bx : x + 4 * bx + 4].astype(np.int64)
+                if have_top
+                else None
+            )
+            left = (
+                recon[y + 4 * by : y + 4 * by + 4, x - 1].astype(np.int64)
+                if have_left
+                else None
+            )
+            if bx == by:  # (0,0) and (4,4): both edges when available
+                if top is not None and left is not None:
+                    v = (top.sum() + left.sum() + 4) >> 3
+                elif top is not None:
+                    v = (top.sum() + 2) >> 2
+                elif left is not None:
+                    v = (left.sum() + 2) >> 2
+                else:
+                    v = 128
+            elif bx == 1:  # (4,0): prefer top
+                if top is not None:
+                    v = (top.sum() + 2) >> 2
+                elif left is not None:
+                    v = (left.sum() + 2) >> 2
+                else:
+                    v = 128
+            else:  # (0,4): prefer left
+                if left is not None:
+                    v = (left.sum() + 2) >> 2
+                elif top is not None:
+                    v = (top.sum() + 2) >> 2
+                else:
+                    v = 128
+            out[by, bx] = v
+    return out
+
+
+# --- reconstruction helpers ---------------------------------------------------
+
+
+def _luma_dc_residual(coeffs: list[int], qp: int) -> np.ndarray:
+    """Intra16x16DCLevel coeffs (scan order) -> 4x4 array of per-4x4-
+    block sample residuals (uniform within each 4x4 block: DC-only)."""
+    c = np.zeros((4, 4), dtype=np.int64)
+    for i, v in enumerate(coeffs):
+        r_, c_ = _ZIGZAG4[i]
+        c[r_, c_] = v
+    f = _H4 @ c @ _H4  # inverse Hadamard (8.5.10)
+    dc = dequant_luma_dc(f, qp)
+    return (dc + 32) >> 6  # DC-only 4x4 inverse transform per block
+
+
+def _chroma_dc_residual(coeffs: list[int], qpc: int) -> np.ndarray:
+    """ChromaDCLevel coeffs (raster order c00,c01,c10,c11) -> 2x2 array
+    of per-4x4-block sample residuals."""
+    c = np.array(
+        [[coeffs[0], coeffs[1]], [coeffs[2], coeffs[3]]], dtype=np.int64
+    )
+    f = _H2 @ c @ _H2
+    dc = dequant_chroma_dc(f, qpc)
+    return (dc + 32) >> 6
+
+
+def _best_level_luma(t: int, qp: int) -> int:
+    """Smallest-error Intra16x16DCLevel f00 for a uniform per-sample
+    residual target t (exact-chain search around the linear estimate)."""
+    ls = _LS00[qp % 6]
+    scale = ls * (1 << (qp // 6 - 6)) if qp >= 36 else ls / (1 << (6 - qp // 6))
+    est = int(round(t * 64 / scale))
+    best = min(
+        range(est - 2, est + 3),
+        key=lambda L: abs(int(_luma_dc_residual([L] + [0] * 15, qp)[0, 0]) - t),
+    )
+    return _clip_level(best)
+
+
+def _best_level_chroma(t: int, qpc: int) -> int:
+    est = int(round(t * 64 / (_LS00[qpc % 6] * (1 << (qpc // 6)) / 32)))
+    best = min(
+        range(est - 2, est + 3),
+        key=lambda L: abs(int(_chroma_dc_residual([L, 0, 0, 0], qpc)[0, 0]) - t),
+    )
+    return _clip_level(best)
+
+
+def _clip_level(level: int) -> int:
+    """Largest magnitude the suffixLength-0 escape can carry:
+    level_code <= 30+4095 = 4125; positive L has code 2L-4 (max L at
+    code 4124), negative L has code 2|L|-3 (max |L| at code 4125) —
+    both cap at 2064."""
+    return max(-2064, min(2064, level))
+
+
+# --- encoder ------------------------------------------------------------------
+
+_I_PCM = 25
+
+
+def encode_idr_i16(
+    y: np.ndarray,
+    cb: np.ndarray,
+    cr: np.ndarray,
+    qp: int = 36,
+    idr_pic_id: int = 0,
+) -> bytes:
+    """Padded planes -> one IDR slice NAL of I_16x16 DC-predicted
+    macroblocks with CAVLC-coded DC residuals (mb_type 7 =
+    Intra_16x16_2_1_0: DC pred, CodedBlockPatternChroma 1, luma 0).
+
+    Lossy: each MB's luma is coded as its mean, chroma as per-MB means
+    — a DC-only transform code. qp >= 36 keeps the luma DC quantizer
+    step at LS/64 < 0.3 sample units, so the loss is the flattening,
+    not the quantization.
+    """
+    if not 36 <= qp <= 51:
+        raise ValueError("DC-only encoder supports qp 36..51")
+    mb_h, mb_w = y.shape[0] // 16, y.shape[1] // 16
+    if (
+        y.shape != (mb_h * 16, mb_w * 16)
+        or cb.shape != (mb_h * 8, mb_w * 8)
+        or cr.shape != cb.shape
+    ):
+        raise ValueError("planes must be macroblock-aligned (16 luma / 8 chroma)")
+    qpc = chroma_qp(qp)
+    w = _BitWriter()
+    w.ue(0)  # first_mb_in_slice
+    w.ue(7)  # slice_type: I (all slices in picture)
+    w.ue(0)  # pic_parameter_set_id
+    w.u(0, 4)  # frame_num
+    w.ue(idr_pic_id % 65536)
+    w.u(0, 1)  # no_output_of_prior_pics_flag
+    w.u(0, 1)  # long_term_reference_flag
+    w.se(qp - 26)  # slice_qp_delta (pic_init_qp is 26)
+    ry = np.zeros_like(y)
+    rcb = np.zeros_like(cb)
+    rcr = np.zeros_like(cr)
+    for my in range(mb_h):
+        for mx in range(mb_w):
+            w.ue(7)  # mb_type: Intra_16x16_2_1_0
+            w.ue(0)  # intra_chroma_pred_mode: DC
+            w.se(0)  # mb_qp_delta
+            # luma: DC prediction + single-coefficient DC residual
+            pred = pred16_dc(ry, mx, my)
+            tgt = float(y[16 * my : 16 * my + 16, 16 * mx : 16 * mx + 16].mean())
+            lvl = _best_level_luma(int(round(tgt - pred)), qp)
+            coeffs = [lvl] + [0] * 15
+            cavlc_encode_dc(w, coeffs, chroma=False)
+            res = _luma_dc_residual(coeffs, qp)
+            blk = np.repeat(np.repeat(res, 4, 0), 4, 1)
+            ry[16 * my : 16 * my + 16, 16 * mx : 16 * mx + 16] = np.clip(
+                pred + blk, 0, 255
+            )
+            # chroma: per-4x4 DC prediction + single shared DC residual
+            for plane, recon in ((cb, rcb), (cr, rcr)):
+                preds = pred_chroma_dc(recon, mx, my)
+                tgt = float(
+                    plane[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8].mean()
+                )
+                lvl = _best_level_chroma(
+                    int(round(tgt - preds.mean())), qpc
+                )
+                ccoeffs = [lvl, 0, 0, 0]
+                cavlc_encode_dc(w, ccoeffs, chroma=True)
+                cres = _chroma_dc_residual(ccoeffs, qpc)
+                cblk = np.repeat(np.repeat(cres, 4, 0), 4, 1)
+                recon[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8] = np.clip(
+                    preds.repeat(4, 0).repeat(4, 1)[
+                        : 8, : 8
+                    ].reshape(8, 8)
+                    + cblk,
+                    0,
+                    255,
+                )
+    return rbsp_to_nal(0x65, w.rbsp_trailing())
+
+
+# --- decoder ------------------------------------------------------------------
+
+
+def decode_idr_any(
+    nal: bytes, sps: dict
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """IDR slice NAL -> (y, cb, cr) planes: I_PCM macroblocks decode
+    exactly (h264codec path), I_16x16 DC-mode macroblocks decode through
+    prediction + CAVLC + inverse transform; everything else classifies
+    from the parsed syntax element that requires it."""
+    header, rbsp = nal_to_rbsp(nal)
+    nal_type = header & 0x1F
+    if nal_type == 1:
+        raise NotImplementedError(
+            "non-IDR slice: inter prediction needs motion compensation"
+        )
+    if nal_type != 5:
+        raise ValueError(f"not a coded-slice NAL (type {nal_type})")
+    r = _BitReader(rbsp)
+    if r.ue("first_mb_in_slice") != 0:
+        raise NotImplementedError("multi-slice pictures")
+    slice_type = r.ue("slice_type")
+    if slice_type % 5 != 2:
+        raise NotImplementedError(
+            "P/B slice: inter prediction needs motion compensation"
+        )
+    r.ue("pic_parameter_set_id")
+    r.u(sps["log2_max_frame_num"], "frame_num")
+    r.ue("idr_pic_id")
+    r.u(1, "no_output_of_prior_pics_flag")
+    r.u(1, "long_term_reference_flag")
+    qp = 26 + r.se("slice_qp_delta")
+    if not 0 <= qp <= 51:
+        raise ValueError(f"slice QP {qp} out of range")
+    mb_w, mb_h = sps["mb_width"], sps["mb_height"]
+    if mb_w * mb_h * 8 > max(len(rbsp) * 64, 1 << 26):
+        # same hostile-SPS allocation gate as decode_idr_ipcm, adapted
+        # to coded MBs (>= ~1 bit/MB floor: mb_type + residual tokens)
+        raise ValueError(
+            f"SPS claims {mb_w}x{mb_h} macroblocks but the slice has "
+            f"only {len(rbsp)} RBSP bytes: corrupt stream"
+        )
+    y = np.zeros((mb_h * 16, mb_w * 16), dtype=np.uint8)
+    cb = np.zeros((mb_h * 8, mb_w * 8), dtype=np.uint8)
+    cr = np.zeros_like(cb)
+    for my in range(mb_h):
+        for mx in range(mb_w):
+            mb_type = r.ue("mb_type")
+            if mb_type == _I_PCM:
+                r.align()
+                y[16 * my : 16 * my + 16, 16 * mx : 16 * mx + 16] = (
+                    np.frombuffer(
+                        r.raw_bytes(256, "pcm_sample_luma"), dtype=np.uint8
+                    ).reshape(16, 16)
+                )
+                cb[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8] = np.frombuffer(
+                    r.raw_bytes(64, "pcm_sample_chroma cb"), dtype=np.uint8
+                ).reshape(8, 8)
+                cr[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8] = np.frombuffer(
+                    r.raw_bytes(64, "pcm_sample_chroma cr"), dtype=np.uint8
+                ).reshape(8, 8)
+                continue
+            if mb_type == 0:
+                raise NotImplementedError(
+                    "I_4x4 macroblock: per-4x4 spatial prediction not "
+                    "implemented"
+                )
+            if mb_type > _I_PCM:
+                raise ValueError(f"invalid I-slice mb_type {mb_type}")
+            pred_mode = (mb_type - 1) % 4
+            cbp_chroma = ((mb_type - 1) // 4) % 3
+            cbp_luma = 15 if mb_type > 12 else 0
+            if pred_mode != 2:
+                raise NotImplementedError(
+                    f"Intra_16x16 prediction mode {pred_mode} "
+                    "(vertical/horizontal/planar) not implemented"
+                )
+            if cbp_luma:
+                raise NotImplementedError(
+                    "Intra_16x16 luma AC residuals (TotalCoeff>1 CAVLC "
+                    "contexts) not implemented"
+                )
+            if r.ue("intra_chroma_pred_mode") != 0:
+                raise NotImplementedError(
+                    "chroma prediction modes other than DC not implemented"
+                )
+            if cbp_chroma == 2:
+                raise NotImplementedError(
+                    "chroma AC residuals not implemented"
+                )
+            qp = (qp + r.se("mb_qp_delta")) % 52
+            qpc = chroma_qp(qp)
+            # Intra16x16DCLevel is ALWAYS present for I_16x16
+            coeffs = cavlc_decode_dc(r, chroma=False)
+            pred = pred16_dc(y, mx, my)
+            res = _luma_dc_residual(coeffs, qp)
+            blk = np.repeat(np.repeat(res, 4, 0), 4, 1)
+            y[16 * my : 16 * my + 16, 16 * mx : 16 * mx + 16] = np.clip(
+                pred + blk, 0, 255
+            )
+            for plane in (cb, cr):
+                preds = pred_chroma_dc(plane, mx, my)
+                if cbp_chroma >= 1:
+                    ccoeffs = cavlc_decode_dc(r, chroma=True)
+                    cres = _chroma_dc_residual(ccoeffs, qpc)
+                else:
+                    cres = np.zeros((2, 2), dtype=np.int64)
+                cblk = np.repeat(np.repeat(cres, 4, 0), 4, 1)
+                plane[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8] = np.clip(
+                    preds.repeat(4, 0).repeat(4, 1) + cblk, 0, 255
+                )
+    return y, cb, cr
+
+
+# --- MP4-sample layer ---------------------------------------------------------
+
+
+def encode_frame_sample_i16(
+    px: np.ndarray, idr_pic_id: int = 0, qp: int = 36
+) -> bytes:
+    """RGB frame -> one MP4 sample: a length-prefixed IDR NAL of
+    I_16x16 DC-predicted macroblocks (the intra-coded twin of
+    h264codec.encode_frame_sample's I_PCM sample)."""
+    from flow_indexer_spark.operators.h264codec import frame_to_planes
+
+    y, cb, cr = frame_to_planes(px)
+    nal = encode_idr_i16(y, cb, cr, qp=qp, idr_pic_id=idr_pic_id)
+    return len(nal).to_bytes(4, "big") + nal
+
+
+def decode_frame_sample_any(sample: bytes, avcc: bytes) -> np.ndarray:
+    """MP4 sample (length-prefixed NALs) + avcC -> RGB pixels, through
+    the widest decodable subset: I_PCM macroblocks exactly, I_16x16
+    DC-mode through prediction + CAVLC + inverse transform. Everything
+    narrower classifies from the parsed syntax element that needs it."""
+    from flow_indexer_spark.operators.h264codec import (
+        parse_avcc,
+        parse_sps,
+        planes_to_frame,
+    )
+
+    sps = parse_sps(parse_avcc(avcc)[0])
+    p = 0
+    while p + 4 <= len(sample):
+        ln = int.from_bytes(sample[p : p + 4], "big")
+        nal = sample[p + 4 : p + 4 + ln]
+        if len(nal) != ln:
+            raise ValueError("NAL length prefix overruns sample")
+        p += 4 + ln
+        nal_type = nal[0] & 0x1F if nal else 0
+        if nal_type in (1, 5):
+            y, cb, cr = decode_idr_any(nal, sps)
+            return planes_to_frame(y, cb, cr, sps["width"], sps["height"])
+    raise ValueError("sample holds no coded-slice NAL")

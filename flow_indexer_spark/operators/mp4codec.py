@@ -126,6 +126,30 @@ def encode_mp4_h264(frames: list[np.ndarray], fps: int = VIDEO_FPS) -> bytes:
     )
 
 
+def encode_mp4_h264_i16(
+    frames: list[np.ndarray], fps: int = VIDEO_FPS, qp: int = 36
+) -> bytes:
+    """Write frames as *intra-predicted* H.264-in-MP4: every macroblock
+    is Intra_16x16 DC-mode with CAVLC-coded DC residuals
+    (operators/h264intra.py) — a lossy transform code whose predictions
+    chain across the picture, unlike the lossless I_PCM samples of
+    :func:`encode_mp4_h264`."""
+    from flow_indexer_spark.operators import h264codec as h264
+    from flow_indexer_spark.operators.h264intra import encode_frame_sample_i16
+
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape[:2]
+    samples = [
+        encode_frame_sample_i16(f, idr_pic_id=k, qp=qp)
+        for k, f in enumerate(frames)
+    ]
+    avcc = _box(b"avcC", h264.make_avcc(h264.make_sps(w, h), h264.make_pps()))
+    return _encode_mp4(
+        samples, w, h, fps, _visual_entry(b"avc1", w, h, b"h264 i16", avcc)
+    )
+
+
 def _encode_mp4(
     samples: list[bytes], w: int, h: int, fps: int, entry: bytes
 ) -> bytes:
@@ -428,10 +452,11 @@ def mp4_frames(
     """Yield (frame_idx, t_ms, pixels) for every Nth sample. Only the
     sampled samples' byte ranges are entropy-decoded — the skip is real,
     not decode-then-drop. Decodable codecs: ``jpeg`` (Motion JPEG) and
-    ``avc1`` whose slices are IDR/I_PCM (operators/h264codec.py — the
-    classifier parses the real NAL/slice syntax, so predicted
-    macroblocks, P/B slices and CABAC raise NotImplementedError from
-    the bitstream itself, not from the fourcc)."""
+    ``avc1`` whose slices are IDR with I_PCM or Intra_16x16-DC
+    macroblocks (operators/h264codec.py + h264intra.py — the classifier
+    parses the real NAL/slice syntax, so V/H/planar-predicted
+    macroblocks, luma AC residuals, P/B slices and CABAC raise
+    NotImplementedError from the bitstream itself, not the fourcc)."""
     from flow_indexer_spark.operators.jpegcodec import _jpeg_pixels
 
     info = parse_mp4(payload)
@@ -439,12 +464,14 @@ def mp4_frames(
     if info["codec"] == "jpeg":
         decode = _jpeg_pixels
     elif info["codec"] == "avc1":
-        from flow_indexer_spark.operators.h264codec import decode_frame_sample
+        from flow_indexer_spark.operators.h264intra import (
+            decode_frame_sample_any,
+        )
 
         if info["avcc"] is None:
             raise ValueError("avc1 track without avcC configuration")
         avcc = info["avcc"]
-        decode = lambda b: decode_frame_sample(b, avcc)  # noqa: E731
+        decode = lambda b: decode_frame_sample_any(b, avcc)  # noqa: E731
     else:
         raise NotImplementedError(
             f"codec {info['codec']!r}: only MJPEG and I_PCM H.264 samples "
@@ -495,6 +522,22 @@ def make_h264_bytes(i: int) -> bytes:
     return encode_mp4_h264(frames, fps=VIDEO_FPS)
 
 
+def make_h264_intra_bytes(i: int, qp: int = 36) -> bytes:
+    """The same deterministic frame family, coded as intra-predicted
+    I_16x16 DC-mode H.264 (operators/h264intra.py) — a genuinely lossy
+    transform code, so frame-level oracles gate MEANS within tolerance
+    while the bit layer round-trips exactly in test_h264intra.py."""
+    n, w, h = video_params(i)
+    frames = []
+    for t in range(n):
+        px = np.empty((h, w, 3), dtype=np.uint8)
+        px[:, :, 0] = (7 * i + 11 * t) % 256
+        px[:, :, 1] = np.arange(w, dtype=np.uint8)[None, :]
+        px[:, :, 2] = np.arange(h, dtype=np.uint8)[:, None]
+        frames.append(px)
+    return encode_mp4_h264_i16(frames, fps=VIDEO_FPS, qp=qp)
+
+
 def _media_gen(spark, n: int, prefix: str, make_bytes) -> DataFrame:
     schema = StructType(
         [
@@ -529,6 +572,11 @@ def make_mp4_media(spark, n: int = 24) -> DataFrame:
 def make_h264_media(spark, n: int = 24) -> DataFrame:
     """Executor-side synthesis of real H.264-in-MP4 payloads."""
     return _media_gen(spark, n, "v", make_h264_bytes)
+
+
+def make_h264_intra_media(spark, n: int = 24) -> DataFrame:
+    """Executor-side synthesis of intra-predicted H.264-in-MP4 payloads."""
+    return _media_gen(spark, n, "v", make_h264_intra_bytes)
 
 
 # --- the Spark stage --------------------------------------------------------
