@@ -4066,6 +4066,39 @@ def _q_media_h264_intra(spark, sf_dir):
 
 
 @_register(
+    "heavy_hitter_users",
+    """
+    SELECT user_id, COUNT(*) AS cnt
+    FROM events
+    WHERE user_id IS NOT NULL
+    GROUP BY user_id
+    HAVING COUNT(*) >= CAST(CEIL(
+        (SELECT COUNT(user_id) FROM events) * 0.008) AS BIGINT)
+    ORDER BY user_id
+    """,
+)
+def _q_heavy_hitter_users(spark, sf_dir):
+    """Exact heavy hitters without a full-width groupBy
+    (operators/heavyhitters.py): a narrow Misra-Gries candidate sweep
+    (bounded per-task state, <= capacity+1 output rows per task folded
+    across Arrow batches in generator state), lower-bound pruning, then
+    a broadcast-semi-join exact count of ONLY the candidates. The
+    sketch chooses how little the exact pass does, never the answer —
+    so the result is partitioning-independent and the oracle is the
+    plain GROUP BY ... HAVING the operator avoids running at full
+    width. This is the pre-pass that finds the hot keys the salted
+    postings index (operators/postings.py) and skew_salted_join exist
+    for. Reference analogue: per-key hit counts at query time
+    (httpd.go queryStat), run corpus-wide."""
+    from flow_indexer_spark.operators.heavyhitters import heavy_hitters
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return heavy_hitters(ev, "user_id", threshold_frac=0.008).orderBy(
+        "user_id"
+    )
+
+
+@_register(
     "skew_salted_join",
     """
     WITH prof AS (
