@@ -361,6 +361,8 @@ def _bench_queries(spark, sf_dir: str) -> dict:
         "entity_pagerank",
         "ip_block_enrich",
         "media_h264_frames",
+        "media_h264_intra",
+        "heavy_hitter_users",
     ]
     qs = entry_mod.queries()
     out = {}
