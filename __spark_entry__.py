@@ -4024,9 +4024,10 @@ def _q_media_h264_frames(spark, sf_dir):
 def _q_media_h264_intra(spark, sf_dir):
     """The intra-PREDICTED half of the H.264 seam (round-4 stretch,
     VERDICT r3 #6): the same container/pixel family as
-    media_h264_frames, but every macroblock is Intra_16x16 DC-mode
+    media_h264_frames, but every macroblock is Intra_16x16 (per-MB
+    mode-selected among vertical/horizontal/DC/plane, spec 8.3.3-8.3.4)
     with CAVLC-coded DC residuals decoded through real spec-8.3/8.5/9.2
-    machinery — DC prediction chains across macroblocks, 4x4/2x2
+    machinery — prediction chains across macroblocks, 4x4/2x2
     inverse Hadamard, qP-dependent dequant, Table 9-5/9-7/9-9 VLCs
     (operators/h264intra.py; bit layer round-trip-pinned in
     tests/test_h264intra.py). The code is genuinely lossy (each MB is

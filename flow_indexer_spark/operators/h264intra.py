@@ -38,11 +38,23 @@ a tolerance rather than bytes, while the bit layer (CAVLC, transforms,
 prediction chain) round-trips exactly and is tested coefficient-by-
 coefficient.
 
+Round 4 (cont.) extends the prediction layer to **all four Intra_16x16
+luma modes** (0 vertical, 1 horizontal, 2 DC, 3 plane — spec 8.3.3.1-4,
+integer-exact incl. the plane mode's (5*H+32)>>6 slope arithmetic) and
+**all four chroma modes** (0 DC, 1 horizontal, 2 vertical, 3 plane —
+spec 8.3.4, 4:2:0 ChromaArrayType-1 constants). The encoder selects
+per-MB modes by residual variance after the optimal uniform shift
+(deterministic lowest-mode tie-break), so gradient content engages the
+directional/plane predictors and reconstructs them near-exactly. A mode
+whose required neighbours are unavailable (e.g. vertical in MB row 0)
+is a non-conformant stream and classifies as ``ValueError``, matching
+the corruption contract.
+
 Still classified from parsed syntax (the remaining seam):
-Intra_16x16 V/H/Planar prediction modes, luma AC residuals
-(CodedBlockPatternLuma != 0 -> the TotalCoeff>1 CAVLC contexts),
-chroma AC (cbp chroma 2), I_4x4/I_8x8 spatial prediction, and
-everything h264codec already classifies (P/B, CABAC, non-IDR).
+luma AC residuals (CodedBlockPatternLuma != 0 -> the TotalCoeff>1
+CAVLC contexts), chroma AC (cbp chroma 2), I_4x4/I_8x8 spatial
+prediction, and everything h264codec already classifies (P/B, CABAC,
+non-IDR).
 
 Reference analogue: the pcap backend decodes every packet format its
 library supports (/root/reference/backend/pcap.go:17-54); this is the
@@ -276,6 +288,98 @@ def pred_chroma_dc(recon: np.ndarray, mx: int, my: int) -> np.ndarray:
     return out
 
 
+def pred16(mode: int, recon: np.ndarray, mx: int, my: int) -> np.ndarray:
+    """Intra_16x16 luma prediction block (16x16 int64) for the MB at
+    (mx, my), spec 8.3.3: mode 0 vertical, 1 horizontal, 2 DC, 3 plane.
+    A mode whose required neighbours are outside the picture marks a
+    non-conformant stream (8.3.3 availability constraints)."""
+    x, y = 16 * mx, 16 * my
+    have_top, have_left = my > 0, mx > 0
+    if mode == 2:
+        return np.full((16, 16), pred16_dc(recon, mx, my), dtype=np.int64)
+    if mode == 0:
+        if not have_top:
+            raise ValueError(
+                "Intra_16x16_Vertical without a top neighbour: corrupt stream"
+            )
+        return np.repeat(
+            recon[y - 1, x : x + 16].astype(np.int64)[None, :], 16, axis=0
+        )
+    if mode == 1:
+        if not have_left:
+            raise ValueError(
+                "Intra_16x16_Horizontal without a left neighbour: "
+                "corrupt stream"
+            )
+        return np.repeat(
+            recon[y : y + 16, x - 1].astype(np.int64)[:, None], 16, axis=1
+        )
+    if mode == 3:
+        if not (have_top and have_left):
+            raise ValueError(
+                "Intra_16x16_Plane without top+left neighbours: corrupt stream"
+            )
+        # p[x', -1] for x' = -1..15 and p[-1, y'] for y' = -1..15
+        top = recon[y - 1, x - 1 : x + 16].astype(np.int64)
+        left = recon[y - 1 : y + 16, x - 1].astype(np.int64)
+        i = np.arange(1, 9, dtype=np.int64)
+        h = int((i * (top[8 + i] - top[8 - i])).sum())
+        v = int((i * (left[8 + i] - left[8 - i])).sum())
+        a = 16 * (int(top[16]) + int(left[16]))  # p[15,-1] + p[-1,15]
+        b = (5 * h + 32) >> 6
+        c = (5 * v + 32) >> 6
+        xs = np.arange(16, dtype=np.int64)
+        grid = a + b * (xs[None, :] - 7) + c * (xs[:, None] - 7) + 16
+        return np.clip(grid >> 5, 0, 255)
+    raise ValueError(f"invalid Intra_16x16 prediction mode {mode}")
+
+
+def pred_chroma(mode: int, recon: np.ndarray, mx: int, my: int) -> np.ndarray:
+    """Chroma prediction block (8x8 int64) for the MB at (mx, my), spec
+    8.3.4 with 4:2:0 (ChromaArrayType 1) constants: mode 0 DC, 1
+    horizontal, 2 vertical, 3 plane. Note the chroma mode numbering
+    differs from luma (Table 7-16)."""
+    x, y = 8 * mx, 8 * my
+    have_top, have_left = my > 0, mx > 0
+    if mode == 0:
+        return pred_chroma_dc(recon, mx, my).repeat(4, 0).repeat(4, 1)
+    if mode == 1:
+        if not have_left:
+            raise ValueError(
+                "Intra_Chroma_Horizontal without a left neighbour: "
+                "corrupt stream"
+            )
+        return np.repeat(
+            recon[y : y + 8, x - 1].astype(np.int64)[:, None], 8, axis=1
+        )
+    if mode == 2:
+        if not have_top:
+            raise ValueError(
+                "Intra_Chroma_Vertical without a top neighbour: corrupt stream"
+            )
+        return np.repeat(
+            recon[y - 1, x : x + 8].astype(np.int64)[None, :], 8, axis=0
+        )
+    if mode == 3:
+        if not (have_top and have_left):
+            raise ValueError(
+                "Intra_Chroma_Plane without top+left neighbours: "
+                "corrupt stream"
+            )
+        top = recon[y - 1, x - 1 : x + 8].astype(np.int64)
+        left = recon[y - 1 : y + 8, x - 1].astype(np.int64)
+        i = np.arange(1, 5, dtype=np.int64)
+        h = int((i * (top[4 + i] - top[4 - i])).sum())
+        v = int((i * (left[4 + i] - left[4 - i])).sum())
+        a = 16 * (int(top[8]) + int(left[8]))  # p[7,-1] + p[-1,7]
+        b = (34 * h + 32) >> 6
+        c = (34 * v + 32) >> 6
+        xs = np.arange(8, dtype=np.int64)
+        grid = a + b * (xs[None, :] - 3) + c * (xs[:, None] - 3) + 16
+        return np.clip(grid >> 5, 0, 255)
+    raise ValueError(f"invalid intra_chroma_pred_mode {mode}")
+
+
 # --- reconstruction helpers ---------------------------------------------------
 
 
@@ -336,6 +440,44 @@ def _clip_level(level: int) -> int:
 
 _I_PCM = 25
 
+#: encoder mode-name -> spec mode number (luma Table 7-11 / chroma 7-16)
+_LUMA_MODES = {"v": 0, "h": 1, "dc": 2, "plane": 3}
+_CHROMA_MODES = {"dc": 0, "h": 1, "v": 2, "plane": 3}
+
+
+def _mode_available(mode: int, mx: int, my: int, chroma: bool) -> bool:
+    needs_top = mode == (2 if chroma else 0) or mode == 3
+    needs_left = mode == 1 or mode == 3
+    return (my > 0 or not needs_top) and (mx > 0 or not needs_left)
+
+
+def _select_mode(
+    blocks: list[tuple[np.ndarray, np.ndarray]],
+    mode_nums: list[int],
+    recons_mx_my: tuple[int, int],
+    chroma: bool,
+) -> int:
+    """Pick the prediction mode minimizing the summed residual variance
+    (SSE after the optimal uniform shift — the only degree of freedom a
+    DC-only residual has) over ``blocks`` = [(source, recon_plane)].
+    Deterministic lowest-mode tie-break."""
+    mx, my = recons_mx_my
+    best = None
+    for m in sorted(mode_nums):
+        if not _mode_available(m, mx, my, chroma):
+            continue
+        cost = 0.0
+        for src, recon in blocks:
+            p = (pred_chroma if chroma else pred16)(m, recon, mx, my)
+            d = src.astype(np.float64) - p
+            cost += float(((d - np.round(d.mean())) ** 2).sum())
+        if best is None or cost < best[0]:
+            best = (cost, m)
+    if best is None:
+        # none of the requested modes is legal here: DC always is
+        return 0 if chroma else 2
+    return best[1]
+
 
 def encode_idr_i16(
     y: np.ndarray,
@@ -343,18 +485,27 @@ def encode_idr_i16(
     cr: np.ndarray,
     qp: int = 36,
     idr_pic_id: int = 0,
-) -> bytes:
-    """Padded planes -> one IDR slice NAL of I_16x16 DC-predicted
-    macroblocks with CAVLC-coded DC residuals (mb_type 7 =
-    Intra_16x16_2_1_0: DC pred, CodedBlockPatternChroma 1, luma 0).
+    modes: tuple[str, ...] = ("v", "h", "dc", "plane"),
+    chroma_modes: tuple[str, ...] = ("dc", "h", "v", "plane"),
+    return_recon: bool = False,
+) -> bytes | tuple[bytes, tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Padded planes -> one IDR slice NAL of I_16x16 intra-predicted
+    macroblocks with CAVLC-coded DC residuals (mb_type 5..8 =
+    Intra_16x16_{0..3}_1_0: per-MB prediction mode, chroma cbp 1,
+    luma cbp 0).
 
-    Lossy: each MB's luma is coded as its mean, chroma as per-MB means
-    — a DC-only transform code. qp >= 36 keeps the luma DC quantizer
-    step at LS/64 < 0.3 sample units, so the loss is the flattening,
-    not the quantization.
+    Each MB picks the luma prediction mode (and the shared chroma mode)
+    minimizing residual variance, then codes a single DC residual — so
+    flat content codes as its mean, while gradients engage the
+    vertical/horizontal/plane predictors and reconstruct near-exactly.
+    ``modes``/``chroma_modes`` restrict the search (("dc",) reproduces
+    the round-4 DC-only encoder bit-for-bit). qp >= 36 keeps the luma
+    DC quantizer step at LS/64 < 0.3 sample units.
     """
     if not 36 <= qp <= 51:
         raise ValueError("DC-only encoder supports qp 36..51")
+    mode_nums = sorted({_LUMA_MODES[m] for m in modes})
+    cmode_nums = sorted({_CHROMA_MODES[m] for m in chroma_modes})
     mb_h, mb_w = y.shape[0] // 16, y.shape[1] // 16
     if (
         y.shape != (mb_h * 16, mb_w * 16)
@@ -377,13 +528,20 @@ def encode_idr_i16(
     rcr = np.zeros_like(cr)
     for my in range(mb_h):
         for mx in range(mb_w):
-            w.ue(7)  # mb_type: Intra_16x16_2_1_0
-            w.ue(0)  # intra_chroma_pred_mode: DC
+            src_y = y[16 * my : 16 * my + 16, 16 * mx : 16 * mx + 16]
+            lmode = _select_mode([(src_y, ry)], mode_nums, (mx, my), False)
+            src_cb = cb[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8]
+            src_cr = cr[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8]
+            cmode = _select_mode(
+                [(src_cb, rcb), (src_cr, rcr)], cmode_nums, (mx, my), True
+            )
+            w.ue(1 + lmode + 4)  # mb_type: Intra_16x16_{lmode}_1_0
+            w.ue(cmode)  # intra_chroma_pred_mode
             w.se(0)  # mb_qp_delta
-            # luma: DC prediction + single-coefficient DC residual
-            pred = pred16_dc(ry, mx, my)
-            tgt = float(y[16 * my : 16 * my + 16, 16 * mx : 16 * mx + 16].mean())
-            lvl = _best_level_luma(int(round(tgt - pred)), qp)
+            # luma: mode prediction + single-coefficient DC residual
+            pred = pred16(lmode, ry, mx, my)
+            tgt = float((src_y.astype(np.float64) - pred).mean())
+            lvl = _best_level_luma(int(round(tgt)), qp)
             coeffs = [lvl] + [0] * 15
             cavlc_encode_dc(w, coeffs, chroma=False)
             res = _luma_dc_residual(coeffs, qp)
@@ -391,28 +549,21 @@ def encode_idr_i16(
             ry[16 * my : 16 * my + 16, 16 * mx : 16 * mx + 16] = np.clip(
                 pred + blk, 0, 255
             )
-            # chroma: per-4x4 DC prediction + single shared DC residual
+            # chroma: shared mode, per-plane single DC residual
             for plane, recon in ((cb, rcb), (cr, rcr)):
-                preds = pred_chroma_dc(recon, mx, my)
-                tgt = float(
-                    plane[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8].mean()
-                )
-                lvl = _best_level_chroma(
-                    int(round(tgt - preds.mean())), qpc
-                )
+                cpred = pred_chroma(cmode, recon, mx, my)
+                src = plane[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8]
+                tgt = float((src.astype(np.float64) - cpred).mean())
+                lvl = _best_level_chroma(int(round(tgt)), qpc)
                 ccoeffs = [lvl, 0, 0, 0]
                 cavlc_encode_dc(w, ccoeffs, chroma=True)
                 cres = _chroma_dc_residual(ccoeffs, qpc)
                 cblk = np.repeat(np.repeat(cres, 4, 0), 4, 1)
                 recon[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8] = np.clip(
-                    preds.repeat(4, 0).repeat(4, 1)[
-                        : 8, : 8
-                    ].reshape(8, 8)
-                    + cblk,
-                    0,
-                    255,
+                    cpred + cblk, 0, 255
                 )
-    return rbsp_to_nal(0x65, w.rbsp_trailing())
+    nal = rbsp_to_nal(0x65, w.rbsp_trailing())
+    return (nal, (ry, rcb, rcr)) if return_recon else nal
 
 
 # --- decoder ------------------------------------------------------------------
@@ -422,9 +573,10 @@ def decode_idr_any(
     nal: bytes, sps: dict
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """IDR slice NAL -> (y, cb, cr) planes: I_PCM macroblocks decode
-    exactly (h264codec path), I_16x16 DC-mode macroblocks decode through
-    prediction + CAVLC + inverse transform; everything else classifies
-    from the parsed syntax element that requires it."""
+    exactly (h264codec path), I_16x16 macroblocks (all four luma
+    prediction modes, all four chroma modes) decode through prediction
+    + CAVLC + inverse transform; everything else classifies from the
+    parsed syntax element that requires it."""
     header, rbsp = nal_to_rbsp(nal)
     nal_type = header & 0x1F
     if nal_type == 1:
@@ -487,19 +639,15 @@ def decode_idr_any(
             pred_mode = (mb_type - 1) % 4
             cbp_chroma = ((mb_type - 1) // 4) % 3
             cbp_luma = 15 if mb_type > 12 else 0
-            if pred_mode != 2:
-                raise NotImplementedError(
-                    f"Intra_16x16 prediction mode {pred_mode} "
-                    "(vertical/horizontal/planar) not implemented"
-                )
             if cbp_luma:
                 raise NotImplementedError(
                     "Intra_16x16 luma AC residuals (TotalCoeff>1 CAVLC "
                     "contexts) not implemented"
                 )
-            if r.ue("intra_chroma_pred_mode") != 0:
-                raise NotImplementedError(
-                    "chroma prediction modes other than DC not implemented"
+            chroma_mode = r.ue("intra_chroma_pred_mode")
+            if chroma_mode > 3:
+                raise ValueError(
+                    f"invalid intra_chroma_pred_mode {chroma_mode}"
                 )
             if cbp_chroma == 2:
                 raise NotImplementedError(
@@ -509,14 +657,14 @@ def decode_idr_any(
             qpc = chroma_qp(qp)
             # Intra16x16DCLevel is ALWAYS present for I_16x16
             coeffs = cavlc_decode_dc(r, chroma=False)
-            pred = pred16_dc(y, mx, my)
+            pred = pred16(pred_mode, y, mx, my)
             res = _luma_dc_residual(coeffs, qp)
             blk = np.repeat(np.repeat(res, 4, 0), 4, 1)
             y[16 * my : 16 * my + 16, 16 * mx : 16 * mx + 16] = np.clip(
                 pred + blk, 0, 255
             )
             for plane in (cb, cr):
-                preds = pred_chroma_dc(plane, mx, my)
+                cpred = pred_chroma(chroma_mode, plane, mx, my)
                 if cbp_chroma >= 1:
                     ccoeffs = cavlc_decode_dc(r, chroma=True)
                     cres = _chroma_dc_residual(ccoeffs, qpc)
@@ -524,7 +672,7 @@ def decode_idr_any(
                     cres = np.zeros((2, 2), dtype=np.int64)
                 cblk = np.repeat(np.repeat(cres, 4, 0), 4, 1)
                 plane[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8] = np.clip(
-                    preds.repeat(4, 0).repeat(4, 1) + cblk, 0, 255
+                    cpred + cblk, 0, 255
                 )
     return y, cb, cr
 
@@ -536,8 +684,9 @@ def encode_frame_sample_i16(
     px: np.ndarray, idr_pic_id: int = 0, qp: int = 36
 ) -> bytes:
     """RGB frame -> one MP4 sample: a length-prefixed IDR NAL of
-    I_16x16 DC-predicted macroblocks (the intra-coded twin of
-    h264codec.encode_frame_sample's I_PCM sample)."""
+    I_16x16 intra-predicted macroblocks, per-MB mode-selected (the
+    intra-coded twin of h264codec.encode_frame_sample's I_PCM
+    sample)."""
     from flow_indexer_spark.operators.h264codec import frame_to_planes
 
     y, cb, cr = frame_to_planes(px)
@@ -548,8 +697,9 @@ def encode_frame_sample_i16(
 def decode_frame_sample_any(sample: bytes, avcc: bytes) -> np.ndarray:
     """MP4 sample (length-prefixed NALs) + avcC -> RGB pixels, through
     the widest decodable subset: I_PCM macroblocks exactly, I_16x16
-    DC-mode through prediction + CAVLC + inverse transform. Everything
-    narrower classifies from the parsed syntax element that needs it."""
+    (any prediction mode) through prediction + CAVLC + inverse
+    transform. Everything narrower classifies from the parsed syntax
+    element that needs it."""
     from flow_indexer_spark.operators.h264codec import (
         parse_avcc,
         parse_sps,

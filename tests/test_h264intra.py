@@ -161,14 +161,19 @@ def test_decoder_is_bit_faithful_to_encoder_recon():
     reconstruction EXACTLY — both sides run the same integer pipeline,
     so per-MB means agree within the quantizer step and re-encoding the
     decoded planes is a fixed point (already-flat MBs need no residual
-    adjustment beyond quantization)."""
+    adjustment beyond quantization). DC-restricted encode: the flat-MB
+    and fixed-point properties are DC-mode contracts; the adaptive
+    encoder is pinned by test_adaptive_encode_decoder_matches_encoder."""
     rng = np.random.default_rng(23)
+    dc = {"modes": ("dc",), "chroma_modes": ("dc",)}
     for mbw, mbh, qp in ((3, 2, 36), (2, 4, 44), (4, 4, 51)):
         y = rng.integers(0, 256, (mbh * 16, mbw * 16), dtype=np.uint8)
         cb = rng.integers(0, 256, (mbh * 8, mbw * 8), dtype=np.uint8)
         cr = rng.integers(0, 256, (mbh * 8, mbw * 8), dtype=np.uint8)
         sps = H.parse_sps(H.make_sps(mbw * 16, mbh * 16))
-        dy, dcb, dcr = I.decode_idr_any(I.encode_idr_i16(y, cb, cr, qp), sps)
+        dy, dcb, dcr = I.decode_idr_any(
+            I.encode_idr_i16(y, cb, cr, qp, **dc), sps
+        )
         # quantizer step per sample: LS00[qp%6] << (qp//6-6) / 64
         step = (10, 11, 13, 14, 16, 18)[qp % 6] * (1 << (qp // 6 - 6)) / 64
         for my in range(mbh):
@@ -179,7 +184,7 @@ def test_decoder_is_bit_faithful_to_encoder_recon():
                 assert abs(float(tgt.mean()) - float(got[0, 0])) <= step + 1
         # fixed point: decoded planes re-encode to the same reconstruction
         dy2, dcb2, dcr2 = I.decode_idr_any(
-            I.encode_idr_i16(dy, dcb, dcr, qp), sps
+            I.encode_idr_i16(dy, dcb, dcr, qp, **dc), sps
         )
         assert np.array_equal(dy, dy2)
         assert np.array_equal(dcb, dcb2)
@@ -197,6 +202,221 @@ def test_ipcm_stream_decodes_identically_via_decode_idr_any():
     b = I.decode_idr_any(nal, sps)
     for pa, pb in zip(a, b):
         assert np.array_equal(pa, pb)
+
+
+# --- V/H/Plane prediction modes (spec 8.3.3.1-4, 8.3.4) -------------------------
+
+
+def _naive_pred16(mode, recon, mx, my):
+    """Literal loop transcription of spec 8.3.3 — the differential
+    oracle for the vectorized pred16."""
+    x0, y0 = 16 * mx, 16 * my
+    p = lambda xx, yy: int(recon[y0 + yy, x0 + xx])  # noqa: E731
+    out = np.zeros((16, 16), dtype=np.int64)
+    if mode == 0:
+        for yy in range(16):
+            for xx in range(16):
+                out[yy, xx] = p(xx, -1)
+    elif mode == 1:
+        for yy in range(16):
+            for xx in range(16):
+                out[yy, xx] = p(-1, yy)
+    elif mode == 3:
+        h = sum((i + 1) * (p(8 + i, -1) - p(6 - i, -1)) for i in range(8))
+        v = sum((i + 1) * (p(-1, 8 + i) - p(-1, 6 - i)) for i in range(8))
+        a = 16 * (p(-1, 15) + p(15, -1))
+        b = (5 * h + 32) >> 6
+        c = (5 * v + 32) >> 6
+        for yy in range(16):
+            for xx in range(16):
+                out[yy, xx] = min(
+                    255, max(0, (a + b * (xx - 7) + c * (yy - 7) + 16) >> 5)
+                )
+    return out
+
+
+def _naive_pred_chroma(mode, recon, mx, my):
+    """Literal loop transcription of spec 8.3.4 (4:2:0)."""
+    x0, y0 = 8 * mx, 8 * my
+    p = lambda xx, yy: int(recon[y0 + yy, x0 + xx])  # noqa: E731
+    out = np.zeros((8, 8), dtype=np.int64)
+    if mode == 1:
+        for yy in range(8):
+            for xx in range(8):
+                out[yy, xx] = p(-1, yy)
+    elif mode == 2:
+        for yy in range(8):
+            for xx in range(8):
+                out[yy, xx] = p(xx, -1)
+    elif mode == 3:
+        h = sum((i + 1) * (p(4 + i, -1) - p(2 - i, -1)) for i in range(4))
+        v = sum((i + 1) * (p(-1, 4 + i) - p(-1, 2 - i)) for i in range(4))
+        a = 16 * (p(-1, 7) + p(7, -1))
+        b = (34 * h + 32) >> 6
+        c = (34 * v + 32) >> 6
+        for yy in range(8):
+            for xx in range(8):
+                out[yy, xx] = min(
+                    255, max(0, (a + b * (xx - 3) + c * (yy - 3) + 16) >> 5)
+                )
+    return out
+
+
+def test_pred_modes_match_naive_spec_transcription():
+    rng = np.random.default_rng(47)
+    luma = rng.integers(0, 256, (48, 64), dtype=np.uint8)  # 4x3 MBs
+    chroma = rng.integers(0, 256, (24, 32), dtype=np.uint8)
+    for mx, my in ((1, 1), (3, 2), (2, 0), (0, 2)):
+        for mode in (0, 1, 3):
+            if (mode in (0, 3) and my == 0) or (mode in (1, 3) and mx == 0):
+                continue
+            assert np.array_equal(
+                I.pred16(mode, luma, mx, my), _naive_pred16(mode, luma, mx, my)
+            ), ("luma", mode, mx, my)
+        for mode in (1, 2, 3):
+            if (mode in (2, 3) and my == 0) or (mode in (1, 3) and mx == 0):
+                continue
+            assert np.array_equal(
+                I.pred_chroma(mode, chroma, mx, my),
+                _naive_pred_chroma(mode, chroma, mx, my),
+            ), ("chroma", mode, mx, my)
+
+
+def test_adaptive_encode_decoder_matches_encoder_recon_exactly():
+    """For arbitrary content and the full mode alphabet, the decoder
+    must reproduce the encoder's closed-loop reconstruction BIT-EXACTLY
+    (same integer prediction + CAVLC + transform chain on both sides).
+    Content mixes flats, ramps, and noise so every mode gets chosen."""
+    rng = np.random.default_rng(59)
+    mbw, mbh = 5, 4
+    y = np.empty((mbh * 16, mbw * 16), dtype=np.uint8)
+    y[:, :] = np.arange(mbw * 16, dtype=np.uint8)[None, :]  # h-ramp
+    y[16:32] = 200  # flat band
+    y[32:48] = np.arange(mbh * 16, dtype=np.uint8)[32:48, None]  # v-ramp
+    y[48:] = rng.integers(0, 256, (16, mbw * 16), dtype=np.uint8)
+    cb = np.add.outer(
+        np.arange(mbh * 8) * 2, np.arange(mbw * 8) * 3
+    ).astype(np.uint8)
+    cr = rng.integers(0, 256, (mbh * 8, mbw * 8), dtype=np.uint8)
+    for qp in (36, 44):
+        nal, (ry, rcb, rcr) = I.encode_idr_i16(
+            y, cb, cr, qp=qp, return_recon=True
+        )
+        sps = H.parse_sps(H.make_sps(mbw * 16, mbh * 16))
+        dy, dcb, dcr = I.decode_idr_any(nal, sps)
+        assert np.array_equal(dy, ry)
+        assert np.array_equal(dcb, rcb)
+        assert np.array_equal(dcr, rcr)
+
+
+def test_forced_modes_roundtrip_and_fall_back_when_unavailable():
+    """modes=('v',) uses vertical wherever a top neighbour exists and
+    DC elsewhere; same for ('h',) / ('plane',). Every restriction stays
+    bit-faithful decoder-vs-encoder."""
+    rng = np.random.default_rng(61)
+    y = rng.integers(0, 256, (48, 48), dtype=np.uint8)
+    cb = rng.integers(0, 256, (24, 24), dtype=np.uint8)
+    cr = rng.integers(0, 256, (24, 24), dtype=np.uint8)
+    sps = H.parse_sps(H.make_sps(48, 48))
+    for modes, cmodes in (
+        (("v",), ("v",)),
+        (("h",), ("h",)),
+        (("plane",), ("plane",)),
+    ):
+        nal, (ry, rcb, rcr) = I.encode_idr_i16(
+            y, cb, cr, modes=modes, chroma_modes=cmodes, return_recon=True
+        )
+        dy, dcb, dcr = I.decode_idr_any(nal, sps)
+        assert np.array_equal(dy, ry), modes
+        assert np.array_equal(dcb, rcb), modes
+        assert np.array_equal(dcr, rcr), modes
+
+
+def test_vertical_mode_propagates_ipcm_row_exactly():
+    """Hand-built mixed stream: MB row 0 is I_PCM (exact), rows 1..2
+    are Intra_16x16_0_0_0 (vertical, zero residual) — every decoded row
+    must replicate the PCM row's bottom line exactly, pinning the
+    directional predictor against hand-computable truth."""
+    rng = np.random.default_rng(67)
+    mbw, mbh = 3, 3
+    pcm_y = rng.integers(0, 256, (16, mbw * 16), dtype=np.uint8)
+    pcm_cb = rng.integers(0, 256, (8, mbw * 8), dtype=np.uint8)
+    pcm_cr = rng.integers(0, 256, (8, mbw * 8), dtype=np.uint8)
+    w = H._BitWriter()
+    w.ue(0)
+    w.ue(7)  # slice_type I
+    w.ue(0)
+    w.u(0, 4)
+    w.ue(0)
+    w.u(0, 1)
+    w.u(0, 1)
+    w.se(10)  # qp 36
+    for mx in range(mbw):  # row 0: I_PCM
+        w.ue(25)
+        w.align_zero()
+        w.raw_bytes(pcm_y[:, 16 * mx : 16 * mx + 16].tobytes())
+        w.raw_bytes(pcm_cb[:, 8 * mx : 8 * mx + 8].tobytes())
+        w.raw_bytes(pcm_cr[:, 8 * mx : 8 * mx + 8].tobytes())
+    for _ in range(mbw * (mbh - 1)):  # rows 1..: vertical, no residual
+        w.ue(1)  # Intra_16x16_0_0_0
+        w.ue(2)  # chroma vertical
+        w.se(0)
+        I.cavlc_encode_dc(w, [0] * 16, chroma=False)
+    nal = H.rbsp_to_nal(0x65, w.rbsp_trailing())
+    sps = H.parse_sps(H.make_sps(mbw * 16, mbh * 16))
+    y, cb, cr = I.decode_idr_any(nal, sps)
+    assert np.array_equal(y[:16], pcm_y)
+    for row in range(16, mbh * 16):
+        assert np.array_equal(y[row], pcm_y[15])
+    for row in range(8, mbh * 8):
+        assert np.array_equal(cb[row], pcm_cb[7])
+        assert np.array_equal(cr[row], pcm_cr[7])
+
+
+def test_horizontal_mode_propagates_ipcm_column_exactly():
+    """The H twin of the vertical-propagation test: MB column 0 is
+    I_PCM, the rest of each row is Intra_16x16_1_0_0 (horizontal, zero
+    residual) — every decoded column must replicate the PCM column's
+    right edge exactly.
+
+    Note: without luma AC residuals the ENCODER cannot seed detail into
+    the first MB row/column (DC-only residuals flatten it), so these
+    hand-built PCM-seeded streams are the honest demonstration that the
+    directional predictors carry real information."""
+    rng = np.random.default_rng(71)
+    mbw, mbh = 3, 2
+    pcm_y = rng.integers(0, 256, (mbh * 16, 16), dtype=np.uint8)
+    pcm_cb = rng.integers(0, 256, (mbh * 8, 8), dtype=np.uint8)
+    pcm_cr = rng.integers(0, 256, (mbh * 8, 8), dtype=np.uint8)
+    w = H._BitWriter()
+    w.ue(0)
+    w.ue(7)
+    w.ue(0)
+    w.u(0, 4)
+    w.ue(0)
+    w.u(0, 1)
+    w.u(0, 1)
+    w.se(10)
+    for my in range(mbh):
+        w.ue(25)  # I_PCM for MB (0, my)
+        w.align_zero()
+        w.raw_bytes(pcm_y[16 * my : 16 * my + 16].tobytes())
+        w.raw_bytes(pcm_cb[8 * my : 8 * my + 8].tobytes())
+        w.raw_bytes(pcm_cr[8 * my : 8 * my + 8].tobytes())
+        for _ in range(mbw - 1):
+            w.ue(2)  # Intra_16x16_1_0_0: horizontal
+            w.ue(1)  # chroma horizontal
+            w.se(0)
+            I.cavlc_encode_dc(w, [0] * 16, chroma=False)
+    nal = H.rbsp_to_nal(0x65, w.rbsp_trailing())
+    sps = H.parse_sps(H.make_sps(mbw * 16, mbh * 16))
+    y, cb, cr = I.decode_idr_any(nal, sps)
+    assert np.array_equal(y[:, :16], pcm_y)
+    for col in range(16, mbw * 16):
+        assert np.array_equal(y[:, col], pcm_y[:, 15])
+    for col in range(8, mbw * 8):
+        assert np.array_equal(cb[:, col], pcm_cb[:, 7])
+        assert np.array_equal(cr[:, col], pcm_cr[:, 7])
 
 
 # --- classification boundaries --------------------------------------------------
@@ -223,16 +443,20 @@ def test_remaining_tools_classify_from_parsed_syntax():
     sps = H.parse_sps(H.make_sps(16, 16))
     with pytest.raises(NotImplementedError, match="I_4x4"):
         I.decode_idr_any(_mb_header(0), sps)
-    with pytest.raises(NotImplementedError, match="prediction mode 0"):
-        I.decode_idr_any(_mb_header(1), sps)  # vertical
-    with pytest.raises(NotImplementedError, match="prediction mode 3"):
-        I.decode_idr_any(_mb_header(4), sps)  # planar
+    # directional/plane modes now DECODE; using one where its required
+    # neighbour doesn't exist (MB 0,0 here) is a non-conformant stream
+    with pytest.raises(ValueError, match="Vertical without a top"):
+        I.decode_idr_any(_mb_header(1), sps)
+    with pytest.raises(ValueError, match="Plane without top"):
+        I.decode_idr_any(_mb_header(4), sps)
     with pytest.raises(NotImplementedError, match="luma AC"):
         I.decode_idr_any(_mb_header(15), sps)  # cbp_luma 15
     with pytest.raises(NotImplementedError, match="chroma AC"):
         I.decode_idr_any(_mb_header(11), sps)  # cbp_chroma 2
-    with pytest.raises(NotImplementedError, match="chroma prediction"):
+    with pytest.raises(ValueError, match="Chroma_Horizontal without"):
         I.decode_idr_any(_mb_header(3, chroma_mode=1), sps)
+    with pytest.raises(ValueError, match="invalid intra_chroma_pred_mode"):
+        I.decode_idr_any(_mb_header(3, chroma_mode=4), sps)
     with pytest.raises(ValueError, match="invalid I-slice mb_type"):
         I.decode_idr_any(_mb_header(26), sps)
     # P slice / non-IDR routed identically to the I_PCM decoder
