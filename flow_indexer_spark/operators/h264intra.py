@@ -615,66 +615,69 @@ def decode_idr_any(
     for my in range(mb_h):
         for mx in range(mb_w):
             mb_type = r.ue("mb_type")
-            if mb_type == _I_PCM:
-                r.align()
-                y[16 * my : 16 * my + 16, 16 * mx : 16 * mx + 16] = (
-                    np.frombuffer(
-                        r.raw_bytes(256, "pcm_sample_luma"), dtype=np.uint8
-                    ).reshape(16, 16)
-                )
-                cb[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8] = np.frombuffer(
-                    r.raw_bytes(64, "pcm_sample_chroma cb"), dtype=np.uint8
-                ).reshape(8, 8)
-                cr[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8] = np.frombuffer(
-                    r.raw_bytes(64, "pcm_sample_chroma cr"), dtype=np.uint8
-                ).reshape(8, 8)
-                continue
-            if mb_type == 0:
-                raise NotImplementedError(
-                    "I_4x4 macroblock: per-4x4 spatial prediction not "
-                    "implemented"
-                )
-            if mb_type > _I_PCM:
-                raise ValueError(f"invalid I-slice mb_type {mb_type}")
-            pred_mode = (mb_type - 1) % 4
-            cbp_chroma = ((mb_type - 1) // 4) % 3
-            cbp_luma = 15 if mb_type > 12 else 0
-            if cbp_luma:
-                raise NotImplementedError(
-                    "Intra_16x16 luma AC residuals (TotalCoeff>1 CAVLC "
-                    "contexts) not implemented"
-                )
-            chroma_mode = r.ue("intra_chroma_pred_mode")
-            if chroma_mode > 3:
-                raise ValueError(
-                    f"invalid intra_chroma_pred_mode {chroma_mode}"
-                )
-            if cbp_chroma == 2:
-                raise NotImplementedError(
-                    "chroma AC residuals not implemented"
-                )
-            qp = (qp + r.se("mb_qp_delta")) % 52
-            qpc = chroma_qp(qp)
-            # Intra16x16DCLevel is ALWAYS present for I_16x16
-            coeffs = cavlc_decode_dc(r, chroma=False)
-            pred = pred16(pred_mode, y, mx, my)
-            res = _luma_dc_residual(coeffs, qp)
-            blk = np.repeat(np.repeat(res, 4, 0), 4, 1)
-            y[16 * my : 16 * my + 16, 16 * mx : 16 * mx + 16] = np.clip(
-                pred + blk, 0, 255
-            )
-            for plane in (cb, cr):
-                cpred = pred_chroma(chroma_mode, plane, mx, my)
-                if cbp_chroma >= 1:
-                    ccoeffs = cavlc_decode_dc(r, chroma=True)
-                    cres = _chroma_dc_residual(ccoeffs, qpc)
-                else:
-                    cres = np.zeros((2, 2), dtype=np.int64)
-                cblk = np.repeat(np.repeat(cres, 4, 0), 4, 1)
-                plane[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8] = np.clip(
-                    cpred + cblk, 0, 255
-                )
+            qp = decode_i_mb(r, mb_type, qp, y, cb, cr, mx, my)
     return y, cb, cr
+
+
+def decode_i_mb(r, mb_type: int, qp: int, y, cb, cr, mx: int, my: int) -> int:
+    """Decode one I-macroblock layer (mb_type per Table 7-11: 0 I_4x4,
+    1..24 I_16x16, 25 I_PCM) into the recon planes at MB (mx, my);
+    returns the updated slice QP. Shared by the IDR decoder and by
+    intra macroblocks inside P slices (Table 7-13 maps P-slice
+    mb_type - 5 here)."""
+    if mb_type == _I_PCM:
+        r.align()
+        y[16 * my : 16 * my + 16, 16 * mx : 16 * mx + 16] = np.frombuffer(
+            r.raw_bytes(256, "pcm_sample_luma"), dtype=np.uint8
+        ).reshape(16, 16)
+        cb[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8] = np.frombuffer(
+            r.raw_bytes(64, "pcm_sample_chroma cb"), dtype=np.uint8
+        ).reshape(8, 8)
+        cr[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8] = np.frombuffer(
+            r.raw_bytes(64, "pcm_sample_chroma cr"), dtype=np.uint8
+        ).reshape(8, 8)
+        return qp
+    if mb_type == 0:
+        raise NotImplementedError(
+            "I_4x4 macroblock: per-4x4 spatial prediction not implemented"
+        )
+    if mb_type > _I_PCM:
+        raise ValueError(f"invalid I-slice mb_type {mb_type}")
+    pred_mode = (mb_type - 1) % 4
+    cbp_chroma = ((mb_type - 1) // 4) % 3
+    cbp_luma = 15 if mb_type > 12 else 0
+    if cbp_luma:
+        raise NotImplementedError(
+            "Intra_16x16 luma AC residuals (TotalCoeff>1 CAVLC "
+            "contexts) not implemented"
+        )
+    chroma_mode = r.ue("intra_chroma_pred_mode")
+    if chroma_mode > 3:
+        raise ValueError(f"invalid intra_chroma_pred_mode {chroma_mode}")
+    if cbp_chroma == 2:
+        raise NotImplementedError("chroma AC residuals not implemented")
+    qp = (qp + r.se("mb_qp_delta")) % 52
+    qpc = chroma_qp(qp)
+    # Intra16x16DCLevel is ALWAYS present for I_16x16
+    coeffs = cavlc_decode_dc(r, chroma=False)
+    pred = pred16(pred_mode, y, mx, my)
+    res = _luma_dc_residual(coeffs, qp)
+    blk = np.repeat(np.repeat(res, 4, 0), 4, 1)
+    y[16 * my : 16 * my + 16, 16 * mx : 16 * mx + 16] = np.clip(
+        pred + blk, 0, 255
+    )
+    for plane in (cb, cr):
+        cpred = pred_chroma(chroma_mode, plane, mx, my)
+        if cbp_chroma >= 1:
+            ccoeffs = cavlc_decode_dc(r, chroma=True)
+            cres = _chroma_dc_residual(ccoeffs, qpc)
+        else:
+            cres = np.zeros((2, 2), dtype=np.int64)
+        cblk = np.repeat(np.repeat(cres, 4, 0), 4, 1)
+        plane[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8] = np.clip(
+            cpred + cblk, 0, 255
+        )
+    return qp
 
 
 # --- MP4-sample layer ---------------------------------------------------------
