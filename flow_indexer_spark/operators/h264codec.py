@@ -138,6 +138,18 @@ class _BitReader:
         self._pos += 8 * n
         return self._d[start : start + n]
 
+    def more_data(self) -> bool:
+        """more_rbsp_data() (spec 7.2): true while the current position
+        is before the rbsp_stop_one_bit — the last 1 bit in the RBSP."""
+        last = len(self._d) - 1
+        while last >= 0 and self._d[last] == 0:
+            last -= 1
+        if last < 0:
+            return False
+        b = self._d[last]
+        stop_bit = 8 * last + 7 - ((b & -b).bit_length() - 1)
+        return self._pos < stop_bit
+
 
 # --- NAL <-> RBSP (emulation prevention) ------------------------------------
 
@@ -174,10 +186,11 @@ def nal_to_rbsp(nal: bytes) -> tuple[int, bytes]:
 # --- SPS / PPS --------------------------------------------------------------
 
 
-def make_sps(width: int, height: int) -> bytes:
+def make_sps(width: int, height: int, ref_frames: int = 0) -> bytes:
     """Baseline SPS NAL for frame_mbs_only 4:2:0 video of the given
     display dimensions (even-valued; cropping expresses non-multiples
-    of 16 — crop units are 2 luma px in 4:2:0)."""
+    of 16 — crop units are 2 luma px in 4:2:0). ``ref_frames`` sets
+    max_num_ref_frames (1 for IDR+P GOP streams, h264inter.py)."""
     if width % 2 or height % 2 or width <= 0 or height <= 0:
         raise ValueError("dimensions must be positive and even")
     mb_w = (width + 15) // 16
@@ -191,7 +204,7 @@ def make_sps(width: int, height: int) -> bytes:
     w.ue(0)  # seq_parameter_set_id
     w.ue(0)  # log2_max_frame_num_minus4 -> frame_num is u(4)
     w.ue(2)  # pic_order_cnt_type: 2 (no POC syntax)
-    w.ue(0)  # max_num_ref_frames
+    w.ue(ref_frames)  # max_num_ref_frames
     w.u(0, 1)  # gaps_in_frame_num_value_allowed_flag
     w.ue(mb_w - 1)  # pic_width_in_mbs_minus1
     w.ue(mb_h - 1)  # pic_height_in_map_units_minus1

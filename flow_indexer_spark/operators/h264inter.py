@@ -1,0 +1,531 @@
+"""H.264 P slices — motion-compensated inter prediction (pure numpy).
+
+Closes the next span of the codec seam after round-4's Intra_16x16
+stack (:mod:`operators.h264intra`): non-IDR NAL units whose
+macroblocks predict from the PREVIOUS reconstructed picture. The
+implemented subset is the one a no-codec-library sandbox can host
+bit-exactly and verify end-to-end:
+
+* **Quarter-sample luma interpolation (spec 8.4.2.2.1)** — the 6-tap
+  (1,-5,20,20,-5,1) half-sample filter horizontally, vertically, and
+  the two-stage centre position ``j`` computed from UNROUNDED
+  intermediates with the (+512)>>10 final rounding, then the rounded
+  quarter-sample averages a..r. Reference-picture coordinates are
+  clipped to the picture bounds (edge extension), so hostile motion
+  vectors cannot over-read.
+* **Eighth-sample chroma interpolation (spec 8.4.2.2.2)** — the
+  bilinear ((8-dx)(8-dy)A + ...) >> 6 kernel; the luma quarter-sample
+  MV IS the chroma eighth-sample MV in 4:2:0.
+* **Median motion-vector prediction (spec 8.4.1.3)** — neighbours
+  A/B/C (C falling back to D, the top-left, when unavailable), the
+  8.4.1.3.2 rule copying A into B and C when row 0 makes both
+  unavailable, the single-matching-refIdx shortcut, and the
+  componentwise median; intra neighbours contribute (mv 0, ref -1).
+* **P_Skip (spec 8.4.1.1)** — the zero-MV short-circuits (A or B
+  unavailable, or either has refIdx 0 with a zero MV) over the 16x16
+  median predictor, and ``mb_skip_run`` run-length coding in the
+  slice data (CAVLC, spec 7.3.4).
+* **P_L0_16x16 with zero coded residual** — one MV per macroblock,
+  mvd against the median predictor, coded_block_pattern 0 via the
+  Table 9-4 inter mapping (codeNum 0), reconstruction = the motion-
+  compensated prediction. Intra-refresh macroblocks inside P slices
+  (mb_type >= 5, Table 7-13) reuse the full Intra_16x16 encode/decode
+  from h264intra.
+* **The non-IDR slice header** (frame_num, the empty ref-pic-list
+  modification and dec_ref_pic_marking for a 1-reference stream).
+
+The encoder is a real motion-search encoder: exhaustive integer-pel
+SAD search in a window, then quarter-pel refinement through the SAME
+interpolation the decoder runs, skip-biased mode decision. Because
+coded residuals are zero, the decoder's reconstruction must equal the
+encoder's motion-compensated prediction EXACTLY — every test gates
+byte equality of the full reconstruction chain, not means.
+
+Still classified from parsed syntax: P_16x8 / P_8x16 / P_8x8
+partitions, inter coded residuals (cbp != 0), multi-reference lists,
+B slices, CABAC (PPS), and everything h264codec already classifies.
+
+Reference analogue: the pcap backend decodes every packet format its
+library supports (/root/reference/backend/pcap.go:17-54) — the same
+completeness pressure on the one format this sandbox has no library
+for.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from flow_indexer_spark.operators.h264codec import (
+    _BitReader,
+    _BitWriter,
+    nal_to_rbsp,
+    rbsp_to_nal,
+)
+from flow_indexer_spark.operators.h264intra import (
+    chroma_qp,
+    decode_i_mb,
+    encode_i16_mb,
+)
+
+# --- motion-compensated interpolation (spec 8.4.2.2) -------------------------
+
+_TAPS = (1, -5, 20, 20, -5, 1)
+
+
+def _filt6(a: np.ndarray, axis: int) -> np.ndarray:
+    """Apply the 6-tap half-sample filter along ``axis`` (length shrinks
+    by 5); int64 intermediates, NO rounding/shift (the caller decides
+    whether this is a one-stage (+16)>>5 or two-stage (+512)>>10 use)."""
+    sl = [slice(None)] * a.ndim
+    out = None
+    for k, t in enumerate(_TAPS):
+        sl[axis] = slice(k, a.shape[axis] - 5 + k)
+        term = t * a[tuple(sl)]
+        out = term if out is None else out + term
+    return out
+
+
+def mc_luma(ref: np.ndarray, x_q: int, y_q: int, h: int, w: int) -> np.ndarray:
+    """Motion-compensated (h, w) luma block whose top-left sits at the
+    absolute quarter-sample position (x_q, y_q) in ``ref``. Implements
+    Figure 8-4 / Table 8-12: integer grid G, half samples b (horizontal
+    6-tap), h (vertical 6-tap), centre j (vertical 6-tap over unrounded
+    horizontal intermediates, (+512)>>10), and the 16 quarter positions
+    as rounded averages. Coordinates clip to the picture (edge
+    extension), so any mvd value is safe."""
+    H, W = ref.shape
+    xi, fx = x_q >> 2, x_q & 3
+    yi, fy = y_q >> 2, y_q & 3
+    rows = np.clip(np.arange(yi - 2, yi + h + 3), 0, H - 1)
+    cols = np.clip(np.arange(xi - 2, xi + w + 3), 0, W - 1)
+    E = ref[np.ix_(rows, cols)].astype(np.int64)  # (h+5, w+5)
+    G = E[2 : h + 4, 2 : w + 4]  # (h+2, w+2): integer grid + 1 right/down
+    if fx == 0 and fy == 0:
+        return np.clip(G[:h, :w], 0, 255).astype(np.uint8)
+    bu = _filt6(E, axis=1)  # (h+5, w) horizontal intermediates, unrounded
+    b = np.clip((bu[2 : h + 4, :] + 16) >> 5, 0, 255)  # (h+2, w)
+    hu = _filt6(E, axis=0)  # (h, w+5)
+    hh = np.clip((hu[:, 2 : w + 4] + 16) >> 5, 0, 255)  # (h, w+2)
+    j = np.clip((_filt6(bu, axis=0) + 512) >> 10, 0, 255)  # (h, w)
+    # Table 8-12 quarter-position averages. s = b one full sample below,
+    # m = hh one full sample right.
+    table = {
+        (1, 0): (G[:h, :w] + b[:h] + 1) >> 1,          # a
+        (2, 0): b[:h],                                  # b
+        (3, 0): (b[:h] + G[:h, 1 : w + 1] + 1) >> 1,    # c
+        (0, 1): (G[:h, :w] + hh[:, :w] + 1) >> 1,       # d
+        (0, 2): hh[:, :w],                              # h
+        (0, 3): (hh[:, :w] + G[1 : h + 1, :w] + 1) >> 1,  # n
+        (2, 1): (b[:h] + j + 1) >> 1,                   # f
+        (2, 2): j,                                      # j
+        (2, 3): (j + b[1 : h + 1] + 1) >> 1,            # q
+        (1, 2): (hh[:, :w] + j + 1) >> 1,               # i
+        (3, 2): (j + hh[:, 1 : w + 1] + 1) >> 1,        # k
+        (1, 1): (b[:h] + hh[:, :w] + 1) >> 1,           # e
+        (3, 1): (b[:h] + hh[:, 1 : w + 1] + 1) >> 1,    # g
+        (1, 3): (hh[:, :w] + b[1 : h + 1] + 1) >> 1,    # p
+        (3, 3): (b[1 : h + 1] + hh[:, 1 : w + 1] + 1) >> 1,  # r
+    }
+    return np.clip(table[(fx, fy)], 0, 255).astype(np.uint8)
+
+
+def mc_chroma(ref: np.ndarray, x8: int, y8: int, h: int, w: int) -> np.ndarray:
+    """(h, w) chroma block at absolute eighth-sample (x8, y8): the
+    spec 8.4.2.2.2 bilinear kernel, coordinates edge-clipped."""
+    H, W = ref.shape
+    xi, fx = x8 >> 3, x8 & 7
+    yi, fy = y8 >> 3, y8 & 7
+    rows = np.clip(np.arange(yi, yi + h + 1), 0, H - 1)
+    cols = np.clip(np.arange(xi, xi + w + 1), 0, W - 1)
+    A = ref[np.ix_(rows, cols)].astype(np.int64)
+    out = (
+        (8 - fx) * (8 - fy) * A[:h, :w]
+        + fx * (8 - fy) * A[:h, 1 : w + 1]
+        + (8 - fx) * fy * A[1 : h + 1, :w]
+        + fx * fy * A[1 : h + 1, 1 : w + 1]
+        + 32
+    ) >> 6
+    return out.astype(np.uint8)
+
+
+def mc_predict_mb(
+    ref_y: np.ndarray,
+    ref_cb: np.ndarray,
+    ref_cr: np.ndarray,
+    mx: int,
+    my: int,
+    mv: tuple[int, int],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Motion-compensated 16x16 luma + 8x8 chroma prediction for MB
+    (mx, my) with quarter-sample MV ``mv``. The luma quarter-sample MV
+    doubles as the chroma eighth-sample MV (4:2:0, spec 8.4.1.4)."""
+    mvx, mvy = mv
+    py = mc_luma(ref_y, 64 * mx + mvx, 64 * my + mvy, 16, 16)
+    pcb = mc_chroma(ref_cb, 64 * mx + mvx, 64 * my + mvy, 8, 8)
+    pcr = mc_chroma(ref_cr, 64 * mx + mvx, 64 * my + mvy, 8, 8)
+    return py, pcb, pcr
+
+
+# --- motion-vector prediction (spec 8.4.1.3) ---------------------------------
+
+
+def _neighbor(mvs, inter, mx, my, mb_w):
+    """(A, B, C) neighbour (mvx, mvy, refIdx) triples for MB (mx, my),
+    after the C->D substitution and the row-0 copy-A rule of
+    8.4.1.3.2. Unavailable or intra neighbours read (0, 0, -1)."""
+
+    def val(nx, ny, ok):
+        if not ok or not inter[ny][nx]:
+            return (0, 0, -1)
+        return (mvs[ny][nx][0], mvs[ny][nx][1], 0)
+
+    avail_a = mx > 0
+    avail_b = my > 0
+    avail_c = my > 0 and mx + 1 < mb_w
+    avail_d = my > 0 and mx > 0
+    a = val(mx - 1, my, avail_a)
+    if avail_c:
+        c = val(mx + 1, my - 1, True)
+        avail_c_mb = True
+    else:
+        c = val(mx - 1, my - 1, avail_d)
+        avail_c_mb = avail_d
+    b = val(mx, my - 1, avail_b)
+    if not avail_b and not avail_c_mb and avail_a:
+        b = c = a
+    return a, b, c
+
+
+def mv_pred_16x16(mvs, inter, mx, my, mb_w) -> tuple[int, int]:
+    """Median luma MV prediction for a 16x16 partition with refIdx 0
+    (spec 8.4.1.3): the single-matching-refIdx shortcut, else the
+    componentwise median of A/B/C."""
+    a, b, c = _neighbor(mvs, inter, mx, my, mb_w)
+    match = [n for n in (a, b, c) if n[2] == 0]
+    if len(match) == 1:
+        return match[0][0], match[0][1]
+    xs = sorted(n[0] for n in (a, b, c))
+    ys = sorted(n[1] for n in (a, b, c))
+    return xs[1], ys[1]
+
+
+def skip_mv(mvs, inter, mx, my, mb_w) -> tuple[int, int]:
+    """P_Skip motion vector (spec 8.4.1.1): zero when the left or top
+    macroblock is unavailable or either references picture 0 with a
+    zero MV; otherwise the 16x16 median predictor."""
+    if mx == 0 or my == 0:
+        return 0, 0
+    for nx, ny in ((mx - 1, my), (mx, my - 1)):
+        if inter[ny][nx] and mvs[ny][nx] == (0, 0):
+            return 0, 0
+    return mv_pred_16x16(mvs, inter, mx, my, mb_w)
+
+
+# --- P-slice encoder ---------------------------------------------------------
+
+
+def _sad(a: np.ndarray, b: np.ndarray) -> int:
+    return int(np.abs(a.astype(np.int64) - b.astype(np.int64)).sum())
+
+
+def _search_mv(
+    cur: np.ndarray,
+    ref_y: np.ndarray,
+    mx: int,
+    my: int,
+    search_range: int,
+    quarter: bool,
+) -> tuple[int, int]:
+    """Best quarter-sample MV for the 16x16 luma block at MB (mx, my):
+    exhaustive integer-sample SAD search in a +-search_range window,
+    then quarter-sample refinement (+-3 quarter steps both axes)
+    through the decoder's own interpolation. Deterministic raster-order
+    tie-break (first minimum wins)."""
+    H, W = ref_y.shape
+    x0, y0 = 16 * mx, 16 * my
+    best = (1 << 62, 0, 0)
+    for dy in range(-search_range, search_range + 1):
+        rows = np.clip(np.arange(y0 + dy, y0 + dy + 16), 0, H - 1)
+        for dx in range(-search_range, search_range + 1):
+            cols = np.clip(np.arange(x0 + dx, x0 + dx + 16), 0, W - 1)
+            sad = _sad(cur, ref_y[np.ix_(rows, cols)])
+            if sad < best[0]:
+                best = (sad, dx, dy)
+    bx, by = 4 * best[1], 4 * best[2]
+    if not quarter:
+        return bx, by
+    bestq = (best[0], bx, by)
+    for qy in range(-3, 4):
+        for qx in range(-3, 4):
+            if qx == 0 and qy == 0:
+                continue
+            p = mc_luma(ref_y, 64 * mx + bx + qx, 64 * my + by + qy, 16, 16)
+            sad = _sad(cur, p)
+            if sad < bestq[0]:
+                bestq = (sad, bx + qx, by + qy)
+    return bestq[1], bestq[2]
+
+
+def encode_p_slice(
+    y: np.ndarray,
+    cb: np.ndarray,
+    cr: np.ndarray,
+    ref: tuple[np.ndarray, np.ndarray, np.ndarray],
+    frame_num: int,
+    qp: int = 36,
+    search_range: int = 8,
+    quarter: bool = True,
+    intra_mbs: frozenset[tuple[int, int]] = frozenset(),
+    log2_max_frame_num: int = 4,
+    return_recon: bool = False,
+):
+    """Macroblock-aligned current planes + previous reconstruction ->
+    one non-IDR P-slice NAL (nal_ref_idc 2, slice_type 5). Every inter
+    macroblock is P_Skip or P_L0_16x16 with coded_block_pattern 0, so
+    the reconstruction IS the motion-compensated prediction — decode
+    must match ``return_recon`` byte-exactly. MBs named in
+    ``intra_mbs`` encode as Intra_16x16 refresh macroblocks
+    (Table 7-13 mb_type offset 5)."""
+    ref_y, ref_cb, ref_cr = ref
+    mb_h, mb_w = y.shape[0] // 16, y.shape[1] // 16
+    if (
+        y.shape != (mb_h * 16, mb_w * 16)
+        or cb.shape != (mb_h * 8, mb_w * 8)
+        or cr.shape != cb.shape
+        or ref_y.shape != y.shape
+        or ref_cb.shape != cb.shape
+        or ref_cr.shape != cr.shape
+    ):
+        raise ValueError("planes must be macroblock-aligned and match ref")
+    if not 0 <= qp <= 51:
+        raise ValueError("qp out of range")
+    qpc = chroma_qp(qp)
+    w = _BitWriter()
+    w.ue(0)  # first_mb_in_slice
+    w.ue(5)  # slice_type: P (all slices in picture)
+    w.ue(0)  # pic_parameter_set_id
+    w.u(frame_num % (1 << log2_max_frame_num), log2_max_frame_num)
+    w.u(0, 1)  # num_ref_idx_active_override_flag
+    w.u(0, 1)  # ref_pic_list_modification_flag_l0
+    w.u(0, 1)  # adaptive_ref_pic_marking_mode_flag (nal_ref_idc != 0)
+    w.se(qp - 26)  # slice_qp_delta
+    ry = np.zeros_like(y)
+    rcb = np.zeros_like(cb)
+    rcr = np.zeros_like(cr)
+    mvs = [[(0, 0)] * mb_w for _ in range(mb_h)]
+    inter = [[False] * mb_w for _ in range(mb_h)]
+    skip_run = 0
+    for my in range(mb_h):
+        for mx in range(mb_w):
+            cur_y = y[16 * my : 16 * my + 16, 16 * mx : 16 * mx + 16]
+            if (mx, my) in intra_mbs:
+                w.ue(skip_run)
+                skip_run = 0
+                encode_i16_mb(
+                    w, y, cb, cr, ry, rcb, rcr, mx, my, qp, qpc,
+                    mb_type_base=5,
+                )
+                # intra MBs keep inter[my][mx] False: they contribute
+                # (mv 0, ref -1) to later MV predictions
+                continue
+            mv = _search_mv(cur_y, ref_y, mx, my, search_range, quarter)
+            smv = skip_mv(mvs, inter, mx, my, mb_w)
+            if mv != smv:
+                # skip-biased decision: take skip when it predicts as
+                # well as the searched MV (identical zero-residual cost)
+                ps = mc_luma(ref_y, 64 * mx + smv[0], 64 * my + smv[1], 16, 16)
+                pm = mc_luma(ref_y, 64 * mx + mv[0], 64 * my + mv[1], 16, 16)
+                if _sad(cur_y, ps) <= _sad(cur_y, pm):
+                    mv = smv
+            py, pcb, pcr = mc_predict_mb(ref_y, ref_cb, ref_cr, mx, my, mv)
+            ry[16 * my : 16 * my + 16, 16 * mx : 16 * mx + 16] = py
+            rcb[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8] = pcb
+            rcr[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8] = pcr
+            if mv == smv:
+                skip_run += 1
+            else:
+                w.ue(skip_run)
+                skip_run = 0
+                mvp = mv_pred_16x16(mvs, inter, mx, my, mb_w)
+                w.ue(0)  # mb_type: P_L0_16x16
+                w.se(mv[0] - mvp[0])  # mvd_l0 x
+                w.se(mv[1] - mvp[1])  # mvd_l0 y
+                w.ue(0)  # coded_block_pattern: inter codeNum 0 -> cbp 0
+            mvs[my][mx] = mv
+            inter[my][mx] = True
+    if skip_run:
+        w.ue(skip_run)  # trailing skip run
+    nal = rbsp_to_nal(0x41, w.rbsp_trailing())  # nal_ref_idc 2, type 1
+    return (nal, (ry, rcb, rcr)) if return_recon else nal
+
+
+# --- P-slice decoder ---------------------------------------------------------
+
+
+def decode_p_slice(
+    nal: bytes,
+    sps: dict,
+    ref: tuple[np.ndarray, np.ndarray, np.ndarray],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Non-IDR P-slice NAL + previous reconstructed planes -> (y, cb,
+    cr). Decodes P_Skip runs, P_L0_16x16 (cbp 0) through real median
+    MV prediction + quarter/eighth-sample interpolation, and intra
+    macroblocks through the h264intra path; narrower tools classify
+    from the syntax element that requires them."""
+    header, rbsp = nal_to_rbsp(nal)
+    nal_type = header & 0x1F
+    if nal_type == 5:
+        raise ValueError("IDR slice handed to the P-slice decoder")
+    if nal_type != 1:
+        raise ValueError(f"not a coded-slice NAL (type {nal_type})")
+    ref_y, ref_cb, ref_cr = ref
+    r = _BitReader(rbsp)
+    if r.ue("first_mb_in_slice") != 0:
+        raise NotImplementedError("multi-slice pictures")
+    slice_type = r.ue("slice_type")
+    if slice_type % 5 == 1:
+        raise NotImplementedError("B slice: bi-prediction not implemented")
+    if slice_type % 5 != 0:
+        raise ValueError(f"slice_type {slice_type} invalid in a non-IDR NAL")
+    r.ue("pic_parameter_set_id")
+    r.u(sps["log2_max_frame_num"], "frame_num")
+    if r.u(1, "num_ref_idx_active_override_flag"):
+        raise NotImplementedError("multi-reference lists")
+    if r.u(1, "ref_pic_list_modification_flag_l0"):
+        raise NotImplementedError("reference picture list modification")
+    if header >> 5:  # nal_ref_idc != 0
+        if r.u(1, "adaptive_ref_pic_marking_mode_flag"):
+            raise NotImplementedError("adaptive reference picture marking")
+    qp = 26 + r.se("slice_qp_delta")
+    if not 0 <= qp <= 51:
+        raise ValueError(f"slice QP {qp} out of range")
+    mb_w, mb_h = sps["mb_width"], sps["mb_height"]
+    if ref_y.shape != (mb_h * 16, mb_w * 16):
+        raise ValueError("reference planes do not match the SPS geometry")
+    if mb_w * mb_h > max(len(rbsp) * 64, 1 << 26):
+        # hostile-SPS allocation gate: even an all-skip picture costs
+        # >= 1 bit per ~64 MBs (the skip-run exp-golomb length)
+        raise ValueError(
+            f"SPS claims {mb_w}x{mb_h} macroblocks but the slice has "
+            f"only {len(rbsp)} RBSP bytes: corrupt stream"
+        )
+    y = np.zeros((mb_h * 16, mb_w * 16), dtype=np.uint8)
+    cb = np.zeros((mb_h * 8, mb_w * 8), dtype=np.uint8)
+    cr = np.zeros_like(cb)
+    mvs = [[(0, 0)] * mb_w for _ in range(mb_h)]
+    inter = [[False] * mb_w for _ in range(mb_h)]
+    n_mbs = mb_w * mb_h
+    addr = 0
+
+    def _recon_inter(mx: int, my: int, mv: tuple[int, int]) -> None:
+        py, pcb, pcr = mc_predict_mb(ref_y, ref_cb, ref_cr, mx, my, mv)
+        y[16 * my : 16 * my + 16, 16 * mx : 16 * mx + 16] = py
+        cb[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8] = pcb
+        cr[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8] = pcr
+        mvs[my][mx] = mv
+        inter[my][mx] = True
+
+    while addr < n_mbs:
+        run = r.ue("mb_skip_run")
+        if run > n_mbs - addr:
+            raise ValueError("mb_skip_run overruns the picture")
+        for _ in range(run):
+            mx, my = addr % mb_w, addr // mb_w
+            _recon_inter(mx, my, skip_mv(mvs, inter, mx, my, mb_w))
+            addr += 1
+        if addr == n_mbs:
+            break
+        if not r.more_data():
+            raise ValueError("slice data ends before the picture is full")
+        mx, my = addr % mb_w, addr // mb_w
+        mb_type = r.ue("mb_type")
+        if mb_type >= 5:
+            if mb_type > 30:
+                raise ValueError(f"invalid P-slice mb_type {mb_type}")
+            qp = decode_i_mb(r, mb_type - 5, qp, y, cb, cr, mx, my)
+            # intra MB: stays inter=False -> (mv 0, ref -1) for neighbours
+        elif mb_type == 0:
+            mvp = mv_pred_16x16(mvs, inter, mx, my, mb_w)
+            mvd = (r.se("mvd_l0 x"), r.se("mvd_l0 y"))
+            code = r.ue("coded_block_pattern")
+            if code > 47:
+                raise ValueError(f"coded_block_pattern codeNum {code} > 47")
+            if code != 0:
+                raise NotImplementedError(
+                    "inter coded residuals (cbp != 0) not implemented"
+                )
+            _recon_inter(mx, my, (mvp[0] + mvd[0], mvp[1] + mvd[1]))
+        else:
+            raise NotImplementedError(
+                f"P-slice partition mb_type {mb_type} "
+                "(16x8/8x16/8x8): sub-macroblock motion not implemented"
+            )
+        addr += 1
+    return y, cb, cr
+
+
+# --- GOP / MP4-sample layer ---------------------------------------------------
+
+
+def encode_frame_sample_p(
+    px: np.ndarray,
+    ref: tuple[np.ndarray, np.ndarray, np.ndarray],
+    frame_num: int,
+    qp: int = 36,
+    search_range: int = 8,
+    intra_mbs: frozenset[tuple[int, int]] = frozenset(),
+) -> tuple[bytes, tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """RGB frame + previous reconstruction -> (length-prefixed P-slice
+    MP4 sample, this frame's reconstruction for the next P)."""
+    from flow_indexer_spark.operators.h264codec import frame_to_planes
+
+    y, cb, cr = frame_to_planes(px)
+    nal, recon = encode_p_slice(
+        y, cb, cr, ref, frame_num, qp=qp, search_range=search_range,
+        intra_mbs=intra_mbs, return_recon=True,
+    )
+    return len(nal).to_bytes(4, "big") + nal, recon
+
+
+class GopDecoder:
+    """Stateful sample decoder for an IDR+P avc1 track: IDR samples
+    reset the reference, P samples motion-compensate against the last
+    reconstruction. ``decode(sample)`` -> RGB pixels (cropped)."""
+
+    def __init__(self, avcc: bytes) -> None:
+        from flow_indexer_spark.operators.h264codec import (
+            parse_avcc,
+            parse_sps,
+        )
+
+        self.sps = parse_sps(parse_avcc(avcc)[0])
+        self._recon: tuple | None = None
+
+    def decode(self, sample: bytes) -> np.ndarray:
+        from flow_indexer_spark.operators.h264codec import planes_to_frame
+        from flow_indexer_spark.operators.h264intra import decode_idr_any
+
+        planes = None
+        p = 0
+        while p + 4 <= len(sample):
+            ln = int.from_bytes(sample[p : p + 4], "big")
+            nal = sample[p + 4 : p + 4 + ln]
+            if len(nal) != ln:
+                raise ValueError("NAL length prefix overruns sample")
+            p += 4 + ln
+            nal_type = nal[0] & 0x1F if nal else 0
+            if nal_type == 5:
+                planes = decode_idr_any(nal, self.sps)
+            elif nal_type == 1:
+                if self._recon is None:
+                    raise ValueError(
+                        "P slice before any IDR: no reference picture"
+                    )
+                planes = decode_p_slice(nal, self.sps, self._recon)
+            # SEI / parameter-set NALs are skipped
+        if planes is None:
+            raise ValueError("sample contains no coded-slice NAL")
+        self._recon = planes
+        return planes_to_frame(
+            *planes, self.sps["width"], self.sps["height"]
+        )

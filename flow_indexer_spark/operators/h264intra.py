@@ -50,11 +50,13 @@ whose required neighbours are unavailable (e.g. vertical in MB row 0)
 is a non-conformant stream and classifies as ``ValueError``, matching
 the corruption contract.
 
-Still classified from parsed syntax (the remaining seam):
-luma AC residuals (CodedBlockPatternLuma != 0 -> the TotalCoeff>1
-CAVLC contexts), chroma AC (cbp chroma 2), I_4x4/I_8x8 spatial
-prediction, and everything h264codec already classifies (P/B, CABAC,
-non-IDR).
+Round 4 (cont.): P slices with real motion compensation live in
+:mod:`operators.h264inter`, which reuses this module's I-macroblock
+encode/decode for intra-refresh MBs. Still classified from parsed
+syntax (the remaining seam): luma AC residuals
+(CodedBlockPatternLuma != 0 -> the TotalCoeff>1 CAVLC contexts),
+chroma AC (cbp chroma 2), I_4x4/I_8x8 spatial prediction, B slices,
+and CABAC.
 
 Reference analogue: the pcap backend decodes every packet format its
 library supports (/root/reference/backend/pcap.go:17-54); this is the
@@ -528,42 +530,56 @@ def encode_idr_i16(
     rcr = np.zeros_like(cr)
     for my in range(mb_h):
         for mx in range(mb_w):
-            src_y = y[16 * my : 16 * my + 16, 16 * mx : 16 * mx + 16]
-            lmode = _select_mode([(src_y, ry)], mode_nums, (mx, my), False)
-            src_cb = cb[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8]
-            src_cr = cr[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8]
-            cmode = _select_mode(
-                [(src_cb, rcb), (src_cr, rcr)], cmode_nums, (mx, my), True
+            encode_i16_mb(
+                w, y, cb, cr, ry, rcb, rcr, mx, my, qp, qpc,
+                mode_nums, cmode_nums,
             )
-            w.ue(1 + lmode + 4)  # mb_type: Intra_16x16_{lmode}_1_0
-            w.ue(cmode)  # intra_chroma_pred_mode
-            w.se(0)  # mb_qp_delta
-            # luma: mode prediction + single-coefficient DC residual
-            pred = pred16(lmode, ry, mx, my)
-            tgt = float((src_y.astype(np.float64) - pred).mean())
-            lvl = _best_level_luma(int(round(tgt)), qp)
-            coeffs = [lvl] + [0] * 15
-            cavlc_encode_dc(w, coeffs, chroma=False)
-            res = _luma_dc_residual(coeffs, qp)
-            blk = np.repeat(np.repeat(res, 4, 0), 4, 1)
-            ry[16 * my : 16 * my + 16, 16 * mx : 16 * mx + 16] = np.clip(
-                pred + blk, 0, 255
-            )
-            # chroma: shared mode, per-plane single DC residual
-            for plane, recon in ((cb, rcb), (cr, rcr)):
-                cpred = pred_chroma(cmode, recon, mx, my)
-                src = plane[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8]
-                tgt = float((src.astype(np.float64) - cpred).mean())
-                lvl = _best_level_chroma(int(round(tgt)), qpc)
-                ccoeffs = [lvl, 0, 0, 0]
-                cavlc_encode_dc(w, ccoeffs, chroma=True)
-                cres = _chroma_dc_residual(ccoeffs, qpc)
-                cblk = np.repeat(np.repeat(cres, 4, 0), 4, 1)
-                recon[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8] = np.clip(
-                    cpred + cblk, 0, 255
-                )
     nal = rbsp_to_nal(0x65, w.rbsp_trailing())
     return (nal, (ry, rcb, rcr)) if return_recon else nal
+
+
+def encode_i16_mb(
+    w, y, cb, cr, ry, rcb, rcr, mx, my, qp, qpc,
+    mode_nums=(0, 1, 2, 3), cmode_nums=(0, 1, 2, 3), mb_type_base: int = 0,
+) -> None:
+    """Encode one Intra_16x16 macroblock layer (mb_type through the DC
+    residuals) at MB (mx, my) and update the recon planes. Shared by the
+    IDR encoder and by intra-refresh macroblocks inside P slices, whose
+    mb_type is offset by 5 (Table 7-13): pass ``mb_type_base=5``."""
+    src_y = y[16 * my : 16 * my + 16, 16 * mx : 16 * mx + 16]
+    lmode = _select_mode([(src_y, ry)], mode_nums, (mx, my), False)
+    src_cb = cb[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8]
+    src_cr = cr[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8]
+    cmode = _select_mode(
+        [(src_cb, rcb), (src_cr, rcr)], cmode_nums, (mx, my), True
+    )
+    w.ue(mb_type_base + 1 + lmode + 4)  # mb_type: Intra_16x16_{lmode}_1_0
+    w.ue(cmode)  # intra_chroma_pred_mode
+    w.se(0)  # mb_qp_delta
+    # luma: mode prediction + single-coefficient DC residual
+    pred = pred16(lmode, ry, mx, my)
+    tgt = float((src_y.astype(np.float64) - pred).mean())
+    lvl = _best_level_luma(int(round(tgt)), qp)
+    coeffs = [lvl] + [0] * 15
+    cavlc_encode_dc(w, coeffs, chroma=False)
+    res = _luma_dc_residual(coeffs, qp)
+    blk = np.repeat(np.repeat(res, 4, 0), 4, 1)
+    ry[16 * my : 16 * my + 16, 16 * mx : 16 * mx + 16] = np.clip(
+        pred + blk, 0, 255
+    )
+    # chroma: shared mode, per-plane single DC residual
+    for plane, recon in ((cb, rcb), (cr, rcr)):
+        cpred = pred_chroma(cmode, recon, mx, my)
+        src = plane[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8]
+        tgt = float((src.astype(np.float64) - cpred).mean())
+        lvl = _best_level_chroma(int(round(tgt)), qpc)
+        ccoeffs = [lvl, 0, 0, 0]
+        cavlc_encode_dc(w, ccoeffs, chroma=True)
+        cres = _chroma_dc_residual(ccoeffs, qpc)
+        cblk = np.repeat(np.repeat(cres, 4, 0), 4, 1)
+        recon[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8] = np.clip(
+            cpred + cblk, 0, 255
+        )
 
 
 # --- decoder ------------------------------------------------------------------
@@ -581,7 +597,8 @@ def decode_idr_any(
     nal_type = header & 0x1F
     if nal_type == 1:
         raise NotImplementedError(
-            "non-IDR slice: inter prediction needs motion compensation"
+            "non-IDR slice: needs a reference picture — decode through "
+            "h264inter.decode_p_slice / GopDecoder"
         )
     if nal_type != 5:
         raise ValueError(f"not a coded-slice NAL (type {nal_type})")
@@ -591,7 +608,8 @@ def decode_idr_any(
     slice_type = r.ue("slice_type")
     if slice_type % 5 != 2:
         raise NotImplementedError(
-            "P/B slice: inter prediction needs motion compensation"
+            "P/B slice in an IDR NAL: inter prediction is stateful — "
+            "decode through h264inter"
         )
     r.ue("pic_parameter_set_id")
     r.u(sps["log2_max_frame_num"], "frame_num")

@@ -16,16 +16,20 @@ and is not real:
   per-sample byte extents.
 - FRAME DECODE is real for codec ``jpeg`` (Motion JPEG: every sample
   is a baseline JFIF image, decoded by :mod:`operators.jpegcodec`) and
-  for ``avc1`` whose slices are IDR/I_PCM — real H.264 NAL/Exp-Golomb
-  syntax around raw 4:2:0 samples (:mod:`operators.h264codec`). The
-  ``NotImplementedError`` seam is now CLASSIFIED from the parsed
-  bitstream: predicted macroblocks, P/B slices, and CABAC raise it
-  (a prediction/motion-compensation stack is the genuinely
-  environment-blocked piece), as do other codec fourccs (hev1 etc).
+  for ``avc1`` across the implemented H.264 subset: I_PCM and
+  Intra_16x16 IDR slices (:mod:`operators.h264codec` /
+  :mod:`operators.h264intra`) and P slices of P_Skip / P_L0_16x16
+  motion-compensated macroblocks (:mod:`operators.h264inter`) in
+  IDR+P GOPs marked by a real stss sync-sample box. The
+  ``NotImplementedError`` seam is CLASSIFIED from the parsed
+  bitstream: luma AC residuals, I_4x4, P partitions, inter residuals,
+  B slices, and CABAC raise it, as do other codec fourccs (hev1 etc).
 - Frame SAMPLING pushes down into the byte walk: requesting every Nth
   frame touches only those samples' byte ranges; skipped frames are
-  never entropy-decoded. At scale that is the difference between
-  reading ~1/N of the mdat and decoding all of it — the same
+  never entropy-decoded. For GOP tracks the unit of skip is the
+  container-correct one — a sampled P frame decodes from its nearest
+  preceding stss sync sample forward. At scale that is the difference
+  between reading ~1/N of the mdat and decoding all of it — the same
   projection-pushdown argument as a columnar scan.
 
 Spark-side the stage is the usual iterator ``mapInPandas`` (one Arrow
@@ -150,9 +154,76 @@ def encode_mp4_h264_i16(
     )
 
 
-def _encode_mp4(
-    samples: list[bytes], w: int, h: int, fps: int, entry: bytes
+def encode_mp4_h264_gop(
+    frames: list[np.ndarray],
+    fps: int = VIDEO_FPS,
+    qp: int = 36,
+    gop: int = 4,
+    search_range: int = 8,
+    idr: str = "ipcm",
 ) -> bytes:
+    """Write frames as a real IDR+P H.264 GOP: every ``gop``-th frame
+    is an IDR (``idr='ipcm'`` lossless, or ``'i16'`` intra-predicted,
+    h264intra.py), the rest are P slices whose macroblocks are P_Skip /
+    P_L0_16x16 motion-compensated against the previous RECONSTRUCTION
+    (h264inter.py) — so encoder and decoder drift never diverges. The
+    stss box marks the IDR samples; frame sampling seeks to the nearest
+    sync and rolls forward."""
+    from flow_indexer_spark.operators import h264codec as h264
+    from flow_indexer_spark.operators.h264inter import encode_frame_sample_p
+    from flow_indexer_spark.operators.h264intra import encode_idr_i16
+
+    if gop < 1:
+        raise ValueError("gop must be >= 1")
+    if idr not in ("ipcm", "i16"):
+        raise ValueError("idr must be 'ipcm' or 'i16'")
+    h, w = frames[0].shape[:2]
+    if any(f.shape != frames[0].shape for f in frames):
+        raise ValueError("all frames must share one geometry")
+    samples, sync = [], []
+    recon = None
+    for k, f in enumerate(frames):
+        if k % gop == 0:
+            y, cb, cr = h264.frame_to_planes(f)
+            if idr == "ipcm":
+                nal = h264.encode_idr_ipcm(y, cb, cr, idr_pic_id=k % 65536)
+                recon = (y, cb, cr)  # I_PCM is lossless in YCbCr
+            else:
+                nal, recon = encode_idr_i16(
+                    y, cb, cr, qp=qp, idr_pic_id=k % 65536, return_recon=True
+                )
+            samples.append(len(nal).to_bytes(4, "big") + nal)
+            sync.append(k)
+        else:
+            sample, recon = encode_frame_sample_p(
+                f, recon, frame_num=k % gop, qp=qp, search_range=search_range
+            )
+            samples.append(sample)
+    avcc = _box(
+        b"avcC",
+        h264.make_avcc(h264.make_sps(w, h, ref_frames=1), h264.make_pps()),
+    )
+    return _encode_mp4(
+        samples,
+        w,
+        h,
+        fps,
+        _visual_entry(b"avc1", w, h, b"h264 gop", avcc),
+        sync_samples=sync,
+    )
+
+
+def _encode_mp4(
+    samples: list[bytes],
+    w: int,
+    h: int,
+    fps: int,
+    entry: bytes,
+    sync_samples: list[int] | None = None,
+) -> bytes:
+    """``sync_samples``: 0-based indices of random-access samples; when
+    given, an stss box is written (its absence means every sample is a
+    sync sample, spec 8.6.2 — correct for the all-IDR/MJPEG tracks)."""
     sizes = [len(s) for s in samples]
     n = len(samples)
 
@@ -202,6 +273,22 @@ def _encode_mp4(
             0,
             struct.pack(">I", len(chunk_offsets)),
             *(struct.pack(">I", o) for o in chunk_offsets),
+        ),
+        *(
+            [
+                _full(
+                    b"stss",
+                    0,
+                    0,
+                    struct.pack(">I", len(sync_samples)),
+                    *(
+                        struct.pack(">I", k + 1)  # stss is 1-based
+                        for k in sync_samples
+                    ),
+                )
+            ]
+            if sync_samples is not None
+            else []
         ),
     )
     minf = _box(
@@ -420,6 +507,25 @@ def parse_mp4(payload: bytes) -> dict:
     if len(offsets) != n_samples:
         raise ValueError("stsc/stco cover fewer samples than stsz declares")
 
+    # stss (optional): 1-based sync-sample numbers; absent means every
+    # sample is a random-access point (spec 8.6.2)
+    sync = None
+    try:
+        s, e = _child(buf, *stbl, b"stss")
+    except ValueError:
+        pass
+    else:
+        p = _full_body(buf, s)
+        _need(p + 4 <= e, "stss too short")
+        (n_sync,) = struct.unpack_from(">I", buf, p)
+        _need(p + 4 + 4 * n_sync <= e, "stss overruns its box")
+        sync = [
+            struct.unpack_from(">I", buf, p + 4 + 4 * k)[0] - 1
+            for k in range(n_sync)
+        ]
+        _need(all(0 <= k < n_samples for k in sync), "stss sample out of range")
+        _need(sync == sorted(set(sync)), "stss not strictly increasing")
+
     # expand stts -> per-sample start times (media timescale units)
     starts: list[int] = []
     t = 0
@@ -443,6 +549,7 @@ def parse_mp4(payload: bytes) -> dict:
         "offsets": offsets,
         "starts": starts,
         "avcc": avcc,
+        "sync": sync,
     }
 
 
@@ -450,13 +557,16 @@ def mp4_frames(
     payload: bytes, every_n: int = 1
 ) -> Iterator[tuple[int, int, np.ndarray]]:
     """Yield (frame_idx, t_ms, pixels) for every Nth sample. Only the
-    sampled samples' byte ranges are entropy-decoded — the skip is real,
-    not decode-then-drop. Decodable codecs: ``jpeg`` (Motion JPEG) and
-    ``avc1`` whose slices are IDR with I_PCM or Intra_16x16-DC
-    macroblocks (operators/h264codec.py + h264intra.py — the classifier
-    parses the real NAL/slice syntax, so V/H/planar-predicted
-    macroblocks, luma AC residuals, P/B slices and CABAC raise
-    NotImplementedError from the bitstream itself, not the fourcc)."""
+    sampled samples' byte ranges are entropy-decoded — the skip is
+    real, not decode-then-drop (for IDR+P GOP tracks the skip unit is
+    the sync-to-target run, the container-minimal byte set for a
+    predicted frame). Decodable codecs: ``jpeg`` (Motion JPEG) and
+    ``avc1`` over the implemented H.264 subset — I_PCM / Intra_16x16
+    IDR slices and P_Skip / P_L0_16x16 P slices (operators/h264codec
+    + h264intra + h264inter; the classifier parses the real NAL/slice
+    syntax, so luma AC residuals, I_4x4, P partitions, inter
+    residuals, B slices and CABAC raise NotImplementedError from the
+    bitstream itself, not the fourcc)."""
     from flow_indexer_spark.operators.jpegcodec import _jpeg_pixels
 
     info = parse_mp4(payload)
@@ -471,6 +581,13 @@ def mp4_frames(
         if info["avcc"] is None:
             raise ValueError("avc1 track without avcC configuration")
         avcc = info["avcc"]
+        if info["sync"] is not None:
+            # IDR+P GOP track: a sampled frame decodes from its nearest
+            # preceding sync sample forward (the container-minimal byte
+            # set for a predicted frame); runs between targets that
+            # share a GOP are decoded once, not per-target.
+            yield from _gop_frames(buf, info, every_n)
+            return
         decode = lambda b: decode_frame_sample_any(b, avcc)  # noqa: E731
     else:
         raise NotImplementedError(
@@ -481,6 +598,28 @@ def mp4_frames(
         off, size = info["offsets"][k], info["sizes"][k]
         t_ms = round(1000 * info["starts"][k] / info["timescale"])
         yield k, t_ms, decode(buf[off : off + size])
+
+
+def _gop_frames(
+    buf: bytes, info: dict, every_n: int
+) -> Iterator[tuple[int, int, np.ndarray]]:
+    from flow_indexer_spark.operators.h264inter import GopDecoder
+
+    sync = info["sync"]
+    if not sync or sync[0] != 0:
+        raise ValueError("GOP track whose first sample is not a sync sample")
+    dec = GopDecoder(info["avcc"])
+    pos = 0  # next sample the decoder state can consume
+    for k in range(0, info["n_frames"], every_n):
+        # restart at the latest sync <= k when that skips decode work
+        s = max(x for x in sync if x <= k)
+        start = max(pos, s) if pos <= k else s
+        for i in range(start, k + 1):
+            off, size = info["offsets"][i], info["sizes"][i]
+            px = dec.decode(buf[off : off + size])
+        pos = k + 1
+        t_ms = round(1000 * info["starts"][k] / info["timescale"])
+        yield k, t_ms, px
 
 
 # --- deterministic fixtures -------------------------------------------------
@@ -538,6 +677,32 @@ def make_h264_intra_bytes(i: int, qp: int = 36) -> bytes:
     return encode_mp4_h264_i16(frames, fps=VIDEO_FPS, qp=qp)
 
 
+def make_h264_gop_bytes(i: int, qp: int = 36, gop: int = 4) -> bytes:
+    """A real IDR+P GOP stream with closed-form MOTION: within a GOP
+    the scene translates by (+2, +1) luma px per frame (G = x + 2*dt,
+    B = y + dt with dt = t mod gop), while R holds the per-GOP constant
+    (7i + 11*(t div gop)) mod 256 — representable exactly by the
+    zero-residual P encoder over the LOSSLESS I_PCM IDR reference, so a
+    decoder that skipped motion compensation would miss the per-frame
+    +2/+1 mean drift by far more than the oracle tolerance."""
+    n, w, h = video_params(i)
+    frames = []
+    for t in range(n):
+        dt = t % gop
+        px = np.empty((h, w, 3), dtype=np.uint8)
+        px[:, :, 0] = (7 * i + 11 * (t // gop)) % 256
+        px[:, :, 1] = (np.arange(w, dtype=np.uint16) + 2 * dt).astype(
+            np.uint8
+        )[None, :]
+        px[:, :, 2] = (np.arange(h, dtype=np.uint16) + dt).astype(np.uint8)[
+            :, None
+        ]
+        frames.append(px)
+    return encode_mp4_h264_gop(
+        frames, fps=VIDEO_FPS, qp=qp, gop=gop, search_range=4
+    )
+
+
 def _media_gen(spark, n: int, prefix: str, make_bytes) -> DataFrame:
     schema = StructType(
         [
@@ -577,6 +742,11 @@ def make_h264_media(spark, n: int = 24) -> DataFrame:
 def make_h264_intra_media(spark, n: int = 24) -> DataFrame:
     """Executor-side synthesis of intra-predicted H.264-in-MP4 payloads."""
     return _media_gen(spark, n, "v", make_h264_intra_bytes)
+
+
+def make_h264_gop_media(spark, n: int = 24) -> DataFrame:
+    """Executor-side synthesis of IDR+P motion-compensated GOP payloads."""
+    return _media_gen(spark, n, "v", make_h264_gop_bytes)
 
 
 # --- the Spark stage --------------------------------------------------------
