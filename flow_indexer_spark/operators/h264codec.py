@@ -28,9 +28,11 @@ trips carry only the 4:2:0 chroma-subsample + color-matrix rounding
 (no quantization), tighter than JPEG's gate.
 
 What still raises ``NotImplementedError`` — now CLASSIFIED from real
-parsing instead of assumed from the fourcc: a slice whose mb_type is
-intra-predicted (decode needs the prediction+transform stack) or a
-non-IDR slice NAL (inter prediction needs motion compensation).
+parsing instead of assumed from the fourcc: AC residual blocks, I_8x8,
+B slices, and CABAC streams (the intra prediction stack itself lives
+in :mod:`operators.h264intra` — I_16x16 all modes + I_4x4 all nine
+modes — and motion-compensated P slices in
+:mod:`operators.h264inter`).
 Corrupt bitstreams raise ``ValueError`` (classifiable, like the JPEG/
 MP4 codecs' ``_need`` guards).
 

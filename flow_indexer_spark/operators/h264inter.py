@@ -414,6 +414,7 @@ def decode_p_slice(
     cr = np.zeros_like(cb)
     mvs = [[(0, 0)] * mb_w for _ in range(mb_h)]
     inter = [[False] * mb_w for _ in range(mb_h)]
+    modes = np.full((4 * mb_h, 4 * mb_w), -1, dtype=np.int8)
     n_mbs = mb_w * mb_h
     addr = 0
 
@@ -442,7 +443,7 @@ def decode_p_slice(
         if mb_type >= 5:
             if mb_type > 30:
                 raise ValueError(f"invalid P-slice mb_type {mb_type}")
-            qp = decode_i_mb(r, mb_type - 5, qp, y, cb, cr, mx, my)
+            qp = decode_i_mb(r, mb_type - 5, qp, y, cb, cr, mx, my, modes)
             # intra MB: stays inter=False -> (mv 0, ref -1) for neighbours
         elif mb_type == 0:
             mvp = mv_pred_16x16(mvs, inter, mx, my, mb_w)

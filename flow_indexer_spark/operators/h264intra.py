@@ -52,11 +52,15 @@ the corruption contract.
 
 Round 4 (cont.): P slices with real motion compensation live in
 :mod:`operators.h264inter`, which reuses this module's I-macroblock
-encode/decode for intra-refresh MBs. Still classified from parsed
-syntax (the remaining seam): luma AC residuals
-(CodedBlockPatternLuma != 0 -> the TotalCoeff>1 CAVLC contexts),
-chroma AC (cbp chroma 2), I_4x4/I_8x8 spatial prediction, B slices,
-and CABAC.
+encode/decode for intra-refresh MBs. **Intra_4x4 macroblocks now
+decode too**: all nine spec-8.3.1.2 prediction modes per 4x4 block,
+predIntra4x4PredMode most-probable-mode signalling (8.3.1.1), Z-scan
+neighbour availability (6.4.3), Table 9-4 intra coded_block_pattern,
+and a per-block DC LumaLevel4x4 residual dequantized through the full
+8.5.12 position-dependent LevelScale + inverse-core-transform chain.
+Still classified from parsed syntax (the remaining seam): luma AC
+residuals (the TotalCoeff>1 CAVLC contexts), chroma AC (cbp chroma 2),
+I_8x8 (High profile), B slices, and CABAC.
 
 Reference analogue: the pcap backend decodes every packet format its
 library supports (/root/reference/backend/pcap.go:17-54); this is the
@@ -630,19 +634,32 @@ def decode_idr_any(
     y = np.zeros((mb_h * 16, mb_w * 16), dtype=np.uint8)
     cb = np.zeros((mb_h * 8, mb_w * 8), dtype=np.uint8)
     cr = np.zeros_like(cb)
+    modes = np.full((4 * mb_h, 4 * mb_w), -1, dtype=np.int8)
     for my in range(mb_h):
         for mx in range(mb_w):
             mb_type = r.ue("mb_type")
-            qp = decode_i_mb(r, mb_type, qp, y, cb, cr, mx, my)
+            qp = decode_i_mb(r, mb_type, qp, y, cb, cr, mx, my, modes)
     return y, cb, cr
 
 
-def decode_i_mb(r, mb_type: int, qp: int, y, cb, cr, mx: int, my: int) -> int:
+def decode_i_mb(
+    r, mb_type: int, qp: int, y, cb, cr, mx: int, my: int,
+    modes: np.ndarray | None = None,
+) -> int:
     """Decode one I-macroblock layer (mb_type per Table 7-11: 0 I_4x4,
     1..24 I_16x16, 25 I_PCM) into the recon planes at MB (mx, my);
     returns the updated slice QP. Shared by the IDR decoder and by
     intra macroblocks inside P slices (Table 7-13 maps P-slice
-    mb_type - 5 here)."""
+    mb_type - 5 here). ``modes`` is the picture's 4x4 prediction-mode
+    plane (-1 for non-I_4x4 blocks), required to decode mb_type 0."""
+    if mb_type == 0:
+        if modes is None:
+            # predIntra4x4PredMode needs every earlier block's mode —
+            # decoding one MB out of picture context would misdecode
+            raise ValueError(
+                "I_4x4 decode requires the picture-wide mode plane"
+            )
+        return decode_i4_mb(r, qp, y, cb, cr, mx, my, modes)
     if mb_type == _I_PCM:
         r.align()
         y[16 * my : 16 * my + 16, 16 * mx : 16 * mx + 16] = np.frombuffer(
@@ -655,10 +672,6 @@ def decode_i_mb(r, mb_type: int, qp: int, y, cb, cr, mx: int, my: int) -> int:
             r.raw_bytes(64, "pcm_sample_chroma cr"), dtype=np.uint8
         ).reshape(8, 8)
         return qp
-    if mb_type == 0:
-        raise NotImplementedError(
-            "I_4x4 macroblock: per-4x4 spatial prediction not implemented"
-        )
     if mb_type > _I_PCM:
         raise ValueError(f"invalid I-slice mb_type {mb_type}")
     pred_mode = (mb_type - 1) % 4
@@ -698,6 +711,476 @@ def decode_i_mb(r, mb_type: int, qp: int, y, cb, cr, mx: int, my: int) -> int:
     return qp
 
 
+# --- Intra_4x4 spatial prediction (spec 8.3.1) --------------------------------
+
+#: 4x4 luma block decode order within a macroblock (the Z scan of
+#: spec 6.4.3 inverse 4x4 luma block scanning): (bx, by) pairs
+_Z4 = (
+    (0, 0), (1, 0), (0, 1), (1, 1), (2, 0), (3, 0), (2, 1), (3, 1),
+    (0, 2), (1, 2), (0, 3), (1, 3), (2, 2), (3, 2), (2, 3), (3, 3),
+)
+_Z4_INDEX = {pos: z for z, pos in enumerate(_Z4)}
+
+#: Table 9-4 codeNum -> coded_block_pattern for Intra_4x4 macroblocks
+_CBP_INTRA = (
+    47, 31, 15, 0, 23, 27, 29, 30, 7, 11, 13, 14, 39, 43, 45, 46,
+    16, 3, 5, 10, 12, 19, 21, 26, 28, 35, 37, 42, 44, 1, 2, 4,
+    8, 17, 18, 20, 24, 6, 9, 22, 25, 32, 33, 34, 36, 40, 38, 41,
+)
+_CBP_INTRA_CODE = {cbp: k for k, cbp in enumerate(_CBP_INTRA)}
+
+#: per-mode required neighbours: (needs_left, needs_top, needs_corner)
+_I4_NEEDS = {
+    0: (False, True, False),   # vertical
+    1: (True, False, False),   # horizontal
+    2: (False, False, False),  # DC adapts to whatever is available
+    3: (False, True, False),   # diagonal down-left (top-right substitutes)
+    4: (True, True, True),     # diagonal down-right
+    5: (True, True, True),     # vertical-right
+    6: (True, True, True),     # horizontal-down
+    7: (False, True, False),   # vertical-left (top-right substitutes)
+    8: (True, False, False),   # horizontal-up
+}
+
+
+def _avail4(
+    mx: int, my: int, bx: int, by: int, mb_w: int
+) -> tuple[bool, bool, bool, bool]:
+    """(left, top, top-right, corner) sample availability for 4x4 luma
+    block (bx, by) of MB (mx, my): a neighbouring sample is available
+    iff its block decodes earlier in MB-raster + within-MB Z order
+    (single-slice pictures; constrained_intra_pred_flag is 0, so any
+    decoded sample predicts)."""
+    left = bx > 0 or mx > 0
+    top = by > 0 or my > 0
+    corner = left and top
+    if by == 0:
+        tr = my > 0 and (bx < 3 or mx + 1 < mb_w)
+    else:
+        tr = bx < 3 and _Z4_INDEX[(bx + 1, by - 1)] < _Z4_INDEX[(bx, by)]
+    return left, top, tr, corner
+
+
+def pred4(
+    mode: int,
+    recon: np.ndarray,
+    x0: int,
+    y0: int,
+    avail: tuple[bool, bool, bool, bool],
+) -> np.ndarray:
+    """Spec 8.3.1.2 Intra_4x4 prediction block (4x4 int64) for the
+    block whose top-left luma sample is (x0, y0). ``avail`` is the
+    (left, top, top-right, corner) tuple; a mode whose required
+    neighbours are unavailable marks a non-conformant stream ->
+    ValueError. Unavailable top-right samples substitute p[3,-1]
+    (8.3.1.2: the only sample substitution in Intra_4x4)."""
+    have_l, have_t, have_tr, have_c = avail
+    need_l, need_t, need_c = _I4_NEEDS[mode]
+    if (need_l and not have_l) or (need_t and not have_t) or (
+        need_c and not have_c
+    ):
+        raise ValueError(
+            f"Intra_4x4 mode {mode} without its required neighbours"
+        )
+    t = recon[y0 - 1, x0 : x0 + 4].astype(np.int64) if have_t else None
+    le = recon[y0 : y0 + 4, x0 - 1].astype(np.int64) if have_l else None
+    c = int(recon[y0 - 1, x0 - 1]) if have_c else None
+    if have_t:
+        if have_tr:
+            tr = recon[y0 - 1, x0 + 4 : x0 + 8].astype(np.int64)
+        else:
+            tr = np.full(4, t[3], dtype=np.int64)
+        tt = np.concatenate([t, tr])  # p[0..7, -1]
+    out = np.empty((4, 4), dtype=np.int64)
+    if mode == 0:  # vertical
+        out[:] = t[None, :]
+    elif mode == 1:  # horizontal
+        out[:] = le[:, None]
+    elif mode == 2:  # DC
+        if have_t and have_l:
+            v = (int(t.sum()) + int(le.sum()) + 4) >> 3
+        elif have_t:
+            v = (int(t.sum()) + 2) >> 2
+        elif have_l:
+            v = (int(le.sum()) + 2) >> 2
+        else:
+            v = 128
+        out[:] = v
+    elif mode == 3:  # diagonal down-left
+        for yy in range(4):
+            for xx in range(4):
+                if xx == 3 and yy == 3:
+                    out[yy, xx] = (tt[6] + 3 * tt[7] + 2) >> 2
+                else:
+                    k = xx + yy
+                    out[yy, xx] = (tt[k] + 2 * tt[k + 1] + tt[k + 2] + 2) >> 2
+    elif mode == 4:  # diagonal down-right
+        for yy in range(4):
+            for xx in range(4):
+                if xx > yy:
+                    k = xx - yy
+                    a = tt[k - 2] if k >= 2 else c
+                    b = tt[k - 1] if k >= 1 else c
+                    out[yy, xx] = (a + 2 * b + tt[k] + 2) >> 2
+                elif xx < yy:
+                    k = yy - xx
+                    a = le[k - 2] if k >= 2 else c
+                    b = le[k - 1] if k >= 1 else c
+                    out[yy, xx] = (a + 2 * b + le[k] + 2) >> 2
+                else:
+                    out[yy, xx] = (tt[0] + 2 * c + le[0] + 2) >> 2
+    elif mode == 5:  # vertical-right
+        for yy in range(4):
+            for xx in range(4):
+                z = 2 * xx - yy
+                if z >= 0 and z % 2 == 0:
+                    k = xx - (yy >> 1)
+                    a = tt[k - 1] if k >= 1 else c
+                    out[yy, xx] = (a + tt[k] + 1) >> 1
+                elif z >= 0:
+                    k = xx - (yy >> 1)
+                    a = tt[k - 2] if k >= 2 else c
+                    b = tt[k - 1] if k >= 1 else c
+                    out[yy, xx] = (a + 2 * b + tt[k] + 2) >> 2
+                elif z == -1:
+                    out[yy, xx] = (le[0] + 2 * c + tt[0] + 2) >> 2
+                else:
+                    out[yy, xx] = (
+                        le[yy - 1] + 2 * le[yy - 2] + le[yy - 3] + 2
+                    ) >> 2
+    elif mode == 6:  # horizontal-down
+        for yy in range(4):
+            for xx in range(4):
+                z = 2 * yy - xx
+                if z >= 0 and z % 2 == 0:
+                    k = yy - (xx >> 1)
+                    a = le[k - 1] if k >= 1 else c
+                    out[yy, xx] = (a + le[k] + 1) >> 1
+                elif z >= 0:
+                    k = yy - (xx >> 1)
+                    a = le[k - 2] if k >= 2 else c
+                    b = le[k - 1] if k >= 1 else c
+                    out[yy, xx] = (a + 2 * b + le[k] + 2) >> 2
+                elif z == -1:
+                    out[yy, xx] = (le[0] + 2 * c + tt[0] + 2) >> 2
+                else:
+                    out[yy, xx] = (
+                        tt[xx - 1] + 2 * tt[xx - 2] + tt[xx - 3] + 2
+                    ) >> 2
+    elif mode == 7:  # vertical-left
+        for yy in range(4):
+            for xx in range(4):
+                k = xx + (yy >> 1)
+                if yy % 2 == 0:
+                    out[yy, xx] = (tt[k] + tt[k + 1] + 1) >> 1
+                else:
+                    out[yy, xx] = (tt[k] + 2 * tt[k + 1] + tt[k + 2] + 2) >> 2
+    elif mode == 8:  # horizontal-up
+        for yy in range(4):
+            for xx in range(4):
+                z = xx + 2 * yy
+                if z > 5:
+                    out[yy, xx] = le[3]
+                elif z == 5:
+                    out[yy, xx] = (le[2] + 3 * le[3] + 2) >> 2
+                elif z % 2 == 0:
+                    k = yy + (xx >> 1)
+                    out[yy, xx] = (le[k] + le[k + 1] + 1) >> 1
+                else:
+                    k = yy + (xx >> 1)
+                    out[yy, xx] = (le[k] + 2 * le[k + 1] + le[k + 2] + 2) >> 2
+    else:
+        raise ValueError(f"invalid Intra_4x4 prediction mode {mode}")
+    return out
+
+
+#: 4x4 zig-zag scan (spec 8.5.6): scan index -> (row, col)
+_ZIGZAG4 = (
+    (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
+    (2, 1), (3, 0), (3, 1), (2, 2), (1, 3), (2, 3), (3, 2), (3, 3),
+)
+
+#: normAdjust4x4(m, idx) (spec 8.5.9): idx 0 for positions
+#: {(0,0),(0,2),(2,0),(2,2)}, 1 for {(1,1),(1,3),(3,1),(3,3)}, 2 rest
+_NORM_ADJUST = (
+    (10, 16, 13), (11, 18, 14), (13, 20, 16),
+    (14, 23, 18), (16, 25, 20), (18, 29, 23),
+)
+
+
+def _norm_idx(i: int, j: int) -> int:
+    if i % 2 == 0 and j % 2 == 0:
+        return 0
+    if i % 2 == 1 and j % 2 == 1:
+        return 1
+    return 2
+
+
+def luma4_residual(coeffs: list[int], qp: int) -> np.ndarray:
+    """LumaLevel4x4 scan-order coefficients -> the 4x4 spatial residual
+    (spec 8.5.12): position-dependent LevelScale dequantization with
+    the qP<24 rounding branch, then the inverse core transform
+    (8.5.12.2 butterflies) and the final (x + 32) >> 6."""
+    d = np.zeros((4, 4), dtype=np.int64)
+    shift = qp // 6
+    for k, c in enumerate(coeffs):
+        if not c:
+            continue
+        i, j = _ZIGZAG4[k]
+        ls = _NORM_ADJUST[qp % 6][_norm_idx(i, j)]
+        if shift >= 4:
+            d[i, j] = (c * ls) << (shift - 4)
+        else:
+            d[i, j] = (c * ls + (1 << (3 - shift))) >> (4 - shift)
+    # horizontal butterflies (8.5.12.2 eq. 8-338..341)
+    e = np.empty_like(d)
+    e[:, 0] = d[:, 0] + d[:, 2]
+    e[:, 1] = d[:, 0] - d[:, 2]
+    e[:, 2] = (d[:, 1] >> 1) - d[:, 3]
+    e[:, 3] = d[:, 1] + (d[:, 3] >> 1)
+    f = np.empty_like(d)
+    f[:, 0] = e[:, 0] + e[:, 3]
+    f[:, 1] = e[:, 1] + e[:, 2]
+    f[:, 2] = e[:, 1] - e[:, 2]
+    f[:, 3] = e[:, 0] - e[:, 3]
+    # vertical butterflies
+    g = np.empty_like(f)
+    g[0, :] = f[0, :] + f[2, :]
+    g[1, :] = f[0, :] - f[2, :]
+    g[2, :] = (f[1, :] >> 1) - f[3, :]
+    g[3, :] = f[1, :] + (f[3, :] >> 1)
+    h = np.empty_like(f)
+    h[0, :] = g[0, :] + g[3, :]
+    h[1, :] = g[1, :] + g[2, :]
+    h[2, :] = g[1, :] - g[2, :]
+    h[3, :] = g[0, :] - g[3, :]
+    return (h + 32) >> 6
+
+
+def _best_level_luma4(t: int, qp: int) -> int:
+    """Level at scan position 0 whose reconstructed uniform shift
+    ((c*LS)<<(qp//6-4) through the DC-only inverse transform) is
+    nearest to target t; 0 when t rounds to nothing."""
+    if t == 0:
+        return 0
+    ls = _NORM_ADJUST[qp % 6][0]
+    shift = qp // 6
+
+    def _recon(c: int) -> int:
+        if shift >= 4:
+            d = (c * ls) << (shift - 4)
+        else:
+            d = (c * ls + (1 << (3 - shift))) >> (4 - shift)
+        return (d + 32) >> 6
+
+    # true slope of _recon is ls*2^(shift-4)/64 per level (the integer
+    # floors only add a sub-level offset); estimating it from
+    # _recon(1)-_recon(0) floors to 1 and under-corrects large
+    # residuals by ~40% at qp 36
+    if shift >= 4:
+        slope = ls * (1 << (shift - 4)) / 64.0
+    else:
+        slope = ls / (64.0 * (1 << (4 - shift)))
+    c = int(round(t / slope))
+    best = (abs(t), 0)
+    for cand in range(c - 2, c + 3):
+        cand = _clip_level(cand)
+        if cand == 0:
+            continue
+        err = abs(t - _recon(cand))
+        if err < best[0]:
+            best = (err, cand)
+    return best[1]
+
+
+def _pred_mode4(modes: np.ndarray, gx: int, gy: int) -> int:
+    """predIntra4x4PredMode (spec 8.3.1.1): min of the left and top
+    neighbour block modes, an unavailable or non-Intra_4x4 neighbour
+    counting as 2 (DC)."""
+    a = int(modes[gy, gx - 1]) if gx > 0 else -1
+    b = int(modes[gy - 1, gx]) if gy > 0 else -1
+    return min(a if a >= 0 else 2, b if b >= 0 else 2)
+
+
+def decode_i4_mb(
+    r, qp: int, y, cb, cr, mx: int, my: int, modes: np.ndarray
+) -> int:
+    """Decode one I_4x4 macroblock layer (after mb_type): 16 prediction
+    modes (mb_pred, spec 7.3.5.1), shared chroma mode,
+    coded_block_pattern via the Table 9-4 intra mapping, then the
+    residual pass — LumaLevel4x4 CAVLC blocks (the TotalCoeff <= 1
+    subset; >= 2 classifies) dequantized and inverse-transformed per
+    spec 8.5.12, reconstructed in Z order so prediction chains through
+    the residual-corrected samples. Chroma DC residuals as in I_16x16;
+    chroma AC classifies. Returns the updated slice QP; records block
+    modes in ``modes``."""
+    mb_w = modes.shape[1] // 4
+    mb_modes = []
+    for bx, by in _Z4:
+        gx, gy = 4 * mx + bx, 4 * my + by
+        pm = _pred_mode4(modes, gx, gy)
+        if r.u(1, "prev_intra4x4_pred_mode_flag"):
+            mode = pm
+        else:
+            rem = r.u(3, "rem_intra4x4_pred_mode")
+            mode = rem if rem < pm else rem + 1
+        mb_modes.append(mode)
+        modes[gy, gx] = mode  # later blocks in this MB predict from it
+    chroma_mode = r.ue("intra_chroma_pred_mode")
+    if chroma_mode > 3:
+        raise ValueError(f"invalid intra_chroma_pred_mode {chroma_mode}")
+    code = r.ue("coded_block_pattern")
+    if code > 47:
+        raise ValueError(f"coded_block_pattern codeNum {code} > 47")
+    cbp = _CBP_INTRA[code]
+    cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+    if cbp_chroma == 2:
+        raise NotImplementedError("chroma AC residuals not implemented")
+    if cbp:
+        qp = (qp + r.se("mb_qp_delta")) % 52
+    qpc = chroma_qp(qp)
+    for z, (bx, by) in enumerate(_Z4):
+        gx, gy = 4 * mx + bx, 4 * my + by
+        avail = _avail4(mx, my, bx, by, mb_w)
+        blk = pred4(mb_modes[z], y, gx * 4, gy * 4, avail)
+        if cbp_luma & (1 << (z // 4)):
+            coeffs = cavlc_decode_dc(r, chroma=False)
+            blk = blk + luma4_residual(coeffs, qp)
+        y[gy * 4 : gy * 4 + 4, gx * 4 : gx * 4 + 4] = np.clip(blk, 0, 255)
+    for plane in (cb, cr):
+        cpred = pred_chroma(chroma_mode, plane, mx, my)
+        if cbp_chroma >= 1:
+            ccoeffs = cavlc_decode_dc(r, chroma=True)
+            cres = _chroma_dc_residual(ccoeffs, qpc)
+        else:
+            cres = np.zeros((2, 2), dtype=np.int64)
+        cblk = np.repeat(np.repeat(cres, 4, 0), 4, 1)
+        plane[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8] = np.clip(
+            cpred + cblk, 0, 255
+        )
+    return qp
+
+
+def encode_i4_mb(
+    w, y, cb, cr, ry, rcb, rcr, mx, my, qp, qpc, modes,
+    mb_type_base: int = 0,
+) -> None:
+    """Encode one I_4x4 macroblock: per-block SSE-best prediction mode
+    after the optimal DC correction (ties prefer the predicted mode,
+    then the lowest number), a DC-only LumaLevel4x4 residual per block
+    (coded_block_pattern 31 = luma 15 | chroma 16), and chroma DC
+    residuals. The decoder must reproduce the recon planes
+    byte-exactly."""
+    mb_w = modes.shape[1] // 4
+    w.ue(mb_type_base + 0)  # mb_type: I_4x4 (I slice) / offset 5 in P
+    mode_bits = []
+    luma_coeffs = []
+    for bx, by in _Z4:
+        gx, gy = 4 * mx + bx, 4 * my + by
+        src = y[gy * 4 : gy * 4 + 4, gx * 4 : gx * 4 + 4].astype(np.float64)
+        pm = _pred_mode4(modes, gx, gy)
+        avail = _avail4(mx, my, bx, by, mb_w)
+        best = None
+        for m in range(9):
+            need_l, need_t, need_c = _I4_NEEDS[m]
+            if (
+                (need_l and not avail[0])
+                or (need_t and not avail[1])
+                or (need_c and not avail[3])
+            ):
+                continue
+            p = pred4(m, ry, gx * 4, gy * 4, avail)
+            d = src - p
+            cost = (
+                float(((d - np.round(d.mean())) ** 2).sum()),
+                m != pm,
+                m,
+            )
+            if best is None or cost < best[0]:
+                best = (cost, m, p)
+        _, mode, p = best
+        mode_bits.append((mode == pm, mode if mode < pm else mode - 1))
+        modes[gy, gx] = mode
+        tgt = float((src - p).mean())
+        lvl = _best_level_luma4(int(round(tgt)), qp)
+        coeffs = [lvl] + [0] * 15
+        luma_coeffs.append(coeffs)
+        ry[gy * 4 : gy * 4 + 4, gx * 4 : gx * 4 + 4] = np.clip(
+            p + luma4_residual(coeffs, qp), 0, 255
+        )
+    for flag, rem in mode_bits:
+        if flag:
+            w.u(1, 1)
+        else:
+            w.u(0, 1)
+            w.u(rem, 3)
+    src_cb = cb[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8]
+    src_cr = cr[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8]
+    cmode = _select_mode(
+        [(src_cb, rcb), (src_cr, rcr)], [0, 1, 2, 3], (mx, my), True
+    )
+    w.ue(cmode)
+    w.ue(_CBP_INTRA_CODE[31])  # cbp 31: all luma 8x8 groups + chroma DC
+    w.se(0)  # mb_qp_delta
+    for coeffs in luma_coeffs:
+        cavlc_encode_dc(w, coeffs, chroma=False)
+    for plane, recon in ((cb, rcb), (cr, rcr)):
+        cpred = pred_chroma(cmode, recon, mx, my)
+        src = plane[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8]
+        tgt = float((src.astype(np.float64) - cpred).mean())
+        lvl = _best_level_chroma(int(round(tgt)), qpc)
+        ccoeffs = [lvl, 0, 0, 0]
+        cavlc_encode_dc(w, ccoeffs, chroma=True)
+        cres = _chroma_dc_residual(ccoeffs, qpc)
+        cblk = np.repeat(np.repeat(cres, 4, 0), 4, 1)
+        recon[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8] = np.clip(
+            cpred + cblk, 0, 255
+        )
+
+
+def encode_idr_i4(
+    y: np.ndarray,
+    cb: np.ndarray,
+    cr: np.ndarray,
+    qp: int = 36,
+    idr_pic_id: int = 0,
+    return_recon: bool = False,
+):
+    """Padded planes -> one IDR slice NAL of I_4x4 macroblocks: every
+    4x4 luma block spatially predicted (all nine 8.3.1 modes searched),
+    zero luma residual, chroma DC residuals. Sharper than the I_16x16
+    encoder on detailed content because prediction adapts per 4x4
+    block; still a prediction-only code for luma."""
+    if not 36 <= qp <= 51:
+        raise ValueError("DC-only encoder supports qp 36..51")
+    mb_h, mb_w = y.shape[0] // 16, y.shape[1] // 16
+    if (
+        y.shape != (mb_h * 16, mb_w * 16)
+        or cb.shape != (mb_h * 8, mb_w * 8)
+        or cr.shape != cb.shape
+    ):
+        raise ValueError("planes must be macroblock-aligned (16 luma / 8 chroma)")
+    qpc = chroma_qp(qp)
+    w = _BitWriter()
+    w.ue(0)  # first_mb_in_slice
+    w.ue(7)  # slice_type: I (all slices in picture)
+    w.ue(0)  # pic_parameter_set_id
+    w.u(0, 4)  # frame_num
+    w.ue(idr_pic_id % 65536)
+    w.u(0, 1)  # no_output_of_prior_pics_flag
+    w.u(0, 1)  # long_term_reference_flag
+    w.se(qp - 26)  # slice_qp_delta
+    ry = np.zeros_like(y)
+    rcb = np.zeros_like(cb)
+    rcr = np.zeros_like(cr)
+    modes = np.full((4 * mb_h, 4 * mb_w), -1, dtype=np.int8)
+    for my in range(mb_h):
+        for mx in range(mb_w):
+            encode_i4_mb(w, y, cb, cr, ry, rcb, rcr, mx, my, qp, qpc, modes)
+    nal = rbsp_to_nal(0x65, w.rbsp_trailing())
+    return (nal, (ry, rcb, rcr)) if return_recon else nal
+
+
 # --- MP4-sample layer ---------------------------------------------------------
 
 
@@ -712,6 +1195,18 @@ def encode_frame_sample_i16(
 
     y, cb, cr = frame_to_planes(px)
     nal = encode_idr_i16(y, cb, cr, qp=qp, idr_pic_id=idr_pic_id)
+    return len(nal).to_bytes(4, "big") + nal
+
+
+def encode_frame_sample_i4(
+    px: np.ndarray, idr_pic_id: int = 0, qp: int = 36
+) -> bytes:
+    """RGB frame -> one MP4 sample: a length-prefixed IDR NAL of I_4x4
+    spatially-predicted macroblocks with per-4x4 DC residuals."""
+    from flow_indexer_spark.operators.h264codec import frame_to_planes
+
+    y, cb, cr = frame_to_planes(px)
+    nal = encode_idr_i4(y, cb, cr, qp=qp, idr_pic_id=idr_pic_id)
     return len(nal).to_bytes(4, "big") + nal
 
 

@@ -104,6 +104,11 @@ def test_survey_count_matches_registry():
         m = re.search(r"Driver contract: (\d+) queries", fh.read())
     assert m, "SURVEY.md lost its 'Driver contract: N queries' line"
     assert int(m.group(1)) == n, f"SURVEY says {m.group(1)}, registry has {n}"
+    readme = os.path.join(os.path.dirname(__file__), "..", "README.md")
+    with open(readme) as fh:
+        m = re.search(r"driver contract: (\d+) queries", fh.read())
+    assert m, "README.md lost its 'driver contract: N queries' line"
+    assert int(m.group(1)) == n, f"README says {m.group(1)}, registry has {n}"
     missing = set(entry_mod.oracle_sql()) - set(entry_mod.queries())
     assert not missing, f"oracles without queries: {sorted(missing)}"
 

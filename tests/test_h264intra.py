@@ -441,7 +441,9 @@ def _mb_header(mb_type, chroma_mode=0):
 
 def test_remaining_tools_classify_from_parsed_syntax():
     sps = H.parse_sps(H.make_sps(16, 16))
-    with pytest.raises(NotImplementedError, match="I_4x4"):
+    # I_4x4 now DECODES; a bare MB header with no mode/cbp payload is a
+    # truncated stream and classifies as corruption, not a seam
+    with pytest.raises(ValueError, match="truncated"):
         I.decode_idr_any(_mb_header(0), sps)
     # directional/plane modes now DECODE; using one where its required
     # neighbour doesn't exist (MB 0,0 here) is a non-conformant stream
