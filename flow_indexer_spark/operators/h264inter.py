@@ -62,6 +62,7 @@ from flow_indexer_spark.operators.h264codec import (
     rbsp_to_nal,
 )
 from flow_indexer_spark.operators.h264intra import (
+    NzcCtx,
     chroma_qp,
     decode_i_mb,
     encode_i16_mb,
@@ -272,7 +273,7 @@ def encode_p_slice(
     cr: np.ndarray,
     ref: tuple[np.ndarray, np.ndarray, np.ndarray],
     frame_num: int,
-    qp: int = 36,
+    qp: int = 12,
     search_range: int = 8,
     quarter: bool = True,
     intra_mbs: frozenset[tuple[int, int]] = frozenset(),
@@ -314,6 +315,7 @@ def encode_p_slice(
     rcr = np.zeros_like(cr)
     mvs = [[(0, 0)] * mb_w for _ in range(mb_h)]
     inter = [[False] * mb_w for _ in range(mb_h)]
+    nzc = NzcCtx(mb_w, mb_h)
     skip_run = 0
     for my in range(mb_h):
         for mx in range(mb_w):
@@ -323,7 +325,7 @@ def encode_p_slice(
                 skip_run = 0
                 encode_i16_mb(
                     w, y, cb, cr, ry, rcb, rcr, mx, my, qp, qpc,
-                    mb_type_base=5,
+                    mb_type_base=5, nzc=nzc,
                 )
                 # intra MBs keep inter[my][mx] False: they contribute
                 # (mv 0, ref -1) to later MV predictions
@@ -415,6 +417,7 @@ def decode_p_slice(
     mvs = [[(0, 0)] * mb_w for _ in range(mb_h)]
     inter = [[False] * mb_w for _ in range(mb_h)]
     modes = np.full((4 * mb_h, 4 * mb_w), -1, dtype=np.int8)
+    nzc = NzcCtx(mb_w, mb_h)  # skipped/uncoded blocks stay TotalCoeff 0
     n_mbs = mb_w * mb_h
     addr = 0
 
@@ -443,7 +446,9 @@ def decode_p_slice(
         if mb_type >= 5:
             if mb_type > 30:
                 raise ValueError(f"invalid P-slice mb_type {mb_type}")
-            qp = decode_i_mb(r, mb_type - 5, qp, y, cb, cr, mx, my, modes)
+            qp = decode_i_mb(
+                r, mb_type - 5, qp, y, cb, cr, mx, my, modes, nzc
+            )
             # intra MB: stays inter=False -> (mv 0, ref -1) for neighbours
         elif mb_type == 0:
             mvp = mv_pred_16x16(mvs, inter, mx, my, mb_w)
@@ -472,7 +477,7 @@ def encode_frame_sample_p(
     px: np.ndarray,
     ref: tuple[np.ndarray, np.ndarray, np.ndarray],
     frame_num: int,
-    qp: int = 36,
+    qp: int = 12,
     search_range: int = 8,
     intra_mbs: frozenset[tuple[int, int]] = frozenset(),
 ) -> tuple[bytes, tuple[np.ndarray, np.ndarray, np.ndarray]]:

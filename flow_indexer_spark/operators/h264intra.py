@@ -111,16 +111,22 @@ _H2 = np.array([[1, 1], [1, -1]], dtype=np.int64)
 
 
 def dequant_luma_dc(f: np.ndarray, qp: int) -> np.ndarray:
-    """Spec 8.5.10: scale the inverse-Hadamard'd luma DC block."""
-    ls = _LS00[qp % 6]
+    """Spec 8.5.10: scale the inverse-Hadamard'd luma DC block.
+    LevelScale4x4 = weightScale (flat 16) * normAdjust — earlier
+    rounds omitted the *16 weightScale factor (self-consistent with
+    the search-calibrated DC encoders, but 16x below conformant
+    scale); fixed when the full-residual path landed so the standard
+    MF quantizer pairs with this dequant."""
+    ls = 16 * _LS00[qp % 6]
     if qp >= 36:
         return (f * ls) << (qp // 6 - 6)
     return (f * ls + (1 << (5 - qp // 6))) >> (6 - qp // 6)
 
 
 def dequant_chroma_dc(f: np.ndarray, qpc: int) -> np.ndarray:
-    """Spec 8.5.11: scale the inverse-Hadamard'd 2x2 chroma DC block."""
-    return ((f * _LS00[qpc % 6]) << (qpc // 6)) >> 5
+    """Spec 8.5.11: scale the inverse-Hadamard'd 2x2 chroma DC block
+    (LevelScale = 16 * normAdjust, flat weightScale)."""
+    return ((f * 16 * _LS00[qpc % 6]) << (qpc // 6)) >> 5
 
 
 # --- CAVLC (spec 9.2) — TotalCoeff <= 1 alphabet ----------------------------
@@ -412,10 +418,140 @@ def _chroma_dc_residual(coeffs: list[int], qpc: int) -> np.ndarray:
     return (dc + 32) >> 6
 
 
+# --- full-residual transform path (forward 8.5-inverse pairing) --------------
+
+#: forward core transform matrix Cf (the integer DCT approximation whose
+#: inverse is the 8.5.12.2 butterfly chain)
+_CF4 = np.array(
+    [[1, 1, 1, 1], [2, 1, -1, -2], [1, -1, -1, 1], [1, -2, 2, -1]],
+    dtype=np.int64,
+)
+
+#: quantizer multiplier MF per qP%6 at the three position classes
+#: ((0,0)/(2,0)/..., (1,1)/(1,3)/..., other) — the standard pairing with
+#: LevelScale = 16*normAdjust: MF * 16V = 2^21 at the corner class, with
+#: the 0.8/0.64 inverse-butterfly norm compensation at the mixed classes
+_MF = (
+    (13107, 5243, 8066),
+    (11916, 4660, 7490),
+    (10082, 4194, 6554),
+    (9362, 3647, 5825),
+    (8192, 3355, 5243),
+    (7282, 2893, 4559),
+)
+
+
+def fwd4(res: np.ndarray) -> np.ndarray:
+    """Forward 4x4 core transform W = Cf @ res @ Cf^T (integer, exact)."""
+    return _CF4 @ res.astype(np.int64) @ _CF4.T
+
+
+def quant4(w: np.ndarray, qp: int, skip_dc: bool = False) -> list[int]:
+    """Quantize one transformed 4x4 block -> scan-order levels (16, or
+    the 15 AC levels when ``skip_dc`` — I_16x16 / chroma AC blocks).
+    Standard intra rounding f = (1 << qbits) / 3."""
+    qbits = 15 + qp // 6
+    f = (1 << qbits) // 3
+    out = []
+    for k in range(16):
+        if skip_dc and k == 0:
+            continue
+        i, j = _ZIGZAG4[k]
+        v = int(w[i, j])
+        lvl = (abs(v) * _MF[qp % 6][_norm_idx(i, j)] + f) >> qbits
+        out.append(-lvl if v < 0 else lvl)
+    return out
+
+
+def quant_dc_luma(wd: np.ndarray, qp: int) -> np.ndarray:
+    """Quantize the (already forward-Hadamard'd, >>1-normalized) 4x4
+    luma DC block: level = sign * ((|wd|*MF00 + 2f) >> (qbits+1))."""
+    qbits = 15 + qp // 6
+    f2 = 2 * ((1 << qbits) // 3)
+    mag = (np.abs(wd) * _MF[qp % 6][0] + f2) >> (qbits + 1)
+    return np.sign(wd) * mag
+
+
+def quant_dc_chroma(wd: np.ndarray, qpc: int) -> np.ndarray:
+    """Quantize the forward-Hadamard'd 2x2 chroma DC block."""
+    qbits = 15 + qpc // 6
+    f2 = 2 * ((1 << qbits) // 3)
+    mag = (np.abs(wd) * _MF[qpc % 6][0] + f2) >> (qbits + 1)
+    return np.sign(wd) * mag
+
+
+def _luma_dc_values(coeffs: list[int], qp: int) -> np.ndarray:
+    """Intra16x16DCLevel scan-order coeffs -> (4,4) of dequantized DC
+    transform values d00 per 4x4 block (by, bx): the 8.5.10 Hadamard
+    path WITHOUT the DC-only (dc+32)>>6 shortcut, for feeding the full
+    inverse core transform alongside AC coefficients."""
+    c = np.zeros((4, 4), dtype=np.int64)
+    for i, v in enumerate(coeffs):
+        r_, c_ = _ZIGZAG4[i]
+        c[r_, c_] = v
+    return dequant_luma_dc(_H4 @ c @ _H4, qp)
+
+
+def _chroma_dc_values(coeffs: list[int], qpc: int) -> np.ndarray:
+    """ChromaDCLevel raster coeffs -> (2,2) of dequantized d00 values."""
+    c = np.array(
+        [[coeffs[0], coeffs[1]], [coeffs[2], coeffs[3]]], dtype=np.int64
+    )
+    return dequant_chroma_dc(_H2 @ c @ _H2, qpc)
+
+
+def recon_i16_luma(
+    dc_coeffs: list[int], acs: list[list[int]], qp: int
+) -> np.ndarray:
+    """I_16x16 luma residual: DC coefficients through the Hadamard/
+    8.5.10 path, each 4x4 block's 15 AC levels through 8.5.12 with the
+    DC override, inverse core transform per block -> 16x16 spatial
+    residual. ``acs`` is in Z-scan block order (_Z4)."""
+    dcs = _luma_dc_values(dc_coeffs, qp)
+    out = np.zeros((16, 16), dtype=np.int64)
+    for z, (bx, by) in enumerate(_Z4):
+        blk = luma4_residual([0] + acs[z], qp, dc=int(dcs[by, bx]))
+        out[4 * by : 4 * by + 4, 4 * bx : 4 * bx + 4] = blk
+    return out
+
+
+def recon_chroma_comp(
+    dc_coeffs: list[int], acs: list[list[int]], qpc: int
+) -> np.ndarray:
+    """One chroma component's residual: 2x2 Hadamard/8.5.11 DC path +
+    per-4x4-block AC levels (raster block order) -> 8x8 spatial
+    residual."""
+    dcs = _chroma_dc_values(dc_coeffs, qpc)
+    out = np.zeros((8, 8), dtype=np.int64)
+    for cz, (cbx, cby) in enumerate(((0, 0), (1, 0), (0, 1), (1, 1))):
+        blk = luma4_residual([0] + acs[cz], qpc, dc=int(dcs[cby, cbx]))
+        out[4 * cby : 4 * cby + 4, 4 * cbx : 4 * cbx + 4] = blk
+    return out
+
+
+class NzcCtx:
+    """Per-picture nonzero-coefficient-count planes for the 9.2.1 nC
+    neighbour contexts: one entry per 4x4 block (luma grid 4 per MB
+    side, chroma grids 2 per MB side per component). Entries hold the
+    block's TotalCoeff (AC TotalCoeff for I_16x16 / chroma blocks — DC
+    blocks never contribute), 16 for I_PCM macroblocks, 0 for skipped /
+    uncoded blocks. Decode and encode walk MBs in raster order, so a
+    left/top neighbour inside the picture is always already counted."""
+
+    def __init__(self, mb_w: int, mb_h: int) -> None:
+        self.y = np.zeros((4 * mb_h, 4 * mb_w), dtype=np.int16)
+        self.cb = np.zeros((2 * mb_h, 2 * mb_w), dtype=np.int16)
+        self.cr = np.zeros((2 * mb_h, 2 * mb_w), dtype=np.int16)
+
+    @classmethod
+    def for_planes(cls, y: np.ndarray) -> "NzcCtx":
+        return cls(y.shape[1] // 16, y.shape[0] // 16)
+
+
 def _best_level_luma(t: int, qp: int) -> int:
     """Smallest-error Intra16x16DCLevel f00 for a uniform per-sample
     residual target t (exact-chain search around the linear estimate)."""
-    ls = _LS00[qp % 6]
+    ls = 16 * _LS00[qp % 6]
     scale = ls * (1 << (qp // 6 - 6)) if qp >= 36 else ls / (1 << (6 - qp // 6))
     est = int(round(t * 64 / scale))
     best = min(
@@ -426,7 +562,7 @@ def _best_level_luma(t: int, qp: int) -> int:
 
 
 def _best_level_chroma(t: int, qpc: int) -> int:
-    est = int(round(t * 64 / (_LS00[qpc % 6] * (1 << (qpc // 6)) / 32)))
+    est = int(round(t * 64 / (16 * _LS00[qpc % 6] * (1 << (qpc // 6)) / 32)))
     best = min(
         range(est - 2, est + 3),
         key=lambda L: abs(int(_chroma_dc_residual([L, 0, 0, 0], qpc)[0, 0]) - t),
@@ -489,27 +625,32 @@ def encode_idr_i16(
     y: np.ndarray,
     cb: np.ndarray,
     cr: np.ndarray,
-    qp: int = 36,
+    qp: int = 12,
     idr_pic_id: int = 0,
     modes: tuple[str, ...] = ("v", "h", "dc", "plane"),
     chroma_modes: tuple[str, ...] = ("dc", "h", "v", "plane"),
     return_recon: bool = False,
+    residual: str = "dc",
 ) -> bytes | tuple[bytes, tuple[np.ndarray, np.ndarray, np.ndarray]]:
     """Padded planes -> one IDR slice NAL of I_16x16 intra-predicted
-    macroblocks with CAVLC-coded DC residuals (mb_type 5..8 =
-    Intra_16x16_{0..3}_1_0: per-MB prediction mode, chroma cbp 1,
-    luma cbp 0).
+    macroblocks.
 
-    Each MB picks the luma prediction mode (and the shared chroma mode)
-    minimizing residual variance, then codes a single DC residual — so
-    flat content codes as its mean, while gradients engage the
-    vertical/horizontal/plane predictors and reconstruct near-exactly.
-    ``modes``/``chroma_modes`` restrict the search (("dc",) reproduces
-    the round-4 DC-only encoder bit-for-bit). qp >= 36 keeps the luma
-    DC quantizer step at LS/64 < 0.3 sample units.
+    ``residual="dc"`` (the round-4 code): CAVLC-coded DC residuals only
+    (mb_type 5..8 = Intra_16x16_{0..3}_1_0) — each MB picks the luma
+    prediction mode (and the shared chroma mode) minimizing residual
+    variance, then codes a single DC residual, so flat content codes as
+    its mean while gradients engage the directional/plane predictors.
+    qp is restricted to 36..51 where the DC-only approximation is the
+    rate-matched regime.
+
+    ``residual="full"``: the real transform code — every 4x4 block's
+    AC coefficients quantized (standard MF tables) and CAVLC-coded with
+    live 9.2.1 nC contexts, luma/chroma DC through the Hadamard paths;
+    reconstruction error is bounded by the quantizer step at any
+    qp 0..51, like a real all-I encoder.
     """
-    if not 36 <= qp <= 51:
-        raise ValueError("DC-only encoder supports qp 36..51")
+    if not 0 <= qp <= 51:
+        raise ValueError("qp out of range")
     mode_nums = sorted({_LUMA_MODES[m] for m in modes})
     cmode_nums = sorted({_CHROMA_MODES[m] for m in chroma_modes})
     mb_h, mb_w = y.shape[0] // 16, y.shape[1] // 16
@@ -532,24 +673,96 @@ def encode_idr_i16(
     ry = np.zeros_like(y)
     rcb = np.zeros_like(cb)
     rcr = np.zeros_like(cr)
+    nzc = NzcCtx(mb_w, mb_h)
     for my in range(mb_h):
         for mx in range(mb_w):
             encode_i16_mb(
                 w, y, cb, cr, ry, rcb, rcr, mx, my, qp, qpc,
-                mode_nums, cmode_nums,
+                mode_nums, cmode_nums, nzc=nzc, residual=residual,
             )
     nal = rbsp_to_nal(0x65, w.rbsp_trailing())
     return (nal, (ry, rcb, rcr)) if return_recon else nal
 
 
+def _quant_chroma_full(src, cpred, qpc):
+    """One chroma component: residual -> (dc4 levels raster, [ac15 x4
+    raster blocks]) through the forward Hadamard/core + MF quant."""
+    res = src.astype(np.int64) - cpred
+    ws = [
+        fwd4(res[4 * cby : 4 * cby + 4, 4 * cbx : 4 * cbx + 4])
+        for cbx, cby in _C4
+    ]
+    dcw = _H2 @ np.array(
+        [[ws[0][0, 0], ws[1][0, 0]], [ws[2][0, 0], ws[3][0, 0]]],
+        dtype=np.int64,
+    ) @ _H2
+    dclv = quant_dc_chroma(dcw, qpc)
+    dc4 = [int(dclv[0, 0]), int(dclv[0, 1]), int(dclv[1, 0]), int(dclv[1, 1])]
+    acs = [quant4(wblk, qpc, skip_dc=True) for wblk in ws]
+    return dc4, acs
+
+
+def _emit_chroma(w, cbp_chroma, cdcs, cacs, mx, my, nzc) -> None:
+    """Write the chroma residual section in the 7.3.5.3.3 order (both
+    DC blocks, then both components' AC blocks), mirroring
+    :func:`_decode_chroma_coeffs` exactly, incl. nzc updates."""
+    from flow_indexer_spark.operators import h264cavlc as cavlc
+
+    for comp in (0, 1):
+        if cbp_chroma >= 1:
+            cavlc.encode_block(w, cdcs[comp], -1)
+    for comp, plane_nzc in ((0, nzc.cb), (1, nzc.cr)):
+        for cz, (cbx, cby) in enumerate(_C4):
+            gx, gy = 2 * mx + cbx, 2 * my + cby
+            if cbp_chroma == 2:
+                cavlc.encode_block(
+                    w, cacs[comp][cz],
+                    cavlc.nc_from_plane(plane_nzc, gx, gy),
+                )
+                plane_nzc[gy, gx] = sum(1 for c in cacs[comp][cz] if c)
+            else:
+                plane_nzc[gy, gx] = 0
+
+
+def _chroma_full_mb(cb, cr, rcb, rcr, cmode, mx, my, qpc):
+    """Quantize both chroma components of one MB -> (cbp_chroma,
+    {comp: dc4}, {comp: acs}) with AC zeroed when cbp_chroma < 2 (the
+    all-zero-AC case IS cbp_chroma 1) and DC zeroed when 0."""
+    cdcs, cacs = {}, {}
+    for comp, (plane, recon) in enumerate(((cb, rcb), (cr, rcr))):
+        src = plane[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8]
+        cpred = pred_chroma(cmode, recon, mx, my)
+        cdcs[comp], cacs[comp] = _quant_chroma_full(src, cpred, qpc)
+    any_ac = any(c for comp in cacs.values() for blk in comp for c in blk)
+    any_dc = any(c for comp in cdcs.values() for c in comp)
+    if any_ac:
+        cbp_chroma = 2
+    elif any_dc:
+        cbp_chroma = 1
+        cacs = {c: [[0] * 15] * 4 for c in cacs}
+    else:
+        cbp_chroma = 0
+        cacs = {c: [[0] * 15] * 4 for c in cacs}
+        cdcs = {c: [0, 0, 0, 0] for c in cdcs}
+    return cbp_chroma, cdcs, cacs
+
+
 def encode_i16_mb(
     w, y, cb, cr, ry, rcb, rcr, mx, my, qp, qpc,
     mode_nums=(0, 1, 2, 3), cmode_nums=(0, 1, 2, 3), mb_type_base: int = 0,
+    nzc: NzcCtx | None = None, residual: str = "dc",
 ) -> None:
-    """Encode one Intra_16x16 macroblock layer (mb_type through the DC
+    """Encode one Intra_16x16 macroblock layer (mb_type through the
     residuals) at MB (mx, my) and update the recon planes. Shared by the
     IDR encoder and by intra-refresh macroblocks inside P slices, whose
-    mb_type is offset by 5 (Table 7-13): pass ``mb_type_base=5``."""
+    mb_type is offset by 5 (Table 7-13): pass ``mb_type_base=5``.
+
+    ``residual="dc"`` reproduces the round-4 DC-only code bit-for-bit
+    (single mean-matching coefficient per plane, cbp luma 0);
+    ``residual="full"`` runs the real transform code: forward 4x4 core
+    transform per block, luma DC Hadamard, standard MF quantization,
+    all AC levels CAVLC-coded with live nC contexts, and the closed
+    loop reconstructed through the DECODER's exact integer path."""
     src_y = y[16 * my : 16 * my + 16, 16 * mx : 16 * mx + 16]
     lmode = _select_mode([(src_y, ry)], mode_nums, (mx, my), False)
     src_cb = cb[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8]
@@ -557,6 +770,62 @@ def encode_i16_mb(
     cmode = _select_mode(
         [(src_cb, rcb), (src_cr, rcr)], cmode_nums, (mx, my), True
     )
+    if residual == "full":
+        from flow_indexer_spark.operators import h264cavlc as cavlc
+
+        if nzc is None:
+            nzc = NzcCtx.for_planes(y)
+        pred = pred16(lmode, ry, mx, my)
+        res = src_y.astype(np.int64) - pred
+        ws = [
+            [fwd4(res[4 * by : 4 * by + 4, 4 * bx : 4 * bx + 4])
+             for bx in range(4)]
+            for by in range(4)
+        ]
+        dcw = np.array(
+            [[ws[by][bx][0, 0] for bx in range(4)] for by in range(4)],
+            dtype=np.int64,
+        )
+        dclv = quant_dc_luma((_H4 @ dcw @ _H4) >> 1, qp)
+        dc_coeffs = [int(dclv[i, j]) for i, j in _ZIGZAG4]
+        acs = [quant4(ws[by][bx], qp, skip_dc=True) for bx, by in _Z4]
+        cbp_luma = 15 if any(c for blk in acs for c in blk) else 0
+        if not cbp_luma:
+            acs = [[0] * 15 for _ in range(16)]
+        cbp_chroma, cdcs, cacs = _chroma_full_mb(
+            cb, cr, rcb, rcr, cmode, mx, my, qpc
+        )
+        w.ue(
+            mb_type_base + 1 + lmode + 4 * cbp_chroma
+            + (12 if cbp_luma else 0)
+        )
+        w.ue(cmode)
+        w.se(0)  # mb_qp_delta
+        cavlc.encode_block(
+            w, dc_coeffs, cavlc.nc_from_plane(nzc.y, 4 * mx, 4 * my)
+        )
+        for z, (bx, by) in enumerate(_Z4):
+            gx, gy = 4 * mx + bx, 4 * my + by
+            if cbp_luma:
+                cavlc.encode_block(
+                    w, acs[z], cavlc.nc_from_plane(nzc.y, gx, gy)
+                )
+                nzc.y[gy, gx] = sum(1 for c in acs[z] if c)
+            else:
+                nzc.y[gy, gx] = 0
+        _emit_chroma(w, cbp_chroma, cdcs, cacs, mx, my, nzc)
+        # closed loop: reconstruct through the decoder's exact path
+        ry[16 * my : 16 * my + 16, 16 * mx : 16 * mx + 16] = np.clip(
+            pred + recon_i16_luma(dc_coeffs, acs, qp), 0, 255
+        )
+        _recon_chroma_planes(rcb, rcr, cmode, cdcs, cacs, qpc, mx, my)
+        return
+    if residual != "dc":
+        raise ValueError(f"unknown residual mode {residual!r}")
+    if nzc is not None:
+        nzc.y[4 * my : 4 * my + 4, 4 * mx : 4 * mx + 4] = 0
+        nzc.cb[2 * my : 2 * my + 2, 2 * mx : 2 * mx + 2] = 0
+        nzc.cr[2 * my : 2 * my + 2, 2 * mx : 2 * mx + 2] = 0
     w.ue(mb_type_base + 1 + lmode + 4)  # mb_type: Intra_16x16_{lmode}_1_0
     w.ue(cmode)  # intra_chroma_pred_mode
     w.se(0)  # mb_qp_delta
@@ -635,23 +904,75 @@ def decode_idr_any(
     cb = np.zeros((mb_h * 8, mb_w * 8), dtype=np.uint8)
     cr = np.zeros_like(cb)
     modes = np.full((4 * mb_h, 4 * mb_w), -1, dtype=np.int8)
+    nzc = NzcCtx(mb_w, mb_h)
     for my in range(mb_h):
         for mx in range(mb_w):
             mb_type = r.ue("mb_type")
-            qp = decode_i_mb(r, mb_type, qp, y, cb, cr, mx, my, modes)
+            qp = decode_i_mb(r, mb_type, qp, y, cb, cr, mx, my, modes, nzc)
     return y, cb, cr
+
+
+#: raster order of the four chroma 4x4 blocks inside the 8x8 component
+_C4 = ((0, 0), (1, 0), (0, 1), (1, 1))
+
+
+def _decode_chroma_coeffs(r, cbp_chroma: int, mx: int, my: int, nzc):
+    """Parse the chroma residual section in the 7.3.5.3.3 order (both
+    components' DC blocks, then both components' AC blocks) and update
+    the chroma nzc planes. Returns ({comp: dc4}, {comp: [ac15 x4]})."""
+    from flow_indexer_spark.operators import h264cavlc as cavlc
+
+    dcs, acs = {}, {}
+    for comp in (0, 1):
+        if cbp_chroma >= 1:
+            dcs[comp] = cavlc.decode_block(r, -1, 4)
+        else:
+            dcs[comp] = [0, 0, 0, 0]
+    for comp, plane_nzc in ((0, nzc.cb), (1, nzc.cr)):
+        blocks = []
+        for cbx, cby in _C4:
+            gx, gy = 2 * mx + cbx, 2 * my + cby
+            if cbp_chroma == 2:
+                blk = cavlc.decode_block(
+                    r, cavlc.nc_from_plane(plane_nzc, gx, gy), 15
+                )
+                plane_nzc[gy, gx] = sum(1 for c in blk if c)
+            else:
+                blk = [0] * 15
+                plane_nzc[gy, gx] = 0
+            blocks.append(blk)
+        acs[comp] = blocks
+    return dcs, acs
+
+
+def _recon_chroma_planes(
+    cb, cr, chroma_mode, cdcs, cacs, qpc, mx, my
+) -> None:
+    for comp, plane in ((0, cb), (1, cr)):
+        cpred = pred_chroma(chroma_mode, plane, mx, my)
+        cres = recon_chroma_comp(cdcs[comp], cacs[comp], qpc)
+        plane[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8] = np.clip(
+            cpred + cres, 0, 255
+        )
 
 
 def decode_i_mb(
     r, mb_type: int, qp: int, y, cb, cr, mx: int, my: int,
-    modes: np.ndarray | None = None,
+    modes: np.ndarray | None = None, nzc: NzcCtx | None = None,
 ) -> int:
     """Decode one I-macroblock layer (mb_type per Table 7-11: 0 I_4x4,
     1..24 I_16x16, 25 I_PCM) into the recon planes at MB (mx, my);
     returns the updated slice QP. Shared by the IDR decoder and by
     intra macroblocks inside P slices (Table 7-13 maps P-slice
     mb_type - 5 here). ``modes`` is the picture's 4x4 prediction-mode
-    plane (-1 for non-I_4x4 blocks), required to decode mb_type 0."""
+    plane (-1 for non-I_4x4 blocks), required to decode mb_type 0;
+    ``nzc`` is the picture's nonzero-count context (9.2.1) — picture-
+    level callers MUST share one across the slice or nC contexts
+    misdecode."""
+    from flow_indexer_spark.operators import h264cavlc as cavlc
+
+    if nzc is None:
+        nzc = NzcCtx.for_planes(y)
     if mb_type == 0:
         if modes is None:
             # predIntra4x4PredMode needs every earlier block's mode —
@@ -659,7 +980,7 @@ def decode_i_mb(
             raise ValueError(
                 "I_4x4 decode requires the picture-wide mode plane"
             )
-        return decode_i4_mb(r, qp, y, cb, cr, mx, my, modes)
+        return decode_i4_mb(r, qp, y, cb, cr, mx, my, modes, nzc)
     if mb_type == _I_PCM:
         r.align()
         y[16 * my : 16 * my + 16, 16 * mx : 16 * mx + 16] = np.frombuffer(
@@ -671,43 +992,45 @@ def decode_i_mb(
         cr[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8] = np.frombuffer(
             r.raw_bytes(64, "pcm_sample_chroma cr"), dtype=np.uint8
         ).reshape(8, 8)
+        # spec 9.2.1: I_PCM macroblocks count as TotalCoeff 16
+        nzc.y[4 * my : 4 * my + 4, 4 * mx : 4 * mx + 4] = 16
+        nzc.cb[2 * my : 2 * my + 2, 2 * mx : 2 * mx + 2] = 16
+        nzc.cr[2 * my : 2 * my + 2, 2 * mx : 2 * mx + 2] = 16
         return qp
     if mb_type > _I_PCM:
         raise ValueError(f"invalid I-slice mb_type {mb_type}")
     pred_mode = (mb_type - 1) % 4
     cbp_chroma = ((mb_type - 1) // 4) % 3
     cbp_luma = 15 if mb_type > 12 else 0
-    if cbp_luma:
-        raise NotImplementedError(
-            "Intra_16x16 luma AC residuals (TotalCoeff>1 CAVLC "
-            "contexts) not implemented"
-        )
     chroma_mode = r.ue("intra_chroma_pred_mode")
     if chroma_mode > 3:
         raise ValueError(f"invalid intra_chroma_pred_mode {chroma_mode}")
-    if cbp_chroma == 2:
-        raise NotImplementedError("chroma AC residuals not implemented")
     qp = (qp + r.se("mb_qp_delta")) % 52
     qpc = chroma_qp(qp)
-    # Intra16x16DCLevel is ALWAYS present for I_16x16
-    coeffs = cavlc_decode_dc(r, chroma=False)
-    pred = pred16(pred_mode, y, mx, my)
-    res = _luma_dc_residual(coeffs, qp)
-    blk = np.repeat(np.repeat(res, 4, 0), 4, 1)
-    y[16 * my : 16 * my + 16, 16 * mx : 16 * mx + 16] = np.clip(
-        pred + blk, 0, 255
+    # Intra16x16DCLevel is ALWAYS present for I_16x16; its nC derives
+    # from the neighbouring blocks as for luma4x4BlkIdx 0
+    dc_coeffs = cavlc.decode_block(
+        r, cavlc.nc_from_plane(nzc.y, 4 * mx, 4 * my), 16
     )
-    for plane in (cb, cr):
-        cpred = pred_chroma(chroma_mode, plane, mx, my)
-        if cbp_chroma >= 1:
-            ccoeffs = cavlc_decode_dc(r, chroma=True)
-            cres = _chroma_dc_residual(ccoeffs, qpc)
+    acs = []
+    for bx, by in _Z4:
+        gx, gy = 4 * mx + bx, 4 * my + by
+        if cbp_luma:
+            blk = cavlc.decode_block(
+                r, cavlc.nc_from_plane(nzc.y, gx, gy), 15
+            )
+            nzc.y[gy, gx] = sum(1 for c in blk if c)
         else:
-            cres = np.zeros((2, 2), dtype=np.int64)
-        cblk = np.repeat(np.repeat(cres, 4, 0), 4, 1)
-        plane[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8] = np.clip(
-            cpred + cblk, 0, 255
-        )
+            blk = [0] * 15
+            nzc.y[gy, gx] = 0
+        acs.append(blk)
+    cdcs, cacs = _decode_chroma_coeffs(r, cbp_chroma, mx, my, nzc)
+    pred = pred16(pred_mode, y, mx, my)
+    res = recon_i16_luma(dc_coeffs, acs, qp)
+    y[16 * my : 16 * my + 16, 16 * mx : 16 * mx + 16] = np.clip(
+        pred + res, 0, 255
+    )
+    _recon_chroma_planes(cb, cr, chroma_mode, cdcs, cacs, qpc, mx, my)
     return qp
 
 
@@ -916,22 +1239,31 @@ def _norm_idx(i: int, j: int) -> int:
     return 2
 
 
-def luma4_residual(coeffs: list[int], qp: int) -> np.ndarray:
+def luma4_residual(
+    coeffs: list[int], qp: int, dc: int | None = None
+) -> np.ndarray:
     """LumaLevel4x4 scan-order coefficients -> the 4x4 spatial residual
-    (spec 8.5.12): position-dependent LevelScale dequantization with
-    the qP<24 rounding branch, then the inverse core transform
-    (8.5.12.2 butterflies) and the final (x + 32) >> 6."""
+    (spec 8.5.12): position-dependent LevelScale dequantization
+    (16 * normAdjust, flat weightScale) with the qP<24 rounding branch,
+    then the inverse core transform (8.5.12.2 butterflies) and the
+    final (x + 32) >> 6. ``dc`` (already dequantized through the
+    8.5.10/8.5.11 Hadamard path) overrides d[0][0] for I_16x16 /
+    chroma blocks, whose scan skips the DC position."""
     d = np.zeros((4, 4), dtype=np.int64)
     shift = qp // 6
     for k, c in enumerate(coeffs):
         if not c:
             continue
         i, j = _ZIGZAG4[k]
-        ls = _NORM_ADJUST[qp % 6][_norm_idx(i, j)]
+        if (i, j) == (0, 0) and dc is not None:
+            raise ValueError("DC override given but scan holds a DC coeff")
+        ls = 16 * _NORM_ADJUST[qp % 6][_norm_idx(i, j)]
         if shift >= 4:
             d[i, j] = (c * ls) << (shift - 4)
         else:
             d[i, j] = (c * ls + (1 << (3 - shift))) >> (4 - shift)
+    if dc is not None:
+        d[0, 0] = dc
     # horizontal butterflies (8.5.12.2 eq. 8-338..341)
     e = np.empty_like(d)
     e[:, 0] = d[:, 0] + d[:, 2]
@@ -963,7 +1295,7 @@ def _best_level_luma4(t: int, qp: int) -> int:
     nearest to target t; 0 when t rounds to nothing."""
     if t == 0:
         return 0
-    ls = _NORM_ADJUST[qp % 6][0]
+    ls = 16 * _NORM_ADJUST[qp % 6][0]
     shift = qp // 6
 
     def _recon(c: int) -> int:
@@ -1003,17 +1335,22 @@ def _pred_mode4(modes: np.ndarray, gx: int, gy: int) -> int:
 
 
 def decode_i4_mb(
-    r, qp: int, y, cb, cr, mx: int, my: int, modes: np.ndarray
+    r, qp: int, y, cb, cr, mx: int, my: int, modes: np.ndarray,
+    nzc: NzcCtx | None = None,
 ) -> int:
     """Decode one I_4x4 macroblock layer (after mb_type): 16 prediction
     modes (mb_pred, spec 7.3.5.1), shared chroma mode,
     coded_block_pattern via the Table 9-4 intra mapping, then the
-    residual pass — LumaLevel4x4 CAVLC blocks (the TotalCoeff <= 1
-    subset; >= 2 classifies) dequantized and inverse-transformed per
-    spec 8.5.12, reconstructed in Z order so prediction chains through
-    the residual-corrected samples. Chroma DC residuals as in I_16x16;
-    chroma AC classifies. Returns the updated slice QP; records block
-    modes in ``modes``."""
+    residual pass — LumaLevel4x4 blocks through the full CAVLC alphabet
+    (:mod:`operators.h264cavlc`) with per-block nC contexts,
+    dequantized and inverse-transformed per spec 8.5.12, reconstructed
+    in Z order so prediction chains through the residual-corrected
+    samples. Chroma DC + AC residuals as in I_16x16. Returns the
+    updated slice QP; records block modes in ``modes``."""
+    from flow_indexer_spark.operators import h264cavlc as cavlc
+
+    if nzc is None:
+        nzc = NzcCtx.for_planes(y)
     mb_w = modes.shape[1] // 4
     mb_modes = []
     for bx, by in _Z4:
@@ -1034,8 +1371,6 @@ def decode_i4_mb(
         raise ValueError(f"coded_block_pattern codeNum {code} > 47")
     cbp = _CBP_INTRA[code]
     cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
-    if cbp_chroma == 2:
-        raise NotImplementedError("chroma AC residuals not implemented")
     if cbp:
         qp = (qp + r.se("mb_qp_delta")) % 52
     qpc = chroma_qp(qp)
@@ -1044,38 +1379,44 @@ def decode_i4_mb(
         avail = _avail4(mx, my, bx, by, mb_w)
         blk = pred4(mb_modes[z], y, gx * 4, gy * 4, avail)
         if cbp_luma & (1 << (z // 4)):
-            coeffs = cavlc_decode_dc(r, chroma=False)
+            coeffs = cavlc.decode_block(
+                r, cavlc.nc_from_plane(nzc.y, gx, gy), 16
+            )
+            nzc.y[gy, gx] = sum(1 for c in coeffs if c)
             blk = blk + luma4_residual(coeffs, qp)
-        y[gy * 4 : gy * 4 + 4, gx * 4 : gx * 4 + 4] = np.clip(blk, 0, 255)
-    for plane in (cb, cr):
-        cpred = pred_chroma(chroma_mode, plane, mx, my)
-        if cbp_chroma >= 1:
-            ccoeffs = cavlc_decode_dc(r, chroma=True)
-            cres = _chroma_dc_residual(ccoeffs, qpc)
         else:
-            cres = np.zeros((2, 2), dtype=np.int64)
-        cblk = np.repeat(np.repeat(cres, 4, 0), 4, 1)
-        plane[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8] = np.clip(
-            cpred + cblk, 0, 255
-        )
+            nzc.y[gy, gx] = 0
+        y[gy * 4 : gy * 4 + 4, gx * 4 : gx * 4 + 4] = np.clip(blk, 0, 255)
+    cdcs, cacs = _decode_chroma_coeffs(r, cbp_chroma, mx, my, nzc)
+    _recon_chroma_planes(cb, cr, chroma_mode, cdcs, cacs, qpc, mx, my)
     return qp
 
 
 def encode_i4_mb(
     w, y, cb, cr, ry, rcb, rcr, mx, my, qp, qpc, modes,
-    mb_type_base: int = 0,
+    mb_type_base: int = 0, nzc: NzcCtx | None = None, residual: str = "dc",
 ) -> None:
     """Encode one I_4x4 macroblock: per-block SSE-best prediction mode
     after the optimal DC correction (ties prefer the predicted mode,
-    then the lowest number), a DC-only LumaLevel4x4 residual per block
-    (coded_block_pattern 31 = luma 15 | chroma 16), and chroma DC
-    residuals. The decoder must reproduce the recon planes
-    byte-exactly."""
+    then the lowest number). ``residual="dc"``: a DC-only LumaLevel4x4
+    residual per block (coded_block_pattern 31 = luma 15 | chroma 16)
+    and chroma DC residuals — the round-4 code, bit-for-bit.
+    ``residual="full"``: every block's 16 coefficients quantized and
+    CAVLC-coded with live nC contexts, coded_block_pattern computed
+    from the actual nonzero quadrants, chroma DC + AC. The decoder must
+    reproduce the recon planes byte-exactly in both modes."""
+    if residual == "full":
+        from flow_indexer_spark.operators import h264cavlc as cavlc
+
+        if nzc is None:
+            nzc = NzcCtx.for_planes(y)
+    elif residual != "dc":
+        raise ValueError(f"unknown residual mode {residual!r}")
     mb_w = modes.shape[1] // 4
     w.ue(mb_type_base + 0)  # mb_type: I_4x4 (I slice) / offset 5 in P
     mode_bits = []
     luma_coeffs = []
-    for bx, by in _Z4:
+    for z, (bx, by) in enumerate(_Z4):
         gx, gy = 4 * mx + bx, 4 * my + by
         src = y[gy * 4 : gy * 4 + 4, gx * 4 : gx * 4 + 4].astype(np.float64)
         pm = _pred_mode4(modes, gx, gy)
@@ -1101,9 +1442,16 @@ def encode_i4_mb(
         _, mode, p = best
         mode_bits.append((mode == pm, mode if mode < pm else mode - 1))
         modes[gy, gx] = mode
-        tgt = float((src - p).mean())
-        lvl = _best_level_luma4(int(round(tgt)), qp)
-        coeffs = [lvl] + [0] * 15
+        if residual == "full":
+            coeffs = quant4(fwd4(src.astype(np.int64) - p), qp)
+        else:
+            tgt = float((src - p).mean())
+            lvl = _best_level_luma4(int(round(tgt)), qp)
+            coeffs = [lvl] + [0] * 15
+            if nzc is not None:
+                # keep the shared context decoder-aligned when DC-only
+                # MBs mix with full-residual ones in one picture
+                nzc.y[gy, gx] = 1 if lvl else 0
         luma_coeffs.append(coeffs)
         ry[gy * 4 : gy * 4 + 4, gx * 4 : gx * 4 + 4] = np.clip(
             p + luma4_residual(coeffs, qp), 0, 255
@@ -1120,6 +1468,32 @@ def encode_i4_mb(
         [(src_cb, rcb), (src_cr, rcr)], [0, 1, 2, 3], (mx, my), True
     )
     w.ue(cmode)
+    if residual == "full":
+        cbp_luma = 0
+        for z in range(16):
+            if any(luma_coeffs[z]):
+                cbp_luma |= 1 << (z // 4)
+        cbp_chroma, cdcs, cacs = _chroma_full_mb(
+            cb, cr, rcb, rcr, cmode, mx, my, qpc
+        )
+        cbp = cbp_luma | (cbp_chroma << 4)
+        w.ue(_CBP_INTRA_CODE[cbp])
+        if cbp:
+            w.se(0)  # mb_qp_delta
+        for z, (bx, by) in enumerate(_Z4):
+            gx, gy = 4 * mx + bx, 4 * my + by
+            if cbp_luma & (1 << (z // 4)):
+                cavlc.encode_block(
+                    w, luma_coeffs[z], cavlc.nc_from_plane(nzc.y, gx, gy)
+                )
+                nzc.y[gy, gx] = sum(1 for c in luma_coeffs[z] if c)
+            else:
+                # an uncoded quadrant's blocks are exactly the all-zero
+                # ones (cbp derived from the quantizer output)
+                nzc.y[gy, gx] = 0
+        _emit_chroma(w, cbp_chroma, cdcs, cacs, mx, my, nzc)
+        _recon_chroma_planes(rcb, rcr, cmode, cdcs, cacs, qpc, mx, my)
+        return
     w.ue(_CBP_INTRA_CODE[31])  # cbp 31: all luma 8x8 groups + chroma DC
     w.se(0)  # mb_qp_delta
     for coeffs in luma_coeffs:
@@ -1142,17 +1516,20 @@ def encode_idr_i4(
     y: np.ndarray,
     cb: np.ndarray,
     cr: np.ndarray,
-    qp: int = 36,
+    qp: int = 12,
     idr_pic_id: int = 0,
     return_recon: bool = False,
+    residual: str = "dc",
 ):
     """Padded planes -> one IDR slice NAL of I_4x4 macroblocks: every
     4x4 luma block spatially predicted (all nine 8.3.1 modes searched),
     zero luma residual, chroma DC residuals. Sharper than the I_16x16
     encoder on detailed content because prediction adapts per 4x4
-    block; still a prediction-only code for luma."""
-    if not 36 <= qp <= 51:
-        raise ValueError("DC-only encoder supports qp 36..51")
+    block; still a prediction-only code for luma. ``residual="full"``
+    codes every block's quantized coefficients instead (real lossy
+    transform coding at any qp, CBP from actual nonzero quadrants)."""
+    if not 0 <= qp <= 51:
+        raise ValueError("qp out of range")
     mb_h, mb_w = y.shape[0] // 16, y.shape[1] // 16
     if (
         y.shape != (mb_h * 16, mb_w * 16)
@@ -1174,9 +1551,13 @@ def encode_idr_i4(
     rcb = np.zeros_like(cb)
     rcr = np.zeros_like(cr)
     modes = np.full((4 * mb_h, 4 * mb_w), -1, dtype=np.int8)
+    nzc = NzcCtx(mb_w, mb_h)
     for my in range(mb_h):
         for mx in range(mb_w):
-            encode_i4_mb(w, y, cb, cr, ry, rcb, rcr, mx, my, qp, qpc, modes)
+            encode_i4_mb(
+                w, y, cb, cr, ry, rcb, rcr, mx, my, qp, qpc, modes,
+                nzc=nzc, residual=residual,
+            )
     nal = rbsp_to_nal(0x65, w.rbsp_trailing())
     return (nal, (ry, rcb, rcr)) if return_recon else nal
 
@@ -1185,7 +1566,7 @@ def encode_idr_i4(
 
 
 def encode_frame_sample_i16(
-    px: np.ndarray, idr_pic_id: int = 0, qp: int = 36
+    px: np.ndarray, idr_pic_id: int = 0, qp: int = 12
 ) -> bytes:
     """RGB frame -> one MP4 sample: a length-prefixed IDR NAL of
     I_16x16 intra-predicted macroblocks, per-MB mode-selected (the
@@ -1199,7 +1580,7 @@ def encode_frame_sample_i16(
 
 
 def encode_frame_sample_i4(
-    px: np.ndarray, idr_pic_id: int = 0, qp: int = 36
+    px: np.ndarray, idr_pic_id: int = 0, qp: int = 12
 ) -> bytes:
     """RGB frame -> one MP4 sample: a length-prefixed IDR NAL of I_4x4
     spatially-predicted macroblocks with per-4x4 DC residuals."""

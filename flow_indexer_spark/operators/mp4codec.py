@@ -131,7 +131,7 @@ def encode_mp4_h264(frames: list[np.ndarray], fps: int = VIDEO_FPS) -> bytes:
 
 
 def encode_mp4_h264_i16(
-    frames: list[np.ndarray], fps: int = VIDEO_FPS, qp: int = 36
+    frames: list[np.ndarray], fps: int = VIDEO_FPS, qp: int = 12
 ) -> bytes:
     """Write frames as *intra-predicted* H.264-in-MP4: every macroblock
     is Intra_16x16 DC-mode with CAVLC-coded DC residuals
@@ -155,7 +155,7 @@ def encode_mp4_h264_i16(
 
 
 def encode_mp4_h264_i4(
-    frames: list[np.ndarray], fps: int = VIDEO_FPS, qp: int = 36
+    frames: list[np.ndarray], fps: int = VIDEO_FPS, qp: int = 12
 ) -> bytes:
     """Write frames as I_4x4 H.264-in-MP4: every macroblock is sixteen
     spatially-predicted 4x4 blocks (all nine 8.3.1 modes searched) with
@@ -181,7 +181,7 @@ def encode_mp4_h264_i4(
 def encode_mp4_h264_gop(
     frames: list[np.ndarray],
     fps: int = VIDEO_FPS,
-    qp: int = 36,
+    qp: int = 12,
     gop: int = 4,
     search_range: int = 8,
     idr: str = "ipcm",
@@ -685,7 +685,7 @@ def make_h264_bytes(i: int) -> bytes:
     return encode_mp4_h264(frames, fps=VIDEO_FPS)
 
 
-def make_h264_intra_bytes(i: int, qp: int = 36) -> bytes:
+def make_h264_intra_bytes(i: int, qp: int = 12) -> bytes:
     """The same deterministic frame family, coded as intra-predicted
     I_16x16 DC-mode H.264 (operators/h264intra.py) — a genuinely lossy
     transform code, so frame-level oracles gate MEANS within tolerance
@@ -701,7 +701,7 @@ def make_h264_intra_bytes(i: int, qp: int = 36) -> bytes:
     return encode_mp4_h264_i16(frames, fps=VIDEO_FPS, qp=qp)
 
 
-def make_h264_i4_bytes(i: int, qp: int = 36) -> bytes:
+def make_h264_i4_bytes(i: int, qp: int = 12) -> bytes:
     """The deterministic frame family coded as I_4x4 spatial prediction
     with per-4x4 DC residuals — the sharpest lossy intra code here, so
     its oracle envelope is tighter than the I_16x16 family's."""
@@ -716,7 +716,7 @@ def make_h264_i4_bytes(i: int, qp: int = 36) -> bytes:
     return encode_mp4_h264_i4(frames, fps=VIDEO_FPS, qp=qp)
 
 
-def make_h264_gop_bytes(i: int, qp: int = 36, gop: int = 4) -> bytes:
+def make_h264_gop_bytes(i: int, qp: int = 12, gop: int = 4) -> bytes:
     """A real IDR+P GOP stream with closed-form MOTION: within a GOP
     the scene translates by (+2, +1) luma px per frame (G = x + 2*dt,
     B = y + dt with dt = t mod gop), while R holds the per-GOP constant

@@ -102,7 +102,7 @@ def test_best_level_luma4_tracks_the_true_quant_slope():
     old recon(1)-recon(0) slope estimate floored to 1 and
     under-corrected a -123 residual by ~46 at qp 36)."""
     for qp in (36, 40, 44, 48, 51):
-        ls = I._NORM_ADJUST[qp % 6][0]
+        ls = 16 * I._NORM_ADJUST[qp % 6][0]  # LevelScale = 16 * normAdjust
         step = ls * (1 << (qp // 6 - 4)) / 64.0
         for t in range(-255, 256, 7):
             lvl = I._best_level_luma4(t, qp)

@@ -84,7 +84,8 @@ def test_luma_dc_dequant_matches_spec_formula():
     pad = np.zeros((2, 2), dtype=np.int64)
     blk = np.block([[f, pad], [pad, pad]])
     for qp in (0, 5, 11, 23, 35, 36, 40, 47, 51):
-        ls = (10, 11, 13, 14, 16, 18)[qp % 6]
+        # LevelScale = weightScale (flat 16) * normAdjust
+        ls = 16 * (10, 11, 13, 14, 16, 18)[qp % 6]
         got = I.dequant_luma_dc(blk, qp)
         if qp >= 36:
             want = (blk * ls) << (qp // 6 - 6)
@@ -175,7 +176,8 @@ def test_decoder_is_bit_faithful_to_encoder_recon():
             I.encode_idr_i16(y, cb, cr, qp, **dc), sps
         )
         # quantizer step per sample: LS00[qp%6] << (qp//6-6) / 64
-        step = (10, 11, 13, 14, 16, 18)[qp % 6] * (1 << (qp // 6 - 6)) / 64
+        # LevelScale = 16 * normAdjust (flat weightScale)
+        step = 16 * (10, 11, 13, 14, 16, 18)[qp % 6] * (1 << (qp // 6 - 6)) / 64
         for my in range(mbh):
             for mx in range(mbw):
                 tgt = y[16 * my : 16 * my + 16, 16 * mx : 16 * mx + 16]
@@ -357,11 +359,23 @@ def test_vertical_mode_propagates_ipcm_row_exactly():
         w.raw_bytes(pcm_y[:, 16 * mx : 16 * mx + 16].tobytes())
         w.raw_bytes(pcm_cb[:, 8 * mx : 8 * mx + 8].tobytes())
         w.raw_bytes(pcm_cr[:, 8 * mx : 8 * mx + 8].tobytes())
-    for _ in range(mbw * (mbh - 1)):  # rows 1..: vertical, no residual
+    # rows 1..: vertical, no residual. The DC block's coeff_token
+    # context is REAL here: MBs below the I_PCM row see nC 8..16
+    # (9.2.1 counts PCM as TotalCoeff 16) and must use the 6-bit FLC,
+    # not the nC<2 VLC — the conformance case the NzcCtx layer added.
+    from flow_indexer_spark.operators import h264cavlc as cavlc
+
+    nzc = I.NzcCtx(mbw, mbh)
+    nzc.y[0:4, :] = 16  # the PCM row
+    for k in range(mbw * (mbh - 1)):
+        mx, my = k % mbw, k // mbw + 1
         w.ue(1)  # Intra_16x16_0_0_0
         w.ue(2)  # chroma vertical
         w.se(0)
-        I.cavlc_encode_dc(w, [0] * 16, chroma=False)
+        cavlc.encode_block(
+            w, [0] * 16, cavlc.nc_from_plane(nzc.y, 4 * mx, 4 * my)
+        )
+        nzc.y[4 * my : 4 * my + 4, 4 * mx : 4 * mx + 4] = 0
     nal = H.rbsp_to_nal(0x65, w.rbsp_trailing())
     sps = H.parse_sps(H.make_sps(mbw * 16, mbh * 16))
     y, cb, cr = I.decode_idr_any(nal, sps)
@@ -397,17 +411,25 @@ def test_horizontal_mode_propagates_ipcm_column_exactly():
     w.u(0, 1)
     w.u(0, 1)
     w.se(10)
+    from flow_indexer_spark.operators import h264cavlc as cavlc
+
+    nzc = I.NzcCtx(mbw, mbh)
     for my in range(mbh):
         w.ue(25)  # I_PCM for MB (0, my)
         w.align_zero()
         w.raw_bytes(pcm_y[16 * my : 16 * my + 16].tobytes())
         w.raw_bytes(pcm_cb[8 * my : 8 * my + 8].tobytes())
         w.raw_bytes(pcm_cr[8 * my : 8 * my + 8].tobytes())
-        for _ in range(mbw - 1):
+        nzc.y[4 * my : 4 * my + 4, 0:4] = 16  # 9.2.1: PCM counts as 16
+        for k in range(mbw - 1):
+            mx = k + 1
             w.ue(2)  # Intra_16x16_1_0_0: horizontal
             w.ue(1)  # chroma horizontal
             w.se(0)
-            I.cavlc_encode_dc(w, [0] * 16, chroma=False)
+            cavlc.encode_block(
+                w, [0] * 16, cavlc.nc_from_plane(nzc.y, 4 * mx, 4 * my)
+            )
+            nzc.y[4 * my : 4 * my + 4, 4 * mx : 4 * mx + 4] = 0
     nal = H.rbsp_to_nal(0x65, w.rbsp_trailing())
     sps = H.parse_sps(H.make_sps(mbw * 16, mbh * 16))
     y, cb, cr = I.decode_idr_any(nal, sps)
@@ -451,9 +473,12 @@ def test_remaining_tools_classify_from_parsed_syntax():
         I.decode_idr_any(_mb_header(1), sps)
     with pytest.raises(ValueError, match="Plane without top"):
         I.decode_idr_any(_mb_header(4), sps)
-    with pytest.raises(NotImplementedError, match="luma AC"):
+    # luma AC (cbp_luma 15) and chroma AC (cbp_chroma 2) now DECODE
+    # through the full CAVLC layer; a bare header with no residual
+    # payload is a truncated stream, not a seam
+    with pytest.raises(ValueError, match="truncated"):
         I.decode_idr_any(_mb_header(15), sps)  # cbp_luma 15
-    with pytest.raises(NotImplementedError, match="chroma AC"):
+    with pytest.raises(ValueError, match="truncated"):
         I.decode_idr_any(_mb_header(11), sps)  # cbp_chroma 2
     with pytest.raises(ValueError, match="Chroma_Horizontal without"):
         I.decode_idr_any(_mb_header(3, chroma_mode=1), sps)
@@ -541,14 +566,15 @@ def test_qp_sweep_stays_within_quantizer_envelope():
             I.encode_frame_sample_i16(px, qp=qp), avcc
         )
         err = abs(out[:, :, 0].astype(float).mean() - 123)
-        step = (10, 11, 13, 14, 16, 18)[qp % 6] * (1 << (qp // 6 - 6)) / 64
+        # LevelScale = 16 * normAdjust (flat weightScale)
+        step = 16 * (10, 11, 13, 14, 16, 18)[qp % 6] * (1 << (qp // 6 - 6)) / 64
         assert err <= step / 2 + 1.5, (qp, err)
         prev_err = err
     del prev_err
-    with pytest.raises(ValueError, match="qp 36..51"):
+    with pytest.raises(ValueError, match="qp out of range"):
         I.encode_idr_i16(
             np.zeros((16, 16), np.uint8),
             np.zeros((8, 8), np.uint8),
             np.zeros((8, 8), np.uint8),
-            qp=30,
+            qp=52,
         )
