@@ -4774,6 +4774,58 @@ def _q_ip_block_enrich(spark, sf_dir):
     return lpm_enrich_inrow(keys, _LPM_BLOCKS).orderBy("entity_key")
 
 
+@_register(
+    "dedup_segment_removal",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    seg AS (
+      SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+             array_to_string(t[pos*3+1 : pos*3+3], ' ') AS segment
+      FROM (
+        SELECT doc_id, t,
+               unnest(range(0, CAST(ceil(len(t) / 3.0) AS BIGINT))) AS pos
+        FROM toks WHERE len(t) > 0
+      )
+    ),
+    marked AS (
+      SELECT doc_id, pos, segment,
+             COUNT(*) OVER (PARTITION BY segment) AS freq,
+             ROW_NUMBER() OVER (
+               PARTITION BY segment ORDER BY doc_id, pos
+             ) AS rn
+      FROM seg
+    ),
+    kept AS (SELECT * FROM marked WHERE freq = 1 OR rn = 1),
+    nseg AS (SELECT doc_id, COUNT(*) AS n_segments FROM seg GROUP BY doc_id)
+    SELECT k.doc_id,
+           CAST(n_segments AS INTEGER) AS n_segments,
+           CAST(COUNT(*) AS BIGINT) AS n_segments_kept,
+           string_agg(segment, ' ' ORDER BY pos) AS text_deduped
+    FROM kept k JOIN nseg USING (doc_id)
+    GROUP BY k.doc_id, n_segments
+    ORDER BY k.doc_id
+    """,
+)
+def _q_dedup_segment_removal(spark, sf_dir):
+    """C4-style corpus-level duplicate-segment removal (Raffel et al.
+    2020 §2.2): non-overlapping 3-token segments, keep exactly one
+    occurrence of every corpus-duplicated segment (first (doc, pos)
+    witness), rebuild each document from its survivors in order. The
+    oracle computes the same winner via window functions; the Spark
+    plan is one partial-agg groupBy + one sparse join back — no window
+    over the full corpus (operators/dedup.py duplicate_segment_removal).
+    Reference analogue: the per-document indexer's extract stage
+    (/root/reference/flowindexer/flowindexer.go) mutated into the
+    pre-training cleanup a transcript corpus needs before tokenization."""
+    from flow_indexer_spark.operators.dedup import duplicate_segment_removal
+
+    d = _t(spark, sf_dir, "documents")
+    return duplicate_segment_removal(d, k=3).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return dict(_QUERIES)

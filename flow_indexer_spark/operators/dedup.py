@@ -1000,3 +1000,110 @@ def semdedup(
             "dup_of",
         )
     )
+
+
+def duplicate_segment_removal(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    by_hash: bool = False,
+) -> DataFrame:
+    """C4-style corpus-level duplicate-segment removal (Raffel et al.
+    2020, §2.2: "we discarded all but one of any three-sentence span
+    occurring more than once in the data set"): split every document
+    into consecutive non-overlapping k-token segments, keep exactly ONE
+    occurrence of each segment that repeats anywhere in the corpus (the
+    lexicographically-first (doc, position) — deterministic under
+    replay), and reconstruct each document from its surviving segments
+    in original order. This is the third point on the exactness ladder:
+    exact_dedup (whole doc) < duplicate_segment_removal (fixed spans,
+    REWRITES text) < duplicated_spans (rolling windows, MEASURES
+    coverage, never rewrites).
+
+    Unlike the reference's per-document index (which only ever asks
+    "which docs contain X", store/leveldb.go:147-205), this op mutates
+    the corpus — the standard pre-training cleanup between extraction
+    and tokenization.
+
+    Topology (the 100 TB shape): in-row segmentation (zero shuffle; the
+    token array is bound once per row via inrow.bind — HOF lambda
+    bodies re-evaluate outer expressions per element otherwise), one
+    posexplode, one partial-aggregating groupBy on the segment key for
+    (corpus frequency, first witness), a join back that touches ONLY
+    segments with frequency >= 2 (the duplicated dim is sparse on real
+    corpora; AQE may broadcast it), and one per-doc reassembly
+    aggregate whose state is bounded by document length. Nothing is
+    globally sorted; no driver round-trip.
+
+    ``by_hash=True`` shuffles xxhash64(segment) instead of the segment
+    text (the production setting at 10^12 rows: fixed 8-byte keys, at
+    a ~2^-64 per-pair collision risk); the default keeps the exact
+    string so the DuckDB oracle is byte-for-byte reproducible. Both
+    paths are pinned equal on the fixture in tests/test_dedup.py.
+
+    Returns (id_col, n_segments, n_segments_kept, text_deduped), one
+    row per document that retains at least one segment; documents made
+    entirely of duplicated segments (all lost to earlier witnesses)
+    drop out, exactly as C4 drops emptied pages.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from flow_indexer_spark.functions.inrow import bind
+
+    segs = bind(
+        tokens(text_col),
+        # sequence(0, -1) is DESCENDING in Spark, not empty -- guard the
+        # zero-token row explicitly
+        lambda tok: F.when(
+            F.size(tok) > 0,
+            F.transform(
+                F.sequence(F.lit(0), F.ceil(F.size(tok) / k).cast("int") - 1),
+                lambda i: F.array_join(F.slice(tok, i * k + 1, k), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    occ = fan_out(df).select(
+        F.col(id_col).alias("_id"),
+        F.size(segs).alias("_n_segs"),
+        F.posexplode(segs).alias("_pos", "_seg"),
+    )
+    key = F.xxhash64("_seg") if by_hash else F.col("_seg")
+    occ = occ.withColumn("_key", key)
+    dup_winners = (
+        occ.groupBy("_key")
+        .agg(
+            F.count(F.lit(1)).alias("_freq"),
+            F.min(F.struct("_id", "_pos")).alias("_w"),
+        )
+        .filter(F.col("_freq") > 1)
+        .select(
+            "_key",
+            F.col("_w._id").alias("_w_id"),
+            F.col("_w._pos").alias("_w_pos"),
+        )
+    )
+    kept = occ.join(dup_winners, "_key", "left").filter(
+        F.col("_w_id").isNull()
+        | ((F.col("_id") == F.col("_w_id")) & (F.col("_pos") == F.col("_w_pos")))
+    )
+    return (
+        kept.groupBy("_id")
+        .agg(
+            F.first("_n_segs").alias("n_segments"),
+            F.count(F.lit(1)).alias("n_segments_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_seg"))),
+                    lambda s: s["_seg"],
+                ),
+                " ",
+            ).alias("text_deduped"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_segments",
+            "n_segments_kept",
+            "text_deduped",
+        )
+    )

@@ -645,3 +645,74 @@ def test_minhash_rows_per_band_null_for_empty_docs(spark):
     assert bands[0] == (None, None)
     assert bands[1] == (None, None)
     assert None not in bands[2]
+
+
+# --- duplicate_segment_removal (C4-style corpus line dedup) -------------------
+
+
+def test_segment_removal_keeps_one_witness_and_rebuilds_in_order(spark):
+    from flow_indexer_spark.operators.dedup import duplicate_segment_removal
+
+    rows = [
+        Row(doc_id=1, text="a b c x y z"),      # 2 segments: 'a b c', 'x y z'
+        Row(doc_id=2, text="p q r a b c"),      # 'a b c' repeats -> doc 1 pos 0 wins
+        Row(doc_id=3, text="a b c a b c"),      # both segments lose to doc 1
+        Row(doc_id=4, text="u v"),              # one partial segment
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in duplicate_segment_removal(
+            spark.createDataFrame(rows), k=3
+        ).collect()
+    }
+    assert out[1].text_deduped == "a b c x y z"
+    assert (out[1].n_segments, out[1].n_segments_kept) == (2, 2)
+    assert out[2].text_deduped == "p q r"
+    assert (out[2].n_segments, out[2].n_segments_kept) == (2, 1)
+    assert 3 not in out  # emptied documents drop out, as C4 drops pages
+    assert out[4].text_deduped == "u v"  # trailing partial segment survives
+
+
+def test_segment_removal_within_doc_repetition_counts(spark):
+    """freq counts occurrences, not distinct docs: a segment repeated
+    twice inside ONE document keeps only its first occurrence."""
+    from flow_indexer_spark.operators.dedup import duplicate_segment_removal
+
+    rows = [Row(doc_id=7, text="m n o m n o q r s")]
+    (r,) = duplicate_segment_removal(spark.createDataFrame(rows), k=3).collect()
+    assert r.text_deduped == "m n o q r s"
+    assert (r.n_segments, r.n_segments_kept) == (3, 2)
+
+
+def test_segment_removal_hash_path_identical(spark, docs):
+    from flow_indexer_spark.operators.dedup import duplicate_segment_removal
+
+    a = duplicate_segment_removal(docs, k=3, by_hash=False)
+    b = duplicate_segment_removal(docs, k=3, by_hash=True)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_segment_removal_empty_and_whitespace_docs(spark):
+    from flow_indexer_spark.operators.dedup import duplicate_segment_removal
+
+    rows = [Row(doc_id=1, text=""), Row(doc_id=2, text="   "),
+            Row(doc_id=3, text="solo words here")]
+    out = duplicate_segment_removal(spark.createDataFrame(rows), k=3).collect()
+    assert [r.doc_id for r in out] == [3]
+
+
+def test_segment_removal_k1_is_corpus_word_dedup(spark):
+    from flow_indexer_spark.operators.dedup import duplicate_segment_removal
+
+    rows = [Row(doc_id=1, text="w w v"), Row(doc_id=2, text="v u")]
+    out = {
+        r["doc_id"]: r
+        for r in duplicate_segment_removal(
+            spark.createDataFrame(rows), k=1
+        ).collect()
+    }
+    assert out[1].text_deduped == "w v"  # first w and the winning v
+    assert out[2].text_deduped == "u"
+
+    with pytest.raises(ValueError):
+        duplicate_segment_removal(spark.createDataFrame(rows), k=0)
