@@ -41,9 +41,19 @@ coded residuals are zero, the decoder's reconstruction must equal the
 encoder's motion-compensated prediction EXACTLY — every test gates
 byte equality of the full reconstruction chain, not means.
 
+* **Inter coded residuals (cbp != 0)** — the Table 9-4 inter
+  coded_block_pattern mapping, full-scan 4x4 core-transform luma
+  levels (inter DC rides inside the block, no Hadamard pass), the
+  shared Hadamard-DC + AC chroma path, mb_qp_delta, all through the
+  full CAVLC layer (:mod:`operators.h264cavlc`) with real 9.2.1 nC
+  neighbour contexts. Encoder and decoder reconstruct through ONE
+  shared integer routine (:func:`_recon_inter_mb`), so parity is by
+  construction; a macroblock skips only when its MV matches the
+  P_Skip derivation AND the residual quantizes to nothing (7.4.4).
+
 Still classified from parsed syntax: P_16x8 / P_8x16 / P_8x8
-partitions, inter coded residuals (cbp != 0), multi-reference lists,
-B slices, CABAC (PPS), and everything h264codec already classifies.
+partitions, multi-reference lists, B slices, CABAC (PPS), and
+everything h264codec already classifies.
 
 Reference analogue: the pcap backend decodes every packet format its
 library supports (/root/reference/backend/pcap.go:17-54) — the same
@@ -62,6 +72,8 @@ from flow_indexer_spark.operators.h264codec import (
     rbsp_to_nal,
 )
 from flow_indexer_spark.operators.h264intra import (
+    _C4,
+    _Z4,
     NzcCtx,
     chroma_qp,
     decode_i_mb,
@@ -222,6 +234,121 @@ def skip_mv(mvs, inter, mx, my, mb_w) -> tuple[int, int]:
     return mv_pred_16x16(mvs, inter, mx, my, mb_w)
 
 
+# --- inter coded residuals (spec 7.3.5.3 / 8.5.12, Table 9-4 inter) ----------
+
+#: Table 9-4 codeNum -> coded_block_pattern for Inter prediction modes
+#: (the column beside h264intra's _CBP_INTRA; JM NCBP[1][k][1])
+_CBP_INTER = (
+    0, 16, 1, 2, 4, 8, 32, 3, 5, 10, 12, 15, 47, 7, 11, 13,
+    14, 6, 9, 31, 35, 37, 42, 44, 33, 34, 36, 40, 39, 43, 45, 46,
+    17, 18, 20, 24, 19, 21, 26, 28, 23, 27, 29, 30, 22, 25, 38, 41,
+)
+_CBP_INTER_CODE = {cbp: k for k, cbp in enumerate(_CBP_INTER)}
+assert sorted(_CBP_INTER) == list(range(48)), "Table 9-4 inter: not a permutation"
+
+
+def _quant_inter_luma(cur: np.ndarray, pred: np.ndarray, qp: int):
+    """16x16 luma residual -> (cbp_luma, 16 full-scan level lists in Z
+    block order). Inter blocks carry their DC inside the 4x4 core
+    transform (no Hadamard pass), so each block is quant4 over all 16
+    positions. An 8x8 whose four blocks all quantize to zero clears its
+    cbp bit and codes nothing (7.4.5)."""
+    from flow_indexer_spark.operators.h264intra import fwd4, quant4
+
+    res = cur.astype(np.int64) - pred.astype(np.int64)
+    levels = []
+    for bx, by in _Z4:
+        w = fwd4(res[4 * by : 4 * by + 4, 4 * bx : 4 * bx + 4])
+        levels.append(quant4(w, qp, skip_dc=False))
+    cbp = 0
+    for i8 in range(4):
+        if any(c for z in range(4 * i8, 4 * i8 + 4) for c in levels[z]):
+            cbp |= 1 << i8
+    return cbp, levels
+
+
+def _recon_inter_mb(
+    py: np.ndarray,
+    pcb: np.ndarray,
+    pcr: np.ndarray,
+    cbp: int,
+    luma_levels,
+    cdcs,
+    cacs,
+    qp: int,
+    qpc: int,
+):
+    """Prediction planes + decoded levels -> reconstructed (y, cb, cr)
+    for one macroblock. Shared by encoder and decoder so their integer
+    reconstruction chains agree by construction."""
+    from flow_indexer_spark.operators.h264intra import (
+        luma4_residual,
+        recon_chroma_comp,
+    )
+
+    ry = py.astype(np.int64).copy()
+    for z, (bx, by) in enumerate(_Z4):
+        if not cbp & (1 << (z // 4)):
+            continue
+        if any(luma_levels[z]):
+            ry[4 * by : 4 * by + 4, 4 * bx : 4 * bx + 4] += luma4_residual(
+                luma_levels[z], qp
+            )
+    out_c = []
+    for comp, pc in ((0, pcb), (1, pcr)):
+        if cbp >> 4:
+            cres = recon_chroma_comp(cdcs[comp], cacs[comp], qpc)
+            out_c.append(np.clip(pc.astype(np.int64) + cres, 0, 255))
+        else:
+            out_c.append(pc.astype(np.int64))
+    return (
+        np.clip(ry, 0, 255).astype(np.uint8),
+        out_c[0].astype(np.uint8),
+        out_c[1].astype(np.uint8),
+    )
+
+
+def _emit_inter_residual(w, cbp, luma_levels, cdcs, cacs, mx, my, nzc):
+    """Write one inter MB's residual section (7.3.5.3 order: coded
+    8x8s' LumaLevel4x4 blocks in Z scan, then chroma DC, then chroma
+    AC), updating the nC context planes exactly as decode will."""
+    from flow_indexer_spark.operators import h264cavlc as cavlc
+    from flow_indexer_spark.operators.h264intra import _emit_chroma
+
+    for z, (bx, by) in enumerate(_Z4):
+        gx, gy = 4 * mx + bx, 4 * my + by
+        if cbp & (1 << (z // 4)):
+            cavlc.encode_block(
+                w, luma_levels[z], cavlc.nc_from_plane(nzc.y, gx, gy)
+            )
+            nzc.y[gy, gx] = sum(1 for c in luma_levels[z] if c)
+        else:
+            nzc.y[gy, gx] = 0
+    _emit_chroma(w, cbp >> 4, cdcs, cacs, mx, my, nzc)
+
+
+def _parse_inter_residual(r, cbp, mx, my, nzc):
+    """Read one inter MB's residual section; the exact inverse of
+    :func:`_emit_inter_residual`. Returns (luma_levels, cdcs, cacs)."""
+    from flow_indexer_spark.operators import h264cavlc as cavlc
+    from flow_indexer_spark.operators.h264intra import _decode_chroma_coeffs
+
+    luma_levels = []
+    for z, (bx, by) in enumerate(_Z4):
+        gx, gy = 4 * mx + bx, 4 * my + by
+        if cbp & (1 << (z // 4)):
+            blk = cavlc.decode_block(
+                r, cavlc.nc_from_plane(nzc.y, gx, gy), 16
+            )
+            nzc.y[gy, gx] = sum(1 for c in blk if c)
+        else:
+            blk = [0] * 16
+            nzc.y[gy, gx] = 0
+        luma_levels.append(blk)
+    cdcs, cacs = _decode_chroma_coeffs(r, cbp >> 4, mx, my, nzc)
+    return luma_levels, cdcs, cacs
+
+
 # --- P-slice encoder ---------------------------------------------------------
 
 
@@ -279,14 +406,22 @@ def encode_p_slice(
     intra_mbs: frozenset[tuple[int, int]] = frozenset(),
     log2_max_frame_num: int = 4,
     return_recon: bool = False,
+    code_residual: bool = False,
 ):
     """Macroblock-aligned current planes + previous reconstruction ->
-    one non-IDR P-slice NAL (nal_ref_idc 2, slice_type 5). Every inter
-    macroblock is P_Skip or P_L0_16x16 with coded_block_pattern 0, so
-    the reconstruction IS the motion-compensated prediction — decode
-    must match ``return_recon`` byte-exactly. MBs named in
-    ``intra_mbs`` encode as Intra_16x16 refresh macroblocks
-    (Table 7-13 mb_type offset 5)."""
+    one non-IDR P-slice NAL (nal_ref_idc 2, slice_type 5). With the
+    default ``code_residual=False`` every inter macroblock is P_Skip or
+    P_L0_16x16 with coded_block_pattern 0 (bitstream identical to the
+    round-4 zero-residual encoder), so the reconstruction IS the
+    motion-compensated prediction. ``code_residual=True`` quantizes the
+    true prediction error (full-scan 4x4 core transform luma, Hadamard
+    DC + AC chroma), codes it through CAVLC with the Table 9-4 inter
+    cbp mapping, and reconstructs pred+residual — a macroblock only
+    skips when its MV matches the P_Skip derivation AND the residual
+    quantizes to nothing, as 7.4.4 requires. Either way decode must
+    match ``return_recon`` byte-exactly. MBs named in ``intra_mbs``
+    encode as Intra_16x16 refresh macroblocks (Table 7-13 mb_type
+    offset 5)."""
     ref_y, ref_cb, ref_cr = ref
     mb_h, mb_w = y.shape[0] // 16, y.shape[1] // 16
     if (
@@ -340,11 +475,36 @@ def encode_p_slice(
                 if _sad(cur_y, ps) <= _sad(cur_y, pm):
                     mv = smv
             py, pcb, pcr = mc_predict_mb(ref_y, ref_cb, ref_cr, mx, my, mv)
-            ry[16 * my : 16 * my + 16, 16 * mx : 16 * mx + 16] = py
-            rcb[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8] = pcb
-            rcr[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8] = pcr
-            if mv == smv:
+            cbp, luma_levels, cdcs, cacs = 0, None, None, None
+            if code_residual:
+                from flow_indexer_spark.operators.h264intra import (
+                    _quant_chroma_full,
+                )
+
+                cbp, luma_levels = _quant_inter_luma(cur_y, py, qp)
+                cdcs, cacs = {}, {}
+                for comp, (plane, cpred) in enumerate(((cb, pcb), (cr, pcr))):
+                    src = plane[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8]
+                    cdcs[comp], cacs[comp] = _quant_chroma_full(
+                        src, cpred.astype(np.int64), qpc
+                    )
+                any_ac = any(
+                    c for comp in cacs.values() for blk in comp for c in blk
+                )
+                any_dc = any(c for comp in cdcs.values() for c in comp)
+                if any_ac:
+                    cbp |= 2 << 4
+                elif any_dc:
+                    cbp |= 1 << 4
+                    cacs = {c: [[0] * 15] * 4 for c in cacs}
+                else:
+                    cacs = {c: [[0] * 15] * 4 for c in cacs}
+                    cdcs = {c: [0, 0, 0, 0] for c in cdcs}
+            if mv == smv and cbp == 0:
                 skip_run += 1
+                ry[16 * my : 16 * my + 16, 16 * mx : 16 * mx + 16] = py
+                rcb[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8] = pcb
+                rcr[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8] = pcr
             else:
                 w.ue(skip_run)
                 skip_run = 0
@@ -352,7 +512,22 @@ def encode_p_slice(
                 w.ue(0)  # mb_type: P_L0_16x16
                 w.se(mv[0] - mvp[0])  # mvd_l0 x
                 w.se(mv[1] - mvp[1])  # mvd_l0 y
-                w.ue(0)  # coded_block_pattern: inter codeNum 0 -> cbp 0
+                w.ue(_CBP_INTER_CODE[cbp])  # coded_block_pattern (Table 9-4)
+                if cbp:
+                    w.se(0)  # mb_qp_delta
+                    _emit_inter_residual(
+                        w, cbp, luma_levels, cdcs, cacs, mx, my, nzc
+                    )
+                    yy, ccb, ccr = _recon_inter_mb(
+                        py, pcb, pcr, cbp, luma_levels, cdcs, cacs, qp, qpc
+                    )
+                    ry[16 * my : 16 * my + 16, 16 * mx : 16 * mx + 16] = yy
+                    rcb[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8] = ccb
+                    rcr[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8] = ccr
+                else:
+                    ry[16 * my : 16 * my + 16, 16 * mx : 16 * mx + 16] = py
+                    rcb[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8] = pcb
+                    rcr[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8] = pcr
             mvs[my][mx] = mv
             inter[my][mx] = True
     if skip_run:
@@ -370,10 +545,12 @@ def decode_p_slice(
     ref: tuple[np.ndarray, np.ndarray, np.ndarray],
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Non-IDR P-slice NAL + previous reconstructed planes -> (y, cb,
-    cr). Decodes P_Skip runs, P_L0_16x16 (cbp 0) through real median
-    MV prediction + quarter/eighth-sample interpolation, and intra
-    macroblocks through the h264intra path; narrower tools classify
-    from the syntax element that requires them."""
+    cr). Decodes P_Skip runs, P_L0_16x16 (any coded_block_pattern —
+    CAVLC residuals added to the motion-compensated prediction)
+    through real median MV prediction + quarter/eighth-sample
+    interpolation, and intra macroblocks through the h264intra path;
+    narrower tools classify from the syntax element that requires
+    them."""
     header, rbsp = nal_to_rbsp(nal)
     nal_type = header & 0x1F
     if nal_type == 5:
@@ -456,11 +633,27 @@ def decode_p_slice(
             code = r.ue("coded_block_pattern")
             if code > 47:
                 raise ValueError(f"coded_block_pattern codeNum {code} > 47")
-            if code != 0:
-                raise NotImplementedError(
-                    "inter coded residuals (cbp != 0) not implemented"
+            cbp = _CBP_INTER[code]
+            mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
+            if cbp == 0:
+                _recon_inter(mx, my, mv)
+            else:
+                qp += r.se("mb_qp_delta")
+                if not 0 <= qp <= 51:
+                    raise ValueError(f"mb_qp_delta drove QP to {qp}")
+                qpc = chroma_qp(qp)
+                luma_levels, cdcs, cacs = _parse_inter_residual(
+                    r, cbp, mx, my, nzc
                 )
-            _recon_inter(mx, my, (mvp[0] + mvd[0], mvp[1] + mvd[1]))
+                py, pcb, pcr = mc_predict_mb(ref_y, ref_cb, ref_cr, mx, my, mv)
+                yy, ccb, ccr = _recon_inter_mb(
+                    py, pcb, pcr, cbp, luma_levels, cdcs, cacs, qp, qpc
+                )
+                y[16 * my : 16 * my + 16, 16 * mx : 16 * mx + 16] = yy
+                cb[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8] = ccb
+                cr[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8] = ccr
+                mvs[my][mx] = mv
+                inter[my][mx] = True
         else:
             raise NotImplementedError(
                 f"P-slice partition mb_type {mb_type} "
@@ -480,6 +673,7 @@ def encode_frame_sample_p(
     qp: int = 12,
     search_range: int = 8,
     intra_mbs: frozenset[tuple[int, int]] = frozenset(),
+    code_residual: bool = False,
 ) -> tuple[bytes, tuple[np.ndarray, np.ndarray, np.ndarray]]:
     """RGB frame + previous reconstruction -> (length-prefixed P-slice
     MP4 sample, this frame's reconstruction for the next P)."""
@@ -488,7 +682,7 @@ def encode_frame_sample_p(
     y, cb, cr = frame_to_planes(px)
     nal, recon = encode_p_slice(
         y, cb, cr, ref, frame_num, qp=qp, search_range=search_range,
-        intra_mbs=intra_mbs, return_recon=True,
+        intra_mbs=intra_mbs, return_recon=True, code_residual=code_residual,
     )
     return len(nal).to_bytes(4, "big") + nal, recon
 

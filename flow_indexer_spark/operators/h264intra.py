@@ -822,19 +822,29 @@ def encode_i16_mb(
         return
     if residual != "dc":
         raise ValueError(f"unknown residual mode {residual!r}")
-    if nzc is not None:
-        nzc.y[4 * my : 4 * my + 4, 4 * mx : 4 * mx + 4] = 0
-        nzc.cb[2 * my : 2 * my + 2, 2 * mx : 2 * mx + 2] = 0
-        nzc.cr[2 * my : 2 * my + 2, 2 * mx : 2 * mx + 2] = 0
+    from flow_indexer_spark.operators import h264cavlc as cavlc
+
+    if nzc is None:
+        nzc = NzcCtx.for_planes(y)
     w.ue(mb_type_base + 1 + lmode + 4)  # mb_type: Intra_16x16_{lmode}_1_0
     w.ue(cmode)  # intra_chroma_pred_mode
     w.se(0)  # mb_qp_delta
-    # luma: mode prediction + single-coefficient DC residual
+    # luma: mode prediction + single-coefficient DC residual. The
+    # Intra16x16DCLevel coeff_token table comes from the LIVE 9.2.1
+    # neighbour context — inside a residual-coding P slice the
+    # neighbours can be coded inter blocks with nC >= 2 (bit-identical
+    # to the legacy fixed-table path whenever the neighbourhood is
+    # uncoded, i.e. every all-DC picture).
     pred = pred16(lmode, ry, mx, my)
     tgt = float((src_y.astype(np.float64) - pred).mean())
     lvl = _best_level_luma(int(round(tgt)), qp)
     coeffs = [lvl] + [0] * 15
-    cavlc_encode_dc(w, coeffs, chroma=False)
+    cavlc.encode_block(
+        w, coeffs, cavlc.nc_from_plane(nzc.y, 4 * mx, 4 * my)
+    )
+    nzc.y[4 * my : 4 * my + 4, 4 * mx : 4 * mx + 4] = 0
+    nzc.cb[2 * my : 2 * my + 2, 2 * mx : 2 * mx + 2] = 0
+    nzc.cr[2 * my : 2 * my + 2, 2 * mx : 2 * mx + 2] = 0
     res = _luma_dc_residual(coeffs, qp)
     blk = np.repeat(np.repeat(res, 4, 0), 4, 1)
     ry[16 * my : 16 * my + 16, 16 * mx : 16 * mx + 16] = np.clip(

@@ -185,6 +185,7 @@ def encode_mp4_h264_gop(
     gop: int = 4,
     search_range: int = 8,
     idr: str = "ipcm",
+    code_residual: bool = False,
 ) -> bytes:
     """Write frames as a real IDR+P H.264 GOP: every ``gop``-th frame
     is an IDR (``idr='ipcm'`` lossless, or ``'i16'`` intra-predicted,
@@ -192,7 +193,9 @@ def encode_mp4_h264_gop(
     P_L0_16x16 motion-compensated against the previous RECONSTRUCTION
     (h264inter.py) — so encoder and decoder drift never diverges. The
     stss box marks the IDR samples; frame sampling seeks to the nearest
-    sync and rolls forward."""
+    sync and rolls forward. ``code_residual=True`` additionally
+    quantizes and CAVLC-codes each P macroblock's prediction error
+    (cbp != 0 streams, Table 9-4 inter)."""
     from flow_indexer_spark.operators import h264codec as h264
     from flow_indexer_spark.operators.h264inter import encode_frame_sample_p
     from flow_indexer_spark.operators.h264intra import encode_idr_i16
@@ -220,7 +223,8 @@ def encode_mp4_h264_gop(
             sync.append(k)
         else:
             sample, recon = encode_frame_sample_p(
-                f, recon, frame_num=k % gop, qp=qp, search_range=search_range
+                f, recon, frame_num=k % gop, qp=qp,
+                search_range=search_range, code_residual=code_residual,
             )
             samples.append(sample)
     avcc = _box(
@@ -742,6 +746,34 @@ def make_h264_gop_bytes(i: int, qp: int = 12, gop: int = 4) -> bytes:
     )
 
 
+def make_h264_res_bytes(i: int, qp: int = 10, gop: int = 4) -> bytes:
+    """The residual-coding GOP family: G/B translate (+2, +1) px per
+    frame inside each GOP exactly like make_h264_gop_bytes, but R
+    changes EVERY frame ((7i + 11t) mod 256) — a luminance step no
+    motion vector can represent, carried only by coded prediction
+    error. A decoder that parsed cbp but dropped the residual would
+    hold R at the GOP's IDR value (up to 33 grey levels stale), far
+    outside the oracle gate; the real cbp != 0 path tracks it within
+    quantization error."""
+    n, w, h = video_params(i)
+    frames = []
+    for t in range(n):
+        dt = t % gop
+        px = np.empty((h, w, 3), dtype=np.uint8)
+        px[:, :, 0] = (7 * i + 11 * t) % 256
+        px[:, :, 1] = (np.arange(w, dtype=np.uint16) + 2 * dt).astype(
+            np.uint8
+        )[None, :]
+        px[:, :, 2] = (np.arange(h, dtype=np.uint16) + dt).astype(np.uint8)[
+            :, None
+        ]
+        frames.append(px)
+    return encode_mp4_h264_gop(
+        frames, fps=VIDEO_FPS, qp=qp, gop=gop, search_range=4,
+        code_residual=True,
+    )
+
+
 def _media_gen(spark, n: int, prefix: str, make_bytes) -> DataFrame:
     schema = StructType(
         [
@@ -791,6 +823,11 @@ def make_h264_gop_media(spark, n: int = 24) -> DataFrame:
 def make_h264_i4_media(spark, n: int = 24) -> DataFrame:
     """Executor-side synthesis of I_4x4 spatially-predicted payloads."""
     return _media_gen(spark, n, "v", make_h264_i4_bytes)
+
+
+def make_h264_res_media(spark, n: int = 24) -> DataFrame:
+    """Executor-side synthesis of residual-coded (cbp != 0) GOP payloads."""
+    return _media_gen(spark, n, "v", make_h264_res_bytes)
 
 
 # --- the Spark stage --------------------------------------------------------
