@@ -4207,6 +4207,80 @@ def _q_media_h264_gop(spark, sf_dir):
 
 
 @_register(
+    "media_h264_b",
+    """
+    WITH v AS (SELECT CAST(range AS INTEGER) AS i FROM range(24)),
+    p AS (
+      SELECT i, printf('v%05d', i) AS media_id,
+             6 + (i % 3) * 3 AS n_frames,
+             16 + (i % 5) * 8 AS w, 12 + (i % 3) * 8 AS h
+      FROM v
+    ),
+    f AS (
+      SELECT p.*, CAST(r.range AS INTEGER) AS frame_idx
+      FROM p, range(12) r
+      WHERE r.range < p.n_frames AND r.range % 2 = 0
+    )
+    SELECT media_id, 'avc1' AS codec,
+           CAST(n_frames AS INTEGER) AS n_frames,
+           CAST(n_frames * 100 AS BIGINT) AS duration_ms,
+           frame_idx, CAST(frame_idx * 100 AS BIGINT) AS t_ms,
+           CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           TRUE AS mean_r_ok, TRUE AS mean_g_ok, TRUE AS mean_b_ok
+    FROM f
+    ORDER BY media_id, frame_idx
+    """,
+)
+def _q_media_h264_b(spark, sf_dir):
+    """The BI-predicted, REORDERED span of the H.264 seam (round-4,
+    after media_h264_residual): IBBP B-frame GOP streams whose
+    non-reference B slices bi-predict between the past and future
+    anchor pictures (spec 8.4.2.3 default-weighted averaging, per-list
+    8.4.1.3 median MV prediction, poc_type-0 POC syntax) and whose MP4
+    samples sit in DECODE order with a ctts box carrying the
+    composition-time reorder (ISO 14496-12 8.6.1.3) — frame sampling
+    walks presentation order, decodes each GOP's reference chain once,
+    and skips non-target B samples without entropy-decoding them
+    (operators/h264inter.py encode/decode_b_slice, mp4codec.py
+    _gop_frames). The fixture's R channel steps 11 grey levels per
+    DISPLAY frame, carried by CAVLC inter residuals: a reader that
+    ignored ctts would show the anchor P's R at B positions (>= 11
+    levels off), and one that dropped bi-prediction could not bracket
+    the step (B_Bi wins SAD selection on genuinely bracketed content)
+    — the +-2 mean_r gate passes only on presentation-ordered
+    bi-predictive decode (measured envelope r 0.60, g 0.40, b 0.67
+    across the 24-fixture family). Reference analogue: the pcap
+    backend decodes every packet format its library supports
+    (backend/pcap.go:17-54)."""
+    from flow_indexer_spark.operators.mp4codec import (
+        make_h264_b_media,
+        video_frame_features,
+    )
+
+    d = video_frame_features(make_h264_b_media(spark, 24), every_n=2)
+    i = F.substring("media_id", 2, 5).cast("int")
+    dt = F.col("frame_idx") % 6
+    red = ((F.lit(7) * i + F.lit(11) * F.col("frame_idx")) % 256).cast(
+        "double"
+    )
+    mean_g_theory = (F.col("width") - 1) / 2.0 + dt
+    mean_b_theory = (F.col("height") - 1) / 2.0 + dt
+    return d.select(
+        "media_id",
+        "codec",
+        "n_frames",
+        "duration_ms",
+        "frame_idx",
+        "t_ms",
+        "width",
+        "height",
+        (F.abs(F.col("mean_r") - red) < 2.0).alias("mean_r_ok"),
+        (F.abs(F.col("mean_g") - mean_g_theory) < 1.5).alias("mean_g_ok"),
+        (F.abs(F.col("mean_b") - mean_b_theory) < 1.5).alias("mean_b_ok"),
+    ).orderBy("media_id", "frame_idx")
+
+
+@_register(
     "media_h264_i4",
     """
     WITH v AS (SELECT CAST(range AS INTEGER) AS i FROM range(24)),

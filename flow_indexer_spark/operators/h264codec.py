@@ -188,13 +188,28 @@ def nal_to_rbsp(nal: bytes) -> tuple[int, bytes]:
 # --- SPS / PPS --------------------------------------------------------------
 
 
-def make_sps(width: int, height: int, ref_frames: int = 0) -> bytes:
+def make_sps(
+    width: int,
+    height: int,
+    ref_frames: int = 0,
+    poc_type: int = 2,
+    log2_max_poc_lsb: int = 6,
+) -> bytes:
     """Baseline SPS NAL for frame_mbs_only 4:2:0 video of the given
     display dimensions (even-valued; cropping expresses non-multiples
     of 16 — crop units are 2 luma px in 4:2:0). ``ref_frames`` sets
-    max_num_ref_frames (1 for IDR+P GOP streams, h264inter.py)."""
+    max_num_ref_frames (1 for IDR+P GOP streams, 2 for B-frame GOPs,
+    h264inter.py). ``poc_type`` 2 (decode order == output order) for
+    I/P-only streams; 0 (explicit pic_order_cnt_lsb per slice, width
+    ``log2_max_poc_lsb`` bits) when B frames reorder output — type 2
+    PROHIBITS reordering (spec 8.2.1.3 constraint), so the B-GOP
+    encoder must use 0."""
     if width % 2 or height % 2 or width <= 0 or height <= 0:
         raise ValueError("dimensions must be positive and even")
+    if poc_type not in (0, 2):
+        raise ValueError("only pic_order_cnt_type 0 and 2 are writable")
+    if not 4 <= log2_max_poc_lsb <= 16:
+        raise ValueError("log2_max_poc_lsb out of the spec range [4, 16]")
     mb_w = (width + 15) // 16
     mb_h = (height + 15) // 16
     crop_r = (mb_w * 16 - width) // 2
@@ -205,7 +220,9 @@ def make_sps(width: int, height: int, ref_frames: int = 0) -> bytes:
     w.u(30, 8)  # level_idc 3.0
     w.ue(0)  # seq_parameter_set_id
     w.ue(0)  # log2_max_frame_num_minus4 -> frame_num is u(4)
-    w.ue(2)  # pic_order_cnt_type: 2 (no POC syntax)
+    w.ue(poc_type)  # pic_order_cnt_type (2: no POC syntax)
+    if poc_type == 0:
+        w.ue(log2_max_poc_lsb - 4)
     w.ue(ref_frames)  # max_num_ref_frames
     w.u(0, 1)  # gaps_in_frame_num_value_allowed_flag
     w.ue(mb_w - 1)  # pic_width_in_mbs_minus1
@@ -237,8 +254,13 @@ def parse_sps(nal: bytes) -> dict:
         raise NotImplementedError("high-profile SPS chroma syntax")
     log2_max_frame_num = r.ue("log2_max_frame_num_minus4") + 4
     poc_type = r.ue("pic_order_cnt_type")
-    if poc_type != 2:
-        raise NotImplementedError("pic_order_cnt_type 0/1 syntax")
+    log2_max_poc_lsb = None
+    if poc_type == 0:
+        log2_max_poc_lsb = r.ue("log2_max_pic_order_cnt_lsb_minus4") + 4
+        if log2_max_poc_lsb > 16:
+            raise ValueError("log2_max_pic_order_cnt_lsb > 16")
+    elif poc_type != 2:
+        raise NotImplementedError("pic_order_cnt_type 1 syntax")
     r.ue("max_num_ref_frames")
     r.u(1, "gaps_in_frame_num_value_allowed_flag")
     mb_w = r.ue("pic_width_in_mbs_minus1") + 1
@@ -263,6 +285,8 @@ def parse_sps(nal: bytes) -> dict:
         "height": height,
         "crop": crop,
         "log2_max_frame_num": log2_max_frame_num,
+        "poc_type": poc_type,
+        "log2_max_poc_lsb": log2_max_poc_lsb,
     }
 
 
@@ -307,10 +331,17 @@ _I_PCM = 25  # mb_type for I_PCM in I slices (table 7-11)
 
 
 def encode_idr_ipcm(
-    y: np.ndarray, cb: np.ndarray, cr: np.ndarray, idr_pic_id: int = 0
+    y: np.ndarray,
+    cb: np.ndarray,
+    cr: np.ndarray,
+    idr_pic_id: int = 0,
+    poc: tuple[int, int] | None = None,
 ) -> bytes:
     """Padded planes (luma (16a,16b), chroma (8a,8b) uint8) -> one IDR
-    slice NAL whose every macroblock is I_PCM."""
+    slice NAL whose every macroblock is I_PCM. ``poc`` = (lsb_value,
+    n_bits) writes the pic_order_cnt_lsb field for a
+    pic_order_cnt_type-0 SPS (B-frame GOPs); None matches the type-2
+    SPS (no POC syntax)."""
     mb_h, mb_w = y.shape[0] // 16, y.shape[1] // 16
     if y.shape != (mb_h * 16, mb_w * 16) or cb.shape != (mb_h * 8, mb_w * 8):
         raise ValueError("planes must be macroblock-aligned (16 luma / 8 chroma)")
@@ -320,6 +351,8 @@ def encode_idr_ipcm(
     w.ue(0)  # pic_parameter_set_id
     w.u(0, 4)  # frame_num (log2_max_frame_num == 4)
     w.ue(idr_pic_id % 65536)
+    if poc is not None:
+        w.u(poc[0] % (1 << poc[1]), poc[1])  # pic_order_cnt_lsb
     w.u(0, 1)  # no_output_of_prior_pics_flag
     w.u(0, 1)  # long_term_reference_flag
     w.se(0)  # slice_qp_delta
@@ -355,6 +388,8 @@ def decode_idr_ipcm(nal: bytes, sps: dict) -> tuple[np.ndarray, np.ndarray, np.n
     r.ue("pic_parameter_set_id")
     r.u(sps["log2_max_frame_num"], "frame_num")
     r.ue("idr_pic_id")
+    if sps.get("poc_type", 2) == 0:
+        r.u(sps["log2_max_poc_lsb"], "pic_order_cnt_lsb")
     r.u(1, "no_output_of_prior_pics_flag")
     r.u(1, "long_term_reference_flag")
     r.se("slice_qp_delta")

@@ -407,6 +407,7 @@ def encode_p_slice(
     log2_max_frame_num: int = 4,
     return_recon: bool = False,
     code_residual: bool = False,
+    poc: tuple[int, int] | None = None,
 ):
     """Macroblock-aligned current planes + previous reconstruction ->
     one non-IDR P-slice NAL (nal_ref_idc 2, slice_type 5). With the
@@ -441,6 +442,8 @@ def encode_p_slice(
     w.ue(5)  # slice_type: P (all slices in picture)
     w.ue(0)  # pic_parameter_set_id
     w.u(frame_num % (1 << log2_max_frame_num), log2_max_frame_num)
+    if poc is not None:
+        w.u(poc[0] % (1 << poc[1]), poc[1])  # pic_order_cnt_lsb (poc_type 0)
     w.u(0, 1)  # num_ref_idx_active_override_flag
     w.u(0, 1)  # ref_pic_list_modification_flag_l0
     w.u(0, 1)  # adaptive_ref_pic_marking_mode_flag (nal_ref_idc != 0)
@@ -563,11 +566,16 @@ def decode_p_slice(
         raise NotImplementedError("multi-slice pictures")
     slice_type = r.ue("slice_type")
     if slice_type % 5 == 1:
-        raise NotImplementedError("B slice: bi-prediction not implemented")
+        raise ValueError(
+            "B slice handed to the P-slice decoder (decode_b_slice / "
+            "GopDecoder route it)"
+        )
     if slice_type % 5 != 0:
         raise ValueError(f"slice_type {slice_type} invalid in a non-IDR NAL")
     r.ue("pic_parameter_set_id")
     r.u(sps["log2_max_frame_num"], "frame_num")
+    if sps.get("poc_type", 2) == 0:
+        r.u(sps["log2_max_poc_lsb"], "pic_order_cnt_lsb")
     if r.u(1, "num_ref_idx_active_override_flag"):
         raise NotImplementedError("multi-reference lists")
     if r.u(1, "ref_pic_list_modification_flag_l0"):
@@ -663,6 +671,293 @@ def decode_p_slice(
     return y, cb, cr
 
 
+# --- B slices: bi-prediction (spec 8.4.2.3, Table 7-14) -----------------------
+
+
+def _bi_avg(p0: np.ndarray, p1: np.ndarray) -> np.ndarray:
+    """Default-weighted bi-prediction (weighted_bipred_idc 0, spec
+    8.4.2.3.2 with logWD 5 / w0 = w1 = 32 / o = 0): the rounded
+    average."""
+    return ((p0.astype(np.int64) + p1.astype(np.int64) + 1) >> 1).astype(
+        np.uint8
+    )
+
+
+def _predict_b_mb(refs, mx, my, mode, mv0, mv1):
+    """Prediction planes for one B macroblock: mode 1 = B_L0_16x16,
+    2 = B_L1_16x16, 3 = B_Bi_16x16."""
+    ref0, ref1 = refs
+    if mode == 1:
+        return mc_predict_mb(*ref0, mx, my, mv0)
+    if mode == 2:
+        return mc_predict_mb(*ref1, mx, my, mv1)
+    p0 = mc_predict_mb(*ref0, mx, my, mv0)
+    p1 = mc_predict_mb(*ref1, mx, my, mv1)
+    return tuple(_bi_avg(a, b) for a, b in zip(p0, p1))
+
+
+def encode_b_slice(
+    y: np.ndarray,
+    cb: np.ndarray,
+    cr: np.ndarray,
+    ref0: tuple[np.ndarray, np.ndarray, np.ndarray],
+    ref1: tuple[np.ndarray, np.ndarray, np.ndarray],
+    frame_num: int,
+    poc: tuple[int, int],
+    qp: int = 12,
+    search_range: int = 8,
+    quarter: bool = True,
+    code_residual: bool = False,
+    intra_mbs: frozenset[tuple[int, int]] = frozenset(),
+    log2_max_frame_num: int = 4,
+    return_recon: bool = False,
+):
+    """Current planes + BOTH reference reconstructions (ref0 = the
+    past picture in display order, list 0; ref1 = the future, list 1)
+    -> one non-reference B-slice NAL (nal_ref_idc 0, slice_type 6).
+    Every inter macroblock is B_L0_16x16 / B_L1_16x16 / B_Bi_16x16
+    (Table 7-14 types 1-3), mode-selected by SAD with the bi average
+    preferred on ties; ``code_residual`` adds the same Table-9-4 /
+    CAVLC residual layer as the P encoder. B_Skip and B_Direct (the
+    8.4.1.2 derivation) are never emitted — the decoder classifies
+    them. A poc_type-0 SPS is REQUIRED (``poc`` = (lsb, bits)):
+    reordered output under poc_type 2 is non-conformant."""
+    mb_h, mb_w = y.shape[0] // 16, y.shape[1] // 16
+    if (
+        y.shape != (mb_h * 16, mb_w * 16)
+        or cb.shape != (mb_h * 8, mb_w * 8)
+        or cr.shape != cb.shape
+        or ref0[0].shape != y.shape
+        or ref1[0].shape != y.shape
+    ):
+        raise ValueError("planes must be macroblock-aligned and match refs")
+    if not 0 <= qp <= 51:
+        raise ValueError("qp out of range")
+    qpc = chroma_qp(qp)
+    w = _BitWriter()
+    w.ue(0)  # first_mb_in_slice
+    w.ue(6)  # slice_type: B (all slices in picture)
+    w.ue(0)  # pic_parameter_set_id
+    w.u(frame_num % (1 << log2_max_frame_num), log2_max_frame_num)
+    w.u(poc[0] % (1 << poc[1]), poc[1])  # pic_order_cnt_lsb
+    w.u(1, 1)  # direct_spatial_mv_pred_flag (no direct MBs are coded)
+    w.u(0, 1)  # num_ref_idx_active_override_flag
+    w.u(0, 1)  # ref_pic_list_modification_flag_l0
+    w.u(0, 1)  # ref_pic_list_modification_flag_l1
+    # nal_ref_idc == 0: no dec_ref_pic_marking
+    w.se(qp - 26)  # slice_qp_delta
+    ry = np.zeros_like(y)
+    rcb = np.zeros_like(cb)
+    rcr = np.zeros_like(cr)
+    # per-list MV grids for the 8.4.1.3 median (a neighbour not using
+    # a list contributes (0, 0, refIdx -1) to that list's median)
+    grids = {
+        0: ([[(0, 0)] * mb_w for _ in range(mb_h)],
+            [[False] * mb_w for _ in range(mb_h)]),
+        1: ([[(0, 0)] * mb_w for _ in range(mb_h)],
+            [[False] * mb_w for _ in range(mb_h)]),
+    }
+    nzc = NzcCtx(mb_w, mb_h)
+    refs = (ref0, ref1)
+    for my in range(mb_h):
+        for mx in range(mb_w):
+            if (mx, my) in intra_mbs:
+                w.ue(0)  # mb_skip_run
+                encode_i16_mb(
+                    w, y, cb, cr, ry, rcb, rcr, mx, my, qp, qpc,
+                    mb_type_base=23, nzc=nzc,
+                )
+                continue
+            cur_y = y[16 * my : 16 * my + 16, 16 * mx : 16 * mx + 16]
+            mv0 = _search_mv(cur_y, ref0[0], mx, my, search_range, quarter)
+            mv1 = _search_mv(cur_y, ref1[0], mx, my, search_range, quarter)
+            p0 = mc_luma(ref0[0], 64 * mx + mv0[0], 64 * my + mv0[1], 16, 16)
+            p1 = mc_luma(ref1[0], 64 * mx + mv1[0], 64 * my + mv1[1], 16, 16)
+            cand = (
+                (_sad(cur_y, _bi_avg(p0, p1)), 3),
+                (_sad(cur_y, p0), 1),
+                (_sad(cur_y, p1), 2),
+            )
+            mode = min(cand)[1]
+            pred = _predict_b_mb(refs, mx, my, mode, mv0, mv1)
+            cbp, luma_levels, cdcs, cacs = 0, None, None, None
+            if code_residual:
+                from flow_indexer_spark.operators.h264intra import (
+                    _quant_chroma_full,
+                )
+
+                cbp, luma_levels = _quant_inter_luma(cur_y, pred[0], qp)
+                cdcs, cacs = {}, {}
+                for comp, (plane, cpred) in enumerate(
+                    ((cb, pred[1]), (cr, pred[2]))
+                ):
+                    src = plane[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8]
+                    cdcs[comp], cacs[comp] = _quant_chroma_full(
+                        src, cpred.astype(np.int64), qpc
+                    )
+                any_ac = any(
+                    c for d in cacs.values() for blk in d for c in blk
+                )
+                any_dc = any(c for d in cdcs.values() for c in d)
+                if any_ac:
+                    cbp |= 2 << 4
+                elif any_dc:
+                    cbp |= 1 << 4
+                    cacs = {c: [[0] * 15] * 4 for c in cacs}
+                else:
+                    cacs = {c: [[0] * 15] * 4 for c in cacs}
+                    cdcs = {c: [0, 0, 0, 0] for c in cdcs}
+            w.ue(0)  # mb_skip_run (B_Skip needs direct: never emitted)
+            w.ue(mode)  # mb_type: 1 B_L0 / 2 B_L1 / 3 B_Bi
+            for lx, mv in ((0, mv0), (1, mv1)):
+                if mode == 3 or mode == 1 + lx:
+                    mvp = mv_pred_16x16(*grids[lx], mx, my, mb_w)
+                    w.se(mv[0] - mvp[0])
+                    w.se(mv[1] - mvp[1])
+            w.ue(_CBP_INTER_CODE[cbp])
+            if cbp:
+                w.se(0)  # mb_qp_delta
+                _emit_inter_residual(
+                    w, cbp, luma_levels, cdcs, cacs, mx, my, nzc
+                )
+                rec = _recon_inter_mb(
+                    *pred, cbp, luma_levels, cdcs, cacs, qp, qpc
+                )
+            else:
+                rec = pred
+            ry[16 * my : 16 * my + 16, 16 * mx : 16 * mx + 16] = rec[0]
+            rcb[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8] = rec[1]
+            rcr[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8] = rec[2]
+            for lx, mv in ((0, mv0), (1, mv1)):
+                if mode == 3 or mode == 1 + lx:
+                    grids[lx][0][my][mx] = mv
+                    grids[lx][1][my][mx] = True
+    nal = rbsp_to_nal(0x01, w.rbsp_trailing())  # nal_ref_idc 0, type 1
+    return (nal, (ry, rcb, rcr)) if return_recon else nal
+
+
+def decode_b_slice(
+    nal: bytes,
+    sps: dict,
+    ref0: tuple[np.ndarray, np.ndarray, np.ndarray],
+    ref1: tuple[np.ndarray, np.ndarray, np.ndarray],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Non-reference B-slice NAL + both reference reconstructions ->
+    (y, cb, cr): B_L0/B_L1/B_Bi_16x16 through per-list median MV
+    prediction, quarter/eighth-sample interpolation, default-weighted
+    bi averaging, and the full inter residual layer; intra refresh MBs
+    via Table 7-14's +23 offset. B_Skip, B_Direct, partitions and
+    weighted prediction classify from the syntax element that requires
+    them."""
+    header, rbsp = nal_to_rbsp(nal)
+    if header & 0x1F != 1:
+        raise ValueError(f"not a non-IDR coded-slice NAL (type {header & 0x1F})")
+    r = _BitReader(rbsp)
+    if r.ue("first_mb_in_slice") != 0:
+        raise NotImplementedError("multi-slice pictures")
+    slice_type = r.ue("slice_type")
+    if slice_type % 5 != 1:
+        raise ValueError(f"slice_type {slice_type} handed to the B decoder")
+    r.ue("pic_parameter_set_id")
+    r.u(sps["log2_max_frame_num"], "frame_num")
+    if sps.get("poc_type", 2) == 0:
+        r.u(sps["log2_max_poc_lsb"], "pic_order_cnt_lsb")
+    r.u(1, "direct_spatial_mv_pred_flag")
+    if r.u(1, "num_ref_idx_active_override_flag"):
+        raise NotImplementedError("multi-reference lists")
+    if r.u(1, "ref_pic_list_modification_flag_l0"):
+        raise NotImplementedError("reference picture list modification")
+    if r.u(1, "ref_pic_list_modification_flag_l1"):
+        raise NotImplementedError("reference picture list modification")
+    if header >> 5:  # nal_ref_idc != 0: reference B (marking present)
+        if r.u(1, "adaptive_ref_pic_marking_mode_flag"):
+            raise NotImplementedError("adaptive reference picture marking")
+    qp = 26 + r.se("slice_qp_delta")
+    if not 0 <= qp <= 51:
+        raise ValueError(f"slice QP {qp} out of range")
+    mb_w, mb_h = sps["mb_width"], sps["mb_height"]
+    if ref0[0].shape != (mb_h * 16, mb_w * 16) or ref1[0].shape != ref0[0].shape:
+        raise ValueError("reference planes do not match the SPS geometry")
+    if mb_w * mb_h > max(len(rbsp) * 16, 1 << 26):
+        raise ValueError(
+            f"SPS claims {mb_w}x{mb_h} macroblocks but the slice has "
+            f"only {len(rbsp)} RBSP bytes: corrupt stream"
+        )
+    y = np.zeros((mb_h * 16, mb_w * 16), dtype=np.uint8)
+    cb = np.zeros((mb_h * 8, mb_w * 8), dtype=np.uint8)
+    cr = np.zeros_like(cb)
+    grids = {
+        0: ([[(0, 0)] * mb_w for _ in range(mb_h)],
+            [[False] * mb_w for _ in range(mb_h)]),
+        1: ([[(0, 0)] * mb_w for _ in range(mb_h)],
+            [[False] * mb_w for _ in range(mb_h)]),
+    }
+    modes = np.full((4 * mb_h, 4 * mb_w), -1, dtype=np.int8)
+    nzc = NzcCtx(mb_w, mb_h)
+    refs = (ref0, ref1)
+    n_mbs = mb_w * mb_h
+    for addr in range(n_mbs):
+        if not r.more_data():
+            raise ValueError("slice data ends before the picture is full")
+        if r.ue("mb_skip_run") != 0:
+            raise NotImplementedError(
+                "B_Skip: spatial/temporal direct derivation (8.4.1.2)"
+            )
+        mx, my = addr % mb_w, addr // mb_w
+        mb_type = r.ue("mb_type")
+        if mb_type == 0:
+            raise NotImplementedError(
+                "B_Direct_16x16: direct derivation (8.4.1.2)"
+            )
+        if mb_type >= 23:
+            if mb_type > 48:
+                raise ValueError(f"invalid B-slice mb_type {mb_type}")
+            qp = decode_i_mb(
+                r, mb_type - 23, qp, y, cb, cr, mx, my, modes, nzc
+            )
+            continue
+        if mb_type > 3:
+            raise NotImplementedError(
+                f"B-slice partition mb_type {mb_type}: sub-macroblock "
+                "bi-prediction not implemented"
+            )
+        mvs = {}
+        for lx in (0, 1):
+            if mb_type == 3 or mb_type == 1 + lx:
+                mvp = mv_pred_16x16(*grids[lx], mx, my, mb_w)
+                mvd = (r.se("mvd x"), r.se("mvd y"))
+                mvs[lx] = (mvp[0] + mvd[0], mvp[1] + mvd[1])
+        code = r.ue("coded_block_pattern")
+        if code > 47:
+            raise ValueError(f"coded_block_pattern codeNum {code} > 47")
+        cbp = _CBP_INTER[code]
+        pred = _predict_b_mb(
+            refs, mx, my, mb_type, mvs.get(0, (0, 0)), mvs.get(1, (0, 0))
+        )
+        if cbp:
+            qp += r.se("mb_qp_delta")
+            if not 0 <= qp <= 51:
+                raise ValueError(f"mb_qp_delta drove QP to {qp}")
+            luma_levels, cdcs, cacs = _parse_inter_residual(
+                r, cbp, mx, my, nzc
+            )
+            rec = _recon_inter_mb(
+                *pred, cbp, luma_levels, cdcs, cacs, qp, chroma_qp(qp)
+            )
+        else:
+            for z, (bx, by) in enumerate(_Z4):
+                nzc.y[4 * my + by, 4 * mx + bx] = 0
+            rec = pred
+        y[16 * my : 16 * my + 16, 16 * mx : 16 * mx + 16] = rec[0]
+        cb[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8] = rec[1]
+        cr[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8] = rec[2]
+        for lx in (0, 1):
+            if lx in mvs:
+                grids[lx][0][my][mx] = mvs[lx]
+                grids[lx][1][my][mx] = True
+    return y, cb, cr
+
+
 # --- GOP / MP4-sample layer ---------------------------------------------------
 
 
@@ -674,6 +969,7 @@ def encode_frame_sample_p(
     search_range: int = 8,
     intra_mbs: frozenset[tuple[int, int]] = frozenset(),
     code_residual: bool = False,
+    poc: tuple[int, int] | None = None,
 ) -> tuple[bytes, tuple[np.ndarray, np.ndarray, np.ndarray]]:
     """RGB frame + previous reconstruction -> (length-prefixed P-slice
     MP4 sample, this frame's reconstruction for the next P)."""
@@ -683,14 +979,45 @@ def encode_frame_sample_p(
     nal, recon = encode_p_slice(
         y, cb, cr, ref, frame_num, qp=qp, search_range=search_range,
         intra_mbs=intra_mbs, return_recon=True, code_residual=code_residual,
+        poc=poc,
     )
     return len(nal).to_bytes(4, "big") + nal, recon
 
 
+def encode_frame_sample_b(
+    px: np.ndarray,
+    ref0: tuple[np.ndarray, np.ndarray, np.ndarray],
+    ref1: tuple[np.ndarray, np.ndarray, np.ndarray],
+    frame_num: int,
+    poc: tuple[int, int],
+    qp: int = 12,
+    search_range: int = 8,
+    code_residual: bool = False,
+) -> bytes:
+    """RGB frame + both anchor reconstructions (past, future) -> one
+    length-prefixed non-reference B-slice MP4 sample. No recon is
+    returned: nal_ref_idc 0 pictures never enter the reference
+    window, so nothing downstream predicts from them."""
+    from flow_indexer_spark.operators.h264codec import frame_to_planes
+
+    y, cb, cr = frame_to_planes(px)
+    nal = encode_b_slice(
+        y, cb, cr, ref0, ref1, frame_num, poc, qp=qp,
+        search_range=search_range, code_residual=code_residual,
+    )
+    return len(nal).to_bytes(4, "big") + nal
+
+
 class GopDecoder:
-    """Stateful sample decoder for an IDR+P avc1 track: IDR samples
-    reset the reference, P samples motion-compensate against the last
-    reconstruction. ``decode(sample)`` -> RGB pixels (cropped)."""
+    """Stateful sample decoder for an avc1 GOP track: IDR samples reset
+    the reference state, P samples motion-compensate against the most
+    recent reference picture, B samples bi-predict between the two most
+    recent reference pictures (decode order = [past, future] for the
+    closed B-GOPs this repo writes — the default 8.2.4.2 list
+    construction with exactly two stored pictures). Reference
+    management follows nal_ref_idc: only marked pictures (idc != 0)
+    enter the 2-deep sliding window; non-reference B samples never do.
+    ``decode(sample)`` -> RGB pixels (cropped)."""
 
     def __init__(self, avcc: bytes) -> None:
         from flow_indexer_spark.operators.h264codec import (
@@ -699,7 +1026,19 @@ class GopDecoder:
         )
 
         self.sps = parse_sps(parse_avcc(avcc)[0])
-        self._recon: tuple | None = None
+        self._refs: list[tuple] = []
+
+    @staticmethod
+    def _slice_type(nal: bytes) -> int:
+        from flow_indexer_spark.operators.h264codec import (
+            _BitReader,
+            nal_to_rbsp,
+        )
+
+        _, rbsp = nal_to_rbsp(nal)
+        r = _BitReader(rbsp)
+        r.ue("first_mb_in_slice")
+        return r.ue("slice_type") % 5
 
     def decode(self, sample: bytes) -> np.ndarray:
         from flow_indexer_spark.operators.h264codec import planes_to_frame
@@ -716,16 +1055,27 @@ class GopDecoder:
             nal_type = nal[0] & 0x1F if nal else 0
             if nal_type == 5:
                 planes = decode_idr_any(nal, self.sps)
+                self._refs = [planes]
             elif nal_type == 1:
-                if self._recon is None:
+                if not self._refs:
                     raise ValueError(
-                        "P slice before any IDR: no reference picture"
+                        "predicted slice before any IDR: no reference"
                     )
-                planes = decode_p_slice(nal, self.sps, self._recon)
+                if self._slice_type(nal) == 1:  # B
+                    if len(self._refs) < 2:
+                        raise ValueError(
+                            "B slice with fewer than two reference pictures"
+                        )
+                    planes = decode_b_slice(
+                        nal, self.sps, self._refs[-2], self._refs[-1]
+                    )
+                else:
+                    planes = decode_p_slice(nal, self.sps, self._refs[-1])
+                if nal[0] >> 5:  # nal_ref_idc != 0: mark as reference
+                    self._refs = (self._refs + [planes])[-2:]
             # SEI / parameter-set NALs are skipped
         if planes is None:
             raise ValueError("sample contains no coded-slice NAL")
-        self._recon = planes
         return planes_to_frame(
             *planes, self.sps["width"], self.sps["height"]
         )

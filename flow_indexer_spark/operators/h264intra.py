@@ -631,9 +631,11 @@ def encode_idr_i16(
     chroma_modes: tuple[str, ...] = ("dc", "h", "v", "plane"),
     return_recon: bool = False,
     residual: str = "dc",
+    poc: tuple[int, int] | None = None,
 ) -> bytes | tuple[bytes, tuple[np.ndarray, np.ndarray, np.ndarray]]:
     """Padded planes -> one IDR slice NAL of I_16x16 intra-predicted
-    macroblocks.
+    macroblocks. ``poc`` = (lsb, n_bits) writes pic_order_cnt_lsb for
+    a pic_order_cnt_type-0 SPS (B-frame GOPs); None matches type 2.
 
     ``residual="dc"`` (the round-4 code): CAVLC-coded DC residuals only
     (mb_type 5..8 = Intra_16x16_{0..3}_1_0) — each MB picks the luma
@@ -667,6 +669,8 @@ def encode_idr_i16(
     w.ue(0)  # pic_parameter_set_id
     w.u(0, 4)  # frame_num
     w.ue(idr_pic_id % 65536)
+    if poc is not None:
+        w.u(poc[0] % (1 << poc[1]), poc[1])  # pic_order_cnt_lsb
     w.u(0, 1)  # no_output_of_prior_pics_flag
     w.u(0, 1)  # long_term_reference_flag
     w.se(qp - 26)  # slice_qp_delta (pic_init_qp is 26)
@@ -897,6 +901,8 @@ def decode_idr_any(
     r.ue("pic_parameter_set_id")
     r.u(sps["log2_max_frame_num"], "frame_num")
     r.ue("idr_pic_id")
+    if sps.get("poc_type", 2) == 0:
+        r.u(sps["log2_max_poc_lsb"], "pic_order_cnt_lsb")
     r.u(1, "no_output_of_prior_pics_flag")
     r.u(1, "long_term_reference_flag")
     qp = 26 + r.se("slice_qp_delta")

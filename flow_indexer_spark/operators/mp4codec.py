@@ -241,6 +241,114 @@ def encode_mp4_h264_gop(
     )
 
 
+def encode_mp4_h264_bgop(
+    frames: list[np.ndarray],
+    fps: int = VIDEO_FPS,
+    qp: int = 12,
+    gop: int = 6,
+    b_frames: int = 2,
+    search_range: int = 8,
+    idr: str = "ipcm",
+    code_residual: bool = False,
+) -> bytes:
+    """Write frames as a B-frame H.264 GOP (IBBP...): within each
+    closed ``gop``-frame GOP, anchor pictures sit every ``b_frames``+1
+    display positions (the first is an IDR, the rest P slices
+    referencing the previous anchor) and the frames between two
+    anchors are non-reference B slices bi-predicting from BOTH
+    (h264inter.encode_b_slice). Samples are written in DECODE order
+    (anchor before the Bs it closes) with a ctts box carrying the
+    composition-time mapping (offsets: 1 for the IDR, the anchor gap
+    for each P, 0 for Bs — the one-frame-delay convention) and a
+    poc_type-0 SPS (pic_order_cnt_lsb = 2 x display offset; type 2
+    prohibits reordering). The stss box marks the IDRs; frame
+    sampling decodes each GOP's reference chain once and skips
+    non-target Bs entirely (_gop_frames)."""
+    from flow_indexer_spark.operators import h264codec as h264
+    from flow_indexer_spark.operators.h264inter import (
+        encode_frame_sample_b,
+        encode_frame_sample_p,
+    )
+    from flow_indexer_spark.operators.h264intra import encode_idr_i16
+
+    poc_bits = 6
+    if not 1 <= gop <= (1 << poc_bits) // 2:
+        raise ValueError("gop must be in [1, 32]: POC lsb is 6 bits")
+    if b_frames < 1:
+        raise ValueError(
+            "b_frames must be >= 1 (encode_mp4_h264_gop writes P-only GOPs)"
+        )
+    if idr not in ("ipcm", "i16"):
+        raise ValueError("idr must be 'ipcm' or 'i16'")
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape[:2]
+    if any(f.shape != frames[0].shape for f in frames):
+        raise ValueError("all frames must share one geometry")
+    n = len(frames)
+    samples: list[bytes] = []
+    ct_offsets: list[int] = []
+    sync: list[int] = []
+    for g0 in range(0, n, gop):
+        length = min(gop, n - g0)
+        anchors = [0]
+        while anchors[-1] < length - 1:
+            anchors.append(min(anchors[-1] + b_frames + 1, length - 1))
+        recon: dict[int, tuple] = {}
+        y, cb, cr = h264.frame_to_planes(frames[g0])
+        if idr == "ipcm":
+            nal = h264.encode_idr_ipcm(
+                y, cb, cr, idr_pic_id=g0 % 65536, poc=(0, poc_bits)
+            )
+            recon[0] = (y, cb, cr)  # I_PCM is lossless in YCbCr
+        else:
+            nal, recon[0] = encode_idr_i16(
+                y, cb, cr, qp=qp, idr_pic_id=g0 % 65536,
+                return_recon=True, poc=(0, poc_bits),
+            )
+        sync.append(len(samples))
+        samples.append(len(nal).to_bytes(4, "big") + nal)
+        ct_offsets.append(1)
+        for m in range(1, len(anchors)):
+            ap, ac = anchors[m - 1], anchors[m]
+            sample, recon[ac] = encode_frame_sample_p(
+                frames[g0 + ac], recon[ap], frame_num=m % 16, qp=qp,
+                search_range=search_range, code_residual=code_residual,
+                poc=(2 * ac, poc_bits),
+            )
+            samples.append(sample)
+            ct_offsets.append(ac - ap)
+            for d in range(ap + 1, ac):
+                samples.append(
+                    encode_frame_sample_b(
+                        frames[g0 + d], recon[ap], recon[ac],
+                        frame_num=(m + 1) % 16, poc=(2 * d, poc_bits),
+                        qp=qp, search_range=search_range,
+                        code_residual=code_residual,
+                    )
+                )
+                ct_offsets.append(0)
+            del recon[ap]  # 2-deep reference window: the past anchor retires
+    avcc = _box(
+        b"avcC",
+        h264.make_avcc(
+            h264.make_sps(
+                w, h, ref_frames=2, poc_type=0, log2_max_poc_lsb=poc_bits
+            ),
+            h264.make_pps(),
+        ),
+    )
+    return _encode_mp4(
+        samples,
+        w,
+        h,
+        fps,
+        _visual_entry(b"avc1", w, h, b"h264 bgop", avcc),
+        sync_samples=sync,
+        ct_offsets=ct_offsets,
+    )
+
+
 def _encode_mp4(
     samples: list[bytes],
     w: int,
@@ -248,12 +356,20 @@ def _encode_mp4(
     fps: int,
     entry: bytes,
     sync_samples: list[int] | None = None,
+    ct_offsets: list[int] | None = None,
 ) -> bytes:
     """``sync_samples``: 0-based indices of random-access samples; when
     given, an stss box is written (its absence means every sample is a
-    sync sample, spec 8.6.2 — correct for the all-IDR/MJPEG tracks)."""
+    sync sample, spec 8.6.2 — correct for the all-IDR/MJPEG tracks).
+    ``ct_offsets``: per-sample composition-time offsets (decode-order,
+    media timescale units, non-negative) -> a version-0 ctts box; B
+    frames make composition order differ from decode order and this is
+    the box that encodes the mapping (spec 8.6.1.3)."""
     sizes = [len(s) for s in samples]
     n = len(samples)
+    if ct_offsets is not None:
+        if len(ct_offsets) != n or any(o < 0 for o in ct_offsets):
+            raise ValueError("ct_offsets must be one non-negative int per sample")
 
     ftyp = _box(b"ftyp", b"isom", struct.pack(">I", 512), b"isom", b"mp41")
     mdat = _box(b"mdat", *samples)
@@ -276,6 +392,17 @@ def _encode_mp4(
             stsc_entries.append((ci, cnt, 1))
 
     duration_movie = n * 1000 // fps  # mvhd/tkhd use timescale 1000
+
+    def _runs(vals: list[int]) -> list[tuple[int, int]]:
+        out: list[tuple[int, int]] = []
+        for v in vals:
+            if out and out[-1][1] == v:
+                out[-1] = (out[-1][0] + 1, v)
+            else:
+                out.append((1, v))
+        return out
+
+    ctts_runs = _runs(ct_offsets) if ct_offsets is not None else None
 
     stbl = _box(
         b"stbl",
@@ -316,6 +443,22 @@ def _encode_mp4(
                 )
             ]
             if sync_samples is not None
+            else []
+        ),
+        *(
+            [
+                _full(
+                    b"ctts",
+                    0,
+                    0,
+                    struct.pack(">I", len(ctts_runs)),
+                    *(
+                        struct.pack(">II", cnt, off)
+                        for cnt, off in ctts_runs
+                    ),
+                )
+            ]
+            if ctts_runs is not None
             else []
         ),
     )
@@ -566,6 +709,45 @@ def parse_mp4(payload: bytes) -> dict:
     if len(starts) != n_samples:
         raise ValueError("stts covers fewer samples than stsz declares")
 
+    # ctts (optional): composition-time offsets; absent means
+    # composition order == decode order. Version 0 (unsigned) only.
+    ct_offsets = None
+    try:
+        s, e = _child(buf, *stbl, b"ctts")
+    except ValueError:
+        pass
+    else:
+        if buf[s] != 0:
+            raise NotImplementedError("ctts version 1 (signed offsets)")
+        p = _full_body(buf, s)
+        _need(p + 4 <= e, "ctts too short")
+        (n_runs,) = struct.unpack_from(">I", buf, p)
+        _need(p + 4 + 8 * n_runs <= e, "ctts overruns its box")
+        ct_offsets = []
+        for k in range(n_runs):
+            cnt, off = struct.unpack_from(">II", buf, p + 4 + 8 * k)
+            if cnt > n_samples - len(ct_offsets):
+                raise ValueError("ctts covers more samples than stsz declares")
+            ct_offsets.extend([off] * cnt)
+        if len(ct_offsets) != n_samples:
+            raise ValueError("ctts covers fewer samples than stsz declares")
+
+    # presentation order: samples sorted by composition time (stable);
+    # identity when no ctts. Composition times must be a permutation of
+    # decode times for a constant-rate track — reject overlap/holes so
+    # downstream frame indexing stays dense.
+    if ct_offsets is not None:
+        cts = [starts[k] + ct_offsets[k] for k in range(n_samples)]
+        presentation = sorted(range(n_samples), key=lambda k: (cts[k], k))
+        norm = sorted(c - min(cts) for c in cts)
+        if norm != sorted(starts):
+            raise ValueError(
+                "ctts composition times are not a shifted permutation of "
+                "the decode timeline"
+            )
+    else:
+        presentation = list(range(n_samples))
+
     return {
         "codec": codec,
         "width": int(width),
@@ -578,23 +760,27 @@ def parse_mp4(payload: bytes) -> dict:
         "starts": starts,
         "avcc": avcc,
         "sync": sync,
+        "ct_offsets": ct_offsets,
+        "presentation": presentation,
     }
 
 
 def mp4_frames(
     payload: bytes, every_n: int = 1
 ) -> Iterator[tuple[int, int, np.ndarray]]:
-    """Yield (frame_idx, t_ms, pixels) for every Nth sample. Only the
-    sampled samples' byte ranges are entropy-decoded — the skip is
-    real, not decode-then-drop (for IDR+P GOP tracks the skip unit is
-    the sync-to-target run, the container-minimal byte set for a
-    predicted frame). Decodable codecs: ``jpeg`` (Motion JPEG) and
-    ``avc1`` over the implemented H.264 subset — I_PCM / Intra_16x16
-    IDR slices and P_Skip / P_L0_16x16 P slices (operators/h264codec
-    + h264intra + h264inter; the classifier parses the real NAL/slice
-    syntax, so luma AC residuals, I_4x4, P partitions, inter
-    residuals, B slices and CABAC raise NotImplementedError from the
-    bitstream itself, not the fourcc)."""
+    """Yield (frame_idx, t_ms, pixels) for every Nth frame in
+    PRESENTATION order (ctts composition times; decode order when
+    there is no ctts). Only the needed samples' byte ranges are
+    entropy-decoded — the skip is real, not decode-then-drop (for GOP
+    tracks the unit is the sync-to-target reference chain, with
+    non-target B samples skipped outright). Decodable codecs: ``jpeg``
+    (Motion JPEG) and ``avc1`` over the implemented H.264 subset —
+    I_PCM / Intra_16x16 / I_4x4 IDR slices, P_Skip / P_L0_16x16 P
+    slices, and B_L0/B_L1/B_Bi_16x16 B slices, all with or without
+    CAVLC residuals (operators/h264codec + h264intra + h264inter; the
+    classifier parses the real NAL/slice syntax, so P/B partitions,
+    B_Direct, weighted prediction and CABAC raise NotImplementedError
+    from the bitstream itself, not the fourcc)."""
     from flow_indexer_spark.operators.jpegcodec import _jpeg_pixels
 
     info = parse_mp4(payload)
@@ -628,26 +814,75 @@ def mp4_frames(
         yield k, t_ms, decode(buf[off : off + size])
 
 
+def _sample_is_ref(sample: bytes) -> bool:
+    """True when the sample's first coded-slice NAL has nal_ref_idc
+    != 0 — i.e. decoding it changes reference state. Non-reference
+    samples (the B frames this repo writes) can be SKIPPED outright
+    when they are not themselves sampling targets."""
+    pos = 0
+    while pos + 4 <= len(sample):
+        ln = int.from_bytes(sample[pos : pos + 4], "big")
+        pos += 4
+        if ln == 0 or pos + ln > len(sample):
+            break
+        hdr = sample[pos]
+        if hdr & 0x1F in (1, 5):
+            return (hdr >> 5) != 0
+        pos += ln
+    return True  # unparseable: decode it rather than corrupt state
+
+
 def _gop_frames(
     buf: bytes, info: dict, every_n: int
 ) -> Iterator[tuple[int, int, np.ndarray]]:
+    """Sampled GOP decode in PRESENTATION order: target j is the j-th
+    frame by composition time (ctts; decode order when there is no
+    ctts box). Samples are fed to the decoder strictly in DECODE
+    order, one sync-to-sync span at a time — within a span every
+    REFERENCE sample from the sync forward decodes (it shapes later
+    predictions), while non-reference (B) samples that are not
+    themselves targets are skipped without entropy decoding. Targets
+    land in a per-span stash (bounded by the GOP length — the same
+    bound a real player's reorder buffer has) and are emitted in
+    presentation order."""
+    import bisect
+    from itertools import groupby
+
     from flow_indexer_spark.operators.h264inter import GopDecoder
 
     sync = info["sync"]
     if not sync or sync[0] != 0:
         raise ValueError("GOP track whose first sample is not a sync sample")
+    n, pres = info["n_frames"], info["presentation"]
+    starts, ct = info["starts"], info["ct_offsets"]
+    if ct is not None:
+        cts0 = min(starts[k] + ct[k] for k in range(n))
     dec = GopDecoder(info["avcc"])
-    pos = 0  # next sample the decoder state can consume
-    for k in range(0, info["n_frames"], every_n):
-        # restart at the latest sync <= k when that skips decode work
-        s = max(x for x in sync if x <= k)
-        start = max(pos, s) if pos <= k else s
-        for i in range(start, k + 1):
+    targets = [(j, pres[j]) for j in range(0, n, every_n)]
+    # closed GOPs: composition never straddles a sync span, so the
+    # targets of one span are contiguous in presentation order
+    for _, group in groupby(
+        targets, key=lambda t: bisect.bisect_right(sync, t[1]) - 1
+    ):
+        group = list(group)
+        need = {k for _, k in group}
+        first = sync[bisect.bisect_right(sync, min(need)) - 1]
+        stash: dict[int, np.ndarray] = {}
+        for i in range(first, max(need) + 1):
             off, size = info["offsets"][i], info["sizes"][i]
-            px = dec.decode(buf[off : off + size])
-        pos = k + 1
-        t_ms = round(1000 * info["starts"][k] / info["timescale"])
-        yield k, t_ms, px
+            sample = buf[off : off + size]
+            if i in need:
+                stash[i] = dec.decode(sample)
+            elif _sample_is_ref(sample):
+                dec.decode(sample)
+        for j, k in group:
+            if ct is None:
+                t_ms = round(1000 * starts[k] / info["timescale"])
+            else:
+                t_ms = round(
+                    1000 * (starts[k] + ct[k] - cts0) / info["timescale"]
+                )
+            yield j, t_ms, stash[k]
 
 
 # --- deterministic fixtures -------------------------------------------------
@@ -774,6 +1009,42 @@ def make_h264_res_bytes(i: int, qp: int = 10, gop: int = 4) -> bytes:
     )
 
 
+def make_h264_b_bytes(
+    i: int, qp: int = 10, gop: int = 6, b_frames: int = 2
+) -> bytes:
+    """The B-frame (IBBP + ctts) fixture family. Display position t
+    carries R = (7i + 11t) mod 256 — a luminance step EVERY frame —
+    while G/B translate (+1, +1) px per frame inside the GOP. Samples
+    are stored in DECODE order with the ctts box carrying the
+    reorder, so the R channel is the discriminator: a reader that
+    ignored composition times would show the anchor P's R at display
+    position 1 (22 grey levels off) and a reader that dropped the B
+    residual would hold R at an anchor's value (>= 11 levels off),
+    both far outside the +-2 oracle gate, while the real
+    presentation-ordered bi-predictive decode stays within
+    quantization error. Bi-prediction is picked for a real reason
+    here: a B midway between anchors has L0/L1 DC errors of 11/22 but
+    a bi-average error under 6, so SAD mode selection lands B_Bi on
+    genuinely bracketed content."""
+    n, w, h = video_params(i)
+    frames = []
+    for t in range(n):
+        dt = t % gop
+        px = np.empty((h, w, 3), dtype=np.uint8)
+        px[:, :, 0] = (7 * i + 11 * t) % 256
+        px[:, :, 1] = (np.arange(w, dtype=np.uint16) + dt).astype(np.uint8)[
+            None, :
+        ]
+        px[:, :, 2] = (np.arange(h, dtype=np.uint16) + dt).astype(np.uint8)[
+            :, None
+        ]
+        frames.append(px)
+    return encode_mp4_h264_bgop(
+        frames, fps=VIDEO_FPS, qp=qp, gop=gop, b_frames=b_frames,
+        search_range=8, code_residual=True,
+    )
+
+
 def _media_gen(spark, n: int, prefix: str, make_bytes) -> DataFrame:
     schema = StructType(
         [
@@ -828,6 +1099,11 @@ def make_h264_i4_media(spark, n: int = 24) -> DataFrame:
 def make_h264_res_media(spark, n: int = 24) -> DataFrame:
     """Executor-side synthesis of residual-coded (cbp != 0) GOP payloads."""
     return _media_gen(spark, n, "v", make_h264_res_bytes)
+
+
+def make_h264_b_media(spark, n: int = 24) -> DataFrame:
+    """Executor-side synthesis of B-frame (IBBP + ctts) GOP payloads."""
+    return _media_gen(spark, n, "v", make_h264_b_bytes)
 
 
 # --- the Spark stage --------------------------------------------------------
