@@ -4969,6 +4969,164 @@ def _q_dedup_segment_removal(spark, sf_dir):
     return duplicate_segment_removal(d, k=3).orderBy("doc_id")
 
 
+def synth_trajectories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory fixture: each user's event stream chunked into
+    8-turn context-window blocks (conv_id = user-block; the tail block
+    is shorter, giving real length variance) with a 3-letter action
+    alphabet (browse / commit / error). At sf0.01 this yields 1319
+    trajectories, 215 exact-duplicate paths, 125 truncated-prefix
+    stubs, 723 fork points — the redundancy shapes the trajectory
+    operators exist to find."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    blk = F.floor((F.row_number().over(w) - 1) / 8).cast("int")
+    act = (
+        F.when(F.col("event_type").isin("view", "click"), "browse")
+        .when(F.col("event_type").isin("purchase", "signup"), "commit")
+        .otherwise("error")
+    )
+    return _t(spark, sf_dir, "events").select(
+        F.concat(
+            F.col("user_id").cast("string"), F.lit("-"), blk.cast("string")
+        ).alias("conv_id"),
+        F.col("event_id").alias("turn_idx"),
+        act.alias("role"),
+    )
+
+
+_TRAJ_SQL = """
+    SELECT CAST(user_id AS VARCHAR) || '-' ||
+           CAST(CAST((ROW_NUMBER() OVER (PARTITION BY user_id
+                                         ORDER BY event_id) - 1) // 8
+                AS INTEGER) AS VARCHAR) AS conv_id,
+           event_id AS turn_idx,
+           CASE WHEN event_type IN ('view', 'click') THEN 'browse'
+                WHEN event_type IN ('purchase', 'signup') THEN 'commit'
+                ELSE 'error' END AS role
+    FROM events
+"""
+
+_TRAJ_PATHS_SQL = f"""
+    t AS ({_TRAJ_SQL}),
+    p AS (
+      SELECT conv_id, COUNT(*) AS path_len,
+             sha256(string_agg(role, chr(31) ORDER BY turn_idx)) AS path_hash
+      FROM t GROUP BY conv_id
+    )
+"""
+
+
+@_register(
+    "trajectory_dedup",
+    f"""
+    WITH {_TRAJ_PATHS_SQL}
+    SELECT path_hash, MIN(path_len) AS path_len,
+           COUNT(*) AS n_conversations,
+           MIN(conv_id) AS witness_conv_id
+    FROM p GROUP BY path_hash ORDER BY path_hash
+    """,
+)
+def _q_trajectory_dedup(spark, sf_dir):
+    """Identical-trajectory dedup: one row per DISTINCT action
+    sequence with its multiplicity and a deterministic keep-one
+    witness (min conv_id) — agent-trajectory corpora repeat whole
+    action paths (retries, crawler replays) and sampling them as
+    distinct examples overweights common behaviors. Path identity is
+    a sha256 over the unit-separator-joined per-turn contents
+    (boundary-forgery-safe), assembled with ONE exchange on conv_id
+    and deduplicated with one partial-agg exchange on the fixed-width
+    hash (operators/trajectories.py). Reference analogue: the
+    already-indexed anti-join (cmd/index.go:40-57) generalized from
+    file identity to behavioral identity."""
+    from flow_indexer_spark.operators.trajectories import trajectory_dedup
+
+    return trajectory_dedup(synth_trajectories(spark, sf_dir)).orderBy(
+        "path_hash"
+    )
+
+
+@_register(
+    "trajectory_prefix_subsumed",
+    f"""
+    WITH {_TRAJ_PATHS_SQL},
+    pre AS (
+      SELECT conv_id, ROW_NUMBER() OVER w AS depth,
+             sha256(string_agg(role, chr(31)) OVER (
+               PARTITION BY conv_id ORDER BY turn_idx
+               ROWS UNBOUNDED PRECEDING)) AS prefix_hash,
+             COUNT(*) OVER (PARTITION BY conv_id) AS owner_len
+      FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+    ),
+    pm AS (SELECT depth, prefix_hash, MAX(owner_len) AS max_owner_len
+           FROM pre GROUP BY depth, prefix_hash)
+    SELECT p.conv_id, p.path_len, p.path_hash,
+           pm.max_owner_len AS subsumed_by_len
+    FROM p JOIN pm ON p.path_len = pm.depth AND p.path_hash = pm.prefix_hash
+    WHERE pm.max_owner_len > p.path_len
+    ORDER BY conv_id
+    """,
+)
+def _q_trajectory_prefix_subsumed(spark, sf_dir):
+    """Truncated-duplicate trajectories: conversations whose COMPLETE
+    action path is a proper prefix of a longer conversation's (cut-off
+    exports / retry stubs of a fuller episode — redundancy exact dedup
+    cannot see because the texts differ in length). The per-turn
+    prefix table rides the same window pass that assembles paths (the
+    owner length is a frame-free count over the partition, no extra
+    join) and only fixed-width hashes cross the (depth, prefix_hash)
+    shuffle; equal-length duplicates are excluded by construction —
+    they belong to trajectory_dedup (operators/trajectories.py
+    prefix_subsumption)."""
+    from flow_indexer_spark.operators.trajectories import prefix_subsumption
+
+    d = prefix_subsumption(synth_trajectories(spark, sf_dir))
+    return (
+        d.where("subsumed")
+        .select("conv_id", "path_len", "path_hash", "subsumed_by_len")
+        .orderBy("conv_id")
+    )
+
+
+@_register(
+    "trajectory_path_forks",
+    f"""
+    WITH t AS ({_TRAJ_SQL}),
+    pre AS (
+      SELECT conv_id, ROW_NUMBER() OVER w AS depth,
+             sha256(string_agg(role, chr(31)) OVER (
+               PARTITION BY conv_id ORDER BY turn_idx
+               ROWS UNBOUNDED PRECEDING)) AS prefix_hash,
+             lead(role) OVER w AS next_content
+      FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+    )
+    SELECT CAST(depth AS INTEGER) AS depth, prefix_hash,
+           COUNT(*) AS n_conversations,
+           COUNT(DISTINCT next_content) AS n_branches,
+           CAST(SUM(CASE WHEN next_content IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_terminal
+    FROM pre GROUP BY depth, prefix_hash
+    HAVING COUNT(DISTINCT next_content) >= 2
+    ORDER BY depth, prefix_hash
+    """,
+)
+def _q_trajectory_path_forks(spark, sf_dir):
+    """Prefix-tree fork mining: every shared action prefix where
+    trajectories DIVERGE (>= 2 distinct continuations), with
+    pass-through weight and how many episodes end exactly there —
+    the decision points a trajectory-mix curator reweights so the
+    corpus doesn't collapse onto majority branches. One window pass
+    (prefixes hashed to fixed width before any shuffle) + one
+    partial-agg exchange on (depth, prefix_hash), worst-case
+    cardinality one row per TURN (operators/trajectories.py
+    path_forks)."""
+    from flow_indexer_spark.operators.trajectories import path_forks
+
+    return path_forks(synth_trajectories(spark, sf_dir)).orderBy(
+        "depth", "prefix_hash"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return dict(_QUERIES)
