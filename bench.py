@@ -363,6 +363,11 @@ def _bench_queries(spark, sf_dir: str) -> dict:
         "media_h264_frames",
         "media_h264_intra",
         "heavy_hitter_users",
+        "media_h264_residual",
+        "media_h264_b",
+        "dedup_segment_removal",
+        "trajectory_dedup",
+        "trajectory_path_forks",
     ]
     qs = entry_mod.queries()
     out = {}

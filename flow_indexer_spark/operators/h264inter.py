@@ -970,6 +970,7 @@ def encode_frame_sample_p(
     intra_mbs: frozenset[tuple[int, int]] = frozenset(),
     code_residual: bool = False,
     poc: tuple[int, int] | None = None,
+    quarter: bool = True,
 ) -> tuple[bytes, tuple[np.ndarray, np.ndarray, np.ndarray]]:
     """RGB frame + previous reconstruction -> (length-prefixed P-slice
     MP4 sample, this frame's reconstruction for the next P)."""
@@ -979,7 +980,7 @@ def encode_frame_sample_p(
     nal, recon = encode_p_slice(
         y, cb, cr, ref, frame_num, qp=qp, search_range=search_range,
         intra_mbs=intra_mbs, return_recon=True, code_residual=code_residual,
-        poc=poc,
+        poc=poc, quarter=quarter,
     )
     return len(nal).to_bytes(4, "big") + nal, recon
 
@@ -993,6 +994,7 @@ def encode_frame_sample_b(
     qp: int = 12,
     search_range: int = 8,
     code_residual: bool = False,
+    quarter: bool = True,
 ) -> bytes:
     """RGB frame + both anchor reconstructions (past, future) -> one
     length-prefixed non-reference B-slice MP4 sample. No recon is
@@ -1004,6 +1006,7 @@ def encode_frame_sample_b(
     nal = encode_b_slice(
         y, cb, cr, ref0, ref1, frame_num, poc, qp=qp,
         search_range=search_range, code_residual=code_residual,
+        quarter=quarter,
     )
     return len(nal).to_bytes(4, "big") + nal
 

@@ -250,6 +250,7 @@ def encode_mp4_h264_bgop(
     search_range: int = 8,
     idr: str = "ipcm",
     code_residual: bool = False,
+    quarter: bool = True,
 ) -> bytes:
     """Write frames as a B-frame H.264 GOP (IBBP...): within each
     closed ``gop``-frame GOP, anchor pictures sit every ``b_frames``+1
@@ -314,7 +315,7 @@ def encode_mp4_h264_bgop(
             sample, recon[ac] = encode_frame_sample_p(
                 frames[g0 + ac], recon[ap], frame_num=m % 16, qp=qp,
                 search_range=search_range, code_residual=code_residual,
-                poc=(2 * ac, poc_bits),
+                poc=(2 * ac, poc_bits), quarter=quarter,
             )
             samples.append(sample)
             ct_offsets.append(ac - ap)
@@ -324,7 +325,7 @@ def encode_mp4_h264_bgop(
                         frames[g0 + d], recon[ap], recon[ac],
                         frame_num=(m + 1) % 16, poc=(2 * d, poc_bits),
                         qp=qp, search_range=search_range,
-                        code_residual=code_residual,
+                        code_residual=code_residual, quarter=quarter,
                     )
                 )
                 ct_offsets.append(0)
@@ -1039,9 +1040,11 @@ def make_h264_b_bytes(
             :, None
         ]
         frames.append(px)
+    # integer fixture motion: full-pel search (quarter-pel refinement
+    # would triple the synthesis cost and, by construction, never win)
     return encode_mp4_h264_bgop(
         frames, fps=VIDEO_FPS, qp=qp, gop=gop, b_frames=b_frames,
-        search_range=8, code_residual=True,
+        search_range=4, code_residual=True, quarter=False,
     )
 
 
