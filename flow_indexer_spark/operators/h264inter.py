@@ -234,6 +234,52 @@ def skip_mv(mvs, inter, mx, my, mb_w) -> tuple[int, int]:
     return mv_pred_16x16(mvs, inter, mx, my, mb_w)
 
 
+def spatial_direct(grids, mx, my, mb_w, col_motion):
+    """Spatial direct-mode motion for a whole 16x16 B macroblock (spec
+    8.4.1.2.2 with one picture per list): ({0: mvL0, 1: mvL1},
+    {0: predFlagL0, 1: predFlagL1}).
+
+    refIdxLX = the minimum non-negative A/B/C neighbour refIdx per
+    list (0 or -1 here); when BOTH lists draw -1 the macroblock
+    bi-predicts from picture 0 of each list with zero MVs
+    (directZeroPredictionFlag). Otherwise each predicted list takes
+    the 8.4.1.3 median — zeroed by colZeroFlag: the co-located
+    macroblock of RefPicList1[0] is inter with |mv| <= 1 quarter
+    sample per component (stationary co-located content anchors the
+    direct prediction). ``col_motion`` is that picture's (mvs, inter)
+    grid pair; None means it has no inter motion anywhere (an
+    all-intra/IDR anchor) — colZeroFlag 0, exactly the spec's
+    intra-co-located case."""
+    refs = {}
+    for lx in (0, 1):
+        a, b, c = _neighbor(grids[lx][0], grids[lx][1], mx, my, mb_w)
+        refs[lx] = min((n[2] for n in (a, b, c) if n[2] >= 0), default=-1)
+    if refs[0] < 0 and refs[1] < 0:
+        return {0: (0, 0), 1: (0, 0)}, {0: True, 1: True}
+    col_zero = False
+    if col_motion is not None:
+        col_mvs, col_inter = col_motion
+        if col_inter[my][mx]:
+            cmv = col_mvs[my][mx]
+            col_zero = abs(cmv[0]) <= 1 and abs(cmv[1]) <= 1
+    mvs_out, pred = {}, {}
+    for lx in (0, 1):
+        pred[lx] = refs[lx] >= 0
+        if not pred[lx] or col_zero:
+            mvs_out[lx] = (0, 0)
+        else:
+            mvs_out[lx] = mv_pred_16x16(*grids[lx], mx, my, mb_w)
+    return mvs_out, pred
+
+
+def _direct_mode(pred: dict) -> int:
+    """_predict_b_mb mode int for direct predFlags: bi when both
+    lists predict, else the single predicted list."""
+    if pred[0] and pred[1]:
+        return 3
+    return 1 if pred[0] else 2
+
+
 # --- inter coded residuals (spec 7.3.5.3 / 8.5.12, Table 9-4 inter) ----------
 
 #: Table 9-4 codeNum -> coded_block_pattern for Inter prediction modes
@@ -408,6 +454,7 @@ def encode_p_slice(
     return_recon: bool = False,
     code_residual: bool = False,
     poc: tuple[int, int] | None = None,
+    return_motion: bool = False,
 ):
     """Macroblock-aligned current planes + previous reconstruction ->
     one non-IDR P-slice NAL (nal_ref_idc 2, slice_type 5). With the
@@ -536,7 +583,12 @@ def encode_p_slice(
     if skip_run:
         w.ue(skip_run)  # trailing skip run
     nal = rbsp_to_nal(0x41, w.rbsp_trailing())  # nal_ref_idc 2, type 1
-    return (nal, (ry, rcb, rcr)) if return_recon else nal
+    out = (nal,)
+    if return_recon:
+        out += ((ry, rcb, rcr),)
+    if return_motion:
+        out += ((mvs, inter),)
+    return out if len(out) > 1 else nal
 
 
 # --- P-slice decoder ---------------------------------------------------------
@@ -546,14 +598,17 @@ def decode_p_slice(
     nal: bytes,
     sps: dict,
     ref: tuple[np.ndarray, np.ndarray, np.ndarray],
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    return_motion: bool = False,
+):
     """Non-IDR P-slice NAL + previous reconstructed planes -> (y, cb,
     cr). Decodes P_Skip runs, P_L0_16x16 (any coded_block_pattern —
     CAVLC residuals added to the motion-compensated prediction)
     through real median MV prediction + quarter/eighth-sample
     interpolation, and intra macroblocks through the h264intra path;
     narrower tools classify from the syntax element that requires
-    them."""
+    them. ``return_motion=True`` appends this picture's (mvs, inter)
+    grid pair — the co-located motion B slices need for the 8.4.1.2.2
+    colZeroFlag when this picture is RefPicList1[0]."""
     header, rbsp = nal_to_rbsp(nal)
     nal_type = header & 0x1F
     if nal_type == 5:
@@ -668,6 +723,8 @@ def decode_p_slice(
                 "(16x8/8x16/8x8): sub-macroblock motion not implemented"
             )
         addr += 1
+    if return_motion:
+        return y, cb, cr, (mvs, inter)
     return y, cb, cr
 
 
@@ -711,6 +768,8 @@ def encode_b_slice(
     intra_mbs: frozenset[tuple[int, int]] = frozenset(),
     log2_max_frame_num: int = 4,
     return_recon: bool = False,
+    direct: bool = False,
+    col_motion=None,
 ):
     """Current planes + BOTH reference reconstructions (ref0 = the
     past picture in display order, list 0; ref1 = the future, list 1)
@@ -718,10 +777,15 @@ def encode_b_slice(
     Every inter macroblock is B_L0_16x16 / B_L1_16x16 / B_Bi_16x16
     (Table 7-14 types 1-3), mode-selected by SAD with the bi average
     preferred on ties; ``code_residual`` adds the same Table-9-4 /
-    CAVLC residual layer as the P encoder. B_Skip and B_Direct (the
-    8.4.1.2 derivation) are never emitted — the decoder classifies
-    them. A poc_type-0 SPS is REQUIRED (``poc`` = (lsb, bits)):
-    reordered output under poc_type 2 is non-conformant."""
+    CAVLC residual layer as the P encoder. With ``direct=True`` the
+    spatial direct derivation (8.4.1.2.2) joins the candidate set,
+    preferred at equal SAD because it costs zero motion bits: a direct
+    macroblock whose residual quantizes away joins a B_Skip run
+    (mb_skip_run), otherwise it codes as B_Direct_16x16 (mb_type 0, no
+    MVDs) + residual. ``col_motion`` is the future anchor's (mvs,
+    inter) grid for colZeroFlag — None = intra co-located picture. A
+    poc_type-0 SPS is REQUIRED (``poc`` = (lsb, bits)): reordered
+    output under poc_type 2 is non-conformant."""
     mb_h, mb_w = y.shape[0] // 16, y.shape[1] // 16
     if (
         y.shape != (mb_h * 16, mb_w * 16)
@@ -759,10 +823,41 @@ def encode_b_slice(
     }
     nzc = NzcCtx(mb_w, mb_h)
     refs = (ref0, ref1)
+    skip_run = 0
+
+    def _residual(cur_y, pred, mx, my):
+        cbp, luma_levels, cdcs, cacs = 0, None, None, None
+        if code_residual:
+            from flow_indexer_spark.operators.h264intra import (
+                _quant_chroma_full,
+            )
+
+            cbp, luma_levels = _quant_inter_luma(cur_y, pred[0], qp)
+            cdcs, cacs = {}, {}
+            for comp, (plane, cpred) in enumerate(
+                ((cb, pred[1]), (cr, pred[2]))
+            ):
+                src = plane[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8]
+                cdcs[comp], cacs[comp] = _quant_chroma_full(
+                    src, cpred.astype(np.int64), qpc
+                )
+            any_ac = any(c for d in cacs.values() for blk in d for c in blk)
+            any_dc = any(c for d in cdcs.values() for c in d)
+            if any_ac:
+                cbp |= 2 << 4
+            elif any_dc:
+                cbp |= 1 << 4
+                cacs = {c: [[0] * 15] * 4 for c in cacs}
+            else:
+                cacs = {c: [[0] * 15] * 4 for c in cacs}
+                cdcs = {c: [0, 0, 0, 0] for c in cdcs}
+        return cbp, luma_levels, cdcs, cacs
+
     for my in range(mb_h):
         for mx in range(mb_w):
             if (mx, my) in intra_mbs:
-                w.ue(0)  # mb_skip_run
+                w.ue(skip_run)
+                skip_run = 0
                 encode_i16_mb(
                     w, y, cb, cr, ry, rcb, rcr, mx, my, qp, qpc,
                     mb_type_base=23, nzc=nzc,
@@ -778,60 +873,69 @@ def encode_b_slice(
                 (_sad(cur_y, p0), 1),
                 (_sad(cur_y, p1), 2),
             )
-            mode = min(cand)[1]
-            pred = _predict_b_mb(refs, mx, my, mode, mv0, mv1)
-            cbp, luma_levels, cdcs, cacs = 0, None, None, None
-            if code_residual:
-                from flow_indexer_spark.operators.h264intra import (
-                    _quant_chroma_full,
+            best_sad, mode = min(cand)
+            use_direct = False
+            if direct:
+                d_mvs, d_pred = spatial_direct(
+                    grids, mx, my, mb_w, col_motion
                 )
-
-                cbp, luma_levels = _quant_inter_luma(cur_y, pred[0], qp)
-                cdcs, cacs = {}, {}
-                for comp, (plane, cpred) in enumerate(
-                    ((cb, pred[1]), (cr, pred[2]))
-                ):
-                    src = plane[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8]
-                    cdcs[comp], cacs[comp] = _quant_chroma_full(
-                        src, cpred.astype(np.int64), qpc
-                    )
-                any_ac = any(
-                    c for d in cacs.values() for blk in d for c in blk
+                d_mode = _direct_mode(d_pred)
+                d_planes = _predict_b_mb(
+                    refs, mx, my, d_mode, d_mvs[0], d_mvs[1]
                 )
-                any_dc = any(c for d in cdcs.values() for c in d)
-                if any_ac:
-                    cbp |= 2 << 4
-                elif any_dc:
-                    cbp |= 1 << 4
-                    cacs = {c: [[0] * 15] * 4 for c in cacs}
-                else:
-                    cacs = {c: [[0] * 15] * 4 for c in cacs}
-                    cdcs = {c: [0, 0, 0, 0] for c in cdcs}
-            w.ue(0)  # mb_skip_run (B_Skip needs direct: never emitted)
-            w.ue(mode)  # mb_type: 1 B_L0 / 2 B_L1 / 3 B_Bi
-            for lx, mv in ((0, mv0), (1, mv1)):
-                if mode == 3 or mode == 1 + lx:
-                    mvp = mv_pred_16x16(*grids[lx], mx, my, mb_w)
-                    w.se(mv[0] - mvp[0])
-                    w.se(mv[1] - mvp[1])
-            w.ue(_CBP_INTER_CODE[cbp])
-            if cbp:
-                w.se(0)  # mb_qp_delta
-                _emit_inter_residual(
-                    w, cbp, luma_levels, cdcs, cacs, mx, my, nzc
-                )
-                rec = _recon_inter_mb(
-                    *pred, cbp, luma_levels, cdcs, cacs, qp, qpc
-                )
-            else:
+                # zero motion bits: direct wins any SAD tie
+                if _sad(cur_y, d_planes[0]) <= best_sad:
+                    use_direct = True
+                    mode = d_mode
+                    mv0, mv1 = d_mvs[0], d_mvs[1]
+                    pred = d_planes
+            if not use_direct:
+                pred = _predict_b_mb(refs, mx, my, mode, mv0, mv1)
+            cbp, luma_levels, cdcs, cacs = _residual(cur_y, pred, mx, my)
+            if use_direct and cbp == 0 and (
+                code_residual or np.array_equal(pred[0], cur_y)
+            ):
+                # B_Skip: direct motion, nothing coded (7.4.4 shape —
+                # without the residual layer, only an exact luma match
+                # may skip, or the recon would silently diverge)
+                skip_run += 1
                 rec = pred
+            else:
+                w.ue(skip_run)
+                skip_run = 0
+                if use_direct:
+                    w.ue(0)  # mb_type: B_Direct_16x16 (no MVDs)
+                else:
+                    w.ue(mode)  # mb_type: 1 B_L0 / 2 B_L1 / 3 B_Bi
+                    for lx, mv in ((0, mv0), (1, mv1)):
+                        if mode == 3 or mode == 1 + lx:
+                            mvp = mv_pred_16x16(*grids[lx], mx, my, mb_w)
+                            w.se(mv[0] - mvp[0])
+                            w.se(mv[1] - mvp[1])
+                w.ue(_CBP_INTER_CODE[cbp])
+                if cbp:
+                    w.se(0)  # mb_qp_delta
+                    _emit_inter_residual(
+                        w, cbp, luma_levels, cdcs, cacs, mx, my, nzc
+                    )
+                    rec = _recon_inter_mb(
+                        *pred, cbp, luma_levels, cdcs, cacs, qp, qpc
+                    )
+                else:
+                    rec = pred
             ry[16 * my : 16 * my + 16, 16 * mx : 16 * mx + 16] = rec[0]
             rcb[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8] = rec[1]
             rcr[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8] = rec[2]
+            if use_direct:
+                used = {lx: d_pred[lx] for lx in (0, 1)}
+            else:
+                used = {lx: mode == 3 or mode == 1 + lx for lx in (0, 1)}
             for lx, mv in ((0, mv0), (1, mv1)):
-                if mode == 3 or mode == 1 + lx:
+                if used[lx]:
                     grids[lx][0][my][mx] = mv
                     grids[lx][1][my][mx] = True
+    if skip_run:
+        w.ue(skip_run)  # trailing skip run
     nal = rbsp_to_nal(0x01, w.rbsp_trailing())  # nal_ref_idc 0, type 1
     return (nal, (ry, rcb, rcr)) if return_recon else nal
 
@@ -841,14 +945,17 @@ def decode_b_slice(
     sps: dict,
     ref0: tuple[np.ndarray, np.ndarray, np.ndarray],
     ref1: tuple[np.ndarray, np.ndarray, np.ndarray],
+    col_motion=None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Non-reference B-slice NAL + both reference reconstructions ->
     (y, cb, cr): B_L0/B_L1/B_Bi_16x16 through per-list median MV
     prediction, quarter/eighth-sample interpolation, default-weighted
-    bi averaging, and the full inter residual layer; intra refresh MBs
-    via Table 7-14's +23 offset. B_Skip, B_Direct, partitions and
-    weighted prediction classify from the syntax element that requires
-    them."""
+    bi averaging, and the full inter residual layer; B_Skip runs and
+    B_Direct_16x16 through the 8.4.1.2.2 spatial direct derivation
+    (``col_motion`` = RefPicList1[0]'s (mvs, inter) grid for
+    colZeroFlag; None = an intra co-located picture); intra refresh
+    MBs via Table 7-14's +23 offset. Partitions and weighted
+    prediction classify from the syntax element that requires them."""
     header, rbsp = nal_to_rbsp(nal)
     if header & 0x1F != 1:
         raise ValueError(f"not a non-IDR coded-slice NAL (type {header & 0x1F})")
@@ -896,25 +1003,42 @@ def decode_b_slice(
     nzc = NzcCtx(mb_w, mb_h)
     refs = (ref0, ref1)
     n_mbs = mb_w * mb_h
-    for addr in range(n_mbs):
+
+    def _store(mx, my, rec, mvs):
+        y[16 * my : 16 * my + 16, 16 * mx : 16 * mx + 16] = rec[0]
+        cb[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8] = rec[1]
+        cr[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8] = rec[2]
+        for lx in (0, 1):
+            if lx in mvs:
+                grids[lx][0][my][mx] = mvs[lx]
+                grids[lx][1][my][mx] = True
+
+    addr = 0
+    while addr < n_mbs:
+        run = r.ue("mb_skip_run")
+        if run > n_mbs - addr:
+            raise ValueError("mb_skip_run overruns the picture")
+        for _ in range(run):  # B_Skip: spatial direct, nothing coded
+            mx, my = addr % mb_w, addr // mb_w
+            d_mvs, d_pred = spatial_direct(grids, mx, my, mb_w, col_motion)
+            rec = _predict_b_mb(
+                refs, mx, my, _direct_mode(d_pred), d_mvs[0], d_mvs[1]
+            )
+            _store(mx, my, rec, {lx: d_mvs[lx] for lx in (0, 1) if d_pred[lx]})
+            addr += 1
+        if addr == n_mbs:
+            break
         if not r.more_data():
             raise ValueError("slice data ends before the picture is full")
-        if r.ue("mb_skip_run") != 0:
-            raise NotImplementedError(
-                "B_Skip: spatial/temporal direct derivation (8.4.1.2)"
-            )
         mx, my = addr % mb_w, addr // mb_w
         mb_type = r.ue("mb_type")
-        if mb_type == 0:
-            raise NotImplementedError(
-                "B_Direct_16x16: direct derivation (8.4.1.2)"
-            )
         if mb_type >= 23:
             if mb_type > 48:
                 raise ValueError(f"invalid B-slice mb_type {mb_type}")
             qp = decode_i_mb(
                 r, mb_type - 23, qp, y, cb, cr, mx, my, modes, nzc
             )
+            addr += 1
             continue
         if mb_type > 3:
             raise NotImplementedError(
@@ -922,17 +1046,23 @@ def decode_b_slice(
                 "bi-prediction not implemented"
             )
         mvs = {}
-        for lx in (0, 1):
-            if mb_type == 3 or mb_type == 1 + lx:
-                mvp = mv_pred_16x16(*grids[lx], mx, my, mb_w)
-                mvd = (r.se("mvd x"), r.se("mvd y"))
-                mvs[lx] = (mvp[0] + mvd[0], mvp[1] + mvd[1])
+        if mb_type == 0:  # B_Direct_16x16: derived motion, no MVDs
+            d_mvs, d_pred = spatial_direct(grids, mx, my, mb_w, col_motion)
+            mode = _direct_mode(d_pred)
+            mvs = {lx: d_mvs[lx] for lx in (0, 1) if d_pred[lx]}
+        else:
+            mode = mb_type
+            for lx in (0, 1):
+                if mb_type == 3 or mb_type == 1 + lx:
+                    mvp = mv_pred_16x16(*grids[lx], mx, my, mb_w)
+                    mvd = (r.se("mvd x"), r.se("mvd y"))
+                    mvs[lx] = (mvp[0] + mvd[0], mvp[1] + mvd[1])
         code = r.ue("coded_block_pattern")
         if code > 47:
             raise ValueError(f"coded_block_pattern codeNum {code} > 47")
         cbp = _CBP_INTER[code]
         pred = _predict_b_mb(
-            refs, mx, my, mb_type, mvs.get(0, (0, 0)), mvs.get(1, (0, 0))
+            refs, mx, my, mode, mvs.get(0, (0, 0)), mvs.get(1, (0, 0))
         )
         if cbp:
             qp += r.se("mb_qp_delta")
@@ -948,13 +1078,8 @@ def decode_b_slice(
             for z, (bx, by) in enumerate(_Z4):
                 nzc.y[4 * my + by, 4 * mx + bx] = 0
             rec = pred
-        y[16 * my : 16 * my + 16, 16 * mx : 16 * mx + 16] = rec[0]
-        cb[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8] = rec[1]
-        cr[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8] = rec[2]
-        for lx in (0, 1):
-            if lx in mvs:
-                grids[lx][0][my][mx] = mvs[lx]
-                grids[lx][1][my][mx] = True
+        _store(mx, my, rec, mvs)
+        addr += 1
     return y, cb, cr
 
 
@@ -971,18 +1096,21 @@ def encode_frame_sample_p(
     code_residual: bool = False,
     poc: tuple[int, int] | None = None,
     quarter: bool = True,
-) -> tuple[bytes, tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    return_motion: bool = False,
+):
     """RGB frame + previous reconstruction -> (length-prefixed P-slice
-    MP4 sample, this frame's reconstruction for the next P)."""
+    MP4 sample, this frame's reconstruction for the next P[, this
+    picture's (mvs, inter) motion grid when ``return_motion``])."""
     from flow_indexer_spark.operators.h264codec import frame_to_planes
 
     y, cb, cr = frame_to_planes(px)
-    nal, recon = encode_p_slice(
+    out = encode_p_slice(
         y, cb, cr, ref, frame_num, qp=qp, search_range=search_range,
         intra_mbs=intra_mbs, return_recon=True, code_residual=code_residual,
-        poc=poc, quarter=quarter,
+        poc=poc, quarter=quarter, return_motion=return_motion,
     )
-    return len(nal).to_bytes(4, "big") + nal, recon
+    sample = len(out[0]).to_bytes(4, "big") + out[0]
+    return (sample, *out[1:])
 
 
 def encode_frame_sample_b(
@@ -995,18 +1123,22 @@ def encode_frame_sample_b(
     search_range: int = 8,
     code_residual: bool = False,
     quarter: bool = True,
+    direct: bool = False,
+    col_motion=None,
 ) -> bytes:
     """RGB frame + both anchor reconstructions (past, future) -> one
     length-prefixed non-reference B-slice MP4 sample. No recon is
     returned: nal_ref_idc 0 pictures never enter the reference
-    window, so nothing downstream predicts from them."""
+    window, so nothing downstream predicts from them. ``direct`` /
+    ``col_motion``: the spatial direct mode (B_Skip / B_Direct_16x16)
+    and the future anchor's motion grid it derives colZeroFlag from."""
     from flow_indexer_spark.operators.h264codec import frame_to_planes
 
     y, cb, cr = frame_to_planes(px)
     nal = encode_b_slice(
         y, cb, cr, ref0, ref1, frame_num, poc, qp=qp,
         search_range=search_range, code_residual=code_residual,
-        quarter=quarter,
+        quarter=quarter, direct=direct, col_motion=col_motion,
     )
     return len(nal).to_bytes(4, "big") + nal
 
@@ -1058,24 +1190,30 @@ class GopDecoder:
             nal_type = nal[0] & 0x1F if nal else 0
             if nal_type == 5:
                 planes = decode_idr_any(nal, self.sps)
-                self._refs = [planes]
+                # IDR carries no inter motion: colZeroFlag reads 0
+                self._refs = [(planes, None)]
             elif nal_type == 1:
                 if not self._refs:
                     raise ValueError(
                         "predicted slice before any IDR: no reference"
                     )
+                motion = None
                 if self._slice_type(nal) == 1:  # B
                     if len(self._refs) < 2:
                         raise ValueError(
                             "B slice with fewer than two reference pictures"
                         )
                     planes = decode_b_slice(
-                        nal, self.sps, self._refs[-2], self._refs[-1]
+                        nal, self.sps, self._refs[-2][0], self._refs[-1][0],
+                        col_motion=self._refs[-1][1],
                     )
                 else:
-                    planes = decode_p_slice(nal, self.sps, self._refs[-1])
+                    *planes, motion = decode_p_slice(
+                        nal, self.sps, self._refs[-1][0], return_motion=True
+                    )
+                    planes = tuple(planes)
                 if nal[0] >> 5:  # nal_ref_idc != 0: mark as reference
-                    self._refs = (self._refs + [planes])[-2:]
+                    self._refs = (self._refs + [(planes, motion)])[-2:]
             # SEI / parameter-set NALs are skipped
         if planes is None:
             raise ValueError("sample contains no coded-slice NAL")

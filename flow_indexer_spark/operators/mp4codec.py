@@ -251,13 +251,17 @@ def encode_mp4_h264_bgop(
     idr: str = "ipcm",
     code_residual: bool = False,
     quarter: bool = True,
+    direct: bool = True,
 ) -> bytes:
     """Write frames as a B-frame H.264 GOP (IBBP...): within each
     closed ``gop``-frame GOP, anchor pictures sit every ``b_frames``+1
     display positions (the first is an IDR, the rest P slices
     referencing the previous anchor) and the frames between two
     anchors are non-reference B slices bi-predicting from BOTH
-    (h264inter.encode_b_slice). Samples are written in DECODE order
+    (h264inter.encode_b_slice; with ``direct=True`` — the default —
+    the spatial direct derivation competes per macroblock, yielding
+    B_Skip runs and MVD-free B_Direct_16x16 where neighbour motion
+    already explains the content). Samples are written in DECODE order
     (anchor before the Bs it closes) with a ctts box carrying the
     composition-time mapping (offsets: 1 for the IDR, the anchor gap
     for each P, 0 for Bs — the one-frame-delay convention) and a
@@ -312,10 +316,10 @@ def encode_mp4_h264_bgop(
         ct_offsets.append(1)
         for m in range(1, len(anchors)):
             ap, ac = anchors[m - 1], anchors[m]
-            sample, recon[ac] = encode_frame_sample_p(
+            sample, recon[ac], anchor_motion = encode_frame_sample_p(
                 frames[g0 + ac], recon[ap], frame_num=m % 16, qp=qp,
                 search_range=search_range, code_residual=code_residual,
-                poc=(2 * ac, poc_bits), quarter=quarter,
+                poc=(2 * ac, poc_bits), quarter=quarter, return_motion=True,
             )
             samples.append(sample)
             ct_offsets.append(ac - ap)
@@ -326,6 +330,7 @@ def encode_mp4_h264_bgop(
                         frame_num=(m + 1) % 16, poc=(2 * d, poc_bits),
                         qp=qp, search_range=search_range,
                         code_residual=code_residual, quarter=quarter,
+                        direct=direct, col_motion=anchor_motion,
                     )
                 )
                 ct_offsets.append(0)
@@ -777,11 +782,11 @@ def mp4_frames(
     non-target B samples skipped outright). Decodable codecs: ``jpeg``
     (Motion JPEG) and ``avc1`` over the implemented H.264 subset —
     I_PCM / Intra_16x16 / I_4x4 IDR slices, P_Skip / P_L0_16x16 P
-    slices, and B_L0/B_L1/B_Bi_16x16 B slices, all with or without
-    CAVLC residuals (operators/h264codec + h264intra + h264inter; the
-    classifier parses the real NAL/slice syntax, so P/B partitions,
-    B_Direct, weighted prediction and CABAC raise NotImplementedError
-    from the bitstream itself, not the fourcc)."""
+    slices, and B_Skip / B_Direct_16x16 / B_L0/B_L1/B_Bi_16x16 B
+    slices, all with or without CAVLC residuals (operators/h264codec +
+    h264intra + h264inter; the classifier parses the real NAL/slice
+    syntax, so P/B partitions, weighted prediction and CABAC raise
+    NotImplementedError from the bitstream itself, not the fourcc)."""
     from flow_indexer_spark.operators.jpegcodec import _jpeg_pixels
 
     info = parse_mp4(payload)

@@ -160,19 +160,20 @@ def test_unimplemented_b_tools_classify_from_syntax():
         w.u(0, 1)  # list1 modification
         w.se(0)  # slice_qp_delta
 
-    # B_Skip (mb_skip_run > 0 needs the direct derivation)
+    # skip run overrunning the picture (B_Skip itself decodes now)
     w = H._BitWriter()
     _b_header(w)
-    w.ue(1)
-    with pytest.raises(NotImplementedError, match="B_Skip"):
+    w.ue(5)  # only 4 MBs in 32x32
+    with pytest.raises(ValueError, match="overruns"):
         P.decode_b_slice(H.rbsp_to_nal(0x01, w.rbsp_trailing()), sps, ref, ref)
 
-    # B_Direct_16x16
+    # B_Direct_16x16 whose residual layer is truncated
     w = H._BitWriter()
     _b_header(w)
     w.ue(0)
-    w.ue(0)  # mb_type 0
-    with pytest.raises(NotImplementedError, match="B_Direct"):
+    w.ue(0)  # mb_type 0 (direct: no MVDs, straight to cbp)
+    w.ue(2)  # cbp codeNum 2 -> luma 8x8 #0 coded, then nothing
+    with pytest.raises(ValueError, match="truncated"):
         P.decode_b_slice(H.rbsp_to_nal(0x01, w.rbsp_trailing()), sps, ref, ref)
 
     # bi-directional partitions (mb_type 4..22)
@@ -190,6 +191,126 @@ def test_unimplemented_b_tools_classify_from_syntax():
     w.ue(49)
     with pytest.raises(ValueError, match="invalid B-slice mb_type"):
         P.decode_b_slice(H.rbsp_to_nal(0x01, w.rbsp_trailing()), sps, ref, ref)
+
+
+# --- spatial direct mode (8.4.1.2.2): B_Skip + B_Direct_16x16 ----------------
+
+
+def test_stationary_content_collapses_to_one_b_skip_run():
+    """cur == ref0 == ref1: with no predicted neighbours anywhere the
+    direct derivation bi-predicts with zero MVs (the
+    directZeroPredictionFlag branch), the prediction is exact, and the
+    whole picture folds into a single mb_skip_run — the NAL is header
+    + one ue(v) — while the decode stays byte-exact."""
+    rng = np.random.default_rng(36)
+    sps = _sps(48, 32)
+    ref = _rand_planes(rng)
+    plain = P.encode_b_slice(*ref, ref, ref, frame_num=2, poc=POC)
+    skipped = P.encode_b_slice(
+        *ref, ref, ref, frame_num=2, poc=POC, direct=True,
+    )
+    assert len(skipped) <= 6 < len(plain)
+    dec = P.decode_b_slice(skipped, sps, ref, ref)
+    for a, b in zip(ref, dec):
+        assert (a == b).all()
+
+
+def test_direct_with_residual_codes_b_direct_16x16():
+    """Stationary refs + a +30 DC step: direct prediction ties every
+    explicit mode's SAD and wins (zero motion bits), the step survives
+    quantization, so MB (0,0) codes as B_Direct_16x16 (mb_type 0) and
+    the decode is byte-exact against the encoder recon."""
+    rng = np.random.default_rng(37)
+    sps = _sps(48, 32)
+    base = _rand_planes(rng)
+    ref = tuple((p % 200).astype(np.uint8) for p in base)
+    cur = tuple((p + 30).astype(np.uint8) for p in ref)
+    nal, recon = P.encode_b_slice(
+        *cur, ref, ref, frame_num=2, poc=POC, qp=10,
+        code_residual=True, direct=True, return_recon=True,
+    )
+    assert _first_b_mb_type(nal, sps) == 0
+    dec = P.decode_b_slice(nal, sps, ref, ref)
+    for a, b in zip(recon, dec):
+        assert (a == b).all()
+    # and the residual actually landed: recon within the quantizer step
+    assert abs(dec[0].astype(float).mean() - cur[0].astype(float).mean()) < 2
+
+
+def test_direct_quantized_away_residual_joins_skip_run():
+    """With code_residual=True a direct macroblock whose residual
+    quantizes to nothing joins the skip run: cur == refs exactly, so
+    every MB skips even though the residual layer is enabled."""
+    rng = np.random.default_rng(38)
+    sps = _sps(32, 32)
+    ref = _rand_planes(rng, 32, 32)
+    nal = P.encode_b_slice(
+        *ref, ref, ref, frame_num=2, poc=POC,
+        code_residual=True, direct=True,
+    )
+    assert len(nal) <= 6
+    dec = P.decode_b_slice(nal, sps, ref, ref)
+    for a, b in zip(ref, dec):
+        assert (a == b).all()
+
+
+def test_spatial_direct_derivation_cases():
+    """The 8.4.1.2.2 table on constructed neighbour grids: no
+    predicted neighbour anywhere -> zero-MV bi; an L0 neighbour with
+    motion -> L0-only with the 8.4.1.3 median, zeroed exactly when the
+    co-located macroblock is inter and |mv| <= 1 per component."""
+    mb_w, mb_h = 3, 2
+
+    def grids():
+        return {
+            lx: (
+                [[(0, 0)] * mb_w for _ in range(mb_h)],
+                [[False] * mb_w for _ in range(mb_h)],
+            )
+            for lx in (0, 1)
+        }
+
+    g = grids()
+    assert P.spatial_direct(g, 0, 0, mb_w, None) == (
+        {0: (0, 0), 1: (0, 0)}, {0: True, 1: True},
+    )
+    g = grids()
+    g[0][0][0][0] = (8, 4)
+    g[0][1][0][0] = True
+    col_inter = [[True] * mb_w for _ in range(mb_h)]
+    still = ([[(1, -1)] * mb_w for _ in range(mb_h)], col_inter)
+    moving = ([[(2, 0)] * mb_w for _ in range(mb_h)], col_inter)
+    intra_col = ([[(0, 0)] * mb_w for _ in range(mb_h)],
+                 [[False] * mb_w for _ in range(mb_h)])
+    for col, want_mv in ((None, (8, 4)), (intra_col, (8, 4)),
+                         (moving, (8, 4)), (still, (0, 0))):
+        mvs, pred = P.spatial_direct(g, 1, 0, mb_w, col)
+        assert pred == {0: True, 1: False}
+        assert mvs[0] == want_mv
+
+
+def test_b_skip_decode_uses_neighbour_motion_not_just_zero():
+    """A B slice whose first MB codes explicit L0 motion and whose
+    SECOND falls in a skip run must reconstruct the second from the
+    direct-derived (neighbour-median) MV — a decoder that treats
+    B_Skip as zero-MV copy gets different bytes. Encoder recon is the
+    gate, so this pins encoder and decoder to the SAME derivation."""
+    rng = np.random.default_rng(39)
+    sps = _sps(64, 16)
+    ref = _rand_planes(rng, 64, 16)
+    # shift the whole picture 4 integer pixels right -> uniform MV (16,0)
+    cur_y = np.roll(ref[0], 4, axis=1)
+    cur_cb = np.roll(ref[1], 2, axis=1)
+    cur_cr = np.roll(ref[2], 2, axis=1)
+    # ref1 is a decoy far from cur so every MB picks L0 explicit motion
+    ref1 = tuple(255 - p for p in ref)
+    nal, recon = P.encode_b_slice(
+        cur_y, cur_cb, cur_cr, ref, ref1, frame_num=2, poc=POC,
+        direct=True, return_recon=True,
+    )
+    dec = P.decode_b_slice(nal, sps, ref, ref1)
+    for a, b in zip(recon, dec):
+        assert (a == b).all()
 
 
 # --- container integration ----------------------------------------------------
