@@ -4281,6 +4281,96 @@ def _q_media_h264_b(spark, sf_dir):
 
 
 @_register(
+    "media_h264_parts",
+    """
+    WITH v AS (SELECT CAST(range AS INTEGER) AS i FROM range(24)),
+    p AS (
+      SELECT i, printf('v%05d', i) AS media_id,
+             6 + (i % 3) * 3 AS n_frames,
+             16 + (i % 5) * 8 AS w, 12 + (i % 3) * 8 AS h
+      FROM v
+    ),
+    f AS (
+      SELECT p.*, CAST(r.range AS INTEGER) AS frame_idx
+      FROM p, range(12) r
+      WHERE r.range < p.n_frames AND r.range % 2 = 0
+    )
+    SELECT media_id, 'avc1' AS codec,
+           CAST(n_frames AS INTEGER) AS n_frames,
+           CAST(n_frames * 100 AS BIGINT) AS duration_ms,
+           frame_idx, CAST(frame_idx * 100 AS BIGINT) AS t_ms,
+           CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           TRUE AS mean_r_ok, TRUE AS mean_g_ok, TRUE AS mean_b_ok
+    FROM f
+    ORDER BY media_id, frame_idx
+    """,
+)
+def _q_media_h264_parts(spark, sf_dir):
+    """The PARTITIONED-motion span of the H.264 seam (round-4, after
+    media_h264_b): GOP streams whose straddling macroblocks code as
+    P_L0_L0_16x8 / P_L0_L0_8x16 / P_8x8 — the fixture scene splits the
+    picture at mid-macroblock 8-px boundaries into four regions
+    translating in OPPOSING directions, and the bytes builder asserts
+    per frame that the mode decision genuinely emitted partitioned
+    mb_types (operators/mp4codec.py make_h264_part_bytes). Decode runs
+    per-partition MV prediction on the spec's 4x4 block grid with the
+    8.4.1.3 directional rules (top<-B / bottom<-A / left<-A /
+    right<-C) and per-partition quarter-sample motion compensation
+    (operators/h264inter.py Motion4 / mv_pred_part; byte-exact
+    encode/decode parity + an MB-granularity byte-stability pin in
+    tests/test_h264_parts.py). The oracle gates each sampled frame's
+    channel means against the SOURCE scene's means (driver-computed
+    from the same deterministic generator, broadcast-joined): a
+    decoder that mispredicted any partition MV reconstructs the
+    straddling MBs from the wrong reference area and GOP-chains the
+    error (measured family envelope r 0.44 / g 0.25 / b 0.43 — gates
+    1.0). Reference analogue: the pcap backend decodes every packet
+    format its library supports (backend/pcap.go:17-54)."""
+    import pandas as pd
+
+    from flow_indexer_spark.operators.mp4codec import (
+        make_h264_part_media,
+        part_scene,
+        video_frame_features,
+        video_params,
+    )
+
+    rows = []
+    for i in range(24):
+        n, _, _ = video_params(i)
+        for t in range(0, n, 2):
+            src = part_scene(i, t)
+            rows.append(
+                {
+                    "media_id": f"v{i:05d}",
+                    "frame_idx": t,
+                    "exp_r": float(src[:, :, 0].mean()),
+                    "exp_g": float(src[:, :, 1].mean()),
+                    "exp_b": float(src[:, :, 2].mean()),
+                }
+            )
+    exp = spark.createDataFrame(pd.DataFrame(rows))
+    d = video_frame_features(make_h264_part_media(spark, 24), every_n=2)
+    return (
+        d.join(F.broadcast(exp), ["media_id", "frame_idx"])
+        .select(
+            "media_id",
+            "codec",
+            "n_frames",
+            "duration_ms",
+            "frame_idx",
+            "t_ms",
+            "width",
+            "height",
+            (F.abs(F.col("mean_r") - F.col("exp_r")) < 1.0).alias("mean_r_ok"),
+            (F.abs(F.col("mean_g") - F.col("exp_g")) < 1.0).alias("mean_g_ok"),
+            (F.abs(F.col("mean_b") - F.col("exp_b")) < 1.0).alias("mean_b_ok"),
+        )
+        .orderBy("media_id", "frame_idx")
+    )
+
+
+@_register(
     "media_h264_i4",
     """
     WITH v AS (SELECT CAST(range AS INTEGER) AS i FROM range(24)),

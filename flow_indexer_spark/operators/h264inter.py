@@ -51,9 +51,20 @@ byte equality of the full reconstruction chain, not means.
   construction; a macroblock skips only when its MV matches the
   P_Skip derivation AND the residual quantizes to nothing (7.4.4).
 
-Still classified from parsed syntax: P_16x8 / P_8x16 / P_8x8
-partitions, multi-reference lists, B slices, CABAC (PPS), and
-everything h264codec already classifies.
+* **P macroblock partitions (Table 7-13/7-17)** — P_L0_L0_16x8,
+  P_L0_L0_8x16 and P_8x8 (all four sub_mb_types: 8x8/8x4/4x8/4x4,
+  plus the P_8x8ref0 decode alias). Motion state lives on the spec's
+  4x4 block grid (:class:`Motion4`); per-partition MV prediction
+  applies the 8.4.1.3 directional rules (16x8 top<-B / bottom<-A,
+  8x16 left<-A / right<-C) before the single-match/median fallback,
+  with within-MB partition availability reproduced by progressive
+  grid writes (6.4.11.7). The encoder searches every partitioning
+  and picks by SAD + bits-proxy; ``partitions=False`` (the default)
+  stays byte-identical to the pre-partition encoder, pinned by
+  tests/test_h264_parts.py.
+
+Still classified from parsed syntax: multi-reference lists, weighted
+prediction, CABAC (PPS), and everything h264codec already classifies.
 
 Reference analogue: the pcap backend decodes every packet format its
 library supports (/root/reference/backend/pcap.go:17-54) — the same
@@ -234,6 +245,165 @@ def skip_mv(mvs, inter, mx, my, mb_w) -> tuple[int, int]:
     return mv_pred_16x16(mvs, inter, mx, my, mb_w)
 
 
+class Motion4:
+    """4x4-granularity motion state for one picture. Spec 8.4.1.3
+    predicts from 4x4 luma blocks, not macroblocks — partitioned
+    macroblocks (P_16x8 / P_8x16 / P_8x8 sub-partitions) give different
+    4x4 cells of one MB different motion, so the P-slice coders keep
+    their state here. ``ref`` is the refIdx (-1 = intra); ``done``
+    marks cells already decoded this picture (spec availability for a
+    single-slice picture = inside bounds AND earlier in decoding
+    order, which progressive writes reproduce exactly, including the
+    within-MB partition ordering of 6.4.11.7)."""
+
+    __slots__ = ("w4", "h4", "mv", "ref", "done")
+
+    def __init__(self, mb_w: int, mb_h: int) -> None:
+        self.w4, self.h4 = 4 * mb_w, 4 * mb_h
+        self.mv = np.zeros((self.h4, self.w4, 2), dtype=np.int32)
+        self.ref = np.full((self.h4, self.w4), -1, dtype=np.int16)
+        self.done = np.zeros((self.h4, self.w4), dtype=bool)
+
+    def fill(self, x4: int, y4: int, w4: int, h4: int, mv, ref: int) -> None:
+        self.mv[y4 : y4 + h4, x4 : x4 + w4] = mv
+        self.ref[y4 : y4 + h4, x4 : x4 + w4] = ref
+        self.done[y4 : y4 + h4, x4 : x4 + w4] = True
+
+    def cell(self, x4: int, y4: int):
+        """(mvx, mvy, refIdx, available). Outside the picture or not
+        yet decoded reads (0, 0, -1, False); decoded intra cells read
+        (0, 0, -1, True) — available (they block the row-0 copy-A
+        rule) but never refIdx-matching."""
+        if not (0 <= x4 < self.w4 and 0 <= y4 < self.h4):
+            return (0, 0, -1, False)
+        if not self.done[y4, x4]:
+            return (0, 0, -1, False)
+        return (
+            int(self.mv[y4, x4, 0]),
+            int(self.mv[y4, x4, 1]),
+            int(self.ref[y4, x4]),
+            True,
+        )
+
+
+def _export_mb_motion(m4: Motion4, mb_w: int, mb_h: int):
+    """Macroblock-level (mvs, inter) grids from the 4x4 state — the
+    contract the B-slice spatial-direct path consumes for colZeroFlag
+    (each MB reads its top-left 4x4 cell; exact for the 16x16-coded
+    anchor pictures the B-GOP fixtures write, and a documented
+    top-left-cell approximation for partitioned anchors)."""
+    mvs = [
+        [
+            (int(m4.mv[4 * my, 4 * mx, 0]), int(m4.mv[4 * my, 4 * mx, 1]))
+            for mx in range(mb_w)
+        ]
+        for my in range(mb_h)
+    ]
+    inter = [
+        [bool(m4.ref[4 * my, 4 * mx] >= 0) for mx in range(mb_w)]
+        for my in range(mb_h)
+    ]
+    return mvs, inter
+
+
+def _neighbors4(m4: Motion4, x4: int, y4: int, w4: int):
+    """8.4.1.3.1 neighbour triples (A, B, C) for the partition whose
+    top-left 4x4 block is (x4, y4) and whose width is ``w4`` blocks:
+    C falls back to D (top-left) when unavailable, and when B, C and D
+    are ALL unavailable with A available, A is copied into B and C."""
+    a = m4.cell(x4 - 1, y4)
+    b = m4.cell(x4, y4 - 1)
+    c = m4.cell(x4 + w4, y4 - 1)
+    if not c[3]:
+        c = m4.cell(x4 - 1, y4 - 1)
+    if not b[3] and not c[3] and a[3]:
+        b = c = a
+    return a[:3], b[:3], c[:3]
+
+
+def mv_pred_part(
+    m4: Motion4,
+    x4: int,
+    y4: int,
+    w4: int,
+    h4: int,
+    ref_idx: int,
+    kind: str,
+) -> tuple[int, int]:
+    """Luma MV prediction for one partition (spec 8.4.1.3): the 16x8 /
+    8x16 directional shortcuts first (top<-B, bottom<-A, left<-A,
+    right<-C when the neighbour's refIdx matches), then the
+    single-matching-refIdx shortcut, then the componentwise median.
+    ``kind`` is one of 16x16 / 16x8t / 16x8b / 8x16l / 8x16r / sub."""
+    a, b, c = _neighbors4(m4, x4, y4, w4)
+    if kind == "16x8t" and b[2] == ref_idx:
+        return b[0], b[1]
+    if kind == "16x8b" and a[2] == ref_idx:
+        return a[0], a[1]
+    if kind == "8x16l" and a[2] == ref_idx:
+        return a[0], a[1]
+    if kind == "8x16r" and c[2] == ref_idx:
+        return c[0], c[1]
+    match = [n for n in (a, b, c) if n[2] == ref_idx]
+    if len(match) == 1:
+        return match[0][0], match[0][1]
+    xs = sorted(n[0] for n in (a, b, c))
+    ys = sorted(n[1] for n in (a, b, c))
+    return xs[1], ys[1]
+
+
+def skip_mv4(m4: Motion4, mx: int, my: int) -> tuple[int, int]:
+    """P_Skip motion vector (spec 8.4.1.1) on the 4x4 grid: zero when
+    the left or top neighbour block is unavailable or either references
+    picture 0 with a zero MV; otherwise the 16x16 median predictor."""
+    a = m4.cell(4 * mx - 1, 4 * my)
+    b = m4.cell(4 * mx, 4 * my - 1)
+    if not a[3] or not b[3]:
+        return 0, 0
+    for n in (a, b):
+        if n[2] == 0 and n[0] == 0 and n[1] == 0:
+            return 0, 0
+    return mv_pred_part(m4, 4 * mx, 4 * my, 4, 4, 0, "16x16")
+
+
+#: mb_type -> [(ox, oy, w, h, kind)] luma partition geometry (Table 7-13)
+_MB_PARTS = {
+    0: ((0, 0, 16, 16, "16x16"),),
+    1: ((0, 0, 16, 8, "16x8t"), (0, 8, 16, 8, "16x8b")),
+    2: ((0, 0, 8, 16, "8x16l"), (8, 0, 8, 16, "8x16r")),
+}
+
+#: sub_mb_type -> [(ox, oy, w, h)] inside an 8x8 quadrant (Table 7-17, P)
+_SUB_PARTS = {
+    0: ((0, 0, 8, 8),),
+    1: ((0, 0, 8, 4), (0, 4, 8, 4)),
+    2: ((0, 0, 4, 8), (4, 0, 4, 8)),
+    3: ((0, 0, 4, 4), (4, 0, 4, 4), (0, 4, 4, 4), (4, 4, 4, 4)),
+}
+
+#: 8x8 quadrant origins in Z (decoding) order
+_QUADS = ((0, 0), (8, 0), (0, 8), (8, 8))
+
+
+def mc_predict_parts(ref_y, ref_cb, ref_cr, mx, my, parts):
+    """Assemble one MB's (py, pcb, pcr) prediction planes from luma
+    partitions ``[(ox, oy, w, h, mv)]``. Chroma geometry is the luma's
+    halved (4:2:0); the luma quarter-sample MV doubles as the chroma
+    eighth-sample MV, both on 4*pixel+mv coordinates."""
+    py = np.empty((16, 16), dtype=np.uint8)
+    pcb = np.empty((8, 8), dtype=np.uint8)
+    pcr = np.empty((8, 8), dtype=np.uint8)
+    for ox, oy, w, h, mv in parts:
+        px, pyy = 16 * mx + ox, 16 * my + oy
+        xq, yq = 4 * px + mv[0], 4 * pyy + mv[1]
+        py[oy : oy + h, ox : ox + w] = mc_luma(ref_y, xq, yq, h, w)
+        cys, cye = oy // 2, (oy + h) // 2
+        cxs, cxe = ox // 2, (ox + w) // 2
+        pcb[cys:cye, cxs:cxe] = mc_chroma(ref_cb, xq, yq, h // 2, w // 2)
+        pcr[cys:cye, cxs:cxe] = mc_chroma(ref_cr, xq, yq, h // 2, w // 2)
+    return py, pcb, pcr
+
+
 def spatial_direct(grids, mx, my, mb_w, col_motion):
     """Spatial direct-mode motion for a whole 16x16 B macroblock (spec
     8.4.1.2.2 with one picture per list): ({0: mvL0, 1: mvL1},
@@ -402,6 +572,71 @@ def _sad(a: np.ndarray, b: np.ndarray) -> int:
     return int(np.abs(a.astype(np.int64) - b.astype(np.int64)).sum())
 
 
+def _sad_dc(a: np.ndarray, b: np.ndarray) -> int:
+    """Mean-removed SAD: a flat luminance offset between the block and
+    its candidate costs ONE cheap DC coefficient to code, while texture
+    misalignment costs many AC coefficients — so the partition mode
+    decision matches textures, not offsets. (Plain SAD goes blind to
+    alignment under a large DC shift: |delta + eps| sums to ~|delta|*N
+    for zero-mean eps, making every partitioning tie.)"""
+    d = a.astype(np.int64) - b.astype(np.int64)
+    return int(np.abs(d - int(np.round(d.mean()))).sum())
+
+
+def _search_block(
+    cur: np.ndarray,
+    ref_y: np.ndarray,
+    px: int,
+    py: int,
+    search_range: int,
+    quarter: bool,
+    metric=_sad,
+) -> tuple[int, int, int]:
+    """Best quarter-sample MV for the luma block ``cur`` whose top-left
+    pixel is (px, py): exhaustive integer-sample search in a
+    +-search_range window under ``metric`` (plain SAD by default;
+    :func:`_sad_dc` for the partition mode decision), then
+    quarter-sample refinement (+-3 quarter steps both axes) through the
+    decoder's own interpolation. Deterministic raster-order tie-break
+    (first minimum wins). Returns (mvx, mvy, cost).
+
+    The integer stage is one vectorized sliding-window pass: edge
+    padding reproduces the clipped-index gather exactly (blocks are
+    within-picture, so a window never overruns the pad), and np.argmin
+    over the C-ordered (dy, dx) cost grid IS the raster-order
+    first-minimum tie-break — byte-stability vs the scalar loop it
+    replaced is pinned by tests/test_h264_parts.py."""
+    h, w = cur.shape
+    sr = search_range
+    pad = np.pad(ref_y, sr, mode="edge").astype(np.int64)
+    win = np.lib.stride_tricks.sliding_window_view(pad, (h, w))[
+        py : py + 2 * sr + 1, px : px + 2 * sr + 1
+    ]
+    diff = win - cur.astype(np.int64)
+    if metric is _sad_dc:
+        m = np.round(diff.mean(axis=(2, 3))).astype(np.int64)
+        costs = np.abs(diff - m[..., None, None]).sum(axis=(2, 3))
+    else:
+        costs = np.abs(diff).sum(axis=(2, 3))
+    flat = int(np.argmin(costs))
+    dy = flat // costs.shape[1] - sr
+    dx = flat % costs.shape[1] - sr
+    best = (int(costs.reshape(-1)[flat]), dx, dy)
+    bx, by = 4 * best[1], 4 * best[2]
+    if not quarter:
+        return bx, by, best[0]
+    bestq = (best[0], bx, by)
+    for qy in range(-3, 4):
+        for qx in range(-3, 4):
+            if qx == 0 and qy == 0:
+                continue
+            p = mc_luma(ref_y, 4 * px + bx + qx, 4 * py + by + qy, h, w)
+            sad = metric(cur, p)
+            if sad < bestq[0]:
+                bestq = (sad, bx + qx, by + qy)
+    return bestq[1], bestq[2], bestq[0]
+
+
 def _search_mv(
     cur: np.ndarray,
     ref_y: np.ndarray,
@@ -410,34 +645,64 @@ def _search_mv(
     search_range: int,
     quarter: bool,
 ) -> tuple[int, int]:
-    """Best quarter-sample MV for the 16x16 luma block at MB (mx, my):
-    exhaustive integer-sample SAD search in a +-search_range window,
-    then quarter-sample refinement (+-3 quarter steps both axes)
-    through the decoder's own interpolation. Deterministic raster-order
-    tie-break (first minimum wins)."""
-    H, W = ref_y.shape
+    """16x16 wrapper over :func:`_search_block` at MB (mx, my)."""
+    mvx, mvy, _ = _search_block(
+        cur, ref_y, 16 * mx, 16 * my, search_range, quarter
+    )
+    return mvx, mvy
+
+
+#: deterministic mode-decision penalty per coded motion vector — a bits
+#: proxy (each extra MV costs an mvd pair + mode signalling); ties and
+#: near-ties resolve toward FEWER partitions
+_MV_PENALTY = 96
+
+
+def _decide_partitions(cur_y, ref_y, mx, my, search_range, quarter):
+    """Per-MB partition mode decision: search every partitioning of
+    Table 7-13/7-17 independently and take the minimum of
+    SAD + 96 * n_motion_vectors, preferring fewer partitions on ties
+    (evaluation order 16x16, 16x8, 8x16, 8x8; strict < to replace).
+    Returns (mb_type, sub_types | None, parts) where parts =
+    [(ox, oy, w, h, kind, mv)] in decoding order."""
     x0, y0 = 16 * mx, 16 * my
-    best = (1 << 62, 0, 0)
-    for dy in range(-search_range, search_range + 1):
-        rows = np.clip(np.arange(y0 + dy, y0 + dy + 16), 0, H - 1)
-        for dx in range(-search_range, search_range + 1):
-            cols = np.clip(np.arange(x0 + dx, x0 + dx + 16), 0, W - 1)
-            sad = _sad(cur, ref_y[np.ix_(rows, cols)])
-            if sad < best[0]:
-                best = (sad, dx, dy)
-    bx, by = 4 * best[1], 4 * best[2]
-    if not quarter:
-        return bx, by
-    bestq = (best[0], bx, by)
-    for qy in range(-3, 4):
-        for qx in range(-3, 4):
-            if qx == 0 and qy == 0:
-                continue
-            p = mc_luma(ref_y, 64 * mx + bx + qx, 64 * my + by + qy, 16, 16)
-            sad = _sad(cur, p)
-            if sad < bestq[0]:
-                bestq = (sad, bx + qx, by + qy)
-    return bestq[1], bestq[2]
+    candidates = []
+    for mb_type in (0, 1, 2):
+        parts = []
+        total = _MV_PENALTY * len(_MB_PARTS[mb_type])
+        for ox, oy, w, h, kind in _MB_PARTS[mb_type]:
+            blk = cur_y[oy : oy + h, ox : ox + w]
+            mvx, mvy, sad = _search_block(
+                blk, ref_y, x0 + ox, y0 + oy, search_range, quarter,
+                metric=_sad_dc,
+            )
+            parts.append((ox, oy, w, h, kind, (mvx, mvy)))
+            total += sad
+        candidates.append((total, mb_type, None, parts))
+    # P_8x8: per-quadrant best sub_mb_type
+    sub_types, parts8, total8 = [], [], 0
+    for qx, qy in _QUADS:
+        best = None
+        for st in range(4):
+            cost = _MV_PENALTY * len(_SUB_PARTS[st])
+            sub = []
+            for sx, sy, w, h in _SUB_PARTS[st]:
+                ox, oy = qx + sx, qy + sy
+                blk = cur_y[oy : oy + h, ox : ox + w]
+                mvx, mvy, sad = _search_block(
+                    blk, ref_y, x0 + ox, y0 + oy, search_range, quarter,
+                    metric=_sad_dc,
+                )
+                sub.append((ox, oy, w, h, "sub", (mvx, mvy)))
+                cost += sad
+            if best is None or cost < best[0]:
+                best = (cost, st, sub)
+        total8 += best[0]
+        sub_types.append(best[1])
+        parts8.extend(best[2])
+    candidates.append((total8, 3, sub_types, parts8))
+    best = min(candidates, key=lambda c: (c[0], c[1]))
+    return best[1], best[2], best[3]
 
 
 def encode_p_slice(
@@ -455,6 +720,8 @@ def encode_p_slice(
     code_residual: bool = False,
     poc: tuple[int, int] | None = None,
     return_motion: bool = False,
+    partitions: bool = False,
+    return_stats: bool = False,
 ):
     """Macroblock-aligned current planes + previous reconstruction ->
     one non-IDR P-slice NAL (nal_ref_idc 2, slice_type 5). With the
@@ -469,7 +736,18 @@ def encode_p_slice(
     quantizes to nothing, as 7.4.4 requires. Either way decode must
     match ``return_recon`` byte-exactly. MBs named in ``intra_mbs``
     encode as Intra_16x16 refresh macroblocks (Table 7-13 mb_type
-    offset 5)."""
+    offset 5).
+
+    ``partitions=True`` enables the partitioned inter modes
+    (P_L0_L0_16x8 / P_L0_L0_8x16 / P_8x8 with all four Table 7-17 sub
+    partitionings): per-partition exhaustive motion search and a
+    SAD + bits-proxy mode decision (:func:`_decide_partitions`), MV
+    prediction per partition on the 4x4 grid with the 8.4.1.3
+    directional rules. The default False keeps the bitstream
+    byte-identical to the pre-partition encoder (pinned by
+    tests/test_h264_parts.py). ``return_stats`` appends a dict of
+    mb_type / sub_mb_type / skip counts so fixtures can assert the
+    mode decision really used partitions."""
     ref_y, ref_cb, ref_cr = ref
     mb_h, mb_w = y.shape[0] // 16, y.shape[1] // 16
     if (
@@ -498,10 +776,55 @@ def encode_p_slice(
     ry = np.zeros_like(y)
     rcb = np.zeros_like(cb)
     rcr = np.zeros_like(cr)
-    mvs = [[(0, 0)] * mb_w for _ in range(mb_h)]
-    inter = [[False] * mb_w for _ in range(mb_h)]
+    m4 = Motion4(mb_w, mb_h)
     nzc = NzcCtx(mb_w, mb_h)
+    stats = {"mb_types": {}, "sub_types": {}, "skip": 0, "intra": 0}
     skip_run = 0
+
+    def _residual_for(mx, my, py, pcb, pcr):
+        """(cbp, luma_levels, cdcs, cacs) for the MB at (mx, my) against
+        the assembled prediction planes; cbp 0 when residuals are off."""
+        if not code_residual:
+            return 0, None, None, None
+        from flow_indexer_spark.operators.h264intra import _quant_chroma_full
+
+        cur_y = y[16 * my : 16 * my + 16, 16 * mx : 16 * mx + 16]
+        cbp, luma_levels = _quant_inter_luma(cur_y, py, qp)
+        cdcs, cacs = {}, {}
+        for comp, (plane, cpred) in enumerate(((cb, pcb), (cr, pcr))):
+            src = plane[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8]
+            cdcs[comp], cacs[comp] = _quant_chroma_full(
+                src, cpred.astype(np.int64), qpc
+            )
+        any_ac = any(c for comp in cacs.values() for blk in comp for c in blk)
+        any_dc = any(c for comp in cdcs.values() for c in comp)
+        if any_ac:
+            cbp |= 2 << 4
+        elif any_dc:
+            cbp |= 1 << 4
+            cacs = {c: [[0] * 15] * 4 for c in cacs}
+        else:
+            cacs = {c: [[0] * 15] * 4 for c in cacs}
+            cdcs = {c: [0, 0, 0, 0] for c in cdcs}
+        return cbp, luma_levels, cdcs, cacs
+
+    def _store_recon(mx, my, yy, ccb, ccr):
+        ry[16 * my : 16 * my + 16, 16 * mx : 16 * mx + 16] = yy
+        rcb[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8] = ccb
+        rcr[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8] = ccr
+
+    def _emit_cbp_and_residual(mx, my, py, pcb, pcr, cbp, ll, cdcs, cacs):
+        w.ue(_CBP_INTER_CODE[cbp])  # coded_block_pattern (Table 9-4)
+        if cbp:
+            w.se(0)  # mb_qp_delta
+            _emit_inter_residual(w, cbp, ll, cdcs, cacs, mx, my, nzc)
+            _store_recon(
+                mx, my,
+                *_recon_inter_mb(py, pcb, pcr, cbp, ll, cdcs, cacs, qp, qpc),
+            )
+        else:
+            _store_recon(mx, my, py, pcb, pcr)
+
     for my in range(mb_h):
         for mx in range(mb_w):
             cur_y = y[16 * my : 16 * my + 16, 16 * mx : 16 * mx + 16]
@@ -512,74 +835,77 @@ def encode_p_slice(
                     w, y, cb, cr, ry, rcb, rcr, mx, my, qp, qpc,
                     mb_type_base=5, nzc=nzc,
                 )
-                # intra MBs keep inter[my][mx] False: they contribute
-                # (mv 0, ref -1) to later MV predictions
+                # intra MBs contribute (mv 0, ref -1) to later MV
+                # predictions but ARE available (blocking the copy-A rule)
+                m4.fill(4 * mx, 4 * my, 4, 4, (0, 0), -1)
+                stats["intra"] += 1
                 continue
-            mv = _search_mv(cur_y, ref_y, mx, my, search_range, quarter)
-            smv = skip_mv(mvs, inter, mx, my, mb_w)
-            if mv != smv:
-                # skip-biased decision: take skip when it predicts as
-                # well as the searched MV (identical zero-residual cost)
-                ps = mc_luma(ref_y, 64 * mx + smv[0], 64 * my + smv[1], 16, 16)
-                pm = mc_luma(ref_y, 64 * mx + mv[0], 64 * my + mv[1], 16, 16)
-                if _sad(cur_y, ps) <= _sad(cur_y, pm):
-                    mv = smv
-            py, pcb, pcr = mc_predict_mb(ref_y, ref_cb, ref_cr, mx, my, mv)
-            cbp, luma_levels, cdcs, cacs = 0, None, None, None
-            if code_residual:
-                from flow_indexer_spark.operators.h264intra import (
-                    _quant_chroma_full,
+            if partitions:
+                mb_type, sub_types, parts = _decide_partitions(
+                    cur_y, ref_y, mx, my, search_range, quarter
                 )
-
-                cbp, luma_levels = _quant_inter_luma(cur_y, py, qp)
-                cdcs, cacs = {}, {}
-                for comp, (plane, cpred) in enumerate(((cb, pcb), (cr, pcr))):
-                    src = plane[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8]
-                    cdcs[comp], cacs[comp] = _quant_chroma_full(
-                        src, cpred.astype(np.int64), qpc
-                    )
-                any_ac = any(
-                    c for comp in cacs.values() for blk in comp for c in blk
-                )
-                any_dc = any(c for comp in cdcs.values() for c in comp)
-                if any_ac:
-                    cbp |= 2 << 4
-                elif any_dc:
-                    cbp |= 1 << 4
-                    cacs = {c: [[0] * 15] * 4 for c in cacs}
-                else:
-                    cacs = {c: [[0] * 15] * 4 for c in cacs}
-                    cdcs = {c: [0, 0, 0, 0] for c in cdcs}
-            if mv == smv and cbp == 0:
-                skip_run += 1
-                ry[16 * my : 16 * my + 16, 16 * mx : 16 * mx + 16] = py
-                rcb[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8] = pcb
-                rcr[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8] = pcr
             else:
-                w.ue(skip_run)
-                skip_run = 0
-                mvp = mv_pred_16x16(mvs, inter, mx, my, mb_w)
-                w.ue(0)  # mb_type: P_L0_16x16
-                w.se(mv[0] - mvp[0])  # mvd_l0 x
-                w.se(mv[1] - mvp[1])  # mvd_l0 y
-                w.ue(_CBP_INTER_CODE[cbp])  # coded_block_pattern (Table 9-4)
-                if cbp:
-                    w.se(0)  # mb_qp_delta
-                    _emit_inter_residual(
-                        w, cbp, luma_levels, cdcs, cacs, mx, my, nzc
+                mvx, mvy, _ = _search_block(
+                    cur_y, ref_y, 16 * mx, 16 * my, search_range, quarter
+                )
+                mb_type, sub_types = 0, None
+                parts = [(0, 0, 16, 16, "16x16", (mvx, mvy))]
+            if mb_type == 0:
+                mv = parts[0][5]
+                smv = skip_mv4(m4, mx, my)
+                if mv != smv:
+                    # skip-biased decision: take skip when it predicts
+                    # as well as the searched MV
+                    ps = mc_luma(
+                        ref_y, 64 * mx + smv[0], 64 * my + smv[1], 16, 16
                     )
-                    yy, ccb, ccr = _recon_inter_mb(
-                        py, pcb, pcr, cbp, luma_levels, cdcs, cacs, qp, qpc
+                    pm = mc_luma(
+                        ref_y, 64 * mx + mv[0], 64 * my + mv[1], 16, 16
                     )
-                    ry[16 * my : 16 * my + 16, 16 * mx : 16 * mx + 16] = yy
-                    rcb[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8] = ccb
-                    rcr[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8] = ccr
+                    if _sad(cur_y, ps) <= _sad(cur_y, pm):
+                        mv = smv
+                py, pcb, pcr = mc_predict_mb(ref_y, ref_cb, ref_cr, mx, my, mv)
+                cbp, ll, cdcs, cacs = _residual_for(mx, my, py, pcb, pcr)
+                if mv == smv and cbp == 0:
+                    skip_run += 1
+                    stats["skip"] += 1
+                    _store_recon(mx, my, py, pcb, pcr)
                 else:
-                    ry[16 * my : 16 * my + 16, 16 * mx : 16 * mx + 16] = py
-                    rcb[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8] = pcb
-                    rcr[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8] = pcr
-            mvs[my][mx] = mv
-            inter[my][mx] = True
+                    w.ue(skip_run)
+                    skip_run = 0
+                    mvp = mv_pred_part(m4, 4 * mx, 4 * my, 4, 4, 0, "16x16")
+                    w.ue(0)  # mb_type: P_L0_16x16
+                    w.se(mv[0] - mvp[0])  # mvd_l0 x
+                    w.se(mv[1] - mvp[1])  # mvd_l0 y
+                    stats["mb_types"][0] = stats["mb_types"].get(0, 0) + 1
+                    _emit_cbp_and_residual(
+                        mx, my, py, pcb, pcr, cbp, ll, cdcs, cacs
+                    )
+                m4.fill(4 * mx, 4 * my, 4, 4, mv, 0)
+                continue
+            # partitioned macroblock
+            w.ue(skip_run)
+            skip_run = 0
+            w.ue(mb_type)
+            stats["mb_types"][mb_type] = stats["mb_types"].get(mb_type, 0) + 1
+            if mb_type == 3:
+                for st in sub_types:
+                    w.ue(st)  # sub_mb_type (Table 7-17, P)
+                    stats["sub_types"][st] = stats["sub_types"].get(st, 0) + 1
+            # mvd loop in decoding order, grid filled progressively so
+            # each partition's prediction sees its predecessors
+            for ox, oy, pw, ph, kind, mv in parts:
+                x4, y4 = 4 * mx + ox // 4, 4 * my + oy // 4
+                mvp = mv_pred_part(m4, x4, y4, pw // 4, ph // 4, 0, kind)
+                w.se(mv[0] - mvp[0])
+                w.se(mv[1] - mvp[1])
+                m4.fill(x4, y4, pw // 4, ph // 4, mv, 0)
+            py, pcb, pcr = mc_predict_parts(
+                ref_y, ref_cb, ref_cr, mx, my,
+                [(p[0], p[1], p[2], p[3], p[5]) for p in parts],
+            )
+            cbp, ll, cdcs, cacs = _residual_for(mx, my, py, pcb, pcr)
+            _emit_cbp_and_residual(mx, my, py, pcb, pcr, cbp, ll, cdcs, cacs)
     if skip_run:
         w.ue(skip_run)  # trailing skip run
     nal = rbsp_to_nal(0x41, w.rbsp_trailing())  # nal_ref_idc 2, type 1
@@ -587,7 +913,9 @@ def encode_p_slice(
     if return_recon:
         out += ((ry, rcb, rcr),)
     if return_motion:
-        out += ((mvs, inter),)
+        out += (_export_mb_motion(m4, mb_w, mb_h),)
+    if return_stats:
+        out += (stats,)
     return out if len(out) > 1 else nal
 
 
@@ -601,10 +929,13 @@ def decode_p_slice(
     return_motion: bool = False,
 ):
     """Non-IDR P-slice NAL + previous reconstructed planes -> (y, cb,
-    cr). Decodes P_Skip runs, P_L0_16x16 (any coded_block_pattern —
-    CAVLC residuals added to the motion-compensated prediction)
-    through real median MV prediction + quarter/eighth-sample
-    interpolation, and intra macroblocks through the h264intra path;
+    cr). Decodes P_Skip runs, every Table 7-13 inter mb_type —
+    P_L0_16x16, P_L0_L0_16x8, P_L0_L0_8x16, P_8x8(/ref0) with all
+    Table 7-17 sub partitionings, any coded_block_pattern (CAVLC
+    residuals added to the motion-compensated prediction) — through
+    real per-partition MV prediction on the 4x4 grid +
+    quarter/eighth-sample interpolation, and intra macroblocks
+    through the h264intra path;
     narrower tools classify from the syntax element that requires
     them. ``return_motion=True`` appends this picture's (mvs, inter)
     grid pair — the co-located motion B slices need for the 8.4.1.2.2
@@ -654,20 +985,42 @@ def decode_p_slice(
     y = np.zeros((mb_h * 16, mb_w * 16), dtype=np.uint8)
     cb = np.zeros((mb_h * 8, mb_w * 8), dtype=np.uint8)
     cr = np.zeros_like(cb)
-    mvs = [[(0, 0)] * mb_w for _ in range(mb_h)]
-    inter = [[False] * mb_w for _ in range(mb_h)]
+    m4 = Motion4(mb_w, mb_h)
     modes = np.full((4 * mb_h, 4 * mb_w), -1, dtype=np.int8)
     nzc = NzcCtx(mb_w, mb_h)  # skipped/uncoded blocks stay TotalCoeff 0
     n_mbs = mb_w * mb_h
     addr = 0
 
-    def _recon_inter(mx: int, my: int, mv: tuple[int, int]) -> None:
-        py, pcb, pcr = mc_predict_mb(ref_y, ref_cb, ref_cr, mx, my, mv)
+    def _store_pred(mx, my, py, pcb, pcr):
         y[16 * my : 16 * my + 16, 16 * mx : 16 * mx + 16] = py
         cb[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8] = pcb
         cr[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8] = pcr
-        mvs[my][mx] = mv
-        inter[my][mx] = True
+
+    def _recon_skip(mx: int, my: int) -> None:
+        mv = skip_mv4(m4, mx, my)
+        _store_pred(mx, my, *mc_predict_mb(ref_y, ref_cb, ref_cr, mx, my, mv))
+        m4.fill(4 * mx, 4 * my, 4, 4, mv, 0)
+
+    def _apply_residual(mx, my, py, pcb, pcr):
+        """Parse coded_block_pattern (+ residual when coded) and store
+        the reconstruction — the shared tail of every inter mb_type."""
+        nonlocal qp
+        code = r.ue("coded_block_pattern")
+        if code > 47:
+            raise ValueError(f"coded_block_pattern codeNum {code} > 47")
+        cbp = _CBP_INTER[code]
+        if cbp == 0:
+            _store_pred(mx, my, py, pcb, pcr)
+            return
+        qp += r.se("mb_qp_delta")
+        if not 0 <= qp <= 51:
+            raise ValueError(f"mb_qp_delta drove QP to {qp}")
+        qpc = chroma_qp(qp)
+        luma_levels, cdcs, cacs = _parse_inter_residual(r, cbp, mx, my, nzc)
+        _store_pred(
+            mx, my,
+            *_recon_inter_mb(py, pcb, pcr, cbp, luma_levels, cdcs, cacs, qp, qpc),
+        )
 
     while addr < n_mbs:
         run = r.ue("mb_skip_run")
@@ -675,7 +1028,7 @@ def decode_p_slice(
             raise ValueError("mb_skip_run overruns the picture")
         for _ in range(run):
             mx, my = addr % mb_w, addr // mb_w
-            _recon_inter(mx, my, skip_mv(mvs, inter, mx, my, mb_w))
+            _recon_skip(mx, my)
             addr += 1
         if addr == n_mbs:
             break
@@ -689,42 +1042,52 @@ def decode_p_slice(
             qp = decode_i_mb(
                 r, mb_type - 5, qp, y, cb, cr, mx, my, modes, nzc
             )
-            # intra MB: stays inter=False -> (mv 0, ref -1) for neighbours
+            # intra MB: available with (mv 0, ref -1) for neighbours
+            m4.fill(4 * mx, 4 * my, 4, 4, (0, 0), -1)
         elif mb_type == 0:
-            mvp = mv_pred_16x16(mvs, inter, mx, my, mb_w)
+            mvp = mv_pred_part(m4, 4 * mx, 4 * my, 4, 4, 0, "16x16")
             mvd = (r.se("mvd_l0 x"), r.se("mvd_l0 y"))
-            code = r.ue("coded_block_pattern")
-            if code > 47:
-                raise ValueError(f"coded_block_pattern codeNum {code} > 47")
-            cbp = _CBP_INTER[code]
             mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
-            if cbp == 0:
-                _recon_inter(mx, my, mv)
+            m4.fill(4 * mx, 4 * my, 4, 4, mv, 0)
+            py, pcb, pcr = mc_predict_mb(ref_y, ref_cb, ref_cr, mx, my, mv)
+            _apply_residual(mx, my, py, pcb, pcr)
+        elif mb_type <= 4:
+            # P_L0_L0_16x8 / P_L0_L0_8x16 / P_8x8 / P_8x8ref0 (with one
+            # active reference, P_8x8ref0 decodes identically to P_8x8)
+            if mb_type in (1, 2):
+                geometry = [
+                    (ox, oy, pw, ph, kind)
+                    for ox, oy, pw, ph, kind in _MB_PARTS[mb_type]
+                ]
             else:
-                qp += r.se("mb_qp_delta")
-                if not 0 <= qp <= 51:
-                    raise ValueError(f"mb_qp_delta drove QP to {qp}")
-                qpc = chroma_qp(qp)
-                luma_levels, cdcs, cacs = _parse_inter_residual(
-                    r, cbp, mx, my, nzc
-                )
-                py, pcb, pcr = mc_predict_mb(ref_y, ref_cb, ref_cr, mx, my, mv)
-                yy, ccb, ccr = _recon_inter_mb(
-                    py, pcb, pcr, cbp, luma_levels, cdcs, cacs, qp, qpc
-                )
-                y[16 * my : 16 * my + 16, 16 * mx : 16 * mx + 16] = yy
-                cb[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8] = ccb
-                cr[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8] = ccr
-                mvs[my][mx] = mv
-                inter[my][mx] = True
-        else:
-            raise NotImplementedError(
-                f"P-slice partition mb_type {mb_type} "
-                "(16x8/8x16/8x8): sub-macroblock motion not implemented"
+                geometry = []
+                for qx, qy in _QUADS:
+                    st = r.ue("sub_mb_type")
+                    if st > 3:
+                        raise ValueError(
+                            f"P sub_mb_type {st} > 3 (Table 7-17)"
+                        )
+                    geometry.extend(
+                        (qx + sx, qy + sy, pw, ph, "sub")
+                        for sx, sy, pw, ph in _SUB_PARTS[st]
+                    )
+            parts = []
+            for ox, oy, pw, ph, kind in geometry:
+                x4, y4 = 4 * mx + ox // 4, 4 * my + oy // 4
+                mvp = mv_pred_part(m4, x4, y4, pw // 4, ph // 4, 0, kind)
+                mvd = (r.se("mvd_l0 x"), r.se("mvd_l0 y"))
+                mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
+                m4.fill(x4, y4, pw // 4, ph // 4, mv, 0)
+                parts.append((ox, oy, pw, ph, mv))
+            py, pcb, pcr = mc_predict_parts(
+                ref_y, ref_cb, ref_cr, mx, my, parts
             )
+            _apply_residual(mx, my, py, pcb, pcr)
+        else:  # pragma: no cover — unreachable (0..4 and >=5 covered)
+            raise ValueError(f"invalid P-slice mb_type {mb_type}")
         addr += 1
     if return_motion:
-        return y, cb, cr, (mvs, inter)
+        return y, cb, cr, _export_mb_motion(m4, mb_w, mb_h)
     return y, cb, cr
 
 
@@ -1097,10 +1460,13 @@ def encode_frame_sample_p(
     poc: tuple[int, int] | None = None,
     quarter: bool = True,
     return_motion: bool = False,
+    partitions: bool = False,
+    return_stats: bool = False,
 ):
     """RGB frame + previous reconstruction -> (length-prefixed P-slice
     MP4 sample, this frame's reconstruction for the next P[, this
-    picture's (mvs, inter) motion grid when ``return_motion``])."""
+    picture's (mvs, inter) motion grid when ``return_motion``][, the
+    encoder's mb_type stats when ``return_stats``])."""
     from flow_indexer_spark.operators.h264codec import frame_to_planes
 
     y, cb, cr = frame_to_planes(px)
@@ -1108,6 +1474,7 @@ def encode_frame_sample_p(
         y, cb, cr, ref, frame_num, qp=qp, search_range=search_range,
         intra_mbs=intra_mbs, return_recon=True, code_residual=code_residual,
         poc=poc, quarter=quarter, return_motion=return_motion,
+        partitions=partitions, return_stats=return_stats,
     )
     sample = len(out[0]).to_bytes(4, "big") + out[0]
     return (sample, *out[1:])

@@ -186,6 +186,9 @@ def encode_mp4_h264_gop(
     search_range: int = 8,
     idr: str = "ipcm",
     code_residual: bool = False,
+    partitions: bool = False,
+    min_part_mbs: int = 0,
+    quarter: bool = True,
 ) -> bytes:
     """Write frames as a real IDR+P H.264 GOP: every ``gop``-th frame
     is an IDR (``idr='ipcm'`` lossless, or ``'i16'`` intra-predicted,
@@ -195,7 +198,11 @@ def encode_mp4_h264_gop(
     stss box marks the IDR samples; frame sampling seeks to the nearest
     sync and rolls forward. ``code_residual=True`` additionally
     quantizes and CAVLC-codes each P macroblock's prediction error
-    (cbp != 0 streams, Table 9-4 inter)."""
+    (cbp != 0 streams, Table 9-4 inter). ``partitions=True`` turns on
+    the partitioned inter modes (P_16x8 / P_8x16 / P_8x8, Table
+    7-13/7-17) with ``min_part_mbs`` asserting every P frame genuinely
+    coded at least that many partitioned macroblocks — a fixture guard
+    against the mode decision silently degenerating to 16x16."""
     from flow_indexer_spark.operators import h264codec as h264
     from flow_indexer_spark.operators.h264inter import encode_frame_sample_p
     from flow_indexer_spark.operators.h264intra import encode_idr_i16
@@ -222,10 +229,18 @@ def encode_mp4_h264_gop(
             samples.append(len(nal).to_bytes(4, "big") + nal)
             sync.append(k)
         else:
-            sample, recon = encode_frame_sample_p(
+            sample, recon, stats = encode_frame_sample_p(
                 f, recon, frame_num=k % gop, qp=qp,
                 search_range=search_range, code_residual=code_residual,
+                partitions=partitions, return_stats=True, quarter=quarter,
             )
+            n_part = sum(stats["mb_types"].get(t, 0) for t in (1, 2, 3))
+            if n_part < min_part_mbs:
+                raise AssertionError(
+                    f"frame {k}: only {n_part} partitioned MBs "
+                    f"(< {min_part_mbs}); fixture content no longer "
+                    f"drives the partition mode decision: {stats}"
+                )
             samples.append(sample)
     avcc = _box(
         b"avcC",
@@ -1015,6 +1030,66 @@ def make_h264_res_bytes(i: int, qp: int = 10, gop: int = 4) -> bytes:
     )
 
 
+def part_scene_splits(w: int, h: int) -> tuple[int, int]:
+    """(split_x, split_y) for the partition fixture: 8-aligned but NOT
+    16-aligned, so the motion boundary runs through the middle of a
+    macroblock column/row and 8x16 / 16x8 / 8x8 partitions are the
+    exact fit the mode decision should find."""
+    sx = (w // 2) // 8 * 8
+    if sx % 16 == 0:
+        sx += 8
+    sy = (h // 2) // 8 * 8
+    if sy % 16 == 0:
+        sy += 8
+    return sx, sy
+
+
+def part_scene(i: int, t: int, gop: int = 4) -> np.ndarray:
+    """Frame t of partition-fixture video i: the picture is split into
+    four regions at :func:`part_scene_splits` whose G/B ramp textures
+    translate in OPPOSING directions (left +2dt / right -2dt px
+    horizontally, top +dt / bottom -dt vertically within each GOP), so
+    a macroblock straddling a split can only be predicted well by a
+    partitioned mode. R steps (7i + 11t) mod 256 per frame — flat
+    luminance no motion vector can follow, carried by coded residuals
+    exactly as in the residual fixture family."""
+    n, w, h = video_params(i)
+    sx, sy = part_scene_splits(w, h)
+    dt = t % gop
+    xs = np.arange(w, dtype=np.int64)[None, :]
+    ys = np.arange(h, dtype=np.int64)[:, None]
+    left = xs < sx
+    top = ys < sy
+    px = np.empty((h, w, 3), dtype=np.uint8)
+    px[:, :, 0] = (7 * i + 11 * t) % 256
+    g = np.where(left, (xs - 2 * dt) * 3, (xs + 2 * dt) * 3 + 64) % 256
+    b = np.where(top, (ys - dt) * 5, (ys + dt) * 5 + 32) % 256
+    px[:, :, 1] = np.broadcast_to(g % 256, (h, w))
+    px[:, :, 2] = np.broadcast_to(b % 256, (h, w))
+    return px
+
+
+def make_h264_part_bytes(i: int, qp: int = 10, gop: int = 4) -> bytes:
+    """The partitioned-motion GOP family: four regions translating in
+    opposing directions across mid-macroblock splits (part_scene), so
+    the straddling macroblocks code as P_L0_L0_8x16 / P_L0_L0_16x8 /
+    P_8x8 — asserted per frame via ``min_part_mbs`` — while R's
+    per-frame step rides the inter residuals. A decoder whose
+    per-partition MV prediction or sub-macroblock motion compensation
+    was wrong would reconstruct the straddling MBs from the wrong
+    reference area and drift the means far outside the oracle gates
+    (and fail the byte-exact pytest round trip first)."""
+    n, w, h = video_params(i)
+    frames = [part_scene(i, t, gop) for t in range(n)]
+    # the scene translates by whole pixels — full-pel search keeps the
+    # 41-block-per-MB mode decision affordable (same trade as the
+    # B-GOP fixture family)
+    return encode_mp4_h264_gop(
+        frames, fps=VIDEO_FPS, qp=qp, gop=gop, search_range=6,
+        code_residual=True, partitions=True, min_part_mbs=1, quarter=False,
+    )
+
+
 def make_h264_b_bytes(
     i: int, qp: int = 10, gop: int = 6, b_frames: int = 2
 ) -> bytes:
@@ -1107,6 +1182,11 @@ def make_h264_i4_media(spark, n: int = 24) -> DataFrame:
 def make_h264_res_media(spark, n: int = 24) -> DataFrame:
     """Executor-side synthesis of residual-coded (cbp != 0) GOP payloads."""
     return _media_gen(spark, n, "v", make_h264_res_bytes)
+
+
+def make_h264_part_media(spark, n: int = 24) -> DataFrame:
+    """Executor-side synthesis of partitioned-motion GOP payloads."""
+    return _media_gen(spark, n, "v", make_h264_part_bytes)
 
 
 def make_h264_b_media(spark, n: int = 24) -> DataFrame:

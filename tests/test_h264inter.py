@@ -301,12 +301,22 @@ def test_unimplemented_p_tools_classify_from_syntax():
     with pytest.raises(ValueError, match="B slice handed"):
         P.decode_p_slice(H.rbsp_to_nal(0x41, w.rbsp_trailing()), sps, ref)
 
-    # partitioned P macroblock
+    # partitioned P macroblock: the seam CLOSED (tests/test_h264_parts.py)
+    # — a stream that ends mid-partition now classifies as corruption
     w = H._BitWriter()
     _p_header(w)
     w.ue(0)  # mb_skip_run
     w.ue(1)  # mb_type P_L0_L0_16x8
-    with pytest.raises(NotImplementedError, match="partition"):
+    with pytest.raises(ValueError, match="truncated"):
+        P.decode_p_slice(H.rbsp_to_nal(0x41, w.rbsp_trailing()), sps, ref)
+
+    # hostile sub_mb_type
+    w = H._BitWriter()
+    _p_header(w)
+    w.ue(0)
+    w.ue(3)  # mb_type P_8x8
+    w.ue(4)  # sub_mb_type 4 > 3
+    with pytest.raises(ValueError, match="sub_mb_type"):
         P.decode_p_slice(H.rbsp_to_nal(0x41, w.rbsp_trailing()), sps, ref)
 
     # inter residuals (cbp != 0) DECODE now (seam closed); a stream
