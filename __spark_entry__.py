@@ -4371,6 +4371,92 @@ def _q_media_h264_parts(spark, sf_dir):
 
 
 @_register(
+    "media_h264_mref",
+    """
+    WITH v AS (SELECT CAST(range AS INTEGER) AS i FROM range(24)),
+    p AS (
+      SELECT i, printf('v%05d', i) AS media_id,
+             6 + (i % 3) * 3 AS n_frames,
+             16 + (i % 5) * 8 AS w, 12 + (i % 3) * 8 AS h
+      FROM v
+    ),
+    f AS (
+      SELECT p.*, CAST(r.range AS INTEGER) AS frame_idx
+      FROM p, range(12) r
+      WHERE r.range < p.n_frames AND r.range % 2 = 0
+    )
+    SELECT media_id, 'avc1' AS codec,
+           CAST(n_frames AS INTEGER) AS n_frames,
+           CAST(n_frames * 100 AS BIGINT) AS duration_ms,
+           frame_idx, CAST(frame_idx * 100 AS BIGINT) AS t_ms,
+           CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           TRUE AS mean_r_ok, TRUE AS mean_g_ok, TRUE AS mean_b_ok
+    FROM f
+    ORDER BY media_id, frame_idx
+    """,
+)
+def _q_media_h264_mref(spark, sf_dir):
+    """The MULTI-REFERENCE span of the H.264 seam (round-4, after
+    media_h264_parts): GOP streams whose P slices override
+    num_ref_idx_l0_active to 2 and signal per-partition ref_idx_l0 as
+    te(v), motion-compensating from list0[ref_idx] over a two-deep
+    sliding reference window (operators/h264inter.py; GopDecoder keeps
+    the window and hands the list in PicNum order). The fixture scene
+    ALTERNATES between two structurally different phases, so only the
+    two-frames-back picture matches — the bytes builder asserts every
+    two-ref P frame genuinely signalled ref_idx 1 (min_ref1_mbs), and
+    a decoder that ignored ref_idx would reconstruct the wrong phase
+    entirely (whole ramps of difference, vs the measured family
+    envelope r 0.58 / g 0.45 / b 0.64 — gates 1.2). Oracle gates each
+    sampled frame's means against the source generator's
+    (driver-computed, broadcast-joined). Reference analogue: the pcap
+    backend decodes every packet format its library supports
+    (backend/pcap.go:17-54)."""
+    import pandas as pd
+
+    from flow_indexer_spark.operators.mp4codec import (
+        make_h264_mref_media,
+        mref_scene,
+        video_frame_features,
+        video_params,
+    )
+
+    rows = []
+    for i in range(24):
+        n, _, _ = video_params(i)
+        for t in range(0, n, 2):
+            src = mref_scene(i, t)
+            rows.append(
+                {
+                    "media_id": f"v{i:05d}",
+                    "frame_idx": t,
+                    "exp_r": float(src[:, :, 0].mean()),
+                    "exp_g": float(src[:, :, 1].mean()),
+                    "exp_b": float(src[:, :, 2].mean()),
+                }
+            )
+    exp = spark.createDataFrame(pd.DataFrame(rows))
+    d = video_frame_features(make_h264_mref_media(spark, 24), every_n=2)
+    return (
+        d.join(F.broadcast(exp), ["media_id", "frame_idx"])
+        .select(
+            "media_id",
+            "codec",
+            "n_frames",
+            "duration_ms",
+            "frame_idx",
+            "t_ms",
+            "width",
+            "height",
+            (F.abs(F.col("mean_r") - F.col("exp_r")) < 1.2).alias("mean_r_ok"),
+            (F.abs(F.col("mean_g") - F.col("exp_g")) < 1.2).alias("mean_g_ok"),
+            (F.abs(F.col("mean_b") - F.col("exp_b")) < 1.2).alias("mean_b_ok"),
+        )
+        .orderBy("media_id", "frame_idx")
+    )
+
+
+@_register(
     "media_h264_i4",
     """
     WITH v AS (SELECT CAST(range AS INTEGER) AS i FROM range(24)),

@@ -63,8 +63,17 @@ byte equality of the full reconstruction chain, not means.
   stays byte-identical to the pre-partition encoder, pinned by
   tests/test_h264_parts.py.
 
-Still classified from parsed syntax: multi-reference lists, weighted
-prediction, CABAC (PPS), and everything h264codec already classifies.
+* **Multi-reference lists (spec 8.2.4 / 8.4.2.1)** — the slice header
+  overrides num_ref_idx_l0_active, inter partitions signal ref_idx_l0
+  as te(v) (one inverted bit at two active references, ue(v) beyond),
+  motion compensation reads list0[ref_idx], and MV prediction
+  compares ACTUAL refIdx values on the 4x4 grid. GopDecoder keeps a
+  two-deep sliding window and hands the list most-recent-first
+  (decode recency == PicNum order in these closed GOPs).
+
+Still classified from parsed syntax: reference list modification,
+weighted prediction, CABAC (PPS), and everything h264codec already
+classifies.
 
 Reference analogue: the pcap backend decodes every packet format its
 library supports (/root/reference/backend/pcap.go:17-54) — the same
@@ -385,15 +394,17 @@ _SUB_PARTS = {
 _QUADS = ((0, 0), (8, 0), (0, 8), (8, 8))
 
 
-def mc_predict_parts(ref_y, ref_cb, ref_cr, mx, my, parts):
+def mc_predict_parts(refs, mx, my, parts):
     """Assemble one MB's (py, pcb, pcr) prediction planes from luma
-    partitions ``[(ox, oy, w, h, mv)]``. Chroma geometry is the luma's
+    partitions ``[(ox, oy, w, h, mv, ref_idx)]`` over the reference
+    list ``refs`` = [(y, cb, cr), ...]. Chroma geometry is the luma's
     halved (4:2:0); the luma quarter-sample MV doubles as the chroma
     eighth-sample MV, both on 4*pixel+mv coordinates."""
     py = np.empty((16, 16), dtype=np.uint8)
     pcb = np.empty((8, 8), dtype=np.uint8)
     pcr = np.empty((8, 8), dtype=np.uint8)
-    for ox, oy, w, h, mv in parts:
+    for ox, oy, w, h, mv, ri in parts:
+        ref_y, ref_cb, ref_cr = refs[ri]
         px, pyy = 16 * mx + ox, 16 * my + oy
         xq, yq = 4 * px + mv[0], 4 * pyy + mv[1]
         py[oy : oy + h, ox : ox + w] = mc_luma(ref_y, xq, yq, h, w)
@@ -402,6 +413,26 @@ def mc_predict_parts(ref_y, ref_cb, ref_cr, mx, my, parts):
         pcb[cys:cye, cxs:cxe] = mc_chroma(ref_cb, xq, yq, h // 2, w // 2)
         pcr[cys:cye, cxs:cxe] = mc_chroma(ref_cr, xq, yq, h // 2, w // 2)
     return py, pcb, pcr
+
+
+def _write_ref_idx(w, ref_idx: int, n_active: int) -> None:
+    """ref_idx_l0 as te(v) (spec 9.1.1): nothing when one reference is
+    active, one INVERTED bit when two are, ue(v) beyond."""
+    if n_active == 2:
+        w.u(1 - ref_idx, 1)
+    elif n_active > 2:
+        w.ue(ref_idx)
+
+
+def _read_ref_idx(r, n_active: int) -> int:
+    if n_active == 1:
+        return 0
+    if n_active == 2:
+        return 1 - r.u(1, "ref_idx_l0")
+    ri = r.ue("ref_idx_l0")
+    if ri >= n_active:
+        raise ValueError(f"ref_idx_l0 {ri} >= num_ref_idx_active {n_active}")
+    return ri
 
 
 def spatial_direct(grids, mx, my, mb_w, col_motion):
@@ -657,52 +688,77 @@ def _search_mv(
 #: near-ties resolve toward FEWER partitions
 _MV_PENALTY = 96
 
+#: penalty for referencing a picture other than list0[0] (the te(v)/
+#: ue(v) ref_idx bits); ties resolve toward the most recent reference
+_REF_PENALTY = 16
 
-def _decide_partitions(cur_y, ref_y, mx, my, search_range, quarter):
+
+def _search_refs(blk, refs_y, px, py, search_range, quarter):
+    """Best (mv, ref_idx, cost) for one block over every reference
+    picture (mean-removed SAD + _REF_PENALTY per ref_idx step;
+    deterministic — lower ref_idx wins ties)."""
+    best = None
+    for ri, ry in enumerate(refs_y):
+        mvx, mvy, sad = _search_block(
+            blk, ry, px, py, search_range, quarter, metric=_sad_dc
+        )
+        cost = sad + _REF_PENALTY * ri
+        if best is None or cost < best[0]:
+            best = (cost, (mvx, mvy), ri)
+    return best[1], best[2], best[0]
+
+
+def _decide_partitions(cur_y, refs_y, mx, my, search_range, quarter):
     """Per-MB partition mode decision: search every partitioning of
-    Table 7-13/7-17 independently and take the minimum of
-    SAD + 96 * n_motion_vectors, preferring fewer partitions on ties
-    (evaluation order 16x16, 16x8, 8x16, 8x8; strict < to replace).
-    Returns (mb_type, sub_types | None, parts) where parts =
-    [(ox, oy, w, h, kind, mv)] in decoding order."""
+    Table 7-13/7-17 (x every reference picture) independently and take
+    the minimum of mean-removed-SAD + 96 * n_motion_vectors
+    + 16 * ref_idx, preferring fewer partitions on ties (evaluation
+    order 16x16, 16x8, 8x16, 8x8; strict < to replace). Returns
+    (mb_type, sub_types | None, sig_refs, parts): ``sig_refs`` is the
+    ref_idx list in signalling order (one per MB partition, or one per
+    8x8 quadrant for P_8x8), ``parts`` =
+    [(ox, oy, w, h, kind, mv, ref_idx)] in decoding order."""
     x0, y0 = 16 * mx, 16 * my
     candidates = []
     for mb_type in (0, 1, 2):
-        parts = []
+        parts, sig_refs = [], []
         total = _MV_PENALTY * len(_MB_PARTS[mb_type])
         for ox, oy, w, h, kind in _MB_PARTS[mb_type]:
             blk = cur_y[oy : oy + h, ox : ox + w]
-            mvx, mvy, sad = _search_block(
-                blk, ref_y, x0 + ox, y0 + oy, search_range, quarter,
-                metric=_sad_dc,
+            mv, ri, cost = _search_refs(
+                blk, refs_y, x0 + ox, y0 + oy, search_range, quarter
             )
-            parts.append((ox, oy, w, h, kind, (mvx, mvy)))
-            total += sad
-        candidates.append((total, mb_type, None, parts))
-    # P_8x8: per-quadrant best sub_mb_type
-    sub_types, parts8, total8 = [], [], 0
+            parts.append((ox, oy, w, h, kind, mv, ri))
+            sig_refs.append(ri)
+            total += cost
+        candidates.append((total, mb_type, None, sig_refs, parts))
+    # P_8x8: per-quadrant joint best (sub_mb_type, ref_idx) — the spec
+    # signals ONE ref_idx per quadrant, shared by its sub-partitions
+    sub_types, quad_refs, parts8, total8 = [], [], [], 0
     for qx, qy in _QUADS:
         best = None
-        for st in range(4):
-            cost = _MV_PENALTY * len(_SUB_PARTS[st])
-            sub = []
-            for sx, sy, w, h in _SUB_PARTS[st]:
-                ox, oy = qx + sx, qy + sy
-                blk = cur_y[oy : oy + h, ox : ox + w]
-                mvx, mvy, sad = _search_block(
-                    blk, ref_y, x0 + ox, y0 + oy, search_range, quarter,
-                    metric=_sad_dc,
-                )
-                sub.append((ox, oy, w, h, "sub", (mvx, mvy)))
-                cost += sad
-            if best is None or cost < best[0]:
-                best = (cost, st, sub)
+        for ri in range(len(refs_y)):
+            for st in range(4):
+                cost = _MV_PENALTY * len(_SUB_PARTS[st]) + _REF_PENALTY * ri
+                sub = []
+                for sx, sy, w, h in _SUB_PARTS[st]:
+                    ox, oy = qx + sx, qy + sy
+                    blk = cur_y[oy : oy + h, ox : ox + w]
+                    mvx, mvy, sad = _search_block(
+                        blk, refs_y[ri], x0 + ox, y0 + oy,
+                        search_range, quarter, metric=_sad_dc,
+                    )
+                    sub.append((ox, oy, w, h, "sub", (mvx, mvy), ri))
+                    cost += sad
+                if best is None or cost < best[0]:
+                    best = (cost, st, ri, sub)
         total8 += best[0]
         sub_types.append(best[1])
-        parts8.extend(best[2])
-    candidates.append((total8, 3, sub_types, parts8))
+        quad_refs.append(best[2])
+        parts8.extend(best[3])
+    candidates.append((total8, 3, sub_types, quad_refs, parts8))
     best = min(candidates, key=lambda c: (c[0], c[1]))
-    return best[1], best[2], best[3]
+    return best[1], best[2], best[3], best[4]
 
 
 def encode_p_slice(
@@ -747,18 +803,33 @@ def encode_p_slice(
     byte-identical to the pre-partition encoder (pinned by
     tests/test_h264_parts.py). ``return_stats`` appends a dict of
     mb_type / sub_mb_type / skip counts so fixtures can assert the
-    mode decision really used partitions."""
-    ref_y, ref_cb, ref_cr = ref
+    mode decision really used partitions.
+
+    ``ref`` is a (y, cb, cr) planes tuple — or a LIST of them for
+    multi-reference prediction: list0 order, most recent picture
+    first (the default 8.2.4.2.1 P-list for a closed GOP where decode
+    recency == PicNum order). With more than one reference the slice
+    header overrides num_ref_idx_l0_active and every inter partition
+    signals ref_idx_l0 as te(v); the per-block search tries every
+    reference (+16 cost per ref_idx step, most recent wins ties)."""
+    refs = ref if isinstance(ref, list) else [ref]
+    if not 1 <= len(refs) <= 16:
+        raise ValueError("reference list must hold 1..16 pictures")
+    ref_y, ref_cb, ref_cr = refs[0]
+    n_active = len(refs)
     mb_h, mb_w = y.shape[0] // 16, y.shape[1] // 16
-    if (
-        y.shape != (mb_h * 16, mb_w * 16)
-        or cb.shape != (mb_h * 8, mb_w * 8)
-        or cr.shape != cb.shape
-        or ref_y.shape != y.shape
-        or ref_cb.shape != cb.shape
-        or ref_cr.shape != cr.shape
-    ):
-        raise ValueError("planes must be macroblock-aligned and match ref")
+    if y.shape != (mb_h * 16, mb_w * 16) or cb.shape != (
+        mb_h * 8,
+        mb_w * 8,
+    ) or cr.shape != cb.shape:
+        raise ValueError("planes must be macroblock-aligned")
+    for rf in refs:
+        if (
+            rf[0].shape != y.shape
+            or rf[1].shape != cb.shape
+            or rf[2].shape != cr.shape
+        ):
+            raise ValueError("reference planes must match the picture")
     if not 0 <= qp <= 51:
         raise ValueError("qp out of range")
     qpc = chroma_qp(qp)
@@ -769,7 +840,11 @@ def encode_p_slice(
     w.u(frame_num % (1 << log2_max_frame_num), log2_max_frame_num)
     if poc is not None:
         w.u(poc[0] % (1 << poc[1]), poc[1])  # pic_order_cnt_lsb (poc_type 0)
-    w.u(0, 1)  # num_ref_idx_active_override_flag
+    if n_active > 1:
+        w.u(1, 1)  # num_ref_idx_active_override_flag
+        w.ue(n_active - 1)  # num_ref_idx_l0_active_minus1
+    else:
+        w.u(0, 1)  # num_ref_idx_active_override_flag
     w.u(0, 1)  # ref_pic_list_modification_flag_l0
     w.u(0, 1)  # adaptive_ref_pic_marking_mode_flag (nal_ref_idc != 0)
     w.se(qp - 26)  # slice_qp_delta
@@ -778,7 +853,13 @@ def encode_p_slice(
     rcr = np.zeros_like(cr)
     m4 = Motion4(mb_w, mb_h)
     nzc = NzcCtx(mb_w, mb_h)
-    stats = {"mb_types": {}, "sub_types": {}, "skip": 0, "intra": 0}
+    stats = {
+        "mb_types": {},
+        "sub_types": {},
+        "ref_idx": {},
+        "skip": 0,
+        "intra": 0,
+    }
     skip_run = 0
 
     def _residual_for(mx, my, py, pcb, pcr):
@@ -813,6 +894,13 @@ def encode_p_slice(
         rcb[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8] = ccb
         rcr[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8] = ccr
 
+    # every encoder-side quality comparison shares one metric: plain
+    # SAD for the pinned single-reference 16x16 path, the DC-invariant
+    # one once partitions or reference selection are in play (a flat
+    # luminance step must not mask which prediction matches the
+    # texture — the residual DC codes the step either way)
+    met = _sad_dc if (partitions or n_active > 1) else _sad
+
     def _emit_cbp_and_residual(mx, my, py, pcb, pcr, cbp, ll, cdcs, cacs):
         w.ue(_CBP_INTER_CODE[cbp])  # coded_block_pattern (Table 9-4)
         if cbp:
@@ -841,47 +929,57 @@ def encode_p_slice(
                 stats["intra"] += 1
                 continue
             if partitions:
-                mb_type, sub_types, parts = _decide_partitions(
-                    cur_y, ref_y, mx, my, search_range, quarter
+                mb_type, sub_types, sig_refs, parts = _decide_partitions(
+                    cur_y, [rf[0] for rf in refs], mx, my,
+                    search_range, quarter,
                 )
             else:
-                mvx, mvy, _ = _search_block(
-                    cur_y, ref_y, 16 * mx, 16 * my, search_range, quarter
-                )
+                best = None
+                for ri, rf in enumerate(refs):
+                    mvx, mvy, sad = _search_block(
+                        cur_y, rf[0], 16 * mx, 16 * my, search_range,
+                        quarter, metric=met,
+                    )
+                    cost = sad + _REF_PENALTY * ri
+                    if best is None or cost < best[0]:
+                        best = (cost, (mvx, mvy), ri)
                 mb_type, sub_types = 0, None
-                parts = [(0, 0, 16, 16, "16x16", (mvx, mvy))]
+                sig_refs = [best[2]]
+                parts = [(0, 0, 16, 16, "16x16", best[1], best[2])]
             if mb_type == 0:
-                mv = parts[0][5]
+                mv, ri = parts[0][5], parts[0][6]
                 smv = skip_mv4(m4, mx, my)
-                if mv != smv:
+                if (mv, ri) != (smv, 0):
                     # skip-biased decision: take skip when it predicts
                     # as well as the searched MV
                     ps = mc_luma(
-                        ref_y, 64 * mx + smv[0], 64 * my + smv[1], 16, 16
+                        refs[0][0], 64 * mx + smv[0], 64 * my + smv[1], 16, 16
                     )
                     pm = mc_luma(
-                        ref_y, 64 * mx + mv[0], 64 * my + mv[1], 16, 16
+                        refs[ri][0], 64 * mx + mv[0], 64 * my + mv[1], 16, 16
                     )
-                    if _sad(cur_y, ps) <= _sad(cur_y, pm):
-                        mv = smv
-                py, pcb, pcr = mc_predict_mb(ref_y, ref_cb, ref_cr, mx, my, mv)
+                    if met(cur_y, ps) <= met(cur_y, pm):
+                        mv, ri = smv, 0
+                py, pcb, pcr = mc_predict_mb(*refs[ri], mx, my, mv)
                 cbp, ll, cdcs, cacs = _residual_for(mx, my, py, pcb, pcr)
-                if mv == smv and cbp == 0:
+                if mv == smv and ri == 0 and cbp == 0:
                     skip_run += 1
                     stats["skip"] += 1
                     _store_recon(mx, my, py, pcb, pcr)
                 else:
                     w.ue(skip_run)
                     skip_run = 0
-                    mvp = mv_pred_part(m4, 4 * mx, 4 * my, 4, 4, 0, "16x16")
+                    mvp = mv_pred_part(m4, 4 * mx, 4 * my, 4, 4, ri, "16x16")
                     w.ue(0)  # mb_type: P_L0_16x16
+                    _write_ref_idx(w, ri, n_active)
                     w.se(mv[0] - mvp[0])  # mvd_l0 x
                     w.se(mv[1] - mvp[1])  # mvd_l0 y
                     stats["mb_types"][0] = stats["mb_types"].get(0, 0) + 1
+                    stats["ref_idx"][ri] = stats["ref_idx"].get(ri, 0) + 1
                     _emit_cbp_and_residual(
                         mx, my, py, pcb, pcr, cbp, ll, cdcs, cacs
                     )
-                m4.fill(4 * mx, 4 * my, 4, 4, mv, 0)
+                m4.fill(4 * mx, 4 * my, 4, 4, mv, ri)
                 continue
             # partitioned macroblock
             w.ue(skip_run)
@@ -892,17 +990,22 @@ def encode_p_slice(
                 for st in sub_types:
                     w.ue(st)  # sub_mb_type (Table 7-17, P)
                     stats["sub_types"][st] = stats["sub_types"].get(st, 0) + 1
+            # ref_idx loop (7.3.5.1/7.3.5.2: ALL ref_idx_l0 precede the
+            # mvd loop; one per MB partition / per 8x8 quadrant)
+            for ri in sig_refs:
+                _write_ref_idx(w, ri, n_active)
+                stats["ref_idx"][ri] = stats["ref_idx"].get(ri, 0) + 1
             # mvd loop in decoding order, grid filled progressively so
             # each partition's prediction sees its predecessors
-            for ox, oy, pw, ph, kind, mv in parts:
+            for ox, oy, pw, ph, kind, mv, ri in parts:
                 x4, y4 = 4 * mx + ox // 4, 4 * my + oy // 4
-                mvp = mv_pred_part(m4, x4, y4, pw // 4, ph // 4, 0, kind)
+                mvp = mv_pred_part(m4, x4, y4, pw // 4, ph // 4, ri, kind)
                 w.se(mv[0] - mvp[0])
                 w.se(mv[1] - mvp[1])
-                m4.fill(x4, y4, pw // 4, ph // 4, mv, 0)
+                m4.fill(x4, y4, pw // 4, ph // 4, mv, ri)
             py, pcb, pcr = mc_predict_parts(
-                ref_y, ref_cb, ref_cr, mx, my,
-                [(p[0], p[1], p[2], p[3], p[5]) for p in parts],
+                refs, mx, my,
+                [(p[0], p[1], p[2], p[3], p[5], p[6]) for p in parts],
             )
             cbp, ll, cdcs, cacs = _residual_for(mx, my, py, pcb, pcr)
             _emit_cbp_and_residual(mx, my, py, pcb, pcr, cbp, ll, cdcs, cacs)
@@ -939,14 +1042,19 @@ def decode_p_slice(
     narrower tools classify from the syntax element that requires
     them. ``return_motion=True`` appends this picture's (mvs, inter)
     grid pair — the co-located motion B slices need for the 8.4.1.2.2
-    colZeroFlag when this picture is RefPicList1[0]."""
+    colZeroFlag when this picture is RefPicList1[0].
+
+    ``ref`` is one (y, cb, cr) tuple or a LIST of them in list0 order
+    (most recent first); a slice whose num_ref_idx override asks for
+    more references than supplied classifies as ValueError."""
+    refs = ref if isinstance(ref, list) else [ref]
     header, rbsp = nal_to_rbsp(nal)
     nal_type = header & 0x1F
     if nal_type == 5:
         raise ValueError("IDR slice handed to the P-slice decoder")
     if nal_type != 1:
         raise ValueError(f"not a coded-slice NAL (type {nal_type})")
-    ref_y, ref_cb, ref_cr = ref
+    ref_y, ref_cb, ref_cr = refs[0]
     r = _BitReader(rbsp)
     if r.ue("first_mb_in_slice") != 0:
         raise NotImplementedError("multi-slice pictures")
@@ -962,8 +1070,16 @@ def decode_p_slice(
     r.u(sps["log2_max_frame_num"], "frame_num")
     if sps.get("poc_type", 2) == 0:
         r.u(sps["log2_max_poc_lsb"], "pic_order_cnt_lsb")
+    n_active = 1
     if r.u(1, "num_ref_idx_active_override_flag"):
-        raise NotImplementedError("multi-reference lists")
+        n_active = r.ue("num_ref_idx_l0_active_minus1") + 1
+        if n_active > 16:
+            raise ValueError(f"num_ref_idx_l0_active {n_active} > 16")
+    if n_active > len(refs):
+        raise ValueError(
+            f"slice needs {n_active} reference pictures, "
+            f"{len(refs)} available"
+        )
     if r.u(1, "ref_pic_list_modification_flag_l0"):
         raise NotImplementedError("reference picture list modification")
     if header >> 5:  # nal_ref_idc != 0
@@ -973,8 +1089,9 @@ def decode_p_slice(
     if not 0 <= qp <= 51:
         raise ValueError(f"slice QP {qp} out of range")
     mb_w, mb_h = sps["mb_width"], sps["mb_height"]
-    if ref_y.shape != (mb_h * 16, mb_w * 16):
-        raise ValueError("reference planes do not match the SPS geometry")
+    for rf in refs:
+        if rf[0].shape != (mb_h * 16, mb_w * 16):
+            raise ValueError("reference planes do not match the SPS geometry")
     if mb_w * mb_h > max(len(rbsp) * 64, 1 << 26):
         # hostile-SPS allocation gate: even an all-skip picture costs
         # >= 1 bit per ~64 MBs (the skip-run exp-golomb length)
@@ -1045,43 +1162,51 @@ def decode_p_slice(
             # intra MB: available with (mv 0, ref -1) for neighbours
             m4.fill(4 * mx, 4 * my, 4, 4, (0, 0), -1)
         elif mb_type == 0:
-            mvp = mv_pred_part(m4, 4 * mx, 4 * my, 4, 4, 0, "16x16")
+            ri = _read_ref_idx(r, n_active)
+            mvp = mv_pred_part(m4, 4 * mx, 4 * my, 4, 4, ri, "16x16")
             mvd = (r.se("mvd_l0 x"), r.se("mvd_l0 y"))
             mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
-            m4.fill(4 * mx, 4 * my, 4, 4, mv, 0)
-            py, pcb, pcr = mc_predict_mb(ref_y, ref_cb, ref_cr, mx, my, mv)
+            m4.fill(4 * mx, 4 * my, 4, 4, mv, ri)
+            py, pcb, pcr = mc_predict_mb(*refs[ri], mx, my, mv)
             _apply_residual(mx, my, py, pcb, pcr)
         elif mb_type <= 4:
-            # P_L0_L0_16x8 / P_L0_L0_8x16 / P_8x8 / P_8x8ref0 (with one
-            # active reference, P_8x8ref0 decodes identically to P_8x8)
+            # P_L0_L0_16x8 / P_L0_L0_8x16 / P_8x8 / P_8x8ref0 (which
+            # infers every quadrant's ref_idx as 0 and codes none)
             if mb_type in (1, 2):
                 geometry = [
-                    (ox, oy, pw, ph, kind)
-                    for ox, oy, pw, ph, kind in _MB_PARTS[mb_type]
+                    (ox, oy, pw, ph, kind, sig)
+                    for sig, (ox, oy, pw, ph, kind) in enumerate(
+                        _MB_PARTS[mb_type]
+                    )
                 ]
+                n_sig = 2
             else:
                 geometry = []
-                for qx, qy in _QUADS:
+                for sig, (qx, qy) in enumerate(_QUADS):
                     st = r.ue("sub_mb_type")
                     if st > 3:
                         raise ValueError(
                             f"P sub_mb_type {st} > 3 (Table 7-17)"
                         )
                     geometry.extend(
-                        (qx + sx, qy + sy, pw, ph, "sub")
+                        (qx + sx, qy + sy, pw, ph, "sub", sig)
                         for sx, sy, pw, ph in _SUB_PARTS[st]
                     )
+                n_sig = 4
+            if mb_type == 4:
+                sig_refs = [0] * n_sig
+            else:
+                sig_refs = [_read_ref_idx(r, n_active) for _ in range(n_sig)]
             parts = []
-            for ox, oy, pw, ph, kind in geometry:
+            for ox, oy, pw, ph, kind, sig in geometry:
+                ri = sig_refs[sig]
                 x4, y4 = 4 * mx + ox // 4, 4 * my + oy // 4
-                mvp = mv_pred_part(m4, x4, y4, pw // 4, ph // 4, 0, kind)
+                mvp = mv_pred_part(m4, x4, y4, pw // 4, ph // 4, ri, kind)
                 mvd = (r.se("mvd_l0 x"), r.se("mvd_l0 y"))
                 mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
-                m4.fill(x4, y4, pw // 4, ph // 4, mv, 0)
-                parts.append((ox, oy, pw, ph, mv))
-            py, pcb, pcr = mc_predict_parts(
-                ref_y, ref_cb, ref_cr, mx, my, parts
-            )
+                m4.fill(x4, y4, pw // 4, ph // 4, mv, ri)
+                parts.append((ox, oy, pw, ph, mv, ri))
+            py, pcb, pcr = mc_predict_parts(refs, mx, my, parts)
             _apply_residual(mx, my, py, pcb, pcr)
         else:  # pragma: no cover — unreachable (0..4 and >=5 covered)
             raise ValueError(f"invalid P-slice mb_type {mb_type}")
@@ -1575,8 +1700,14 @@ class GopDecoder:
                         col_motion=self._refs[-1][1],
                     )
                 else:
+                    # list0 = stored reference pictures, most recent
+                    # first (decode recency == PicNum order in these
+                    # closed GOPs); slices that override
+                    # num_ref_idx_l0_active consume as many as they ask
                     *planes, motion = decode_p_slice(
-                        nal, self.sps, self._refs[-1][0], return_motion=True
+                        nal, self.sps,
+                        [rp for rp, _ in reversed(self._refs)],
+                        return_motion=True,
                     )
                     planes = tuple(planes)
                 if nal[0] >> 5:  # nal_ref_idc != 0: mark as reference

@@ -189,6 +189,8 @@ def encode_mp4_h264_gop(
     partitions: bool = False,
     min_part_mbs: int = 0,
     quarter: bool = True,
+    n_refs: int = 1,
+    min_ref1_mbs: int = 0,
 ) -> bytes:
     """Write frames as a real IDR+P H.264 GOP: every ``gop``-th frame
     is an IDR (``idr='ipcm'`` lossless, or ``'i16'`` intra-predicted,
@@ -202,7 +204,13 @@ def encode_mp4_h264_gop(
     the partitioned inter modes (P_16x8 / P_8x16 / P_8x8, Table
     7-13/7-17) with ``min_part_mbs`` asserting every P frame genuinely
     coded at least that many partitioned macroblocks — a fixture guard
-    against the mode decision silently degenerating to 16x16."""
+    against the mode decision silently degenerating to 16x16.
+    ``n_refs > 1`` keeps a sliding window of that many reference
+    reconstructions and lets each P slice signal per-partition
+    ref_idx_l0 (the window refills from the IDR, so the first P after
+    a sync codes against fewer references); ``min_ref1_mbs`` asserts
+    every P frame with two available references genuinely used
+    ref_idx 1 at least that many times."""
     from flow_indexer_spark.operators import h264codec as h264
     from flow_indexer_spark.operators.h264inter import encode_frame_sample_p
     from flow_indexer_spark.operators.h264intra import encode_idr_i16
@@ -214,8 +222,13 @@ def encode_mp4_h264_gop(
     h, w = frames[0].shape[:2]
     if any(f.shape != frames[0].shape for f in frames):
         raise ValueError("all frames must share one geometry")
+    if not 1 <= n_refs <= 2:
+        # encode_p_slice handles up to 16, but GopDecoder's sliding
+        # reference window is 2-deep (matching the B-GOP layout)
+        raise ValueError("n_refs must be 1 or 2")
     samples, sync = [], []
     recon = None
+    window: list[tuple] = []  # reference reconstructions, oldest first
     for k, f in enumerate(frames):
         if k % gop == 0:
             y, cb, cr = h264.frame_to_planes(f)
@@ -228,9 +241,11 @@ def encode_mp4_h264_gop(
                 )
             samples.append(len(nal).to_bytes(4, "big") + nal)
             sync.append(k)
+            window = [recon]  # IDR resets the reference window
         else:
+            ref_list = list(reversed(window))[:n_refs]
             sample, recon, stats = encode_frame_sample_p(
-                f, recon, frame_num=k % gop, qp=qp,
+                f, ref_list, frame_num=k % gop, qp=qp,
                 search_range=search_range, code_residual=code_residual,
                 partitions=partitions, return_stats=True, quarter=quarter,
             )
@@ -241,10 +256,20 @@ def encode_mp4_h264_gop(
                     f"(< {min_part_mbs}); fixture content no longer "
                     f"drives the partition mode decision: {stats}"
                 )
+            if len(ref_list) > 1 and stats["ref_idx"].get(1, 0) < min_ref1_mbs:
+                raise AssertionError(
+                    f"frame {k}: ref_idx 1 used "
+                    f"{stats['ref_idx'].get(1, 0)} times "
+                    f"(< {min_ref1_mbs}); fixture content no longer "
+                    f"drives multi-reference selection: {stats}"
+                )
             samples.append(sample)
+            window = (window + [recon])[-n_refs:]
     avcc = _box(
         b"avcC",
-        h264.make_avcc(h264.make_sps(w, h, ref_frames=1), h264.make_pps()),
+        h264.make_avcc(
+            h264.make_sps(w, h, ref_frames=max(1, n_refs)), h264.make_pps()
+        ),
     )
     return _encode_mp4(
         samples,
@@ -1090,6 +1115,43 @@ def make_h264_part_bytes(i: int, qp: int = 10, gop: int = 4) -> bytes:
     )
 
 
+def mref_scene(i: int, t: int) -> np.ndarray:
+    """Frame t of multi-reference-fixture video i: the scene ALTERNATES
+    between two structurally different phases (even frames carry an
+    x-frequency-3 G ramp and y-frequency-5 B ramp; odd frames
+    x-frequency-5 / y-frequency-2 — no translation maps one phase onto
+    the other), and R steps (7i + 11t) mod 256 per frame. A P frame
+    therefore predicts well ONLY from two frames back (ref_idx 1): the
+    encoder must pick it, and a decoder that ignored ref_idx_l0 would
+    reconstruct the wrong phase entirely. (The phases deliberately do
+    NOT translate — on the family's 16-px-wide members the
+    edge-innovation of a moving ramp would rival the phase mismatch;
+    motion is the gop/parts fixtures' job, reference selection is
+    this one's.)"""
+    _, w, h = video_params(i)
+    phase = t % 2
+    xs = np.arange(w, dtype=np.int64)[None, :]
+    ys = np.arange(h, dtype=np.int64)[:, None]
+    fx, fy = (3, 5) if phase == 0 else (5, 2)
+    px = np.empty((h, w, 3), dtype=np.uint8)
+    px[:, :, 0] = (7 * i + 11 * t) % 256
+    px[:, :, 1] = np.broadcast_to((xs * fx) % 256, (h, w))
+    px[:, :, 2] = np.broadcast_to((ys * fy) % 256, (h, w))
+    return px
+
+
+def make_h264_mref_bytes(i: int, qp: int = 10, gop: int = 6) -> bytes:
+    """Multi-reference GOP family over :func:`mref_scene`: two-deep
+    reference window, per-frame assertion that every P frame with two
+    available references genuinely signalled ref_idx 1 (min_ref1_mbs)."""
+    n, w, h = video_params(i)
+    frames = [mref_scene(i, t) for t in range(n)]
+    return encode_mp4_h264_gop(
+        frames, fps=VIDEO_FPS, qp=qp, gop=gop, search_range=6,
+        code_residual=True, quarter=False, n_refs=2, min_ref1_mbs=1,
+    )
+
+
 def make_h264_b_bytes(
     i: int, qp: int = 10, gop: int = 6, b_frames: int = 2
 ) -> bytes:
@@ -1187,6 +1249,11 @@ def make_h264_res_media(spark, n: int = 24) -> DataFrame:
 def make_h264_part_media(spark, n: int = 24) -> DataFrame:
     """Executor-side synthesis of partitioned-motion GOP payloads."""
     return _media_gen(spark, n, "v", make_h264_part_bytes)
+
+
+def make_h264_mref_media(spark, n: int = 24) -> DataFrame:
+    """Executor-side synthesis of multi-reference GOP payloads."""
+    return _media_gen(spark, n, "v", make_h264_mref_bytes)
 
 
 def make_h264_b_media(spark, n: int = 24) -> DataFrame:
