@@ -4457,6 +4457,94 @@ def _q_media_h264_mref(spark, sf_dir):
 
 
 @_register(
+    "media_h264_wp",
+    """
+    WITH v AS (SELECT CAST(range AS INTEGER) AS i FROM range(24)),
+    p AS (
+      SELECT i, printf('v%05d', i) AS media_id,
+             6 + (i % 3) * 3 AS n_frames,
+             16 + (i % 5) * 8 AS w, 12 + (i % 3) * 8 AS h
+      FROM v
+    ),
+    f AS (
+      SELECT p.*, CAST(r.range AS INTEGER) AS frame_idx
+      FROM p, range(12) r
+      WHERE r.range < p.n_frames AND r.range % 2 = 0
+    )
+    SELECT media_id, 'avc1' AS codec,
+           CAST(n_frames AS INTEGER) AS n_frames,
+           CAST(n_frames * 100 AS BIGINT) AS duration_ms,
+           frame_idx, CAST(frame_idx * 100 AS BIGINT) AS t_ms,
+           CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           TRUE AS mean_r_ok, TRUE AS mean_g_ok, TRUE AS mean_b_ok
+    FROM f
+    ORDER BY media_id, frame_idx
+    """,
+)
+def _q_media_h264_wp(spark, sf_dir):
+    """The WEIGHTED-PREDICTION span of the H.264 seam (round-4, after
+    media_h264_mref): the PPS sets weighted_pred_flag, each P slice
+    carries an explicit pred_weight_table, and every inter prediction
+    — including P_Skip — applies Clip1(((p*w + 2^(logWD-1)) >> logWD)
+    + o) after interpolation (spec 7.3.3.2 / 8.4.2.3;
+    operators/h264inter.py _parse_pred_weight_table/_wp_block,
+    GopDecoder resolves the flag from the avcC's PPS). The fixture is
+    a grayscale scene halving/doubling brightness every frame with
+    EXACTLY representable weights (even texture values, luma w 16/64
+    at denom 5, chroma offset +64/-128 keeping the 128 axis fixed), so
+    the bytes builder asserts macroblocks genuinely SKIPPED under
+    weighted prediction — a decoder that ignored the weight table
+    would reconstruct every odd frame at double brightness (~60 grey
+    levels of mean error vs the measured family envelope 0.066; gates
+    0.5). Oracle gates sampled-frame means against the source
+    generator (driver-computed, broadcast-joined). Reference analogue:
+    the pcap backend decodes every packet format its library supports
+    (backend/pcap.go:17-54)."""
+    import pandas as pd
+
+    from flow_indexer_spark.operators.mp4codec import (
+        fade_scene,
+        make_h264_fade_media,
+        video_frame_features,
+        video_params,
+    )
+
+    rows = []
+    for i in range(24):
+        n, _, _ = video_params(i)
+        for t in range(0, n, 2):
+            src = fade_scene(i, t)
+            rows.append(
+                {
+                    "media_id": f"v{i:05d}",
+                    "frame_idx": t,
+                    "exp_r": float(src[:, :, 0].mean()),
+                    "exp_g": float(src[:, :, 1].mean()),
+                    "exp_b": float(src[:, :, 2].mean()),
+                }
+            )
+    exp = spark.createDataFrame(pd.DataFrame(rows))
+    d = video_frame_features(make_h264_fade_media(spark, 24), every_n=2)
+    return (
+        d.join(F.broadcast(exp), ["media_id", "frame_idx"])
+        .select(
+            "media_id",
+            "codec",
+            "n_frames",
+            "duration_ms",
+            "frame_idx",
+            "t_ms",
+            "width",
+            "height",
+            (F.abs(F.col("mean_r") - F.col("exp_r")) < 0.5).alias("mean_r_ok"),
+            (F.abs(F.col("mean_g") - F.col("exp_g")) < 0.5).alias("mean_g_ok"),
+            (F.abs(F.col("mean_b") - F.col("exp_b")) < 0.5).alias("mean_b_ok"),
+        )
+        .orderBy("media_id", "frame_idx")
+    )
+
+
+@_register(
     "media_h264_i4",
     """
     WITH v AS (SELECT CAST(range AS INTEGER) AS i FROM range(24)),

@@ -290,7 +290,7 @@ def parse_sps(nal: bytes) -> dict:
     }
 
 
-def make_pps() -> bytes:
+def make_pps(weighted_pred: bool = False) -> bytes:
     w = _BitWriter()
     w.ue(0)  # pic_parameter_set_id
     w.ue(0)  # seq_parameter_set_id
@@ -299,7 +299,7 @@ def make_pps() -> bytes:
     w.ue(0)  # num_slice_groups_minus1
     w.ue(0)  # num_ref_idx_l0_default_active_minus1
     w.ue(0)  # num_ref_idx_l1_default_active_minus1
-    w.u(0, 1)  # weighted_pred_flag
+    w.u(1 if weighted_pred else 0, 1)  # weighted_pred_flag
     w.u(0, 2)  # weighted_bipred_idc
     w.se(0)  # pic_init_qp_minus26
     w.se(0)  # pic_init_qs_minus26
@@ -322,7 +322,16 @@ def parse_pps(nal: bytes) -> dict:
     r.u(1, "bottom_field_pic_order_in_frame_present_flag")
     if r.ue("num_slice_groups_minus1") != 0:
         raise NotImplementedError("slice groups (FMO)")
-    return {"pps_id": pps_id, "sps_id": sps_id}
+    r.ue("num_ref_idx_l0_default_active_minus1")
+    r.ue("num_ref_idx_l1_default_active_minus1")
+    weighted_pred = bool(r.u(1, "weighted_pred_flag"))
+    weighted_bipred_idc = r.u(2, "weighted_bipred_idc")
+    return {
+        "pps_id": pps_id,
+        "sps_id": sps_id,
+        "weighted_pred": weighted_pred,
+        "weighted_bipred_idc": weighted_bipred_idc,
+    }
 
 
 # --- I_PCM IDR slices -------------------------------------------------------

@@ -71,9 +71,18 @@ byte equality of the full reconstruction chain, not means.
   two-deep sliding window and hands the list most-recent-first
   (decode recency == PicNum order in these closed GOPs).
 
+* **Explicit weighted prediction (spec 7.3.3.2 / 8.4.2.3)** — PPS
+  weighted_pred_flag, pred_weight_table emit/parse (per-reference
+  luma/chroma weights + offsets, default entries coded as bare
+  flags), and Clip1(((p*w + 2^(logWD-1)) >> logWD) + o) applied after
+  interpolation to every inter prediction including P_Skip. The
+  encoder searches weighted reference planes and takes a caller
+  weight table (the fade fixture's weights make prediction exact, so
+  macroblocks genuinely skip).
+
 Still classified from parsed syntax: reference list modification,
-weighted prediction, CABAC (PPS), and everything h264codec already
-classifies.
+weighted BI-prediction (weighted_bipred_idc != 0), CABAC (PPS), and
+everything h264codec already classifies.
 
 Reference analogue: the pcap backend decodes every packet format its
 library supports (/root/reference/backend/pcap.go:17-54) — the same
@@ -394,12 +403,14 @@ _SUB_PARTS = {
 _QUADS = ((0, 0), (8, 0), (0, 8), (8, 8))
 
 
-def mc_predict_parts(refs, mx, my, parts):
+def mc_predict_parts(refs, mx, my, parts, wp=None):
     """Assemble one MB's (py, pcb, pcr) prediction planes from luma
     partitions ``[(ox, oy, w, h, mv, ref_idx)]`` over the reference
     list ``refs`` = [(y, cb, cr), ...]. Chroma geometry is the luma's
     halved (4:2:0); the luma quarter-sample MV doubles as the chroma
-    eighth-sample MV, both on 4*pixel+mv coordinates."""
+    eighth-sample MV, both on 4*pixel+mv coordinates. ``wp`` applies
+    explicit weighted prediction per partition AFTER interpolation
+    (the spec 8.4.2.3 order), using reference ri's weights."""
     py = np.empty((16, 16), dtype=np.uint8)
     pcb = np.empty((8, 8), dtype=np.uint8)
     pcr = np.empty((8, 8), dtype=np.uint8)
@@ -407,12 +418,105 @@ def mc_predict_parts(refs, mx, my, parts):
         ref_y, ref_cb, ref_cr = refs[ri]
         px, pyy = 16 * mx + ox, 16 * my + oy
         xq, yq = 4 * px + mv[0], 4 * pyy + mv[1]
-        py[oy : oy + h, ox : ox + w] = mc_luma(ref_y, xq, yq, h, w)
+        blk_y = mc_luma(ref_y, xq, yq, h, w)
+        blk_cb = mc_chroma(ref_cb, xq, yq, h // 2, w // 2)
+        blk_cr = mc_chroma(ref_cr, xq, yq, h // 2, w // 2)
+        if wp is not None:
+            lw, lo, cw, co = wp["refs"][ri]
+            blk_y = _wp_block(blk_y, lw, lo, wp["luma_denom"])
+            blk_cb = _wp_block(blk_cb, cw[0], co[0], wp["chroma_denom"])
+            blk_cr = _wp_block(blk_cr, cw[1], co[1], wp["chroma_denom"])
+        py[oy : oy + h, ox : ox + w] = blk_y
         cys, cye = oy // 2, (oy + h) // 2
         cxs, cxe = ox // 2, (ox + w) // 2
-        pcb[cys:cye, cxs:cxe] = mc_chroma(ref_cb, xq, yq, h // 2, w // 2)
-        pcr[cys:cye, cxs:cxe] = mc_chroma(ref_cr, xq, yq, h // 2, w // 2)
+        pcb[cys:cye, cxs:cxe] = blk_cb
+        pcr[cys:cye, cxs:cxe] = blk_cr
     return py, pcb, pcr
+
+
+# --- explicit weighted prediction (spec 7.3.3.2 / 8.4.2.3) -------------------
+
+
+def _wp_block(p: np.ndarray, w: int, o: int, logwd: int) -> np.ndarray:
+    """8.4.2.3.2 unidirectional weighted sample prediction:
+    Clip1(((p * w + 2^(logWD-1)) >> logWD) + o) for logWD >= 1, else
+    Clip1(p * w + o). numpy's int64 >> is the spec's arithmetic
+    shift."""
+    p = p.astype(np.int64)
+    if logwd >= 1:
+        v = ((p * w + (1 << (logwd - 1))) >> logwd) + o
+    else:
+        v = p * w + o
+    return np.clip(v, 0, 255).astype(np.uint8)
+
+
+def _wp_planes(planes, wp, ri):
+    """Apply reference ri's explicit weights to (py, pcb, pcr)
+    prediction blocks; identity when ``wp`` is None."""
+    if wp is None:
+        return planes
+    lw, lo, cw, co = wp["refs"][ri]
+    py, pcb, pcr = planes
+    return (
+        _wp_block(py, lw, lo, wp["luma_denom"]),
+        _wp_block(pcb, cw[0], co[0], wp["chroma_denom"]),
+        _wp_block(pcr, cw[1], co[1], wp["chroma_denom"]),
+    )
+
+
+def _validate_weights(wp, n_active: int) -> None:
+    if not 0 <= wp["luma_denom"] <= 7 or not 0 <= wp["chroma_denom"] <= 7:
+        raise ValueError("log2 weight denom out of range 0..7")
+    if len(wp["refs"]) != n_active:
+        raise ValueError("one weight entry per active reference required")
+    for lw, lo, cw, co in wp["refs"]:
+        for v in (lw, lo, *cw, *co):
+            if not -128 <= v <= 127:
+                raise ValueError(f"weight/offset {v} out of range -128..127")
+
+
+def _emit_pred_weight_table(w, wp, n_active: int) -> None:
+    """pred_weight_table (7.3.3.2), list 0 only (P slices)."""
+    w.ue(wp["luma_denom"])
+    w.ue(wp["chroma_denom"])
+    dl, dc = 1 << wp["luma_denom"], 1 << wp["chroma_denom"]
+    for lw, lo, cw, co in wp["refs"]:
+        if (lw, lo) == (dl, 0):
+            w.u(0, 1)  # luma_weight_l0_flag
+        else:
+            w.u(1, 1)
+            w.se(lw)
+            w.se(lo)
+        if cw == (dc, dc) and co == (0, 0):
+            w.u(0, 1)  # chroma_weight_l0_flag
+        else:
+            w.u(1, 1)
+            for j in (0, 1):
+                w.se(cw[j])
+                w.se(co[j])
+
+
+def _parse_pred_weight_table(r, n_active: int) -> dict:
+    ld = r.ue("luma_log2_weight_denom")
+    cd = r.ue("chroma_log2_weight_denom")
+    if ld > 7 or cd > 7:
+        raise ValueError(f"log2 weight denom {max(ld, cd)} > 7")
+    refs = []
+    for _ in range(n_active):
+        lw, lo = 1 << ld, 0
+        if r.u(1, "luma_weight_l0_flag"):
+            lw = r.se("luma_weight_l0")
+            lo = r.se("luma_offset_l0")
+        cw, co = [1 << cd, 1 << cd], [0, 0]
+        if r.u(1, "chroma_weight_l0_flag"):
+            for j in (0, 1):
+                cw[j] = r.se("chroma_weight_l0")
+                co[j] = r.se("chroma_offset_l0")
+        for v in (lw, lo, *cw, *co):
+            if not -128 <= v <= 127:
+                raise ValueError(f"weight/offset {v} out of range -128..127")
+        refs.append((lw, lo, tuple(cw), tuple(co)))
+    return {"luma_denom": ld, "chroma_denom": cd, "refs": refs}
 
 
 def _write_ref_idx(w, ref_idx: int, n_active: int) -> None:
@@ -778,6 +882,7 @@ def encode_p_slice(
     return_motion: bool = False,
     partitions: bool = False,
     return_stats: bool = False,
+    weights: dict | None = None,
 ):
     """Macroblock-aligned current planes + previous reconstruction ->
     one non-IDR P-slice NAL (nal_ref_idc 2, slice_type 5). With the
@@ -846,6 +951,11 @@ def encode_p_slice(
     else:
         w.u(0, 1)  # num_ref_idx_active_override_flag
     w.u(0, 1)  # ref_pic_list_modification_flag_l0
+    if weights is not None:
+        # explicit weighted prediction: the PPS this stream is wrapped
+        # with must set weighted_pred_flag (make_pps(weighted_pred=True))
+        _validate_weights(weights, n_active)
+        _emit_pred_weight_table(w, weights, n_active)
     w.u(0, 1)  # adaptive_ref_pic_marking_mode_flag (nal_ref_idc != 0)
     w.se(qp - 26)  # slice_qp_delta
     ry = np.zeros_like(y)
@@ -900,6 +1010,22 @@ def encode_p_slice(
     # luminance step must not mask which prediction matches the
     # texture — the residual DC codes the step either way)
     met = _sad_dc if (partitions or n_active > 1) else _sad
+    # the search scans WEIGHTED reference luma when explicit weighted
+    # prediction is on (whole-plane weighting; the actual prediction
+    # applies the spec's interpolate-then-weight order, which agrees
+    # at integer positions and is residual-corrected elsewhere)
+    if weights is None:
+        search_y = [rf[0] for rf in refs]
+    else:
+        search_y = [
+            _wp_block(
+                rf[0],
+                weights["refs"][ri][0],
+                weights["refs"][ri][1],
+                weights["luma_denom"],
+            )
+            for ri, rf in enumerate(refs)
+        ]
 
     def _emit_cbp_and_residual(mx, my, py, pcb, pcr, cbp, ll, cdcs, cacs):
         w.ue(_CBP_INTER_CODE[cbp])  # coded_block_pattern (Table 9-4)
@@ -930,14 +1056,13 @@ def encode_p_slice(
                 continue
             if partitions:
                 mb_type, sub_types, sig_refs, parts = _decide_partitions(
-                    cur_y, [rf[0] for rf in refs], mx, my,
-                    search_range, quarter,
+                    cur_y, search_y, mx, my, search_range, quarter
                 )
             else:
                 best = None
-                for ri, rf in enumerate(refs):
+                for ri, _rf in enumerate(refs):
                     mvx, mvy, sad = _search_block(
-                        cur_y, rf[0], 16 * mx, 16 * my, search_range,
+                        cur_y, search_y[ri], 16 * mx, 16 * my, search_range,
                         quarter, metric=met,
                     )
                     cost = sad + _REF_PENALTY * ri
@@ -958,9 +1083,17 @@ def encode_p_slice(
                     pm = mc_luma(
                         refs[ri][0], 64 * mx + mv[0], 64 * my + mv[1], 16, 16
                     )
+                    if weights is not None:
+                        ld = weights["luma_denom"]
+                        w0 = weights["refs"][0]
+                        wr = weights["refs"][ri]
+                        ps = _wp_block(ps, w0[0], w0[1], ld)
+                        pm = _wp_block(pm, wr[0], wr[1], ld)
                     if met(cur_y, ps) <= met(cur_y, pm):
                         mv, ri = smv, 0
-                py, pcb, pcr = mc_predict_mb(*refs[ri], mx, my, mv)
+                py, pcb, pcr = _wp_planes(
+                    mc_predict_mb(*refs[ri], mx, my, mv), weights, ri
+                )
                 cbp, ll, cdcs, cacs = _residual_for(mx, my, py, pcb, pcr)
                 if mv == smv and ri == 0 and cbp == 0:
                     skip_run += 1
@@ -1006,6 +1139,7 @@ def encode_p_slice(
             py, pcb, pcr = mc_predict_parts(
                 refs, mx, my,
                 [(p[0], p[1], p[2], p[3], p[5], p[6]) for p in parts],
+                wp=weights,
             )
             cbp, ll, cdcs, cacs = _residual_for(mx, my, py, pcb, pcr)
             _emit_cbp_and_residual(mx, my, py, pcb, pcr, cbp, ll, cdcs, cacs)
@@ -1030,6 +1164,7 @@ def decode_p_slice(
     sps: dict,
     ref: tuple[np.ndarray, np.ndarray, np.ndarray],
     return_motion: bool = False,
+    weighted: bool = False,
 ):
     """Non-IDR P-slice NAL + previous reconstructed planes -> (y, cb,
     cr). Decodes P_Skip runs, every Table 7-13 inter mb_type —
@@ -1082,6 +1217,9 @@ def decode_p_slice(
         )
     if r.u(1, "ref_pic_list_modification_flag_l0"):
         raise NotImplementedError("reference picture list modification")
+    # explicit weighted prediction (PPS weighted_pred_flag, which the
+    # caller resolves — GopDecoder reads it from the avcC's PPS)
+    wp = _parse_pred_weight_table(r, n_active) if weighted else None
     if header >> 5:  # nal_ref_idc != 0
         if r.u(1, "adaptive_ref_pic_marking_mode_flag"):
             raise NotImplementedError("adaptive reference picture marking")
@@ -1115,7 +1253,8 @@ def decode_p_slice(
 
     def _recon_skip(mx: int, my: int) -> None:
         mv = skip_mv4(m4, mx, my)
-        _store_pred(mx, my, *mc_predict_mb(ref_y, ref_cb, ref_cr, mx, my, mv))
+        planes = mc_predict_mb(ref_y, ref_cb, ref_cr, mx, my, mv)
+        _store_pred(mx, my, *_wp_planes(planes, wp, 0))
         m4.fill(4 * mx, 4 * my, 4, 4, mv, 0)
 
     def _apply_residual(mx, my, py, pcb, pcr):
@@ -1167,7 +1306,9 @@ def decode_p_slice(
             mvd = (r.se("mvd_l0 x"), r.se("mvd_l0 y"))
             mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
             m4.fill(4 * mx, 4 * my, 4, 4, mv, ri)
-            py, pcb, pcr = mc_predict_mb(*refs[ri], mx, my, mv)
+            py, pcb, pcr = _wp_planes(
+                mc_predict_mb(*refs[ri], mx, my, mv), wp, ri
+            )
             _apply_residual(mx, my, py, pcb, pcr)
         elif mb_type <= 4:
             # P_L0_L0_16x8 / P_L0_L0_8x16 / P_8x8 / P_8x8ref0 (which
@@ -1206,7 +1347,7 @@ def decode_p_slice(
                 mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
                 m4.fill(x4, y4, pw // 4, ph // 4, mv, ri)
                 parts.append((ox, oy, pw, ph, mv, ri))
-            py, pcb, pcr = mc_predict_parts(refs, mx, my, parts)
+            py, pcb, pcr = mc_predict_parts(refs, mx, my, parts, wp=wp)
             _apply_residual(mx, my, py, pcb, pcr)
         else:  # pragma: no cover — unreachable (0..4 and >=5 covered)
             raise ValueError(f"invalid P-slice mb_type {mb_type}")
@@ -1587,6 +1728,7 @@ def encode_frame_sample_p(
     return_motion: bool = False,
     partitions: bool = False,
     return_stats: bool = False,
+    weights: dict | None = None,
 ):
     """RGB frame + previous reconstruction -> (length-prefixed P-slice
     MP4 sample, this frame's reconstruction for the next P[, this
@@ -1599,7 +1741,7 @@ def encode_frame_sample_p(
         y, cb, cr, ref, frame_num, qp=qp, search_range=search_range,
         intra_mbs=intra_mbs, return_recon=True, code_residual=code_residual,
         poc=poc, quarter=quarter, return_motion=return_motion,
-        partitions=partitions, return_stats=return_stats,
+        partitions=partitions, return_stats=return_stats, weights=weights,
     )
     sample = len(out[0]).to_bytes(4, "big") + out[0]
     return (sample, *out[1:])
@@ -1649,10 +1791,13 @@ class GopDecoder:
     def __init__(self, avcc: bytes) -> None:
         from flow_indexer_spark.operators.h264codec import (
             parse_avcc,
+            parse_pps,
             parse_sps,
         )
 
-        self.sps = parse_sps(parse_avcc(avcc)[0])
+        sps_nal, pps_nal = parse_avcc(avcc)
+        self.sps = parse_sps(sps_nal)
+        self.pps = parse_pps(pps_nal)
         self._refs: list[tuple] = []
 
     @staticmethod
@@ -1691,6 +1836,11 @@ class GopDecoder:
                     )
                 motion = None
                 if self._slice_type(nal) == 1:  # B
+                    if self.pps.get("weighted_bipred_idc", 0) != 0:
+                        raise NotImplementedError(
+                            "weighted bi-prediction (weighted_bipred_idc "
+                            f"{self.pps['weighted_bipred_idc']})"
+                        )
                     if len(self._refs) < 2:
                         raise ValueError(
                             "B slice with fewer than two reference pictures"
@@ -1708,6 +1858,7 @@ class GopDecoder:
                         nal, self.sps,
                         [rp for rp, _ in reversed(self._refs)],
                         return_motion=True,
+                        weighted=self.pps.get("weighted_pred", False),
                     )
                     planes = tuple(planes)
                 if nal[0] >> 5:  # nal_ref_idc != 0: mark as reference

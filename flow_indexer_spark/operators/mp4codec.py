@@ -16,14 +16,16 @@ and is not real:
   per-sample byte extents.
 - FRAME DECODE is real for codec ``jpeg`` (Motion JPEG: every sample
   is a baseline JFIF image, decoded by :mod:`operators.jpegcodec`) and
-  for ``avc1`` across the implemented H.264 subset: I_PCM and
-  Intra_16x16 IDR slices (:mod:`operators.h264codec` /
-  :mod:`operators.h264intra`) and P slices of P_Skip / P_L0_16x16
-  motion-compensated macroblocks (:mod:`operators.h264inter`) in
-  IDR+P GOPs marked by a real stss sync-sample box. The
-  ``NotImplementedError`` seam is CLASSIFIED from the parsed
-  bitstream: luma AC residuals, I_4x4, P partitions, inter residuals,
-  B slices, and CABAC raise it, as do other codec fourccs (hev1 etc).
+  for ``avc1`` across the implemented H.264 subset: I_PCM / Intra_16x16
+  / I_4x4 IDR slices (:mod:`operators.h264codec` /
+  :mod:`operators.h264intra`), P slices with every Table 7-13 inter
+  mb_type (P_Skip, 16x16, 16x8/8x16/8x8 partitions), CAVLC inter
+  residuals, multi-reference lists, explicit weighted prediction, and
+  B slices with ctts reorder (:mod:`operators.h264inter`) in GOPs
+  marked by a real stss sync-sample box. The ``NotImplementedError``
+  seam is CLASSIFIED from the parsed bitstream: B sub-partitions,
+  temporal direct, I_8x8, and CABAC raise it, as do other codec
+  fourccs (hev1 etc).
 - Frame SAMPLING pushes down into the byte walk: requesting every Nth
   frame touches only those samples' byte ranges; skipped frames are
   never entropy-decoded. For GOP tracks the unit of skip is the
@@ -191,6 +193,8 @@ def encode_mp4_h264_gop(
     quarter: bool = True,
     n_refs: int = 1,
     min_ref1_mbs: int = 0,
+    weights_for=None,
+    min_skip_mbs: int = 0,
 ) -> bytes:
     """Write frames as a real IDR+P H.264 GOP: every ``gop``-th frame
     is an IDR (``idr='ipcm'`` lossless, or ``'i16'`` intra-predicted,
@@ -210,7 +214,11 @@ def encode_mp4_h264_gop(
     ref_idx_l0 (the window refills from the IDR, so the first P after
     a sync codes against fewer references); ``min_ref1_mbs`` asserts
     every P frame with two available references genuinely used
-    ref_idx 1 at least that many times."""
+    ref_idx 1 at least that many times. ``weights_for(k, n_active)``
+    returns an explicit pred_weight_table dict per P frame (the PPS
+    then sets weighted_pred_flag); ``min_skip_mbs`` asserts every P
+    frame genuinely skipped at least that many macroblocks — the fade
+    fixture's witness that the weighted prediction was exact."""
     from flow_indexer_spark.operators import h264codec as h264
     from flow_indexer_spark.operators.h264inter import encode_frame_sample_p
     from flow_indexer_spark.operators.h264intra import encode_idr_i16
@@ -244,10 +252,16 @@ def encode_mp4_h264_gop(
             window = [recon]  # IDR resets the reference window
         else:
             ref_list = list(reversed(window))[:n_refs]
+            weights = (
+                weights_for(k, len(ref_list))
+                if weights_for is not None
+                else None
+            )
             sample, recon, stats = encode_frame_sample_p(
                 f, ref_list, frame_num=k % gop, qp=qp,
                 search_range=search_range, code_residual=code_residual,
                 partitions=partitions, return_stats=True, quarter=quarter,
+                weights=weights,
             )
             n_part = sum(stats["mb_types"].get(t, 0) for t in (1, 2, 3))
             if n_part < min_part_mbs:
@@ -255,6 +269,12 @@ def encode_mp4_h264_gop(
                     f"frame {k}: only {n_part} partitioned MBs "
                     f"(< {min_part_mbs}); fixture content no longer "
                     f"drives the partition mode decision: {stats}"
+                )
+            if stats["skip"] < min_skip_mbs:
+                raise AssertionError(
+                    f"frame {k}: only {stats['skip']} skipped MBs "
+                    f"(< {min_skip_mbs}); the weighted prediction is no "
+                    f"longer exact on the fade fixture: {stats}"
                 )
             if len(ref_list) > 1 and stats["ref_idx"].get(1, 0) < min_ref1_mbs:
                 raise AssertionError(
@@ -268,7 +288,8 @@ def encode_mp4_h264_gop(
     avcc = _box(
         b"avcC",
         h264.make_avcc(
-            h264.make_sps(w, h, ref_frames=max(1, n_refs)), h264.make_pps()
+            h264.make_sps(w, h, ref_frames=max(1, n_refs)),
+            h264.make_pps(weighted_pred=weights_for is not None),
         ),
     )
     return _encode_mp4(
@@ -1152,6 +1173,59 @@ def make_h264_mref_bytes(i: int, qp: int = 10, gop: int = 6) -> bytes:
     )
 
 
+def fade_scene(i: int, t: int) -> np.ndarray:
+    """Frame t of fade-fixture video i: a fixed grayscale EVEN-valued
+    texture at full brightness on even frames and exactly half on odd
+    frames, plus one 8x8 'beacon' square whose (even) value changes
+    every frame so at least one macroblock still codes residuals.
+    Grayscale keeps chroma exactly flat 128, and even values make the
+    0.5x / 2x fade EXACTLY representable by explicit weights (luma
+    w=16 or 64 at denom 5, chroma offset 64 / -128) — so weighted
+    prediction is exact and macroblocks genuinely skip."""
+    _, w, h = video_params(i)
+    xs = np.arange(w, dtype=np.int64)[None, :]
+    ys = np.arange(h, dtype=np.int64)[:, None]
+    base = (((xs * 6 + ys * 10 + 4 * i) % 256) // 2) * 2
+    v = base if t % 2 == 0 else base // 2
+    v = np.broadcast_to(v, (h, w)).copy()
+    if w > 16 or h > 16:
+        # beacon only when another MB remains free to skip (the
+        # family's 16x12 members are a single macroblock)
+        v[2:10, 2:10] = ((64 + 32 * t) % 128) * 2
+    px = np.empty((h, w, 3), dtype=np.uint8)
+    px[:, :, 0] = px[:, :, 1] = px[:, :, 2] = v
+    return px
+
+
+def _fade_weights(k: int, n_active: int) -> dict:
+    """Exact pred_weight_table for the fade fixture: odd frames halve
+    the previous (ratio 1/2: luma 16/32, chroma axis-preserving offset
+    +64), even P frames double it (ratio 2: luma 64/32, offset -128)."""
+    if k % 2 == 1:
+        entry = (16, 0, (16, 16), (64, 64))
+    else:
+        entry = (64, 0, (16, 16), (64, 64))
+    # chroma is flat 128 either way: 128*16/32 + 64 = 128 exactly
+    return {"luma_denom": 5, "chroma_denom": 5, "refs": [entry] * n_active}
+
+
+def make_h264_fade_bytes(i: int, qp: int = 10, gop: int = 6) -> bytes:
+    """Weighted-prediction GOP family over :func:`fade_scene`: the PPS
+    sets weighted_pred_flag, each P slice carries the exact fade
+    weights, and the builder asserts per frame that macroblocks
+    genuinely SKIPPED (exact weighted prediction) while the beacon
+    macroblock still coded residuals — a decoder that ignored the
+    weight table would reconstruct every odd frame at double
+    brightness."""
+    n, w, h = video_params(i)
+    frames = [fade_scene(i, t) for t in range(n)]
+    return encode_mp4_h264_gop(
+        frames, fps=VIDEO_FPS, qp=qp, gop=gop, search_range=4,
+        code_residual=True, quarter=False, weights_for=_fade_weights,
+        min_skip_mbs=1,
+    )
+
+
 def make_h264_b_bytes(
     i: int, qp: int = 10, gop: int = 6, b_frames: int = 2
 ) -> bytes:
@@ -1254,6 +1328,11 @@ def make_h264_part_media(spark, n: int = 24) -> DataFrame:
 def make_h264_mref_media(spark, n: int = 24) -> DataFrame:
     """Executor-side synthesis of multi-reference GOP payloads."""
     return _media_gen(spark, n, "v", make_h264_mref_bytes)
+
+
+def make_h264_fade_media(spark, n: int = 24) -> DataFrame:
+    """Executor-side synthesis of weighted-prediction fade payloads."""
+    return _media_gen(spark, n, "v", make_h264_fade_bytes)
 
 
 def make_h264_b_media(spark, n: int = 24) -> DataFrame:

@@ -1,0 +1,150 @@
+"""Explicit weighted prediction for P slices (spec 7.3.3.2 / 8.4.2.3).
+
+The PPS sets weighted_pred_flag, the slice header carries a
+pred_weight_table (per-reference luma/chroma weights + offsets), and
+every inter prediction — including P_Skip — applies
+Clip1(((p*w + 2^(logWD-1)) >> logWD) + o) after interpolation. The
+fade fixture is the discriminator: a grayscale scene halving/doubling
+brightness every frame predicts EXACTLY under the matching weights
+(macroblocks skip), while a decoder that ignored the weight table
+would reconstruct at the wrong brightness entirely.
+
+Reference analogue: the pcap backend decodes every packet format its
+library supports (/root/reference/backend/pcap.go:17-54).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from flow_indexer_spark.operators.h264inter import (
+    _wp_block,
+    decode_p_slice,
+    encode_p_slice,
+)
+
+_SPS = {"log2_max_frame_num": 4, "poc_type": 2}
+
+
+def _gray_planes(h, w, seed, scale=1.0):
+    r = np.random.default_rng(seed)
+    v = (r.integers(0, 128, (h, w)) * 2).astype(np.int64)  # even values
+    v = np.clip(np.round(v * scale), 0, 255).astype(np.uint8)
+    cb = np.full((h // 2, w // 2), 128, dtype=np.uint8)
+    cr = cb.copy()
+    return v, cb, cr
+
+
+def _half_weights(n_refs=1):
+    # new = 0.5 * ref: lw 16/denom 5; chroma offset 64 keeps the
+    # 128-centred axis fixed (c' = 0.5 c + 64)
+    return {
+        "luma_denom": 5,
+        "chroma_denom": 5,
+        "refs": [(16, 0, (16, 16), (64, 64))] * n_refs,
+    }
+
+
+def test_wp_block_formula():
+    p = np.array([[0, 2, 100, 255]], dtype=np.uint8)
+    # logWD 5, w 16, o 0 -> exact halving with round-half-up
+    assert _wp_block(p, 16, 0, 5).tolist() == [[0, 1, 50, 128]]
+    # logWD 0 path with negative weight clips at 0
+    assert _wp_block(p, -1, 10, 0).tolist() == [[10, 8, 0, 0]]
+    # offset clips at 255
+    assert _wp_block(p, 32, 100, 5).tolist() == [[100, 102, 200, 255]]
+
+
+def test_fade_roundtrip_is_byte_exact_and_skips():
+    h, w = 32, 48
+    sps = dict(_SPS, mb_width=3, mb_height=2)
+    ref = _gray_planes(h, w, 5)
+    cur = (
+        (ref[0] // 2).astype(np.uint8),  # exact halving (even values)
+        ref[1],
+        ref[2],
+    )
+    nal, rec, stats = encode_p_slice(
+        *cur, ref, 1, qp=10, search_range=2, return_recon=True,
+        code_residual=True, weights=_half_weights(), return_stats=True,
+    )
+    got = decode_p_slice(nal, sps, ref, weighted=True)
+    assert all(np.array_equal(a, b) for a, b in zip(got, rec))
+    # the weighted prediction is exact -> macroblocks genuinely skip
+    assert stats["skip"] == 6, stats
+    assert np.array_equal(rec[0], cur[0])
+
+
+def test_wp_with_partitions_and_multiref_roundtrip():
+    h, w = 32, 48
+    sps = dict(_SPS, mb_width=3, mb_height=2)
+    rng = np.random.default_rng(17)
+    ref0 = _gray_planes(h, w, 11)
+    ref1 = _gray_planes(h, w, 12)
+    # current: quadrant-mixed copies at half brightness
+    y = np.empty((h, w), np.uint8)
+    y[:, :24] = ref1[0][:, :24] // 2
+    y[:, 24:] = ref0[0][:, 24:] // 2
+    cur = (y, ref0[1], ref0[2])
+    weights = _half_weights(n_refs=2)
+    nal, rec, stats = encode_p_slice(
+        *cur, [ref0, ref1], 2, qp=12, search_range=3, return_recon=True,
+        code_residual=True, partitions=True, weights=weights,
+        return_stats=True,
+    )
+    got = decode_p_slice(nal, sps, [ref0, ref1], weighted=True)
+    assert all(np.array_equal(a, b) for a, b in zip(got, rec))
+    assert set(stats["ref_idx"]) >= {0, 1}, stats
+
+
+def test_default_weight_entries_code_single_flag_bits():
+    """An identity entry ((1<<denom, 0) weights) codes as bare zero
+    flags — round-trips and stays cheap."""
+    h, w = 16, 16
+    sps = dict(_SPS, mb_width=1, mb_height=1)
+    ref = _gray_planes(h, w, 3)
+    cur = tuple(np.roll(p, 1, 1) for p in ref)
+    weights = {
+        "luma_denom": 5,
+        "chroma_denom": 5,
+        "refs": [(32, 0, (32, 32), (0, 0))],
+    }
+    nal, rec = encode_p_slice(
+        *cur, ref, 1, qp=12, search_range=2, return_recon=True,
+        code_residual=True, weights=weights,
+    )
+    got = decode_p_slice(nal, sps, ref, weighted=True)
+    assert all(np.array_equal(a, b) for a, b in zip(got, rec))
+
+
+def test_hostile_weights_classify():
+    h, w = 16, 16
+    sps = dict(_SPS, mb_width=1, mb_height=1)
+    ref = _gray_planes(h, w, 4)
+    cur = ref
+
+    with pytest.raises(ValueError, match="denom"):
+        encode_p_slice(
+            *cur, ref, 1, weights={"luma_denom": 9, "chroma_denom": 0,
+                                   "refs": [(512, 0, (1, 1), (0, 0))]},
+        )
+    with pytest.raises(ValueError, match="range"):
+        encode_p_slice(
+            *cur, ref, 1, weights={"luma_denom": 5, "chroma_denom": 5,
+                                   "refs": [(200, 0, (32, 32), (0, 0))]},
+        )
+    with pytest.raises(ValueError, match="per active reference"):
+        encode_p_slice(
+            *cur, ref, 1, weights={"luma_denom": 5, "chroma_denom": 5,
+                                   "refs": []},
+        )
+    # a weighted stream handed to an unweighted decode misparses the
+    # weight table as macroblock data -> must CLASSIFY, never crash
+    nal = encode_p_slice(
+        *cur, ref, 1, qp=10, code_residual=True, weights=_half_weights()
+    )
+    try:
+        decode_p_slice(nal, sps, ref, weighted=False)
+    except (ValueError, NotImplementedError):
+        pass
