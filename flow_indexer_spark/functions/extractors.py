@@ -149,6 +149,57 @@ def normalize_ip_array_udf(cands: pd.Series) -> pd.Series:
     return cands.map(norm)
 
 
+@pandas_udf(StringType())
+def normalize_ip_joined_udf(cands: pd.Series) -> pd.Series:
+    """Space-joined candidate tokens -> space-joined distinct canonical
+    hex keys. Same validation semantics as :func:`normalize_ip_array_udf`
+    (the pinned differential twin), different Arrow BOUNDARY SHAPE: one
+    Python str per row each way instead of a list of per-token objects.
+    Arrow's cost at this boundary is per-object materialization, so
+    collapsing the array to one string moves the token split into
+    ``str.split`` (a C loop) — measured 3.7 -> 3.5 s on the fused
+    extract stage (2M x 420-char turns, 32M raw candidates, local[32],
+    best-of-3 interleaved, identical output by count+distinct+hash).
+
+    A bounded per-worker memo caches the result by input string: log
+    and transcript text repeats entity sets heavily (the bench corpus
+    has ~37k distinct candidate strings over 2M turns; real syslog is
+    similarly skewed), and the normalizer is a pure function of the
+    string. 64k entries caps worker memory at a few MB; entries never
+    need invalidation (pure function, deterministic output either way).
+    """
+    cache: dict[str, str] = {}
+
+    def norm(s: str) -> str:
+        if not s:
+            return ""
+        hit = cache.get(s)
+        if hit is not None:
+            return hit
+        out, seen = [], set()
+        for tok in s.split(" "):
+            if ":" not in tok:
+                key = _v4_fast_key(tok)
+                if key is None:
+                    continue
+            else:
+                if "::" not in tok and tok.count(":") != (6 if "." in tok else 7):
+                    continue
+                try:
+                    key = ipaddress.ip_address(tok).packed.hex()
+                except ValueError:
+                    continue
+            if key not in seen:
+                seen.add(key)
+                out.append(key)
+        r = " ".join(out)
+        if len(cache) < 65536:
+            cache[s] = r
+        return r
+
+    return cands.map(norm)
+
+
 def extract_ip_candidates_native(df: DataFrame, text_col: str = "text") -> DataFrame:
     """text -> exploded candidate IP tokens (native, JVM-side)."""
     return df.withColumn(
@@ -287,7 +338,20 @@ def extract_entities(
     # compiled array op: fused stage 3.87 s -> 2.56 s here. Key-level
     # dedup still happens in the UDF (distinct tokens can share a key,
     # e.g. "::1" vs "0:0:0:0:0:0:0:1"), so output is identical.
-    ip_keys = normalize_ip_array_udf(F.array_distinct(ip_cands))
+    # Round-4 refinement: cross the boundary as ONE space-joined string
+    # per row (array_join -> str UDF -> split/array_remove, all compiled
+    # expressions) instead of a token list — Arrow's per-object cost
+    # drops to per-row, str.split is a C loop, and the joined string is
+    # a natural memo key for repeated entity sets (see
+    # normalize_ip_joined_udf). Identical output pinned by the
+    # joined-vs-array differential test in tests/test_extractors.py.
+    ip_keys = F.array_remove(
+        F.split(
+            normalize_ip_joined_udf(F.array_join(F.array_distinct(ip_cands), " ")),
+            " ",
+        ),
+        "",
+    )
 
     tool_from_col = F.when(
         F.col("tool").startswith("{"), F.get_json_object(F.col("tool"), "$.tool")

@@ -30,6 +30,7 @@ unpublished dirs before working (sources/manifest.py).
 
 from __future__ import annotations
 
+import threading
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -42,6 +43,7 @@ from flow_indexer_spark.sources.manifest import (
     clean_orphan_batches,
     commit_partitions,
     committed_run_ids,
+    manifest_exists,
     new_batch_id,
     pending_partitions,
     read_manifest,
@@ -133,15 +135,17 @@ def run_ingest(
         last[0] = now
 
     run_id = new_batch_id()
+    have_manifest = manifest_exists(config.manifest_path)
     manifest = read_manifest(spark, config.manifest_path)
-    clean_orphan_batches(
-        [config.routed_path, config.postings_path], committed_run_ids(manifest)
-    )
+    # first run on a fresh root: no committed ids to collect, no
+    # partitions to anti-join — skip both driver round trips
+    committed = committed_run_ids(manifest) if have_manifest else set()
+    clean_orphan_batches([config.routed_path, config.postings_path], committed)
     _mark("orphan_cleanup")
 
     src = with_src_partition(transcripts)
     antijoin = config.incremental if use_manifest_antijoin is None else use_manifest_antijoin
-    if antijoin:
+    if antijoin and have_manifest:
         src = pending_partitions(src, manifest)
 
     extracted = extract_entities(
@@ -187,25 +191,51 @@ def run_ingest(
     # extraction marks exactly one row per input turn (_turn_head), so the
     # lineage pass is a 3-column pruned scan + map-side-combined partial
     # aggregation — shuffle bytes O(partitions), not O(turns).
+    #
+    # In the delta path (salt chunks + incremental — the scale default)
+    # the lineage job OVERLAPS the postings job (one Spark session runs
+    # concurrent actions from separate threads; the small lineage agg
+    # drains in the postings scan's slack instead of serializing ~0.3 s
+    # of wall before it). Safe w.r.t. the empty-batch skip there: the
+    # postings APPEND lands under this run's unpublished batch_id dir,
+    # so if lineage turns out empty we return without the manifest
+    # commit and remove the just-written dirs (clean_orphan_batches
+    # would equally reclaim them on the next run — write-audit-publish).
+    # Merged mode must NOT overlap: its postings write is an OVERWRITE
+    # rebuild keyed to this run_id, and reclaiming that as an orphan
+    # after an empty batch would drop published history — it keeps the
+    # serial lineage-first order and the early return.
+    delta_mode = config.chunk_mode == "salt" and config.incremental
     head = F.col("_turn_head")
-    lineage = (
-        batch_rows.groupBy("src_partition")
-        .agg(
-            F.sum(head.cast("long")).alias("n_turns"),
-            F.count("entity_key").alias("n_entities"),  # count() skips null rows
-            F.sum((head & F.col("ts").isNull()).cast("long")).alias("n_errors"),
-        )
-        .collect()
+    lineage_df = batch_rows.groupBy("src_partition").agg(
+        F.sum(head.cast("long")).alias("n_turns"),
+        F.count("entity_key").alias("n_entities"),  # count() skips null rows
+        F.sum((head & F.col("ts").isNull()).cast("long")).alias("n_errors"),
     )
-    _mark("lineage_metrics")
-    if not lineage:
-        return {"skipped": True, "n_turns": 0, "n_entities": 0, "n_errors": 0,
-                "wall_ms": timer.ms()}
+    lineage_box: dict = {}
+
+    def _collect_lineage() -> None:
+        try:
+            lineage_box["rows"] = lineage_df.collect()
+        except BaseException as e:  # re-raised on the caller thread
+            lineage_box["err"] = e
+
+    if delta_mode:
+        lineage_thread = threading.Thread(target=_collect_lineage, daemon=True)
+        lineage_thread.start()
+    else:
+        _collect_lineage()
+        lineage_thread = None
+        if "err" in lineage_box:
+            raise lineage_box["err"]
+        if not lineage_box["rows"]:
+            _mark("lineage_metrics")
+            return {"skipped": True, "n_turns": 0, "n_entities": 0,
+                    "n_errors": 0, "wall_ms": timer.ms()}
 
     # Postings index. Scale path (salt chunks + incremental): aggregate
     # THIS batch only and append its chunk rows — O(delta). Merged-array
     # mode can't append (one row per entity), so it rebuilds from history.
-    delta_mode = config.chunk_mode == "salt" and config.incremental
     postings_src = (batch_rows if delta_mode else routed_back).filter(
         F.col("entity_key").isNotNull()
     )
@@ -223,6 +253,20 @@ def run_ingest(
         partition_cols=("batch_id", "entity_class"),
     )
     _mark("postings_index")
+
+    if lineage_thread is not None:
+        lineage_thread.join()
+    if "err" in lineage_box:
+        raise lineage_box["err"]
+    lineage = lineage_box["rows"]
+    _mark("lineage_metrics")
+    if not lineage:
+        # nothing to publish: reclaim this run's unpublished batch dirs
+        clean_orphan_batches(
+            [config.routed_path, config.postings_path], committed
+        )
+        return {"skipped": True, "n_turns": 0, "n_entities": 0, "n_errors": 0,
+                "wall_ms": timer.ms()}
 
     wall = timer.ms()
     metrics = [

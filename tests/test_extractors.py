@@ -120,6 +120,45 @@ def test_differential_hybrid_vs_pure_python_normalize(spark, transcripts):
     assert df.filter(F.col("hybrid") != F.col("python")).count() == 0
 
 
+def test_differential_joined_vs_array_normalize(spark, transcripts):
+    """The joined-string Arrow boundary (round-4 extract hot path:
+    array_join -> str UDF -> split/array_remove) must produce the exact
+    key arrays of the original array<string> boundary on the full
+    fixture plus adversarial v6/junk rows."""
+    from pyspark.sql import functions as F
+
+    from flow_indexer_spark.functions.extractors import (
+        IP_PATTERN,
+        normalize_ip_array_udf,
+        normalize_ip_joined_udf,
+    )
+
+    extra = _mini_df(
+        spark,
+        [
+            "v6 2001:db8::1 mapped ::ffff:1.2.3.4 junk 999.1.2.3 10:27:26",
+            "dups 1.2.3.4 1.2.3.4 01.2.3.4 and ::1 0:0:0:0:0:0:0:1",
+            "",
+            "bare :: and 64:ff9b::1.2.3.4 embedded",
+        ],
+    )
+    for df0 in (transcripts, extra):
+        cands = F.array_distinct(
+            F.regexp_extract_all(
+                F.coalesce(F.col("text"), F.lit("")), F.lit(IP_PATTERN), F.lit(0)
+            )
+        )
+        joined = F.array_remove(
+            F.split(normalize_ip_joined_udf(F.array_join(cands, " ")), " "), ""
+        )
+        df = df0.select(
+            joined.alias("joined"),
+            normalize_ip_array_udf(cands).alias("arr"),
+        )
+        # exact order too — both emit first-occurrence order
+        assert df.filter(F.col("joined") != F.col("arr")).count() == 0
+
+
 # --- loose candidate scan vs strict scan (round-3 speedup) ------------------
 
 def _valid_keys(pattern, text):
