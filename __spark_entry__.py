@@ -2063,6 +2063,61 @@ def _q_pivot_event_matrix(spark, sf_dir):
 
 
 @_register(
+    "doc_chunks_cdc",
+    """
+    WITH d AS (
+      SELECT doc_id, text, CAST(length(text) AS INTEGER) AS L FROM documents
+      WHERE text IS NOT NULL AND length(text) > 0
+    ),
+    pos AS (
+      SELECT d.doc_id, d.text, d.L, CAST(t.p AS INTEGER) AS p
+      FROM d, range(7, 2048) t(p) WHERE t.p < d.L - 1
+    ),
+    h AS (
+      SELECT doc_id, p,
+          ( CAST(ascii(text[p + 1]) AS BIGINT) * 1
+          + CAST(ascii(text[p    ]) AS BIGINT) * 31
+          + CAST(ascii(text[p - 1]) AS BIGINT) * 961
+          + CAST(ascii(text[p - 2]) AS BIGINT) * 29791
+          + CAST(ascii(text[p - 3]) AS BIGINT) * 923521
+          + CAST(ascii(text[p - 4]) AS BIGINT) * 28629151
+          + CAST(ascii(text[p - 5]) AS BIGINT) * 887503681
+          + CAST(ascii(text[p - 6]) AS BIGINT) * 27512614111
+          ) % 1048576 AS hv
+      FROM pos
+    ),
+    starts AS (
+      SELECT doc_id, 0 AS s FROM d
+      UNION ALL
+      SELECT doc_id, p + 1 AS s FROM h WHERE hv % 32 = 0
+    ),
+    spans AS (
+      SELECT st.doc_id, st.s,
+             LEAD(st.s, 1, d.L) OVER (PARTITION BY st.doc_id ORDER BY st.s)
+               AS e
+      FROM starts st JOIN d USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1
+                AS INTEGER) AS chunk_idx,
+           CAST(s AS INTEGER) AS start,
+           CAST(e - s AS INTEGER) AS chunk_len
+    FROM spans ORDER BY doc_id, chunk_idx
+    """,
+)
+def _q_doc_chunks_cdc(spark, sf_dir):
+    """Content-defined chunking: boundaries where the window-8 rolling
+    polynomial hash has 5 low zero bits — edit-robust chunk identity for
+    chunk-level dedup (LBFS/rsync family). The oracle replays the exact
+    integer hash per position in SQL; the Spark side is one in-row numpy
+    convolution per doc, zero shuffles."""
+    from flow_indexer_spark.operators.curation import cdc_chunks
+
+    d = _t(spark, sf_dir, "documents")
+    return cdc_chunks(d).orderBy("doc_id", "chunk_idx")
+
+
+@_register(
     "doc_chunks_sliding",
     """
     WITH t AS (
@@ -2188,6 +2243,34 @@ def _q_embedding_quantize_int8(spark, sf_dir):
 
     e = _t(spark, sf_dir, "embeddings")
     return quantize_int8(e).select("vec_id", "scale", "qvec").orderBy("vec_id")
+
+
+@_register(
+    "embedding_gram_matrix",
+    """
+    WITH q AS (
+      SELECT list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
+      FROM embeddings
+    )
+    SELECT CAST(t1.i AS INTEGER) AS i, CAST(t2.j AS INTEGER) AS j,
+           CAST(SUM(q.qe[CAST(t1.i AS INTEGER) + 1]
+                    * q.qe[CAST(t2.j AS INTEGER) + 1]) AS BIGINT) AS g
+    FROM q, range(64) t1(i), range(64) t2(j)
+    WHERE t1.i <= t2.j
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def _q_embedding_gram_matrix(spark, sf_dir):
+    """Distributed d x d gram matrix (the PCA/whitening reduction) over
+    int-quantized embeddings: per-partition numpy matmul partials via
+    mapInPandas, ONE Exchange of O(partitions * d^2) tiny rows — row
+    data never shuffles. floor-to-int grid makes the sum exact integer
+    arithmetic, bit-identical across partitionings and engines."""
+    from flow_indexer_spark.operators.linalg import quantized_gram
+
+    e = _t(spark, sf_dir, "embeddings")
+    return quantized_gram(e).orderBy("i", "j")
 
 
 @_register(

@@ -368,6 +368,8 @@ def _bench_queries(spark, sf_dir: str) -> dict:
         "dedup_segment_removal",
         "trajectory_dedup",
         "trajectory_path_forks",
+        "doc_chunks_cdc",
+        "embedding_gram_matrix",
     ]
     qs = entry_mod.queries()
     out = {}

@@ -14,6 +14,8 @@ swap xxhash64 in at production scale, topology unchanged.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
 from flow_indexer_spark.operators.dedup import md5_int32
@@ -230,6 +232,96 @@ def sliding_window_chunks(
             .cast("int")
             .alias("n_tokens"),
             F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+        )
+    )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    window: int = 8,
+    mask_bits: int = 5,
+    base: int = 31,
+    modulus: int = 1 << 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Content-defined chunking (CDC): cut a document wherever the
+    rolling hash of the trailing ``window`` characters lands on a
+    ``mask_bits``-zero boundary — so chunk boundaries are a function of
+    LOCAL content, and an insertion/deletion only reshuffles the chunks
+    it touches (fixed-offset chunking shifts every later boundary; CDC
+    is what makes chunk-level dedup robust to edits — the LBFS/rsync
+    family of chunkers, Muthitacharoen et al., SOSP 2001).
+
+    Hash: h(p) = sum_{i=0..w-1} codepoint(c[p-i]) * base^i  (mod
+    modulus), a cut AFTER position p when h(p) has ``mask_bits`` low
+    zero bits. Expected chunk length ~2^mask_bits. The polynomial form
+    (not a Rabin LFSR) keeps the hash exactly replayable in plain SQL —
+    the oracle twin computes the same integers. No min/max chunk-size
+    clamps in this canonical form: clamping is a greedy sequential rule
+    (each boundary depends on the previous), kept out so every boundary
+    is a pure local function; the pytest covers the clamped variant via
+    post-merge of runt chunks if a caller needs it.
+
+    Scale shape: the hash pass is one in-row numpy convolution per doc
+    inside an Arrow-batched UDF (O(L*w) C loops, no Python per-char
+    work), spans explode in the same projection, and the chunk slice is
+    a JVM substring — zero shuffles end to end; a 100 TB corpus chunks
+    at scan speed.
+
+    Output per chunk: (id, chunk_idx, start, chunk_len). Empty/null
+    docs yield no rows; the final position never cuts (a cut at L-1
+    would create an empty tail chunk).
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    if window < 2:
+        raise ValueError("window must be >= 2")
+    if mask_bits <= 0 or (1 << mask_bits) > modulus:
+        raise ValueError("mask_bits must be positive and < log2(modulus)")
+    weights = [base**i for i in range(window)]  # Python ints: exact
+    if 0x110000 * sum(weights) >= 2**63:
+        raise ValueError("base**window too large: hash would overflow int64")
+    kernel = np.array(weights, dtype=np.int64)
+    mask = (1 << mask_bits) - 1
+
+    span_t = ArrayType(
+        StructType(
+            [StructField("start", IntegerType()), StructField("chunk_len", IntegerType())]
+        )
+    )
+
+    @pandas_udf(span_t)
+    def spans(texts: pd.Series) -> pd.Series:
+        def one(s):
+            if not s:
+                return []
+            codes = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(
+                np.int64
+            )
+            L = codes.shape[0]
+            if L <= window:
+                return [(0, L)]
+            # h[p] for p = window-1 .. L-1 via polynomial convolution
+            h = np.convolve(codes, kernel)[window - 1 : L] % modulus
+            cut_p = np.nonzero((h & mask) == 0)[0] + (window - 1)
+            cut_p = cut_p[cut_p < L - 1]  # never cut at the last char
+            starts = np.concatenate(([0], cut_p + 1))
+            ends = np.concatenate((cut_p + 1, [L]))
+            return [(int(a), int(b - a)) for a, b in zip(starts, ends)]
+
+        return texts.map(one)
+
+    d = df.select(F.col(id_col), F.coalesce(F.col(text_col), F.lit("")).alias("_t"))
+    return (
+        d.filter(F.length("_t") > 0)
+        .select(id_col, F.posexplode(spans(F.col("_t"))).alias("chunk_idx", "_s"))
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("int"),
+            F.col("_s.start").alias("start"),
+            F.col("_s.chunk_len").alias("chunk_len"),
         )
     )
 
