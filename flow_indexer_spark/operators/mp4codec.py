@@ -133,13 +133,16 @@ def encode_mp4_h264(frames: list[np.ndarray], fps: int = VIDEO_FPS) -> bytes:
 
 
 def encode_mp4_h264_i16(
-    frames: list[np.ndarray], fps: int = VIDEO_FPS, qp: int = 12
+    frames: list[np.ndarray], fps: int = VIDEO_FPS, qp: int = 12,
+    slices: int = 1,
 ) -> bytes:
     """Write frames as *intra-predicted* H.264-in-MP4: every macroblock
     is Intra_16x16 DC-mode with CAVLC-coded DC residuals
     (operators/h264intra.py) — a lossy transform code whose predictions
     chain across the picture, unlike the lossless I_PCM samples of
-    :func:`encode_mp4_h264`."""
+    :func:`encode_mp4_h264`. ``slices`` > 1 splits every picture into
+    that many independently-decodable slice NALs (7.4.3
+    first_mb_in_slice) packed into the one sample."""
     from flow_indexer_spark.operators import h264codec as h264
     from flow_indexer_spark.operators.h264intra import encode_frame_sample_i16
 
@@ -147,7 +150,7 @@ def encode_mp4_h264_i16(
         raise ValueError("need at least one frame")
     h, w = frames[0].shape[:2]
     samples = [
-        encode_frame_sample_i16(f, idr_pic_id=k, qp=qp)
+        encode_frame_sample_i16(f, idr_pic_id=k, qp=qp, slices=slices)
         for k, f in enumerate(frames)
     ]
     avcc = _box(b"avcC", h264.make_avcc(h264.make_sps(w, h), h264.make_pps()))
@@ -1007,6 +1010,27 @@ def make_h264_intra_bytes(i: int, qp: int = 12) -> bytes:
     return encode_mp4_h264_i16(frames, fps=VIDEO_FPS, qp=qp)
 
 
+def make_h264_mslice_bytes(i: int, qp: int = 12) -> bytes:
+    """The deterministic frame family coded as MULTI-SLICE Intra_16x16
+    H.264: every picture split into min(3, n_macroblocks) contiguous
+    raster-run slices (7.4.3 first_mb_in_slice), prediction and nC
+    contexts slice-scoped (6.4.8) — the bitstream analogue of
+    flow-indexer's standalone-indexed log chunks. Same pixel family as
+    make_h264_intra_bytes, so the same mean/flatness oracles apply."""
+    n, w, h = video_params(i)
+    n_mbs = ((w + 15) // 16) * ((h + 15) // 16)
+    frames = []
+    for t in range(n):
+        px = np.empty((h, w, 3), dtype=np.uint8)
+        px[:, :, 0] = (7 * i + 11 * t) % 256
+        px[:, :, 1] = np.arange(w, dtype=np.uint8)[None, :]
+        px[:, :, 2] = np.arange(h, dtype=np.uint8)[:, None]
+        frames.append(px)
+    return encode_mp4_h264_i16(
+        frames, fps=VIDEO_FPS, qp=qp, slices=min(3, n_mbs)
+    )
+
+
 def make_h264_i4_bytes(i: int, qp: int = 12) -> bytes:
     """The deterministic frame family coded as I_4x4 spatial prediction
     with per-4x4 DC residuals — the sharpest lossy intra code here, so
@@ -1313,6 +1337,11 @@ def make_h264_gop_media(spark, n: int = 24) -> DataFrame:
 def make_h264_i4_media(spark, n: int = 24) -> DataFrame:
     """Executor-side synthesis of I_4x4 spatially-predicted payloads."""
     return _media_gen(spark, n, "v", make_h264_i4_bytes)
+
+
+def make_h264_mslice_media(spark, n: int = 24) -> DataFrame:
+    """Executor-side synthesis of multi-slice intra H.264 payloads."""
+    return _media_gen(spark, n, "v", make_h264_mslice_bytes)
 
 
 def make_h264_res_media(spark, n: int = 24) -> DataFrame:
