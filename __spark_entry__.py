@@ -3070,6 +3070,170 @@ def _q_quality_lm_perplexity(spark, sf_dir):
 
 
 @_register(
+    "lm_stupid_backoff",
+    """
+    WITH split AS (
+      SELECT doc_id, text,
+             CAST('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 10000 AS bucket
+      FROM documents
+    ),
+    tt AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+             AS tok FROM split WHERE bucket < 9000),
+    st AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+             AS tok FROM split WHERE bucket >= 9000),
+    t3 AS (
+      SELECT g.w1 AS w1, g.w2 AS w2, g.w3 AS w3
+      FROM (SELECT unnest(list_transform(range(1, len(tok) - 1),
+                   i -> struct_pack(w1 := tok[i], w2 := tok[i + 1],
+                                    w3 := tok[i + 2]))) AS g
+            FROM tt WHERE len(tok) >= 3)
+    ),
+    t2 AS (
+      SELECT g.w1 AS w1, g.w2 AS w2
+      FROM (SELECT unnest(list_transform(range(1, len(tok)),
+                   i -> struct_pack(w1 := tok[i], w2 := tok[i + 1]))) AS g
+            FROM tt WHERE len(tok) >= 2)
+    ),
+    c3 AS (SELECT w1, w2, w3, COUNT(*) AS c3 FROM t3 GROUP BY 1, 2, 3),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM t2 GROUP BY 1, 2),
+    c1 AS (SELECT w1, COUNT(*) AS c1
+           FROM (SELECT unnest(tok) AS w1 FROM tt) GROUP BY 1),
+    n AS (SELECT SUM(c1) AS n FROM c1),
+    s3 AS (
+      SELECT doc_id, g.w1 AS w1, g.w2 AS w2, g.w3 AS w3
+      FROM (SELECT doc_id, unnest(list_transform(range(1, len(tok) - 1),
+                   i -> struct_pack(w1 := tok[i], w2 := tok[i + 1],
+                                    w3 := tok[i + 2]))) AS g
+            FROM st WHERE len(tok) >= 3)
+    ),
+    ls AS (
+      SELECT doc_id, ln(CASE
+        WHEN c3.c3 IS NOT NULL
+          THEN CAST(c3.c3 AS DOUBLE) / CAST(ctx2.c2 AS DOUBLE)
+        WHEN bo2.c2 IS NOT NULL
+          THEN 0.4 * CAST(bo2.c2 AS DOUBLE) / CAST(ctx1.c1 AS DOUBLE)
+        ELSE 0.4 * 0.4 * CAST(COALESCE(uni.c1, 1) AS DOUBLE)
+             / CAST(n.n AS DOUBLE)
+        END) AS ls
+      FROM s3
+      LEFT JOIN c3 ON s3.w1 = c3.w1 AND s3.w2 = c3.w2 AND s3.w3 = c3.w3
+      LEFT JOIN c2 ctx2 ON s3.w1 = ctx2.w1 AND s3.w2 = ctx2.w2
+      LEFT JOIN c2 bo2 ON s3.w2 = bo2.w1 AND s3.w3 = bo2.w2
+      LEFT JOIN c1 ctx1 ON s3.w2 = ctx1.w1
+      LEFT JOIN c1 uni ON s3.w3 = uni.w1
+      CROSS JOIN n
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+           ROUND(AVG(ls), 9) AS avg_logs,
+           ROUND(exp(-AVG(ls)), 9) AS backoff_ppl
+    FROM ls GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def _q_lm_stupid_backoff(spark, sf_dir):
+    """Trigram Stupid Backoff (Brants et al. 2007 — THE web-scale LM
+    recipe: pure count ratios with a fixed 0.4 backoff multiplier, no
+    normalization, so training is three independent map-side-combined
+    count aggregations and scoring is gram-keyed hash joins). Train on
+    the deterministic 90% split, score the held-out docs by mean log
+    backoff-score. Lower-order counts are standalone corpus counts (the
+    paper's counting), not trigram marginals. Scores rounded to 9 dp on
+    both engines (sum-order ulp noise). operators/ngramlm.py; reference
+    analogue: count tables as the queryable index
+    (store/leveldb.go postings counts)."""
+    from flow_indexer_spark.operators.curation import hash_split
+    from flow_indexer_spark.operators.ngramlm import stupid_backoff_scores
+
+    d = hash_split(_t(spark, sf_dir, "documents"))
+    out = stupid_backoff_scores(
+        d.filter(F.col("split") == "train"),
+        d.filter(F.col("split") != "train"),
+    )
+    return out.select(
+        "doc_id",
+        "n_trigrams",
+        F.round("avg_logs", 9).alias("avg_logs"),
+        F.round("backoff_ppl", 9).alias("backoff_ppl"),
+    ).orderBy("doc_id")
+
+
+@_register(
+    "lm_kneser_ney",
+    """
+    WITH split AS (
+      SELECT doc_id, text,
+             CAST('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 10000 AS bucket
+      FROM documents
+    ),
+    tt AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+             AS tok FROM split WHERE bucket < 9000),
+    st AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+             AS tok FROM split WHERE bucket >= 9000),
+    t2 AS (
+      SELECT g.w1 AS w1, g.w2 AS w2
+      FROM (SELECT unnest(list_transform(range(1, len(tok)),
+                   i -> struct_pack(w1 := tok[i], w2 := tok[i + 1]))) AS g
+            FROM tt WHERE len(tok) >= 2)
+    ),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM t2 GROUP BY 1, 2),
+    ctx AS (SELECT w1, SUM(c2) AS ctot, COUNT(*) AS nfwd FROM c2 GROUP BY 1),
+    back AS (SELECT w2, COUNT(*) AS nback FROM c2 GROUP BY 1),
+    types AS (SELECT COUNT(*) AS ntypes FROM c2),
+    s2 AS (
+      SELECT doc_id, g.w1 AS w1, g.w2 AS w2
+      FROM (SELECT doc_id, unnest(list_transform(range(1, len(tok)),
+                   i -> struct_pack(w1 := tok[i], w2 := tok[i + 1]))) AS g
+            FROM st WHERE len(tok) >= 2)
+    ),
+    lp AS (
+      SELECT doc_id, ln(CASE WHEN ctx.ctot IS NOT NULL THEN
+          greatest(CAST(COALESCE(c2.c2, 0) AS DOUBLE) - 0.75, 0.0)
+            / CAST(ctx.ctot AS DOUBLE)
+          + 0.75 * CAST(ctx.nfwd AS DOUBLE) / CAST(ctx.ctot AS DOUBLE)
+            * (COALESCE(CAST(back.nback AS DOUBLE), 0.75)
+               / CAST(types.ntypes AS DOUBLE))
+        ELSE COALESCE(CAST(back.nback AS DOUBLE), 0.75)
+             / CAST(types.ntypes AS DOUBLE) END) AS lp
+      FROM s2
+      LEFT JOIN c2 USING (w1, w2)
+      LEFT JOIN ctx USING (w1)
+      LEFT JOIN back USING (w2)
+      CROSS JOIN types
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(lp), 9) AS avg_logp,
+           ROUND(exp(-AVG(lp)), 9) AS ppl
+    FROM lp GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def _q_lm_kneser_ney(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram LM (Kneser & Ney 1995; Chen &
+    Goodman 1999 eq. 4.25, one fixed discount 0.75): absolute
+    discounting interpolated with the CONTINUATION probability — how
+    many distinct contexts precede a word, which is exactly an
+    inverted-index cardinality (distinct docs per entity in the
+    reference's postings, store/leveldb.go). Unseen contexts fall back
+    to pure continuation; unseen continuations keep pseudo-count D.
+    Train on the deterministic 90% split, score held-out perplexity;
+    9 dp rounding on both engines. operators/ngramlm.py."""
+    from flow_indexer_spark.operators.curation import hash_split
+    from flow_indexer_spark.operators.ngramlm import kneser_ney_scores
+
+    d = hash_split(_t(spark, sf_dir, "documents"))
+    out = kneser_ney_scores(
+        d.filter(F.col("split") == "train"),
+        d.filter(F.col("split") != "train"),
+    )
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        F.round("avg_logp", 9).alias("avg_logp"),
+        F.round("ppl", 9).alias("ppl"),
+    ).orderBy("doc_id")
+
+
+@_register(
     "dedup_incremental_state",
     """
     WITH sig AS (
@@ -3467,6 +3631,243 @@ def _q_tokenize_bpe_segment(spark, sf_dir):
     return bpe_segment(d, rules).orderBy("word")
 
 
+_UNI_L = 4  # max piece length
+_UNI_MIN = 2  # min substring count
+_UNI_SEED = 60  # seed vocab size (< the substring universe, so LIMIT bites)
+
+
+def _uni_subs(word: str = "word") -> str:
+    """DuckDB expression: all substrings of ``word`` with length <=
+    _UNI_L, one per (start, end) position — unigramlm._substrings."""
+    return (
+        f"flatten(list_transform(range(1, len({word}) + 1), "
+        f"i -> list_transform(range(i, least(len({word}), "
+        f"i + {_UNI_L - 1}) + 1), j -> substr({word}, i, j - i + 1))))"
+    )
+
+
+def _uni_vocab_ctes(words_cte: str, prefix: str) -> str:
+    """Seed-vocab CTE chain over a (word, wc) table — the SQL replica of
+    unigramlm._seed_from_words: substring counts, top-K by (count desc,
+    piece asc), all single chars retained, -ln(count/total) costs
+    rounded to 12 dp."""
+    return f"""{prefix}sub AS (
+      SELECT piece, SUM(wc) AS piece_count FROM (
+        SELECT unnest({_uni_subs("word")}) AS piece, wc FROM {words_cte})
+      GROUP BY 1
+      HAVING SUM(wc) >= {_UNI_MIN} OR len(piece) = 1
+    ),
+    {prefix}top AS (
+      SELECT piece, piece_count FROM {prefix}sub
+      ORDER BY piece_count DESC, piece ASC LIMIT {_UNI_SEED}
+    ),
+    {prefix}uni AS (
+      SELECT piece, MAX(piece_count) AS piece_count FROM (
+        SELECT * FROM {prefix}top
+        UNION ALL
+        SELECT piece, piece_count FROM {prefix}sub WHERE len(piece) = 1)
+      GROUP BY 1
+    ),
+    {prefix}tot AS (SELECT SUM(piece_count) AS total FROM {prefix}uni),
+    {prefix}voc AS (
+      SELECT piece, CAST(piece_count AS BIGINT) AS piece_count,
+             ROUND(-ln(CAST(piece_count AS DOUBLE)
+                       / CAST(total AS DOUBLE)), 12) AS cost
+      FROM {prefix}uni CROSS JOIN {prefix}tot
+    )"""
+
+
+def _uni_dp_ctes(words_cte: str, vocab_cte: str, prefix: str) -> str:
+    """Viterbi-lattice CTE chain over a word table — the SQL replica of
+    unigramlm._segment_words: per-word substring->cost map, then a
+    list_reduce DP whose accumulator is the best (cost, seg) per prefix
+    (the index travels in the element's cost field; struct min breaks
+    cost ties on the segmentation string, byte-wise on both engines)."""
+    J = "CAST(b[1].cost AS INT)"
+    piece = f"substr(word, i, {J} - i + 1)"
+    return f"""{prefix}ds AS (
+      SELECT word, piece FROM (
+        SELECT word, unnest(list_distinct({_uni_subs("word")})) AS piece
+        FROM {words_cte})
+    ),
+    {prefix}mp AS (
+      SELECT s.word, MAP(list(s.piece ORDER BY s.piece),
+                         list(v.cost ORDER BY s.piece)) AS m
+      FROM {prefix}ds s JOIN {vocab_cte} v ON s.piece = v.piece
+      GROUP BY s.word
+    ),
+    {prefix}wm AS (
+      SELECT w.*, COALESCE(d.m, MAP(CAST([] AS VARCHAR[]),
+                                    CAST([] AS DOUBLE[]))) AS m
+      FROM {words_cte} w LEFT JOIN {prefix}mp d USING (word)
+    ),
+    {prefix}seg AS (
+      SELECT * EXCLUDE (best, m), best.seg AS pieces,
+             best.cost AS seg_cost
+      FROM (
+        SELECT *, list_reduce(
+          list_concat(
+            [[{{'cost': 0.0, 'seg': ''}}]],
+            list_transform(range(1, len(word) + 1),
+                           j -> [{{'cost': CAST(j AS DOUBLE), 'seg': ''}}])
+          ),
+          (a, b) -> list_append(a, (
+            list_aggregate(
+              list_filter(
+                list_transform(
+                  range(greatest(1, {J} - {_UNI_L - 1}), {J} + 1),
+                  i -> {{
+                    'cost': a[i].cost + (CASE
+                      WHEN len(map_extract(m, {piece})) > 0
+                        THEN map_extract(m, {piece})[1]
+                      WHEN {J} - i + 1 = 1 THEN 1000000.0
+                      ELSE NULL END),
+                    'seg': CASE WHEN i = 1 THEN {piece}
+                                ELSE concat(a[i].seg, ' ', {piece}) END
+                  }}),
+                x -> x.cost IS NOT NULL),
+              'min')
+          ))
+        )[len(word) + 1] AS best
+        FROM {prefix}wm)
+    )"""
+
+
+@_register(
+    "tokenize_unigram_vocab",
+    f"""
+    WITH dw AS (
+      SELECT word, COUNT(*) AS wc FROM (
+        SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+          AS word FROM documents)
+      GROUP BY 1
+    ),
+    {_uni_vocab_ctes("dw", "a")}
+    SELECT piece, piece_count, cost FROM avoc ORDER BY piece
+    """,
+)
+def _q_tokenize_unigram_vocab(spark, sf_dir):
+    """Unigram-LM (SentencePiece, Kudo 2018) SEED step on the engine:
+    the corpus reduces once to a word-frequency table, every substring
+    up to length 4 is counted in-row, the top-60 by (count, piece) plus
+    every single character become the vocabulary with
+    -ln(count/total) costs (rounded 12 dp so libm ulp differences can't
+    split the engines). One O(pieces) shuffle after the word-table agg.
+    operators/unigramlm.py; the BPE trainer's sibling family."""
+    from flow_indexer_spark.operators.unigramlm import unigram_seed_vocab
+
+    d = _t(spark, sf_dir, "documents")
+    return unigram_seed_vocab(
+        d, max_piece_len=_UNI_L, min_count=_UNI_MIN, seed_size=_UNI_SEED
+    ).orderBy("piece")
+
+
+@_register(
+    "tokenize_unigram_segment",
+    f"""
+    WITH split AS (
+      SELECT doc_id, text,
+             CAST('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 10000 AS bucket
+      FROM documents
+    ),
+    tw AS (
+      SELECT word, COUNT(*) AS wc FROM (
+        SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+          AS word FROM split WHERE bucket < 9000)
+      GROUP BY 1
+    ),
+    {_uni_vocab_ctes("tw", "t")},
+    tp AS (
+      SELECT doc_id, i, tok[i] AS word FROM (
+        SELECT doc_id, tok, unnest(range(1, len(tok) + 1)) AS i
+        FROM (SELECT doc_id, list_filter(string_split(text, ' '),
+                     x -> x <> '') AS tok
+              FROM split WHERE bucket >= 9000))
+    ),
+    sw AS (SELECT DISTINCT word FROM tp),
+    {_uni_dp_ctes("sw", "tvoc", "s")}
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(len(string_split(pieces, ' '))) AS BIGINT) AS n_pieces,
+           string_agg(pieces, ' ' ORDER BY i) AS pieces_text,
+           ROUND(SUM(seg_cost), 6) AS total_cost
+    FROM tp JOIN sseg USING (word)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def _q_tokenize_unigram_segment(spark, sf_dir):
+    """Unigram-LM Viterbi segmentation on the engine: train the seed
+    vocab on the deterministic 90% split, segment the held-out docs.
+    Each DISTINCT word is segmented once — the lattice DP (min total
+    piece cost over all segmentations, ties on the segmentation string)
+    runs as a pure in-row higher-order fold, no UDF — then docs
+    reassemble by joining token positions back. Unseen characters
+    segment as themselves at the fixed UNK cost. The oracle replays the
+    identical lattice in DuckDB list_reduce lambdas: two engines, one
+    DP. operators/unigramlm.py."""
+    from flow_indexer_spark.operators.curation import hash_split
+    from flow_indexer_spark.operators.unigramlm import (
+        unigram_seed_vocab,
+        unigram_viterbi_segment,
+    )
+
+    d = hash_split(_t(spark, sf_dir, "documents"))
+    vocab = unigram_seed_vocab(
+        d.filter(F.col("split") == "train"),
+        max_piece_len=_UNI_L,
+        min_count=_UNI_MIN,
+        seed_size=_UNI_SEED,
+    )
+    return unigram_viterbi_segment(
+        d.filter(F.col("split") != "train"), vocab, max_piece_len=_UNI_L
+    ).orderBy("doc_id")
+
+
+@_register(
+    "tokenize_unigram_em",
+    f"""
+    WITH dw AS (
+      SELECT word, COUNT(*) AS wc FROM (
+        SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+          AS word FROM documents)
+      GROUP BY 1
+    ),
+    {_uni_vocab_ctes("dw", "e")},
+    {_uni_dp_ctes("dw", "evoc", "m")},
+    rc AS (
+      SELECT piece, SUM(wc) AS piece_count FROM (
+        SELECT unnest(string_split(pieces, ' ')) AS piece, wc FROM mseg)
+      GROUP BY 1
+    ),
+    rt AS (SELECT SUM(piece_count) AS total FROM rc)
+    SELECT piece, CAST(piece_count AS BIGINT) AS piece_count,
+           ROUND(-ln(CAST(piece_count AS DOUBLE)
+                     / CAST(total AS DOUBLE)), 12) AS cost
+    FROM rc CROSS JOIN rt ORDER BY piece
+    """,
+)
+def _q_tokenize_unigram_em(spark, sf_dir):
+    """One hard-EM (Viterbi-EM) refinement round of the unigram LM:
+    re-segment the word table under the seed costs, recount pieces
+    along the best paths weighted by word frequency, renormalize —
+    pieces no best path uses are pruned (SentencePiece's shrinking
+    step, hard-EM flavour; Kudo's full forward-backward is the
+    documented upgrade path). Each iteration is the same lattice DP
+    plus two count aggregations over the vocab-sized word table, so the
+    oracle replays the full trajectory as generated CTEs.
+    operators/unigramlm.py."""
+    from flow_indexer_spark.operators.unigramlm import unigram_hard_em
+
+    d = _t(spark, sf_dir, "documents")
+    return unigram_hard_em(
+        d,
+        max_piece_len=_UNI_L,
+        min_count=_UNI_MIN,
+        seed_size=_UNI_SEED,
+        iterations=1,
+    ).orderBy("piece")
+
+
 _LOGREG_FEATS = ["n_tokens", "mean_token_len", "stopword_ratio"]
 
 
@@ -3738,6 +4139,148 @@ def _q_sketch_kll_ranks(spark, sf_dir):
         (F.abs(F.col("_r50") - 0.5) <= 0.04).alias("p50_rank_ok"),
         (F.abs(F.col("_r90") - 0.9) <= 0.04).alias("p90_rank_ok"),
     ).orderBy("event_type")
+
+
+def _bloom_pos_sql(key: str, salt: str, i: str, modulus: int) -> str:
+    """DuckDB replica of membership._pos: first 8 md5 hex digits of the
+    salted key, mod ``modulus``."""
+    return (
+        f"CAST('0x' || substr(md5('{salt}' || CAST({i} AS VARCHAR) || '|' "
+        f"|| CAST({key} AS VARCHAR)), 1, 8) AS BIGINT) % {modulus}"
+    )
+
+
+@_register(
+    "sketch_bloom_filter",
+    f"""
+    WITH mem AS (
+      SELECT DISTINCT o_custkey AS key FROM orders WHERE o_orderstatus = 'F'
+    ),
+    mpos AS (
+      SELECT {_bloom_pos_sql("key", "bf", "i", 512)} AS p
+      FROM (SELECT key, unnest([0, 1, 2]) AS i FROM mem)
+    ),
+    bits AS (
+      SELECT CAST(floor(p / 32.0) AS INT) AS lane,
+             bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS mask
+      FROM mpos GROUP BY 1
+    ),
+    ppos AS (
+      SELECT key, CAST(floor(p / 32.0) AS INT) AS lane, p FROM (
+        SELECT key, {_bloom_pos_sql("key", "bf", "i", 512)} AS p
+        FROM (SELECT c_custkey AS key, unnest([0, 1, 2]) AS i
+              FROM customer))
+    ),
+    hits AS (
+      SELECT key,
+             bool_and((COALESCE(mask, 0)
+                       & (CAST(1 AS BIGINT) << CAST(p % 32 AS INT))) <> 0)
+               AS in_bloom
+      FROM ppos LEFT JOIN bits USING (lane) GROUP BY key
+    )
+    SELECT CAST(hits.key AS BIGINT) AS c_custkey, in_bloom,
+           (mem.key IS NOT NULL) AS actually,
+           (in_bloom AND mem.key IS NULL) AS is_fp
+    FROM hits LEFT JOIN mem ON hits.key = mem.key
+    ORDER BY c_custkey
+    """,
+)
+def _q_sketch_bloom_filter(spark, sf_dir):
+    """Bloom filter as a relational object (Bloom 1970; the LevelDB
+    bloom filter the reference configures at store/leveldb.go:35,
+    lifted to a sparse (lane, mask) DataFrame): build over the F-status
+    order custkeys, probe every customer. The oracle recomputes the
+    identical md5-positioned bit table in SQL — false positives are
+    DETERMINISTIC given (seed, geometry), so both engines agree on
+    every probe, and the no-false-negative invariant (actually ->
+    in_bloom) is hash-checked row by row. 512 bits / k=3 on ~100
+    members keeps a visible, stable FP set. The production idiom this
+    enables is membership.bloom_prune_join: semi-filter the 100 TB side
+    before the shuffle. operators/membership.py."""
+    from flow_indexer_spark.operators.membership import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    members = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("key"))
+        .distinct()
+    )
+    bloom = bloom_build(members, "key", m_bits=512, k=3)
+    probes = cust.select(F.col("c_custkey").alias("key"))
+    probed = bloom_probe(bloom, probes, "key", m_bits=512, k=3)
+    return (
+        probed.join(
+            members.withColumn("_mem", F.lit(True)), ["key"], "left"
+        )
+        .select(
+            F.col("key").cast("bigint").alias("c_custkey"),
+            "in_bloom",
+            F.coalesce("_mem", F.lit(False)).alias("actually"),
+            (F.col("in_bloom") & F.col("_mem").isNull()).alias("is_fp"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@_register(
+    "sketch_countmin",
+    f"""
+    WITH cells AS (
+      SELECT r, {_bloom_pos_sql("user_id", "cm", "r", 64)} AS col,
+             COUNT(*) AS cnt
+      FROM (SELECT user_id, unnest([0, 1, 2]) AS r FROM events)
+      GROUP BY 1, 2
+    ),
+    truec AS (
+      SELECT user_id, COUNT(*) AS true_cnt FROM events GROUP BY 1
+    ),
+    est AS (
+      SELECT user_id, MIN(COALESCE(cnt, 0)) AS est FROM (
+        SELECT t.user_id, c.cnt
+        FROM (SELECT user_id, r,
+                     {_bloom_pos_sql("user_id", "cm", "r", 64)} AS col
+              FROM (SELECT user_id, unnest([0, 1, 2]) AS r FROM truec)) t
+        LEFT JOIN cells c ON t.r = c.r AND t.col = c.col)
+      GROUP BY 1
+    )
+    SELECT user_id, CAST(est AS BIGINT) AS est,
+           CAST(true_cnt AS BIGINT) AS true_cnt,
+           (est >= true_cnt) AS never_under,
+           (est > true_cnt) AS collided
+    FROM est JOIN truec USING (user_id)
+    ORDER BY user_id
+    """,
+)
+def _q_sketch_countmin(spark, sf_dir):
+    """Count-Min frequency sketch (Cormode & Muthukrishnan 2005): a
+    3 x 64 counter grid over the 10k-event user_id stream (150 distinct
+    users -> collisions are forced), point estimate = min over rows.
+    The sketch is a linear object — cells merge by SUM — and the
+    estimate is one-sided: never under the truth, over only where all
+    three rows collide. Deterministic md5 cell placement makes the
+    overestimates themselves oracle-checkable, not just the bound.
+    The streaming companion to heavyhitters.py's exact Misra-Gries
+    pass. operators/membership.py."""
+    from flow_indexer_spark.operators.membership import (
+        countmin_build,
+        countmin_estimate,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    cm = countmin_build(ev, "user_id", depth=3, width=64)
+    truec = ev.groupBy("user_id").agg(F.count("*").alias("true_cnt"))
+    est = countmin_estimate(cm, truec, "user_id", depth=3, width=64)
+    return est.select(
+        "user_id",
+        F.col("est").cast("bigint").alias("est"),
+        F.col("true_cnt").cast("bigint").alias("true_cnt"),
+        (F.col("est") >= F.col("true_cnt")).alias("never_under"),
+        (F.col("est") > F.col("true_cnt")).alias("collided"),
+    ).orderBy("user_id")
 
 
 @_register(
