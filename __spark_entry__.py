@@ -6085,6 +6085,266 @@ def _q_trajectory_path_forks(spark, sf_dir):
     )
 
 
+# --- web-corpus operators: Gopher rules, PII/Luhn, URL canon, HTML -------
+
+@_register(
+    "gopher_quality_flags",
+    r"""
+    WITH w AS (
+      SELECT doc_id, text,
+             CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(text), '\s+') END AS words,
+             string_split(text, chr(10)) AS lines
+      FROM documents
+    ), f AS (
+      SELECT doc_id,
+             CAST(len(words) AS BIGINT) AS n_words,
+             CAST(COALESCE(list_sum(list_transform(words, x -> length(x))), 0)
+                  AS DOUBLE) / GREATEST(len(words), 1) AS mean_word_len,
+             CAST(length(text) - length(replace(text, '#', ''))
+                  + len(regexp_extract_all(text, '\.\.\.'))
+                  + length(text) - length(replace(text, '…', '')) AS DOUBLE)
+                 / GREATEST(len(words), 1) AS symbol_ratio,
+             CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+                  AS DOUBLE) / GREATEST(len(words), 1) AS alpha_word_frac,
+             CAST(len(list_filter(lines,
+                  l -> regexp_matches(ltrim(l), '^[•\*-]'))) AS DOUBLE)
+                 / GREATEST(len(lines), 1) AS bullet_frac,
+             CAST(len(list_filter(lines,
+                  l -> regexp_matches(rtrim(l), '(\.\.\.|…)$'))) AS DOUBLE)
+                 / GREATEST(len(lines), 1) AS ellend_frac,
+             CAST(len(list_intersect(
+                  list_distinct(list_transform(words, x -> lower(x))),
+                  ['the','be','to','of','and','that','have','with']))
+                  AS BIGINT) AS n_required_words
+      FROM w
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_frac,
+           n_required_words,
+           CAST(n_words >= 50 AND n_words <= 100000 AS INTEGER) AS f_word_count,
+           CAST(mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS INTEGER)
+               AS f_mean_word_len,
+           CAST(symbol_ratio <= 0.1 AS INTEGER) AS f_symbol_ratio,
+           CAST(alpha_word_frac >= 0.8 AS INTEGER) AS f_alpha_words,
+           CAST(bullet_frac <= 0.9 AS INTEGER) AS f_bullet_lines,
+           CAST(ellend_frac <= 0.3 AS INTEGER) AS f_ellipsis_lines,
+           CAST(n_required_words >= 2 AS INTEGER) AS f_required_words,
+           CAST(n_words >= 50 AND n_words <= 100000
+                AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                AND symbol_ratio <= 0.1 AND alpha_word_frac >= 0.8
+                AND bullet_frac <= 0.9 AND ellend_frac <= 0.3
+                AND n_required_words >= 2 AS INTEGER) AS keep
+    FROM f ORDER BY doc_id
+    """,
+)
+def _q_gopher_quality_flags(spark, sf_dir):
+    """Gopher quality rule-set (Rae et al. 2021 App. A1.1) as one in-row
+    projection: per-rule 0/1 flags + the conjunction. The published
+    web-corpus analogue of the reference's per-document scan filters
+    (/root/reference/backend/bro.go line filters). operators/webtext.py."""
+    from flow_indexer_spark.operators.webtext import gopher_flags
+
+    return gopher_flags(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@_register(
+    "pii_luhn_scan",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             'inv ' || substr(text, 1, 40) || ' pay ' ||
+             CASE CAST(doc_id % 4 AS INTEGER)
+               WHEN 0 THEN '4111111111111111'
+               WHEN 1 THEN '4111 1111 1111 1112'
+               WHEN 2 THEN '378-2822-4631-0005'
+               ELSE '6011111111111118' END || ' ref' ||
+             CASE WHEN doc_id % 2 = 0 THEN ' ssn 123-45-6789' ELSE '' END ||
+             CASE WHEN doc_id % 3 = 0 THEN ' call 555 867 5309' ELSE '' END
+             AS text
+      FROM documents
+    ), c AS (
+      SELECT doc_id,
+             list_filter(
+               list_transform(
+                 regexp_extract_all(text, '\b(?:[0-9][ -]?){12,18}[0-9]\b'),
+                 x -> regexp_replace(x, '[ -]', '', 'g')),
+               x -> length(x) BETWEEN 13 AND 19) AS cands,
+             regexp_extract_all(text, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b') AS ssn_m,
+             regexp_extract_all(text,
+                 '\b[0-9]{3}[ .-][0-9]{3}[ .-][0-9]{4}\b') AS ph_m
+      FROM t
+    ), v AS (
+      SELECT doc_id, cands, ssn_m, ph_m,
+             list_filter(cands, s -> CAST(list_sum(list_transform(
+                 range(1, length(s) + 1),
+                 i -> CASE WHEN i % 2 = 1
+                           THEN CAST(substr(reverse(s), CAST(i AS INTEGER), 1)
+                                     AS INTEGER)
+                           ELSE CASE WHEN CAST(substr(reverse(s),
+                                         CAST(i AS INTEGER), 1) AS INTEGER) * 2 > 9
+                                     THEN CAST(substr(reverse(s),
+                                         CAST(i AS INTEGER), 1) AS INTEGER) * 2 - 9
+                                     ELSE CAST(substr(reverse(s),
+                                         CAST(i AS INTEGER), 1) AS INTEGER) * 2
+                                END
+                      END)) AS BIGINT) % 10 = 0) AS valid
+      FROM c
+    )
+    SELECT doc_id,
+           CAST(len(cands) AS BIGINT) AS n_cc_candidates,
+           CAST(len(valid) AS BIGINT) AS n_cc_valid,
+           CAST(len(ssn_m) AS BIGINT) AS n_ssn,
+           CAST(len(ph_m) AS BIGINT) AS n_phone,
+           CAST(len(valid) > 0 OR len(ssn_m) > 0 OR len(ph_m) > 0 AS INTEGER)
+               AS has_pii
+    FROM v ORDER BY doc_id
+    """,
+)
+def _q_pii_luhn_scan(spark, sf_dir):
+    """Checksum-validated PII audit: credit-card-shaped digit runs only
+    count when they pass the Luhn fold (ISO/IEC 7812), killing the
+    invoice-number false positives a bare regex drowns in at corpus
+    scale; SSN/phone shapes counted alongside. Synthesized PII is
+    deterministic from doc_id (two Luhn-valid forms, two invalid, with
+    space/dash separator variants). operators/webtext.py pii_scan."""
+    from flow_indexer_spark.operators.webtext import pii_scan
+
+    d = _t(spark, sf_dir, "documents")
+    cards = F.array(
+        F.lit("4111111111111111"),
+        F.lit("4111 1111 1111 1112"),
+        F.lit("378-2822-4631-0005"),
+        F.lit("6011111111111118"),
+    )
+    synth = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("inv "),
+            F.col("text").substr(1, 40),
+            F.lit(" pay "),
+            F.element_at(cards, (F.col("doc_id") % 4).cast("int") + 1),
+            F.lit(" ref"),
+            F.when(F.col("doc_id") % 2 == 0, " ssn 123-45-6789").otherwise(""),
+            F.when(F.col("doc_id") % 3 == 0, " call 555 867 5309").otherwise(""),
+        ).alias("text"),
+    )
+    return pii_scan(synth).orderBy("doc_id")
+
+
+@_register(
+    "url_canonical_dedup",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             'https://example' || CAST(CAST(doc_id % 5 AS INTEGER) AS VARCHAR)
+             || '.com/Path/' || CAST(CAST(doc_id % 7 AS INTEGER) AS VARCHAR)
+             || '?a=' || CAST(CAST(doc_id % 3 AS INTEGER) AS VARCHAR) || '&b=2'
+             AS canonical_url
+      FROM documents
+    )
+    SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_dup,
+           MIN(doc_id) AS keeper_id
+    FROM t GROUP BY canonical_url ORDER BY canonical_url
+    """,
+)
+def _q_url_canonical_dedup(spark, sf_dir):
+    """URL canonicalization (lowercase scheme/host, strip www + default
+    ports + fragments + utm_*/gclid/fbclid, sort surviving params,
+    collapse trailing slashes) then exact dedup by canonical form — the
+    crawl pipeline's first dedup pass. The oracle is INDEPENDENT: it
+    states the expected canonical string directly from doc_id, so it
+    pins the canonicalizer's output, not just self-consistency. Two
+    messy synthetic spellings per key (uppercase host + :443 + tracking
+    params + fragment + doubled slash vs bare lowercase) must collapse
+    to one row. operators/webtext.py canonical_url/url_dedup."""
+    from flow_indexer_spark.operators.webtext import url_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    k = (F.col("doc_id") % 5).cast("string")
+    m = (F.col("doc_id") % 7).cast("string")
+    j = (F.col("doc_id") % 3).cast("string")
+    messy = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit("HTTPS://WWW.Example"), k, F.lit(".COM:443/Path/"), m,
+            F.lit("//?utm_source=feed&b=2&a="), j, F.lit("&gclid=z#frag"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("https://example"), k, F.lit(".com/Path/"), m,
+            F.lit("/?a="), j, F.lit("&b=2"),
+        )
+    )
+    return url_dedup(d.select("doc_id", messy.alias("url"))).orderBy(
+        "canonical_url"
+    )
+
+
+@_register(
+    "html_extract_text",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+             || ' &amp; Co</title><style>p {color: red}</style></head>'
+             || '<body><script type="text/javascript">var x = 1 < 2;</script>'
+             || '<h1>Head</h1><p>' || substr(text, 1, 100)
+             || ' &lt;tag&gt; &amp; &quot;q&quot;&nbsp;end</p><br/><div>tail '
+             || CAST(CAST(doc_id % 5 AS INTEGER) AS VARCHAR)
+             || '</div></body></html>' AS html
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(html,
+                 '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+                 '(?is)<style\b[^>]*>.*?</style>', ' ', 'g') AS x,
+             trim(regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1))
+                 AS rawtitle
+      FROM t
+    ), d AS (
+      SELECT doc_id,
+             trim(regexp_replace(
+               replace(replace(replace(replace(replace(replace(
+                 regexp_replace(x, '<[^>]+>', ' ', 'g'),
+                 '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                 '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+               '\s+', ' ', 'g')) AS clean_text,
+             replace(replace(replace(replace(replace(replace(rawtitle,
+                 '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                 '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS title
+      FROM s
+    )
+    SELECT doc_id, title, clean_text,
+           CAST(length(clean_text) AS BIGINT) AS n_chars_clean
+    FROM d ORDER BY doc_id
+    """,
+)
+def _q_html_extract_text(spark, sf_dir):
+    """HTML -> visible text: script/style subtrees dropped, tags
+    stripped, common entities decoded with &amp; LAST (single-decode:
+    '&amp;lt;' must yield '&lt;', never '<'), whitespace collapsed;
+    plus <title> extraction. All in-row regexp chains in the RE2
+    subset, oracle runs the identical expressions.
+    operators/webtext.py extract_html."""
+    from flow_indexer_spark.operators.webtext import extract_html
+
+    d = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(" &amp; Co</title><style>p {color: red}</style></head>"),
+        F.lit('<body><script type="text/javascript">var x = 1 < 2;</script>'),
+        F.lit("<h1>Head</h1><p>"),
+        F.col("text").substr(1, 100),
+        F.lit(" &lt;tag&gt; &amp; &quot;q&quot;&nbsp;end</p><br/><div>tail "),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit("</div></body></html>"),
+    )
+    return extract_html(d.select("doc_id", html.alias("html"))).orderBy(
+        "doc_id"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return dict(_QUERIES)
