@@ -6345,6 +6345,247 @@ def _q_html_extract_text(spark, sf_dir):
     )
 
 
+@_register(
+    "pmi_collocations",
+    """
+    WITH toks AS (
+      SELECT list_filter(string_split(text, ' '), x -> x <> '') AS tok
+      FROM documents
+    ),
+    uni AS (
+      SELECT w, COUNT(*) AS n_w
+      FROM (SELECT unnest(tok) AS w FROM toks) GROUP BY w
+    ),
+    tot AS (SELECT SUM(n_w) AS n FROM uni),
+    bi AS (
+      SELECT unnest(list_slice(tok, 1, len(tok) - 1)) AS w1,
+             unnest(list_slice(tok, 2, len(tok))) AS w2
+      FROM toks WHERE len(tok) >= 2
+    ),
+    np AS (
+      SELECT SUM(GREATEST(len(tok) - 1, 0)) AS np FROM toks
+    ),
+    pairs AS (
+      SELECT w1, w2, COUNT(*) AS n_pair FROM bi GROUP BY w1, w2
+      HAVING COUNT(*) >= 5
+    )
+    SELECT p.w1, p.w2, p.n_pair, u1.n_w AS n_w1, u2.n_w AS n_w2,
+           ROUND(ln((CAST(p.n_pair AS DOUBLE) * tot.n * tot.n)
+                    / (CAST(np.np AS DOUBLE) * u1.n_w * u2.n_w)), 10) AS pmi
+    FROM pairs p
+    JOIN uni u1 ON u1.w = p.w1
+    JOIN uni u2 ON u2.w = p.w2
+    CROSS JOIN tot CROSS JOIN np
+    ORDER BY p.n_pair DESC, p.w1, p.w2 LIMIT 50
+    """,
+)
+def _q_pmi_collocations(spark, sf_dir):
+    """Adjacent-bigram collocations by PMI (Church & Hanks 1990) — the
+    phrase-mining pre-pass for the positional index / tokenizer.
+    Selection and ordering are integer/string-only (n_pair floor + count
+    ordering); the float pmi is reported, never decides membership, so
+    libm ulp variance can't flip the result set.
+    operators/phrases.py pmi_collocations."""
+    from flow_indexer_spark.operators.phrases import pmi_collocations
+
+    return pmi_collocations(_t(spark, sf_dir, "documents"))
+
+
+#: tool registry dim for tool_call_audit — the broadcast-enrich analogue
+#: (SURVEY §2 J4) compiled into literal JSON paths.
+_TOOL_REGISTRY = [
+    {"name": "search", "required": ["query", "limit"], "int_args": ["limit"]},
+    {"name": "fetch", "required": ["url"], "int_args": []},
+]
+
+
+@_register(
+    "tool_call_audit",
+    r"""
+    WITH t AS (
+      SELECT CASE CAST(event_id % 6 AS INTEGER)
+        WHEN 0 THEN '{"name": "search", "args": {"query": "q'
+                    || json_extract_string(props, '$.k') || '", "limit": '
+                    || CAST(CAST(json_extract_string(props, '$.k') AS INTEGER)
+                            % 20 AS VARCHAR) || '}}'
+        WHEN 1 THEN '{"name": "search", "args": {"query": "q"}}'
+        WHEN 2 THEN '{"name": "search", "args": {"query": "q", "limit": "many"}}'
+        WHEN 3 THEN '{"name": "fetch", "args": {"url": "https://x/'
+                    || json_extract_string(props, '$.k') || '"}}'
+        WHEN 4 THEN '{"name": "teleport", "args": {"x": 1}}'
+        ELSE '{"nom": "oops"}'
+      END AS call
+      FROM events
+    ),
+    v AS (
+      SELECT COALESCE(json_extract_string(call, '$.name'), '') AS tool_name,
+             CASE
+               WHEN json_extract_string(call, '$.name') IS NULL THEN 'malformed'
+               WHEN json_extract_string(call, '$.name') = 'search' THEN
+                 CASE
+                   WHEN json_extract(call, '$.args.query') IS NULL
+                     OR json_extract(call, '$.args.limit') IS NULL
+                     THEN 'missing_arg'
+                   WHEN json_extract(call, '$.args.limit') IS NOT NULL
+                     AND NOT regexp_matches(
+                           json_extract_string(call, '$.args.limit'),
+                           '^-?[0-9]+$')
+                     THEN 'bad_type'
+                   ELSE 'ok'
+                 END
+               WHEN json_extract_string(call, '$.name') = 'fetch' THEN
+                 CASE WHEN json_extract(call, '$.args.url') IS NULL
+                      THEN 'missing_arg' ELSE 'ok' END
+               ELSE 'unknown_tool'
+             END AS status,
+             CAST(COALESCE(len(json_keys(call, '$.args')), 0) AS BIGINT)
+                 AS n_args
+      FROM t
+    )
+    SELECT tool_name, status, CAST(COUNT(*) AS BIGINT) AS n_calls,
+           CAST(SUM(n_args) AS BIGINT) AS n_args_total
+    FROM v GROUP BY tool_name, status ORDER BY tool_name, status
+    """,
+)
+def _q_tool_call_audit(spark, sf_dir):
+    """Tool-call schema validation audit: every synthesized invocation
+    classified ok / missing_arg / bad_type / unknown_tool / malformed
+    against the registry dim, rolled up per (tool, status) — the
+    parse-ok/parse-error counter surface of the reference's indexer
+    stats, lifted to agent-transcript tool calls. The registry compiles
+    into literal get_json_object paths (one in-row CASE chain, zero
+    joins). operators/transcripts.py tool_call_validation."""
+    from flow_indexer_spark.operators.transcripts import tool_call_audit
+
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    call = (
+        F.when(
+            (F.col("event_id") % 6).cast("int") == 0,
+            F.concat(
+                F.lit('{"name": "search", "args": {"query": "q'), k,
+                F.lit('", "limit": '),
+                (k.cast("int") % 20).cast("string"), F.lit("}}"),
+            ),
+        )
+        .when(
+            (F.col("event_id") % 6).cast("int") == 1,
+            F.lit('{"name": "search", "args": {"query": "q"}}'),
+        )
+        .when(
+            (F.col("event_id") % 6).cast("int") == 2,
+            F.lit('{"name": "search", "args": {"query": "q", "limit": "many"}}'),
+        )
+        .when(
+            (F.col("event_id") % 6).cast("int") == 3,
+            F.concat(
+                F.lit('{"name": "fetch", "args": {"url": "https://x/'), k,
+                F.lit('"}}'),
+            ),
+        )
+        .when(
+            (F.col("event_id") % 6).cast("int") == 4,
+            F.lit('{"name": "teleport", "args": {"x": 1}}'),
+        )
+        .otherwise(F.lit('{"nom": "oops"}'))
+    )
+    return tool_call_audit(
+        ev.select(call.alias("tool_call")), _TOOL_REGISTRY
+    ).orderBy("tool_name", "status")
+
+
+@_register(
+    "sft_context_pairs",
+    f"""
+    WITH t AS ({_SYNTH_SQL}),
+    n AS (
+      SELECT conv_id, turn_idx, role, text,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS BIGINT) AS k
+      FROM t
+    ),
+    c AS (
+      SELECT conv_id, turn_idx, role, text, k,
+             SUM(k) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cum
+      FROM n
+    ),
+    resp AS (
+      SELECT conv_id, turn_idx, text AS response, cum, k
+      FROM c WHERE role = 'purchase'
+    ),
+    ctx AS (
+      SELECT r.conv_id, r.turn_idx,
+             string_agg(j.role || ': ' || j.text, chr(10)
+                        ORDER BY j.turn_idx) AS context,
+             COUNT(*) AS n_context_turns
+      FROM resp r JOIN c j
+        ON j.conv_id = r.conv_id AND j.turn_idx < r.turn_idx
+       AND (r.cum - r.k) - (j.cum - j.k) <= 24
+      GROUP BY r.conv_id, r.turn_idx
+    )
+    SELECT r.conv_id, r.turn_idx, COALESCE(ctx.context, '') AS context,
+           r.response,
+           CAST(COALESCE(ctx.n_context_turns, 0) AS BIGINT)
+               AS n_context_turns
+    FROM resp r LEFT JOIN ctx
+      ON ctx.conv_id = r.conv_id AND ctx.turn_idx = r.turn_idx
+    ORDER BY r.conv_id, r.turn_idx
+    """,
+)
+def _q_sft_context_pairs(spark, sf_dir):
+    """Budget-bounded (context, response) SFT pairs: for every
+    'purchase'-role turn, the maximal contiguous suffix of preceding
+    turns whose whitespace-token total fits a 24-token budget — the
+    rolling-context truncation chat-SFT applies before packing. Spark
+    side is ONE window pass + an in-row greedy fold; the oracle is the
+    equivalent prefix-sum self-join (include j iff cum(i-1) - cum(j-1)
+    <= budget), an INDEPENDENT formulation of the same suffix.
+    operators/transcripts.py context_window_pairs."""
+    from flow_indexer_spark.operators.transcripts import context_window_pairs
+
+    return context_window_pairs(
+        synth_transcripts(spark, sf_dir),
+        response_role="purchase",
+        budget_tokens=24,
+    ).orderBy("conv_id", "turn_idx")
+
+
+@_register(
+    "k_anonymity_report",
+    """
+    WITH cls AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             COUNT(*) AS group_size, COUNT(DISTINCT user_id) AS l_div
+      FROM events GROUP BY 1, 2
+    )
+    SELECT group_size, CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(group_size) AS BIGINT) AS n_rows,
+           CAST(MIN(l_div) AS BIGINT) AS min_l_diversity,
+           CAST(group_size < 5 AS INTEGER) AS violates_k
+    FROM cls GROUP BY group_size ORDER BY group_size
+    """,
+)
+def _q_k_anonymity_report(spark, sf_dir):
+    """k-anonymity audit (Sweeney 2002) on the (event_type, day)
+    quasi-identifier with user_id as the sensitive attribute:
+    equivalence-class size distribution, k=5 violation flags, and
+    minimum l-diversity per size — the privacy dual of redact.py's
+    scrubbing. Two map-side-combined aggs; output bounded by distinct
+    class sizes. operators/validate.py k_anonymity_report."""
+    from flow_indexer_spark.operators.validate import k_anonymity_report
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        "user_id",
+    )
+    return k_anonymity_report(
+        ev, ["event_type", "day"], k=5, sensitive_col="user_id"
+    ).orderBy("group_size")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return dict(_QUERIES)

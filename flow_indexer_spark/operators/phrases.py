@@ -130,3 +130,84 @@ def phrase_search_scan(
 
     hit = bind(F.filter(F.split(text_col, " "), lambda x: x != ""), _hit)
     return df.filter(hit).select(*[F.col(c) for c in id_cols]).orderBy(*id_cols)
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    topk: int = 50,
+) -> DataFrame:
+    """Top adjacent-bigram collocations by pointwise mutual information
+    (Church & Hanks 1990; the word2vec phrase-pass scoring family):
+    ``pmi = ln( p(w1,w2) / (p(w1) p(w2)) )`` with p() from corpus bigram
+    / unigram counts. The phrase-mining pre-pass that decides which
+    token pairs the tokenizer or the index should treat as one unit.
+
+    Determinism/parity contract: selection and ordering use ONLY
+    integers and strings (``n_pair DESC, w1, w2`` after the
+    ``min_count`` floor) — the float score never decides which rows
+    appear, so a 1-ulp libm divergence can't change the result set;
+    the reported ``pmi`` is one ln of one exactly-representable integer
+    ratio, rounded to 10 decimals on both engines.
+
+    Scale shape: one explode to bigrams + two map-side-combined count
+    aggs + two joins against the unigram counts (broadcast when the
+    vocabulary is small; plain hash joins otherwise — correctness never
+    depends on it). No per-row Python, no window over the corpus.
+    """
+    tok = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    toks = df.select(tok.alias("tok"))
+    uni = (
+        toks.select(F.explode("tok").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    n_words = uni.agg(F.sum("n_w").alias("n")).select("n")
+    bi = toks.select(
+        F.when(
+            F.size("tok") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("tok") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("tok"), i).alias("w1"),
+                    F.element_at(F.col("tok"), i + 1).alias("w2"),
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        .alias("bi")
+    )
+    pairs = (
+        bi.select(F.explode("bi").alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+    )
+    n_pairs = (
+        bi.select(F.size("bi").alias("k")).agg(F.sum("k").alias("np")).select("np")
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_w1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_w2"))
+    scored = (
+        pairs.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(n_words))
+        .crossJoin(F.broadcast(n_pairs))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            "n_w1",
+            "n_w2",
+            F.round(
+                F.log(
+                    (F.col("n_pair").cast("double") * F.col("n") * F.col("n"))
+                    / (F.col("np").cast("double") * F.col("n_w1") * F.col("n_w2"))
+                ),
+                10,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("n_pair"), "w1", "w2").limit(topk)

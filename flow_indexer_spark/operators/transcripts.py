@@ -132,3 +132,145 @@ def entity_cooccurrence(
         .groupBy("class_a", "key_a", "class_b", "key_b")
         .agg(F.count("*").alias("n_turns"))
     )
+
+
+def tool_call_validation(
+    df: DataFrame,
+    registry: list[dict],
+    call_col: str = "tool_call",
+) -> DataFrame:
+    """Per-turn tool-call schema validation against a tool registry —
+    the agent-transcript analogue of the reference's per-line parse
+    classification (parse ok / parse error counters,
+    /root/reference/flowindexer/flowindexer.go indexer stats): every
+    tool invocation is checked against its declared argument schema and
+    classified ``ok`` / ``missing_arg`` / ``bad_type`` /
+    ``unknown_tool`` / ``malformed``.
+
+    ``registry`` is a driver-side dim (the tool registry is the same
+    small lookup the enrich stage broadcasts): a list of
+    ``{"name": ..., "required": [...], "int_args": [...]}`` specs. The
+    specs COMPILE INTO the projection as literal JSON paths — one
+    in-row CASE chain, JVM codegen, zero joins, zero Python — because
+    ``get_json_object`` paths must be foldable. At 100 TB this is a
+    pure map stage over the scan.
+
+    Classification order (first hit wins): malformed JSON (no name) ->
+    unknown tool -> missing required arg -> wrongly-typed int arg -> ok.
+    """
+    c = F.col(call_col)
+    name = F.get_json_object(c, "$.name")
+    keys = F.json_object_keys(F.get_json_object(c, "$.args"))
+    status = None
+    for spec in registry:
+        missing = F.lit(False)
+        for a in spec.get("required", []):
+            missing = missing | F.get_json_object(c, f"$.args.{a}").isNull()
+        badtype = F.lit(False)
+        for a in spec.get("int_args", []):
+            v = F.get_json_object(c, f"$.args.{a}")
+            badtype = badtype | (v.isNotNull() & ~v.rlike("^-?[0-9]+$"))
+        this = (
+            F.when(missing, "missing_arg")
+            .when(badtype, "bad_type")
+            .otherwise("ok")
+        )
+        cond = name == spec["name"]
+        status = F.when(cond, this) if status is None else status.when(cond, this)
+    status = (
+        F.when(name.isNull(), "malformed")
+        .otherwise(status.otherwise("unknown_tool"))
+        if status is not None
+        else F.when(name.isNull(), "malformed").otherwise("unknown_tool")
+    )
+    return df.withColumn("tool_name", F.coalesce(name, F.lit(""))).withColumn(
+        "status", status
+    ).withColumn(
+        "n_args", F.coalesce(F.size(keys), F.lit(0)).cast("bigint")
+    )
+
+
+def tool_call_audit(
+    df: DataFrame, registry: list[dict], call_col: str = "tool_call"
+) -> DataFrame:
+    """Corpus-level audit rollup of :func:`tool_call_validation`: counts
+    per (tool_name, status). One map-side-combined agg over the
+    validated scan."""
+    v = tool_call_validation(df, registry, call_col)
+    return v.groupBy("tool_name", "status").agg(
+        F.count(F.lit(1)).alias("n_calls"),
+        F.sum("n_args").alias("n_args_total"),
+    )
+
+
+def context_window_pairs(
+    transcripts: DataFrame,
+    response_role: str = "assistant",
+    budget_tokens: int = 64,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """(context, response) SFT training pairs with a token budget: for
+    every turn of ``response_role``, the context is the MAXIMAL
+    CONTIGUOUS SUFFIX of preceding turns whose total whitespace-token
+    count fits ``budget_tokens`` — the rolling-context truncation every
+    chat-SFT pipeline applies before packing. Turns render as
+    ``role: text`` joined by newlines, chronological order.
+
+    Shape: ONE window pass per conversation (collect preceding
+    (role, text, n_tok) structs — conversations are bounded-length by
+    the same contract sessions.py relies on), then a pure in-row fold
+    picks the suffix (greedy from the most recent turn backwards, which
+    IS the maximal fitting suffix since token counts are nonnegative).
+    No self-join, no per-row Python.
+    """
+    ntok = F.size(F.filter(F.split(F.col(text_col), " "), lambda x: x != ""))
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy(idx_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hist = F.collect_list(
+        F.struct(
+            F.col(role_col).alias("r"),
+            F.col(text_col).alias("t"),
+            ntok.alias("k"),
+        )
+    ).over(w)
+    base = transcripts.select(
+        F.col(conv_col),
+        F.col(idx_col),
+        F.col(role_col),
+        F.col(text_col),
+        hist.alias("hist"),
+    ).filter(F.col(role_col) == response_role)
+    # greedy fold over reversed history: acc = (remaining budget, parts);
+    # remaining drops below zero permanently once a turn doesn't fit, so
+    # the kept set stays contiguous.
+    fold = F.aggregate(
+        F.reverse("hist"),
+        F.struct(
+            F.lit(budget_tokens).cast("int").alias("rem"),
+            F.array().cast("array<string>").alias("parts"),
+        ),
+        lambda acc, x: F.struct(
+            F.when(x["k"] <= acc["rem"], acc["rem"] - x["k"])
+            .otherwise(F.lit(-1))
+            .alias("rem"),
+            F.when(
+                x["k"] <= acc["rem"],
+                F.array_append(acc["parts"], F.concat(x["r"], F.lit(": "), x["t"])),
+            )
+            .otherwise(acc["parts"])
+            .alias("parts"),
+        ),
+    )
+    return base.select(
+        F.col(conv_col),
+        F.col(idx_col),
+        F.array_join(F.reverse(fold["parts"]), "\n").alias("context"),
+        F.col(text_col).alias("response"),
+        F.size(fold["parts"]).cast("bigint").alias("n_context_turns"),
+    )

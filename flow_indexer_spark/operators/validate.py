@@ -156,3 +156,57 @@ def validate(
 
 def _rate(n_pass: Column, n: Column) -> Column:
     return F.when(n > 0, n_pass / n.cast("double")).otherwise(F.lit(1.0))
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    qi_cols: list[str],
+    k: int = 5,
+    sensitive_col: str | None = None,
+) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002) over quasi-identifier columns:
+    every row must be indistinguishable from >= k-1 others on the QI
+    tuple. Returns the equivalence-class SIZE DISTRIBUTION — one row
+    per group size with how many classes have that size, whether that
+    size violates k, and (when ``sensitive_col`` is given) the minimum
+    l-diversity (distinct sensitive values) among classes of that size,
+    the companion gate against homogeneity attacks.
+
+    The privacy dual of :mod:`redact`'s PII scrubbing: redaction
+    removes direct identifiers, this audits whether the remaining
+    quasi-identifiers still single people out. Shape: two
+    map-side-combined aggregates (QI classes, then size histogram) —
+    the output is bounded by the number of DISTINCT class sizes, so
+    it collects safely at any corpus scale.
+    """
+    aggs = [F.count(F.lit(1)).alias("group_size")]
+    if sensitive_col is not None:
+        aggs.append(F.count_distinct(F.col(sensitive_col)).alias("l_div"))
+    classes = df.groupBy(*[F.col(c) for c in qi_cols]).agg(*aggs)
+    out_aggs = [
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("group_size").alias("n_rows"),
+    ]
+    if sensitive_col is not None:
+        out_aggs.append(F.min("l_div").alias("min_l_diversity"))
+    return (
+        classes.groupBy("group_size")
+        .agg(*out_aggs)
+        .withColumn("violates_k", (F.col("group_size") < k).cast("int"))
+    )
+
+
+def k_anonymity_suppress(
+    df: DataFrame, qi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """Rows that SURVIVE k-anonymity suppression: drop every row whose
+    QI equivalence class has fewer than k members (the minimal
+    row-suppression fix; generalization hierarchies are a policy layer
+    above this). One agg + one semi-join on the QI tuple."""
+    keep = (
+        df.groupBy(*[F.col(c) for c in qi_cols])
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= k)
+        .select(*qi_cols)
+    )
+    return df.join(keep, on=list(qi_cols), how="left_semi")
