@@ -6586,6 +6586,188 @@ def _q_k_anonymity_report(spark, sf_dir):
     ).orderBy("group_size")
 
 
+#: deterministic fuzzy-match term fixture shared by the entitymatch
+#: queries: 6-hex-char md5 prefixes of doc ids ("vocabulary") plus one
+#: deterministic typo per term (delete the char at 2 + ascii(first) % 5 —
+#: position varies per term so the blocking can't memorize one offset).
+#: Both engines synthesize it with the same expressions; what the oracle
+#: then checks is the MATCHING algorithm (FastSS deletion-neighborhood
+#: blocking vs brute-force levenshtein cross join).
+_TERM_FIXTURE_SQL = """
+    base AS (SELECT DISTINCT substr(md5(CAST(doc_id AS VARCHAR)),1,6) AS term
+             FROM documents),
+    typo AS (SELECT DISTINCT substr(term, 1, (ascii(substr(term,1,1)) % 5) + 1)
+             || substr(term, (ascii(substr(term,1,1)) % 5) + 3) AS qterm
+             FROM base)
+"""
+
+
+def _term_fixture(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6).alias("term")
+    ).distinct()
+    cut = (F.ascii(F.substring("term", 1, 1)) % 5) + 1
+    typo = base.select(
+        F.concat(
+            F.substring("term", 1, cut),
+            F.substr(F.col("term"), cut + 2, F.length("term")),
+        ).alias("qterm")
+    ).distinct()
+    return base, typo
+
+
+@_register(
+    "entity_fuzzy_match",
+    f"""
+    WITH {_TERM_FIXTURE_SQL}
+    SELECT qterm, term, levenshtein(qterm, term) AS dist
+    FROM typo CROSS JOIN base
+    WHERE levenshtein(qterm, term) <= 1
+      AND length(qterm) >= 2 AND length(term) >= 2
+    ORDER BY qterm, term
+    """,
+)
+def _q_entity_fuzzy_match(spark, sf_dir):
+    """FastSS fuzzy entity matching (Bocek et al. 2007): typo'd query
+    terms resolved against the vocabulary within edit distance 1 by
+    deletion-neighborhood equi-join blocking + native levenshtein
+    verify — the arbitrary-string analogue of the reference folding
+    every IP spelling into one canonical key (ipset/set.go). The oracle
+    is the O(n^2) brute-force cross join, an independent algorithm, so
+    agreement proves the blocking loses no pair.
+    operators/entitymatch.py fastss_match."""
+    from flow_indexer_spark.operators.entitymatch import fastss_match
+
+    base, typo = _term_fixture(spark, sf_dir)
+    return fastss_match(typo, base, "qterm", "term", max_dist=1).orderBy(
+        "qterm", "term"
+    )
+
+
+@_register(
+    "entity_canonical_spelling",
+    f"""
+    WITH RECURSIVE {_TERM_FIXTURE_SQL},
+    terms AS (SELECT DISTINCT t FROM (SELECT term AS t FROM base
+              UNION ALL SELECT qterm FROM typo) WHERE length(t) >= 2),
+    pairs AS (SELECT a.t AS u, b.t AS v FROM terms a JOIN terms b
+              ON a.t <> b.t AND levenshtein(a.t, b.t) <= 1),
+    reach(x, y) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM pairs)
+      UNION
+      SELECT r.x, p.v FROM reach r JOIN pairs p ON r.y = p.u
+    ),
+    comp AS (SELECT x AS t, MIN(y) AS component FROM reach GROUP BY x)
+    SELECT terms.t AS term, COALESCE(component, terms.t) AS canonical,
+           (COALESCE(component, terms.t) = terms.t) AS is_canonical
+    FROM terms LEFT JOIN comp ON terms.t = comp.t ORDER BY term
+    """,
+)
+def _q_entity_canonical_spelling(spark, sf_dir):
+    """Canonical spelling per fuzzy-entity cluster: FastSS self-match ->
+    alternating-star connected components -> lexicographic-min
+    representative. The oracle recomputes the closure with a recursive
+    CTE over brute-force levenshtein pairs (fine at sf scale; the star
+    fold is the O(log n)-round 100 TB path).
+    operators/entitymatch.py fuzzy_canonical_ids."""
+    from flow_indexer_spark.operators.entitymatch import fuzzy_canonical_ids
+
+    base, typo = _term_fixture(spark, sf_dir)
+    allterms = base.select(F.col("term").alias("t")).union(
+        typo.select(F.col("qterm").alias("t"))
+    )
+    return fuzzy_canonical_ids(allterms, "t", max_dist=1).orderBy("term")
+
+
+@_register(
+    "entity_fold_key_dedup",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+                  THEN upper(translate(substr(text,1,24),'aei','áéí'))
+                  ELSE substr(text,1,24) END AS k
+      FROM documents
+    ),
+    g AS (
+      SELECT strip_accents(lower(k)) AS fk, MIN(doc_id) AS keeper_id,
+             CAST(COUNT(*) AS BIGINT) AS group_size,
+             CAST(COUNT(DISTINCT k) AS BIGINT) AS n_spellings
+      FROM t GROUP BY 1
+    )
+    SELECT doc_id, keeper_id, group_size, n_spellings
+    FROM t JOIN g ON strip_accents(lower(t.k)) = g.fk
+    ORDER BY doc_id
+    """,
+)
+def _q_entity_fold_key_dedup(spark, sf_dir):
+    """Unicode fold-key dedup: case + accent folding as a pure in-row
+    translate -> one hash aggregate, merging spelling variants the way
+    the reference merges IP notations before indexing. Every fifth doc's
+    key is deterministically accented+uppercased (both engines apply the
+    identical perturbation), then Spark folds with its own translate
+    table while DuckDB folds with its INDEPENDENT strip_accents — so
+    agreement on the 13 multi-spelling groups at sf0.01 is evidence the
+    fold table is right, not a shared-code tautology.
+    operators/entitymatch.py fold_key_dedup."""
+    from flow_indexer_spark.operators.entitymatch import fold_key_dedup
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.upper(F.translate(F.substring("text", 1, 24), "aei", "áéí")),
+        )
+        .otherwise(F.substring("text", 1, 24))
+        .alias("k"),
+    )
+    return fold_key_dedup(docs, "doc_id", "k").orderBy("doc_id")
+
+
+@_register(
+    "corpus_power_laws",
+    """
+    WITH tok AS (SELECT doc_id AS _doc,
+                        unnest(list_filter(string_split(text,' '),
+                                           x -> x <> '')) AS _w
+                 FROM documents),
+    freq AS (SELECT _w, COUNT(*) AS _n FROM tok GROUP BY _w),
+    ranked AS (SELECT _n, row_number() OVER (ORDER BY _n DESC, _w ASC) AS _rank
+               FROM freq),
+    zipf AS (SELECT round(regr_slope(ln(_n), ln(_rank)), 9) AS zipf_slope,
+                    CAST(COUNT(*) AS BIGINT) AS vocab_size,
+                    CAST(SUM(_n) AS BIGINT) AS n_tokens FROM ranked),
+    per_doc AS (SELECT _doc, COUNT(*) AS _k FROM tok GROUP BY _doc),
+    first_seen AS (SELECT _doc, COUNT(*) AS _new FROM
+                   (SELECT _w, MIN(_doc) AS _doc FROM tok GROUP BY _w)
+                   GROUP BY _doc),
+    pts AS (SELECT SUM(_k) OVER w AS _cum_n,
+                   SUM(COALESCE(_new,0)) OVER w AS _cum_v
+            FROM per_doc LEFT JOIN first_seen USING (_doc)
+            WINDOW w AS (ORDER BY _doc
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    heaps AS (SELECT round(regr_slope(ln(_cum_v), ln(_cum_n)), 9) AS heaps_beta,
+                     CAST(COUNT(*) AS BIGINT) AS n_points
+              FROM pts WHERE _cum_n > 0)
+    SELECT zipf_slope, vocab_size, n_tokens, heaps_beta, n_points
+    FROM zipf CROSS JOIN heaps
+    """,
+)
+def _q_corpus_power_laws(spark, sf_dir):
+    """One-row corpus-law report: Zipf rank-frequency slope (regress
+    ln freq on ln rank over the deterministically-ranked vocabulary)
+    and Heaps vocabulary-growth exponent (per-doc cumulative
+    (tokens, distinct vocab) points via a min-doc first-occurrence agg
+    + cumulative window — two O(vocab)/O(docs) shuffles, never a
+    stateful corpus scan). Native regr_slope on both engines; slopes
+    rounded to 9 places (cross-engine float discipline).
+    operators/textstats.py corpus_power_laws."""
+    from flow_indexer_spark.operators.textstats import corpus_power_laws
+
+    return corpus_power_laws(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return dict(_QUERIES)

@@ -10,7 +10,7 @@ Python.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from flow_indexer_spark.operators.dedup import tokens
 
@@ -489,4 +489,70 @@ def tokenizer_fertility(
         "n_chars",
         safe("n_bpe_tokens", "n_words").alias("fertility"),
         safe("n_chars", "n_bpe_tokens").alias("chars_per_token"),
+    )
+
+
+def corpus_power_laws(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One-row corpus-law report: Zipf rank-frequency slope and Heaps
+    vocabulary-growth exponent.
+
+    - **Zipf** (1949): regress ``ln(freq)`` on ``ln(rank)`` over the
+      rank-ordered vocabulary (ties broken lexicographically so the rank
+      assignment is deterministic in both engines); slope ≈ -1 on natural
+      text.
+    - **Heaps** (1978): ``V(N) ~ K·N^β``.  Each document (in ``id_col``
+      order) contributes one (cumulative token count, cumulative distinct
+      vocabulary) point; β is the log-log regression slope.  The
+      cumulative-distinct series needs no stateful scan: a token's first
+      occurrence is ``min(doc_id)`` (one hash agg), the per-doc new-vocab
+      counts then cumulative-sum under a window — two shuffles total,
+      each O(vocab) / O(docs), never O(corpus²).
+
+    Both slopes use the native ``regr_slope`` aggregate (map-side
+    partial sums) and are rounded to 9 places — the same cross-engine
+    float discipline as the perplexity queries.
+    """
+    tok = df.select(
+        F.col(id_col).alias("_doc"), F.explode(tokens(text_col)).alias("_w")
+    )
+
+    # --- Zipf: deterministic rank over (count desc, word asc) ----------
+    freq = tok.groupBy("_w").agg(F.count("*").alias("_n"))
+    ranked = freq.select(
+        F.col("_n"),
+        F.row_number()
+        .over(Window.orderBy(F.col("_n").desc(), F.col("_w").asc()))
+        .alias("_rank"),
+    )
+    zipf = ranked.agg(
+        F.round(F.regr_slope(F.log("_n"), F.log("_rank")), 9).alias("zipf_slope"),
+        F.count("*").cast("bigint").alias("vocab_size"),
+        F.sum("_n").cast("bigint").alias("n_tokens"),
+    )
+
+    # --- Heaps: per-doc (cum tokens, cum vocab) points ------------------
+    per_doc = tok.groupBy("_doc").agg(F.count("*").alias("_k"))
+    first_seen = (
+        tok.groupBy("_w")
+        .agg(F.min("_doc").alias("_doc"))
+        .groupBy("_doc")
+        .agg(F.count("*").alias("_new"))
+    )
+    w_cum = Window.orderBy("_doc").rowsBetween(Window.unboundedPreceding, 0)
+    pts = (
+        per_doc.join(first_seen, "_doc", "left")
+        .select(
+            F.sum("_k").over(w_cum).alias("_cum_n"),
+            F.sum(F.coalesce("_new", F.lit(0))).over(w_cum).alias("_cum_v"),
+        )
+        .filter(F.col("_cum_n") > 0)
+    )
+    heaps = pts.agg(
+        F.round(F.regr_slope(F.log("_cum_v"), F.log("_cum_n")), 9).alias("heaps_beta"),
+        F.count("*").cast("bigint").alias("n_points"),
+    )
+    return zipf.crossJoin(heaps).select(
+        "zipf_slope", "vocab_size", "n_tokens", "heaps_beta", "n_points"
     )
