@@ -6768,6 +6768,76 @@ def _q_corpus_power_laws(spark, sf_dir):
     return corpus_power_laws(_t(spark, sf_dir, "documents"))
 
 
+@_register(
+    "trigram_substring_search",
+    """
+    SELECT doc_id FROM documents
+    WHERE contains(text, 'customer query')
+    ORDER BY doc_id
+    """,
+)
+def _q_trigram_substring_search(spark, sf_dir):
+    """Index-accelerated exact substring search (Google Code Search /
+    Zoekt / pg_trgm design, Cox 2012): candidates = AND over the
+    literal's trigram posting lists (IN-filtered explode, one group-by
+    counting required grams), then exact contains() verification — so
+    the brute-force full-scan oracle must agree row-for-row. The
+    reference's Dump re-greps every matched file instead
+    (flowindexer/flowindexer.go:399-420); the trigram index makes that
+    grep index-pruned. operators/trigram.py substring_search."""
+    from flow_indexer_spark.operators.trigram import substring_search
+
+    docs = _t(spark, sf_dir, "documents")
+    return substring_search(docs, "customer query").orderBy("doc_id")
+
+
+@_register(
+    "trigram_regex_search",
+    """
+    SELECT doc_id FROM documents
+    WHERE regexp_matches(text, 'fast table.*merge|customer query')
+    ORDER BY doc_id
+    """,
+)
+def _q_trigram_regex_search(spark, sf_dir):
+    """Regex search through the trigram planner: the restricted pattern
+    (literals + '.*' gaps + top-level '|') compiles to OR-of-AND trigram
+    demands (Cox 2012 query derivation); candidates verify with Spark's
+    native rlike while the oracle runs DuckDB's independent RE2
+    regexp_matches on the full corpus — agreement proves both the
+    planner loses no document and the two regex engines concur on the
+    plannable subset. operators/trigram.py regex_search."""
+    from flow_indexer_spark.operators.trigram import regex_search
+
+    docs = _t(spark, sf_dir, "documents")
+    return regex_search(docs, "fast table.*merge|customer query").orderBy("doc_id")
+
+
+@_register(
+    "trigram_hot_grams",
+    """
+    WITH g AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(length(text)-2, 0)),
+               i -> substr(text, CAST(i AS INT), 3)))) AS gram
+      FROM documents
+    )
+    SELECT gram, CAST(COUNT(*) AS BIGINT) AS df
+    FROM g GROUP BY gram ORDER BY df DESC, gram ASC LIMIT 10
+    """,
+)
+def _q_trigram_hot_grams(spark, sf_dir):
+    """The trigram index's skew report: document frequency of the
+    hottest 3-grams (hot grams are the useless discriminators Zoekt
+    prunes from query sets). Also the direct correctness check on the
+    in-row trigram extraction itself — Spark's transform/sequence
+    variant vs DuckDB's independent list_transform/generate_series.
+    operators/trigram.py trigram_df_stats."""
+    from flow_indexer_spark.operators.trigram import trigram_df_stats
+
+    return trigram_df_stats(_t(spark, sf_dir, "documents"), topk=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return dict(_QUERIES)
