@@ -6838,6 +6838,41 @@ def _q_trigram_hot_grams(spark, sf_dir):
     return trigram_df_stats(_t(spark, sf_dir, "documents"), topk=10)
 
 
+@_register(
+    "multi_pattern_scan",
+    """
+    WITH pats AS (SELECT unnest(['customer query','fast table',
+                                 'merge batch','scan slow']) AS pattern),
+    hits AS (
+      SELECT doc_id, pattern,
+             list_filter(generate_series(1,
+                           greatest(length(text)-length(pattern)+1, 0)),
+                         i -> substr(text, CAST(i AS INT),
+                                     length(pattern)) = pattern) AS pos
+      FROM documents CROSS JOIN pats
+    )
+    SELECT doc_id, pattern, CAST(len(pos) AS BIGINT) AS n_matches,
+           CAST(pos[1] AS INT) AS first_pos
+    FROM hits WHERE len(pos) > 0 ORDER BY doc_id, pattern
+    """,
+)
+def _q_multi_pattern_scan(spark, sf_dir):
+    """Aho-Corasick dictionary scan (Aho & Corasick 1975): every
+    (document, pattern) hit with overlap-exact occurrence count and
+    first position, in ONE pass over each text regardless of dictionary
+    size — the scale path for blocklist / PII-term / contamination-probe
+    dictionaries, vs the reference Dump's one-contains-per-query grep
+    (backend/bro.go:52-72). The oracle enumerates every start position
+    per pattern in SQL (an independent O(P*len) algorithm), so
+    agreement checks the automaton's goto/fail/output construction.
+    operators/multipattern.py multi_pattern_scan."""
+    from flow_indexer_spark.operators.multipattern import multi_pattern_scan
+
+    docs = _t(spark, sf_dir, "documents")
+    pats = ["customer query", "fast table", "merge batch", "scan slow"]
+    return multi_pattern_scan(docs, pats).orderBy("doc_id", "pattern")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return dict(_QUERIES)
