@@ -6873,6 +6873,124 @@ def _q_multi_pattern_scan(spark, sf_dir):
     return multi_pattern_scan(docs, pats).orderBy("doc_id", "pattern")
 
 
+#: deterministic record-linkage fixture: B = customer with three seeded
+#: corruptions (uppercased name every 4th key, +10.0 balance every 3rd),
+#: blocked on nation; gamma = (name exact, segment exact, |bal diff| < 1).
+#: Both engines synthesize it with the same expressions; what the oracle
+#: then checks is the EM TRAJECTORY and posterior assignment.
+_LINKAGE_PAIRS_SQL = """
+SELECT a.c_custkey AS id_a, b.id_b,
+  CASE WHEN a.c_name = b.name_b THEN 1 ELSE 0 END AS g_name,
+  CASE WHEN a.c_mktsegment = b.seg_b THEN 1 ELSE 0 END AS g_seg,
+  CASE WHEN abs(a.c_acctbal - b.bal_b) < 1.0 THEN 1 ELSE 0 END AS g_bal
+FROM customer a JOIN (
+  SELECT c_custkey AS id_b, c_nationkey,
+    CASE WHEN c_custkey % 4 = 0 THEN upper(c_name) ELSE c_name END AS name_b,
+    c_mktsegment AS seg_b,
+    CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 10.0 ELSE c_acctbal END AS bal_b
+  FROM customer) b USING (c_nationkey)
+"""
+
+_LINKAGE_GAMMAS = ["g_name", "g_seg", "g_bal"]
+
+
+def _linkage_pairs(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    from flow_indexer_spark.operators.recordlinkage import agreement_pairs
+
+    a = cust.select(
+        F.col("c_custkey").alias("id_a"),
+        "c_nationkey",
+        "c_name",
+        "c_mktsegment",
+        "c_acctbal",
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("id_b"),
+        "c_nationkey",
+        F.when(F.col("c_custkey") % 4 == 0, F.upper("c_name"))
+        .otherwise(F.col("c_name"))
+        .alias("name_b"),
+        F.col("c_mktsegment").alias("seg_b"),
+        F.when(F.col("c_custkey") % 3 == 0, F.col("c_acctbal") + 10.0)
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal_b"),
+    )
+    return agreement_pairs(
+        a,
+        b,
+        "c_nationkey",
+        {
+            "name": F.col("c_name") == F.col("name_b"),
+            "seg": F.col("c_mktsegment") == F.col("seg_b"),
+            "bal": F.abs(F.col("c_acctbal") - F.col("bal_b")) < 1.0,
+        },
+    )
+
+
+def _linkage_oracle(select: str) -> str:
+    from flow_indexer_spark.operators.recordlinkage import fs_em_oracle_sql
+
+    return fs_em_oracle_sql(_LINKAGE_PAIRS_SQL, _LINKAGE_GAMMAS) + select
+
+
+@_register(
+    "linkage_fs_em_report",
+    _linkage_oracle(
+        " SELECT * FROM fin ORDER BY g_name, g_seg, g_bal"
+    ),
+)
+def _q_linkage_fs_em_report(spark, sf_dir):
+    """Fellegi-Sunter (JASA 1969) linkage with UNSUPERVISED EM parameter
+    estimation (Winkler 1988): blocked candidate pairs compress to the
+    2^k gamma-pattern contingency table (one shuffle, <= 8 rows), EM
+    iterates driver-side on that table with per-step round(9) (the
+    logreg bit-pinned-trajectory discipline; pure +,*,/ arithmetic so
+    both engines agree exactly), and each pattern gets its converged
+    match posterior. The low-information segment field (u ~ 0.2) is
+    correctly down-weighted vs the discriminative name field — the
+    whole point of FS over naive voting.
+    operators/recordlinkage.py fs_link / fs_em_oracle_sql."""
+    from flow_indexer_spark.operators.recordlinkage import fs_link
+
+    report, _ = fs_link(_linkage_pairs(spark, sf_dir), _LINKAGE_GAMMAS)
+    return report.select(
+        "g_name", "g_seg", "g_bal", "n_pairs", "posterior"
+    ).orderBy("g_name", "g_seg", "g_bal")
+
+
+@_register(
+    "linkage_fs_matches",
+    _linkage_oracle(
+        """
+        SELECT p.id_a, p.id_b, f.posterior
+        FROM ({pairs}) p
+        JOIN fin f ON p.g_name = f.g_name AND p.g_seg = f.g_seg
+                  AND p.g_bal = f.g_bal
+        WHERE f.posterior >= 0.9
+        ORDER BY p.id_a, p.id_b
+        """.format(pairs=_LINKAGE_PAIRS_SQL)
+    ),
+)
+def _q_linkage_fs_matches(spark, sf_dir):
+    """FS posterior assignment back onto the candidate pairs: the
+    <= 2^k-row pattern report broadcast-joins onto the blocked pairs
+    (the corpus is scanned once; EM iterations never touch it again),
+    and pairs above the 0.9 posterior are declared links — including
+    fuzzy matches whose name or balance was corrupted, and correctly
+    EXCLUDING corrupted-name+corrupted-balance true pairs whose
+    evidence (segment agreement alone, u ~ 0.2) is genuinely too weak.
+    operators/recordlinkage.py fs_link."""
+    from flow_indexer_spark.operators.recordlinkage import fs_link
+
+    _, scored = fs_link(_linkage_pairs(spark, sf_dir), _LINKAGE_GAMMAS)
+    return (
+        scored.filter(F.col("posterior") >= 0.9)
+        .select("id_a", "id_b", "posterior")
+        .orderBy("id_a", "id_b")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return dict(_QUERIES)
