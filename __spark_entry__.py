@@ -6991,6 +6991,104 @@ def _q_linkage_fs_matches(spark, sf_dir):
     )
 
 
+#: deterministic duel log: consecutive events of one user are a duel
+#: between their event types, won by the larger `value` (ties and
+#: same-type pairs dropped).  Small item universe (event types) at this
+#: SF; the operator itself never assumes that — see btrank.py.
+_DUELS_SQL = """
+SELECT CASE WHEN value > v2 THEN event_type ELSE t2 END AS winner,
+       CASE WHEN value > v2 THEN t2 ELSE event_type END AS loser
+FROM (
+  SELECT event_type, value,
+         lead(event_type) OVER w AS t2, lead(value) OVER w AS v2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+)
+WHERE t2 IS NOT NULL AND event_type <> t2 AND value <> v2
+"""
+
+
+def _duels(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    seq = ev.select(
+        "event_type",
+        "value",
+        F.lead("event_type").over(w).alias("t2"),
+        F.lead("value").over(w).alias("v2"),
+    ).filter(
+        F.col("t2").isNotNull()
+        & (F.col("event_type") != F.col("t2"))
+        & (F.col("value") != F.col("v2"))
+    )
+    win = F.col("value") > F.col("v2")
+    return seq.select(
+        F.when(win, F.col("event_type")).otherwise(F.col("t2")).alias("winner"),
+        F.when(win, F.col("t2")).otherwise(F.col("event_type")).alias("loser"),
+    )
+
+
+def _bt_oracle(select: str) -> str:
+    from flow_indexer_spark.operators.btrank import bt_oracle_sql
+
+    return bt_oracle_sql(_DUELS_SQL) + select
+
+
+@_register(
+    "preference_win_matrix",
+    f"""
+    SELECT LEAST(winner, loser) AS item_a,
+           GREATEST(winner, loser) AS item_b,
+           CAST(COUNT(*) AS BIGINT) AS n_duels,
+           CAST(SUM(CASE WHEN winner < loser THEN 1 ELSE 0 END) AS BIGINT)
+             AS wins_a,
+           round(SUM(CASE WHEN winner < loser THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 9) AS win_rate_a
+    FROM ({_DUELS_SQL}) GROUP BY 1, 2 ORDER BY item_a, item_b
+    """,
+)
+def _q_preference_win_matrix(spark, sf_dir):
+    """Pairwise-preference sufficient statistics: the duel log (RLHF
+    comparisons / A-B outcomes, here consecutive same-user events duelling
+    on value) compressed to one row per unordered item pair with duel and
+    win counts — the table every preference model trains from, and all
+    Bradley-Terry ever reads (the raw log is scanned once).
+    operators/btrank.py bt_pair_counts."""
+    from flow_indexer_spark.operators.btrank import bt_pair_counts
+
+    pc = bt_pair_counts(_duels(spark, sf_dir))
+    return pc.select(
+        "item_a",
+        "item_b",
+        "n_duels",
+        "wins_a",
+        F.round(F.col("wins_a") / F.col("n_duels").cast("double"), 9).alias(
+            "win_rate_a"
+        ),
+    ).orderBy("item_a", "item_b")
+
+
+@_register(
+    "preference_bt_ratings",
+    _bt_oracle(" SELECT item, rating FROM fin ORDER BY item"),
+)
+def _q_preference_bt_ratings(spark, sf_dir):
+    """Bradley-Terry strength ratings (Biometrika 1952) by Hunter's MM
+    algorithm (Ann. Stat. 2004), 4 rounds over the pair-count sufficient
+    statistics: per round one |pairs| join against the rating vector per
+    side + one per-item aggregation, pure DataFrames (item universe may
+    be millions — no driver state). Sorted-opponent/sorted-item folds +
+    one round(9) per round pin the double trajectory to the oracle's
+    unrolled recurrence bit-for-bit; add-0.5 smoothing keeps never-winners
+    positive. operators/btrank.py bt_ratings / bt_oracle_sql."""
+    from flow_indexer_spark.operators.btrank import bt_pair_counts, bt_ratings
+
+    pc = bt_pair_counts(_duels(spark, sf_dir))
+    return bt_ratings(pc, n_iter=4).orderBy("item")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return dict(_QUERIES)
