@@ -7089,6 +7089,112 @@ def _q_preference_bt_ratings(spark, sf_dir):
     return bt_ratings(pc, n_iter=4).orderBy("item")
 
 
+@_register(
+    "scd2_dimension_build",
+    """
+    WITH ord AS (
+      SELECT user_id, event_type, ts,
+             lag(event_type) OVER w AS prev_t
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    ch AS (
+      SELECT user_id, event_type, ts FROM ord
+      WHERE prev_t IS NULL OR prev_t <> event_type
+    )
+    SELECT user_id, event_type, ts AS valid_from,
+           lead(ts) OVER w2 AS valid_to,
+           CAST(row_number() OVER w2 AS INT) AS version,
+           lead(ts) OVER w2 IS NULL AS is_current
+    FROM ch
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts)
+    ORDER BY user_id, version
+    """,
+)
+def _q_scd2_dimension_build(spark, sf_dir):
+    """Kimball SCD type-2 history derived from a raw change log in one
+    window pass per key (operators/scd.py scd2_build): no-op
+    re-assertions collapse (change detection), each surviving change
+    opens a half-open [valid_from, valid_to) version with ordinal and
+    is_current flag. ONE shuffle on the key — no self-join, no interval
+    blowup; the user's event-type stream here stands in for any
+    changing dimension (plan tier, tool owner)."""
+    from flow_indexer_spark.operators.scd import scd2_build
+
+    ev = _t(spark, sf_dir, "events")
+    return scd2_build(
+        ev.select("user_id", "event_type", "ts", "event_id"),
+        key="user_id",
+        attrs=["event_type"],
+        ts_col="ts",
+        tiebreak="event_id",
+    ).orderBy("user_id", "version")
+
+
+@_register(
+    "scd2_temporal_lookup",
+    """
+    WITH ord AS (
+      SELECT user_id, event_type, ts,
+             lag(event_type) OVER w AS prev_t
+      FROM events WHERE event_type <> 'purchase'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    ch AS (
+      SELECT user_id, event_type, ts FROM ord
+      WHERE prev_t IS NULL OR prev_t <> event_type
+    ),
+    dim AS (
+      SELECT user_id, event_type, ts AS valid_from,
+             lead(ts) OVER w2 AS valid_to,
+             CAST(row_number() OVER w2 AS INT) AS version
+      FROM ch
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY ts)
+    )
+    SELECT f.event_id, f.user_id, f.ts,
+           d.event_type AS d_state, d.version AS d_version
+    FROM events f
+    LEFT JOIN dim d
+      ON d.user_id = f.user_id
+     AND d.valid_from <= f.ts
+     AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+    WHERE f.event_type = 'purchase'
+    ORDER BY f.event_id
+    """,
+)
+def _q_scd2_temporal_lookup(spark, sf_dir):
+    """Temporal dimension lookup: every purchase attaches the SCD2
+    version of the user's non-purchase activity state valid AT PURCHASE
+    TIME — an SCD2 lookup IS a backward as-of join against valid_from
+    (operators/scd.py scd2_lookup delegating to joins.asof_join:
+    union+window, one shuffle, zero interval cross-join), which the
+    oracle verifies against the explicit half-open-interval LEFT JOIN.
+    Purchases before the user's first state version keep NULLs."""
+    from flow_indexer_spark.operators.scd import scd2_build, scd2_lookup
+
+    ev = _t(spark, sf_dir, "events")
+    dim = scd2_build(
+        ev.filter(F.col("event_type") != "purchase").select(
+            "user_id", "event_type", "ts", "event_id"
+        ),
+        key="user_id",
+        attrs=["event_type"],
+        ts_col="ts",
+        tiebreak="event_id",
+    ).drop("is_current")
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = scd2_lookup(facts, dim, key="user_id", fact_ts="ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("d_event_type").alias("d_state"),
+        "d_version",
+    ).orderBy("event_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return dict(_QUERIES)
