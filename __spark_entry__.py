@@ -7195,6 +7195,138 @@ def _q_scd2_temporal_lookup(spark, sf_dir):
     ).orderBy("event_id")
 
 
+@_register(
+    "graph_triangle_census",
+    """
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+       AND a.l_quantity >= 40 AND b.l_quantity >= 40
+      WHERE a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+      FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+      GROUP BY 1
+    ),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1
+      JOIN e e2 ON e1.v = e2.u
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    pn AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM (SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri)
+      GROUP BY 1
+    )
+    SELECT deg.node, deg.degree,
+           CAST(COALESCE(pn.n_triangles, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN deg.degree >= 2
+                THEN round(2.0 * COALESCE(pn.n_triangles, 0)
+                           / (deg.degree * (deg.degree - 1.0)), 9)
+                ELSE 0.0 END AS clustering
+    FROM deg LEFT JOIN pn USING (node)
+    ORDER BY node
+    """,
+)
+def _q_graph_triangle_census(spark, sf_dir):
+    """Per-node triangle count + local clustering coefficient on the
+    part co-purchase graph (parts sharing an order, heavy lines only)
+    via degree-ordered orientation (Chiba-Nishizeki 1985 / Schank-Wagner
+    2005 compact-forward): wedges fan out of LOW-degree endpoints only,
+    bounding generation by O(E^1.5) instead of sum(deg^2) — a celebrity
+    hub fans in, never out, so no reducer squares a hub neighborhood.
+    The oracle counts the same triangles with the plain u<v<w three-way
+    join: orientation changes the plan, never the census.
+    operators/graph.py triangle_census."""
+    from flow_indexer_spark.operators.graph import triangle_census
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 40)
+        .select("l_orderkey", "l_partkey")
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    return triangle_census(edges).orderBy("node")
+
+
+@_register(
+    "telemetry_cusum_changepoint",
+    """
+    WITH s AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(n) AS BIGINT) AS s1, CAST(SUM(n * n) AS BIGINT) AS s2
+      FROM s GROUP BY 1
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(s1 AS DOUBLE) / cnt AS mean,
+             sqrt(GREATEST(CAST(s2 AS DOUBLE) / cnt
+                    - (CAST(s1 AS DOUBLE) / cnt) * (CAST(s1 AS DOUBLE) / cnt),
+                  0.0)) AS std
+      FROM st
+    ),
+    z AS (
+      SELECT s.event_type, s.day, s.n,
+             round((CASE WHEN std > 0.0 THEN (s.n - mean) / std
+                         ELSE 0.0 END) - 0.5, 9) AS z_hi,
+             round(-(CASE WHEN std > 0.0 THEN (s.n - mean) / std
+                          ELSE 0.0 END) - 0.5, 9) AS z_lo
+      FROM s JOIN m USING (event_type)
+    ),
+    c AS (
+      SELECT *, SUM(z_hi) OVER w AS c_hi, SUM(z_lo) OVER w AS c_lo
+      FROM z
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS UNBOUNDED PRECEDING)
+    ),
+    f AS (
+      SELECT event_type, day, n, z_hi, z_lo,
+             round(c_hi - LEAST(0.0, MIN(c_hi) OVER w2), 9) AS cusum_hi,
+             round(c_lo - LEAST(0.0, MIN(c_lo) OVER w2), 9) AS cusum_lo
+      FROM c
+      WINDOW w2 AS (PARTITION BY event_type ORDER BY day
+                    ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT event_type, day, n, z_hi, z_lo, cusum_hi, cusum_lo,
+           (cusum_hi > 4.0 OR cusum_lo > 4.0) AS alarm
+    FROM f ORDER BY event_type, day
+    """,
+)
+def _q_telemetry_cusum_changepoint(spark, sf_dir):
+    """Two-sided CUSUM level-shift detection (Page 1954) on per-type
+    daily event counts — the sequential-looking recursion S_t = max(0,
+    S_{t-1} + z_t) rewritten by its exact prefix identity S_t = C_t -
+    min(0, min prefix C) into two chained window passes inside ONE
+    shuffle (no recursion/UDF/driver loop). Standardization uses exact
+    integer sums + IEEE sqrt, so both engines' doubles agree with no
+    tolerance. operators/telemetry.py cusum_changepoints."""
+    from flow_indexer_spark.operators.telemetry import cusum_changepoints
+
+    ev = _t(spark, sf_dir, "events")
+    s = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    return cusum_changepoints(
+        s, ["event_type"], "day", "n", drift_k=0.5, threshold_h=4.0
+    ).orderBy("event_type", "day")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return dict(_QUERIES)

@@ -298,3 +298,91 @@ def cube_report(
         )
         .orderBy(*dims)
     )
+
+
+def cusum_changepoints(
+    series: DataFrame,
+    group_cols: list[str],
+    bucket_col: str,
+    count_col: str,
+    drift_k: float = 0.5,
+    threshold_h: float = 4.0,
+) -> DataFrame:
+    """Two-sided CUSUM changepoint detection (Page, Biometrika 1954)
+    over a pre-aggregated per-bucket count series.
+
+    The textbook recursion S_t = max(0, S_{t-1} + z_t) is not a window
+    function — but it has an exact prefix identity: with C_t = sum of
+    z_1..z_t,  S_t = C_t - min(0, min_{j<=t} C_j).  Both terms ARE
+    window functions (running sum + running min), so the whole detector
+    is two window passes per direction inside ONE shuffle on the group
+    key — no recursion, no UDF, no driver loop, and at 100 TB each
+    series costs one task's sort exactly like every other per-key
+    window here.
+
+    Standardization is drift-free across engines by construction: the
+    baseline mean and population variance come from EXACT integer sums
+    (sum, sum-of-squares over bigint counts), their ratio is one double
+    division, and sqrt is IEEE-correctly-rounded — so z_t =
+    round((x_t - mean)/std - k, 9) is bit-identical on Spark and the
+    SQL oracle with NO per-step tolerance. Constant series (std = 0)
+    standardize to z = -k.
+
+    Returns one row per input bucket: group cols + (bucket, n, z_hi,
+    z_lo, cusum_hi, cusum_lo, alarm) where cusum_hi detects upward
+    level shifts, cusum_lo downward, and alarm = either side crossing
+    ``threshold_h`` (in sigma units).
+    """
+    g = [F.col(c) for c in group_cols]
+    n = F.col(count_col).cast("bigint")
+    stats = series.groupBy(*g).agg(
+        F.count("*").cast("bigint").alias("_cnt"),
+        F.sum(n).alias("_s1"),
+        F.sum(n * n).alias("_s2"),
+    )
+    mean = F.col("_s1").cast("double") / F.col("_cnt")
+    var = F.col("_s2").cast("double") / F.col("_cnt") - mean * mean
+    stats = stats.select(
+        *g, mean.alias("_mean"), F.sqrt(F.greatest(var, F.lit(0.0))).alias("_std")
+    )
+    j = series.join(stats, group_cols)
+    zraw = F.when(
+        F.col("_std") > 0.0, (n - F.col("_mean")) / F.col("_std")
+    ).otherwise(F.lit(0.0))
+    z_hi = F.round(zraw - drift_k, 9)
+    z_lo = F.round(-zraw - drift_k, 9)
+    w = (
+        Window.partitionBy(*g)
+        .orderBy(F.col(bucket_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    j = j.select(
+        *g,
+        F.col(bucket_col),
+        n.alias("n"),
+        z_hi.alias("z_hi"),
+        z_lo.alias("z_lo"),
+    )
+    # two chained window passes over the SAME (partition, order) spec —
+    # one Exchange, consecutive Window operators, no second shuffle
+    j = j.select(
+        "*",
+        F.sum("z_hi").over(w).alias("_c_hi"),
+        F.sum("z_lo").over(w).alias("_c_lo"),
+    )
+    s_hi = F.round(
+        F.col("_c_hi") - F.least(F.lit(0.0), F.min("_c_hi").over(w)), 9
+    )
+    s_lo = F.round(
+        F.col("_c_lo") - F.least(F.lit(0.0), F.min("_c_lo").over(w)), 9
+    )
+    return j.select(
+        *g,
+        F.col(bucket_col),
+        "n",
+        "z_hi",
+        "z_lo",
+        s_hi.alias("cusum_hi"),
+        s_lo.alias("cusum_lo"),
+        ((s_hi > threshold_h) | (s_lo > threshold_h)).alias("alarm"),
+    )
