@@ -7327,6 +7327,135 @@ def _q_telemetry_cusum_changepoint(spark, sf_dir):
     ).orderBy("event_type", "day")
 
 
+#: three deterministic pseudo-annotators: each buckets a document into
+#: short/medium/long by n_chars with rater-specific cutoffs, giving
+#: genuine partial agreement for the kappa fixtures.
+_RATER_CUTS = {"A": (130, 170), "B": (140, 160), "C": (120, 180)}
+
+_RATINGS_SQL = " UNION ALL ".join(
+    f"""SELECT doc_id, '{r}' AS rater,
+        CASE WHEN n_chars < {lo} THEN 'short'
+             WHEN n_chars >= {hi} THEN 'long'
+             ELSE 'medium' END AS label FROM documents"""
+    for r, (lo, hi) in _RATER_CUTS.items()
+)
+
+
+def _ratings(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    parts = []
+    for r, (lo, hi) in _RATER_CUTS.items():
+        parts.append(
+            docs.select(
+                "doc_id",
+                F.lit(r).alias("rater"),
+                F.when(F.col("n_chars") < lo, "short")
+                .when(F.col("n_chars") >= hi, "long")
+                .otherwise("medium")
+                .alias("label"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _cohen_pair_sql(ra: str, rb: str) -> str:
+    return f"""
+    SELECT '{ra}' AS rater_a, '{rb}' AS rater_b,
+           CAST(p.n AS BIGINT) AS n_items,
+           round(p.n_agree / CAST(p.n AS DOUBLE), 9) AS po,
+           round(x.s_ab / (CAST(p.n AS DOUBLE) * p.n), 9) AS pe,
+           round(CASE
+             WHEN x.s_ab / (CAST(p.n AS DOUBLE) * p.n) = 1.0 THEN
+               CASE WHEN p.n_agree / CAST(p.n AS DOUBLE) = 1.0
+                    THEN 1.0 ELSE 0.0 END
+             ELSE (p.n_agree / CAST(p.n AS DOUBLE)
+                   - x.s_ab / (CAST(p.n AS DOUBLE) * p.n))
+                  / (1.0 - x.s_ab / (CAST(p.n AS DOUBLE) * p.n))
+           END, 9) AS kappa
+    FROM (
+      SELECT COUNT(*) AS n,
+             SUM(CASE WHEN a.label = b.label THEN 1 ELSE 0 END) AS n_agree
+      FROM r a JOIN r b ON a.doc_id = b.doc_id
+      WHERE a.rater = '{ra}' AND b.rater = '{rb}'
+    ) p, (
+      SELECT COALESCE(SUM(ma.na * mb.nb), 0) AS s_ab
+      FROM (SELECT label, COUNT(*) AS na FROM r
+            WHERE rater = '{ra}' GROUP BY 1) ma
+      JOIN (SELECT label, COUNT(*) AS nb FROM r
+            WHERE rater = '{rb}' GROUP BY 1) mb USING (label)
+    ) x
+    """
+
+
+@_register(
+    "agreement_cohen_kappa",
+    f"WITH r AS ({_RATINGS_SQL}) "
+    + " UNION ALL ".join(
+        _cohen_pair_sql(a, b) for a, b in (("A", "B"), ("A", "C"), ("B", "C"))
+    )
+    + " ORDER BY rater_a, rater_b",
+)
+def _q_agreement_cohen_kappa(spark, sf_dir):
+    """Cohen's kappa (1960) for every annotator pair: raw agreement
+    corrected by the chance rate implied by the raters' marginals. All
+    sufficient statistics are exact integers (the cross-marginal sum
+    sum_c n_a(c)*n_b(c) is ONE bigint, not a per-category float fold),
+    so both engines do a single identical division — no tolerance, no
+    fold order. operators/agreement.py cohen_kappa."""
+    from flow_indexer_spark.operators.agreement import cohen_kappa
+
+    r = _ratings(spark, sf_dir).localCheckpoint(eager=True)
+    out = None
+    for a, b in (("A", "B"), ("A", "C"), ("B", "C")):
+        k = cohen_kappa(r, "doc_id", "rater", "label", a, b)
+        out = k if out is None else out.unionByName(k)
+    return out.orderBy("rater_a", "rater_b")
+
+
+@_register(
+    "agreement_fleiss_kappa",
+    f"""
+    WITH r AS ({_RATINGS_SQL}),
+    nic AS (SELECT doc_id, label, COUNT(*) AS nic FROM r GROUP BY 1, 2),
+    s AS (
+      SELECT CAST(SUM(nic * nic) AS BIGINT) AS s2,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_items,
+             CAST(COUNT(DISTINCT label) AS BIGINT) AS n_cats
+      FROM nic
+    ),
+    m AS (
+      SELECT CAST(SUM(mc * mc) AS BIGINT) AS sm2
+      FROM (SELECT label, SUM(nic) AS mc FROM nic GROUP BY 1)
+    )
+    SELECT n_items, CAST(3 AS INT) AS n_raters, n_cats AS n_categories,
+           round((s2 - CAST(n_items AS DOUBLE) * 3.0)
+                 / (CAST(n_items AS DOUBLE) * 3.0 * (3.0 - 1.0)), 9) AS p_bar,
+           round(sm2 / (CAST(n_items AS DOUBLE) * 3.0
+                        * CAST(n_items AS DOUBLE) * 3.0), 9) AS p_e,
+           round(((s2 - CAST(n_items AS DOUBLE) * 3.0)
+                  / (CAST(n_items AS DOUBLE) * 3.0 * (3.0 - 1.0))
+                  - sm2 / (CAST(n_items AS DOUBLE) * 3.0
+                           * CAST(n_items AS DOUBLE) * 3.0))
+                 / (1.0 - sm2 / (CAST(n_items AS DOUBLE) * 3.0
+                                 * CAST(n_items AS DOUBLE) * 3.0)), 9) AS kappa
+    FROM s, m
+    """,
+)
+def _q_agreement_fleiss_kappa(spark, sf_dir):
+    """Fleiss' kappa (1971) for the full 3-annotator panel: chance-
+    corrected agreement from per-(item,label) count squares — again all
+    exact-integer sufficient statistics with single final divisions
+    (degenerate p_e=1 convention handled). Panel raggedness raises
+    rather than silently reweighting. operators/agreement.py
+    fleiss_kappa."""
+    from flow_indexer_spark.operators.agreement import fleiss_kappa
+
+    return fleiss_kappa(_ratings(spark, sf_dir), "doc_id", "label")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return dict(_QUERIES)
