@@ -7456,6 +7456,248 @@ def _q_agreement_fleiss_kappa(spark, sf_dir):
     return fleiss_kappa(_ratings(spark, sf_dir), "doc_id", "label")
 
 
+# --- classifier / retrieval evaluation metrics (evalmetrics.py) -----------
+
+#: deterministic scored-classifier fixture over documents: label = "long
+#: document" (n_chars >= 150); integer score on a 64-point grid,
+#: correlated with the label ((n_chars-100)/6) plus a deterministic
+#: doc_id jitter so the ROC is neither perfect nor random, clamped to
+#: [0, 63].  Identical integer arithmetic on both engines; probability
+#: = s64/64.0 is exactly dyadic, so float equality is exact.
+_SCORED_SQL = """
+    SELECT doc_id,
+           CASE WHEN n_chars >= 150 THEN 1 ELSE 0 END AS label,
+           CAST(LEAST(63, GREATEST(0,
+                CAST(FLOOR((n_chars - 100) / 6.0) AS BIGINT)
+                + (doc_id * 37) % 23 - 11)) AS BIGINT) AS s64
+    FROM documents
+"""
+
+
+def _scored(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    s64 = F.least(
+        F.lit(63),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col("n_chars") - 100) / 6.0).cast("bigint")
+            + (F.col("doc_id") * 37) % 23
+            - 11,
+        ),
+    ).cast("bigint")
+    return d.select(
+        "doc_id",
+        F.when(F.col("n_chars") >= 150, 1).otherwise(0).alias("label"),
+        s64.alias("s64"),
+    )
+
+
+@_register(
+    "eval_roc_auc",
+    f"""
+    WITH pts AS ({_SCORED_SQL}),
+    s AS (
+      SELECT s64 / 64.0 AS score,
+             SUM(label) AS pos, SUM(1 - label) AS neg
+      FROM pts GROUP BY 1
+    ),
+    c AS (
+      SELECT score, pos, neg,
+             COALESCE(SUM(neg) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cneg
+      FROM s
+    )
+    SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+           CAST(SUM(neg) AS BIGINT) AS n_neg,
+           CAST(COUNT(*) AS BIGINT) AS n_scores,
+           CASE WHEN SUM(pos) > 0 AND SUM(neg) > 0 THEN
+             round(SUM(pos * (2 * cneg + neg))
+                   / (2.0 * SUM(pos) * SUM(neg)), 9)
+           END AS auc
+    FROM c
+    """,
+)
+def _q_eval_roc_auc(spark, sf_dir):
+    """ROC-AUC of the corpus quality scorer via the Mann-Whitney rank
+    identity with midrank tie handling — the numerator
+    sum_s pos_s*(2*neg_below+neg_s) is ONE exact bigint, so both
+    engines perform a single identical division. The score-axis prefix
+    is banded (per-band totals broadcast + per-band parallel window),
+    never a single-task global sort. operators/evalmetrics.py
+    roc_auc."""
+    from flow_indexer_spark.operators.evalmetrics import roc_auc
+
+    pts = _scored(spark, sf_dir).withColumn("score", F.col("s64") / 64.0)
+    return roc_auc(pts, "label", "score")
+
+
+@_register(
+    "eval_pr_curve",
+    f"""
+    WITH pts AS ({_SCORED_SQL}),
+    s AS (
+      SELECT s64 / 64.0 AS score,
+             SUM(label) AS pos, SUM(1 - label) AS neg
+      FROM pts GROUP BY 1
+    ),
+    c AS (
+      SELECT score, pos, neg,
+             COALESCE(SUM(pos) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cpos,
+             COALESCE(SUM(neg) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cneg,
+             SUM(pos) OVER () AS P, SUM(neg) OVER () AS N
+      FROM s
+    )
+    SELECT score AS threshold,
+           CAST(P - cpos AS BIGINT) AS tp,
+           CAST(N - cneg AS BIGINT) AS fp,
+           CAST(cpos AS BIGINT) AS fn,
+           round((P - cpos) / CAST(P - cpos + N - cneg AS DOUBLE), 9)
+             AS precision,
+           round((P - cpos) / CAST(P AS DOUBLE), 9) AS recall,
+           CASE WHEN 2 * (P - cpos) + (N - cneg) + cpos > 0 THEN
+             round(2.0 * (P - cpos)
+                   / (2 * (P - cpos) + (N - cneg) + cpos), 9)
+           END AS f1
+    FROM c ORDER BY threshold
+    """,
+)
+def _q_eval_pr_curve(spark, sf_dir):
+    """Precision/recall/F1 at every distinct score threshold, all
+    confusion cells exact bigints derived from ONE banded prefix pass
+    (TP(t) = P - pos_below(t)) — the curve costs one shuffle total, not
+    one scan per threshold. operators/evalmetrics.py pr_curve."""
+    from flow_indexer_spark.operators.evalmetrics import pr_curve
+
+    pts = _scored(spark, sf_dir).withColumn("score", F.col("s64") / 64.0)
+    return pr_curve(pts, "label", "score")
+
+
+@_register(
+    "eval_calibration_bins",
+    f"""
+    WITH pts AS ({_SCORED_SQL})
+    SELECT CAST(FLOOR(s64 * 8 / 64) AS INT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(label) AS BIGINT) AS pos,
+           round(SUM(s64) / (64.0 * COUNT(*)), 9) AS avg_score,
+           round(SUM(label) / CAST(COUNT(*) AS DOUBLE), 9) AS frac_pos,
+           round(ABS(SUM(s64) / (64.0 * COUNT(*))
+                     - SUM(label) / CAST(COUNT(*) AS DOUBLE)), 9) AS gap
+    FROM pts GROUP BY 1 ORDER BY 1
+    """,
+)
+def _q_eval_calibration_bins(spark, sf_dir):
+    """Reliability table on the integer score grid: per-bin exact mean
+    confidence vs exact empirical accuracy and their gap — every
+    statistic a ratio of exact integers (bin edges exact because
+    n_bins divides score_scale, enforced). operators/evalmetrics.py
+    calibration_report."""
+    from flow_indexer_spark.operators.evalmetrics import calibration_report
+
+    return calibration_report(
+        _scored(spark, sf_dir), "label", "s64", score_scale=64, n_bins=8
+    )
+
+
+@_register(
+    "eval_brier_ece",
+    f"""
+    WITH pts AS ({_SCORED_SQL}),
+    b AS (
+      SELECT CAST(FLOOR(s64 * 8 / 64) AS INT) AS bin,
+             COUNT(*) AS n,
+             SUM((s64 - 64 * label) * (s64 - 64 * label)) AS sq,
+             ABS(SUM(s64 - 64 * label)) AS gap
+      FROM pts GROUP BY 1
+    )
+    SELECT CAST(SUM(n) AS BIGINT) AS n,
+           CAST(COUNT(*) AS INT) AS n_bins_used,
+           round(SUM(sq) / (64.0 * 64.0 * SUM(n)), 9) AS brier,
+           round(SUM(gap) / (64.0 * SUM(n)), 9) AS ece
+    FROM b
+    """,
+)
+def _q_eval_brier_ece(spark, sf_dir):
+    """One-row Brier score + expected calibration error with the bin
+    weights cancelled algebraically: both numerators are exact bigints
+    (sum of squared integer residuals; per-bin |sum(s - scale*y)|), so
+    the oracle match is division-exact. operators/evalmetrics.py
+    brier_ece."""
+    from flow_indexer_spark.operators.evalmetrics import brier_ece
+
+    return brier_ece(
+        _scored(spark, sf_dir), "label", "s64", score_scale=64, n_bins=8
+    )
+
+
+@_register(
+    "eval_ndcg_mrr",
+    f"""
+    WITH pts AS ({_SCORED_SQL}),
+    res AS (
+      SELECT d.lang AS query,
+             ROW_NUMBER() OVER (PARTITION BY d.lang
+               ORDER BY p.s64 DESC, d.doc_id) AS r,
+             CASE WHEN d.n_chars >= 300 THEN 3
+                  WHEN d.n_chars >= 200 THEN 2
+                  WHEN d.n_chars >= 150 THEN 1 ELSE 0 END AS rel
+      FROM documents d JOIN pts p USING (doc_id)
+    ),
+    topk AS (
+      SELECT query, r, rel,
+             ROW_NUMBER() OVER (PARTITION BY query
+               ORDER BY rel DESC, r) AS ip
+      FROM res WHERE r <= 10
+    ),
+    per AS (
+      SELECT query,
+             CAST(COUNT(*) AS BIGINT) AS n_results,
+             SUM(rel / log2(r + 1.0)) AS dcg,
+             SUM(rel / log2(ip + 1.0)) AS idcg,
+             MIN(CASE WHEN rel > 0 THEN r END) AS first_rel
+      FROM topk GROUP BY 1
+    )
+    SELECT query, n_results,
+           round(dcg, 9) AS dcg, round(idcg, 9) AS idcg,
+           CASE WHEN idcg > 0 THEN round(dcg / idcg, 9) END AS ndcg,
+           round(COALESCE(1.0 / first_rel, 0.0), 9) AS rr
+    FROM per ORDER BY query
+    """,
+)
+def _q_eval_ndcg_mrr(spark, sf_dir):
+    """NDCG@10 + MRR per query (language = the query key, the scorer's
+    ranking vs graded length relevance): per-query <=k-term log2 folds,
+    every window partitioned by query — no global sort anywhere.
+    operators/evalmetrics.py ndcg_mrr."""
+    from pyspark.sql import Window
+
+    from flow_indexer_spark.operators.evalmetrics import ndcg_mrr
+
+    d = _t(spark, sf_dir, "documents")
+    pts = _scored(spark, sf_dir)
+    res = d.join(pts, "doc_id").select(
+        F.col("lang").alias("query"),
+        F.row_number()
+        .over(
+            Window.partitionBy("lang").orderBy(
+                F.col("s64").desc(), F.col("doc_id")
+            )
+        )
+        .alias("r"),
+        F.when(F.col("n_chars") >= 300, 3)
+        .when(F.col("n_chars") >= 200, 2)
+        .when(F.col("n_chars") >= 150, 1)
+        .otherwise(0)
+        .alias("rel"),
+    )
+    return ndcg_mrr(res, "query", "r", "rel", k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return dict(_QUERIES)
