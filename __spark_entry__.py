@@ -7456,6 +7456,127 @@ def _q_agreement_fleiss_kappa(spark, sf_dir):
     return fleiss_kappa(_ratings(spark, sf_dir), "doc_id", "label")
 
 
+# --- k-core + label propagation over the co-purchase graph (graph.py) -----
+
+#: same edge fixture as graph_triangle_census: parts sharing an order,
+#: heavy lines only — canonical u < v, distinct.
+_COPURCHASE_EDGES_SQL = """
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+       AND a.l_quantity >= 40 AND b.l_quantity >= 40
+      WHERE a.l_partkey < b.l_partkey
+"""
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 6
+
+
+def _kcore_oracle_sql() -> str:
+    parts = [f"WITH e0 AS MATERIALIZED ({_COPURCHASE_EDGES_SQL})"]
+    for r in range(_KCORE_ROUNDS):
+        parts.append(
+            f""", d{r} AS MATERIALIZED (
+          SELECT node, COUNT(*) AS d FROM (
+            SELECT u AS node FROM e{r} UNION ALL SELECT v FROM e{r}
+          ) GROUP BY 1
+        ), e{r + 1} AS MATERIALIZED (
+          SELECT u, v FROM e{r}
+          WHERE u IN (SELECT node FROM d{r} WHERE d >= {_KCORE_K})
+            AND v IN (SELECT node FROM d{r} WHERE d >= {_KCORE_K})
+        )"""
+        )
+    last = _KCORE_ROUNDS
+    parts.append(
+        f"""
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+          SELECT u AS node FROM e{last} UNION ALL SELECT v FROM e{last}
+        ) GROUP BY 1 HAVING COUNT(*) >= {_KCORE_K} ORDER BY node"""
+    )
+    return "".join(parts)
+
+
+_LPA_ROUNDS = 4
+
+
+def _lpa_oracle_sql() -> str:
+    parts = [
+        f"""WITH e AS MATERIALIZED ({_COPURCHASE_EDGES_SQL}),
+        b AS MATERIALIZED (SELECT u AS src, v AS dst FROM e
+              UNION ALL SELECT v, u FROM e),
+        l0 AS (SELECT DISTINCT node, node AS label FROM (
+          SELECT u AS node FROM e UNION ALL SELECT v FROM e))"""
+    ]
+    for r in range(_LPA_ROUNDS):
+        parts.append(
+            f""", c{r + 1} AS MATERIALIZED (
+          SELECT b.dst AS node, l.label, COUNT(*) AS cnt
+          FROM b JOIN l{r} l ON b.src = l.node GROUP BY 1, 2
+        ), l{r + 1} AS MATERIALIZED (
+          SELECT node, label FROM (
+            SELECT node, label, ROW_NUMBER() OVER (
+              PARTITION BY node ORDER BY cnt DESC, label) AS rn
+            FROM c{r + 1}) WHERE rn = 1
+        )"""
+        )
+    last = _LPA_ROUNDS
+    parts.append(
+        f"""
+        , s AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS community_size
+                FROM l{last} GROUP BY 1)
+        SELECT l{last}.node, l{last}.label AS community, s.community_size
+        FROM l{last} JOIN s USING (label) ORDER BY node"""
+    )
+    return "".join(parts)
+
+
+def _copurchase_edges(spark, sf_dir):
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 40)
+        .select("l_orderkey", "l_partkey")
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+
+
+@_register("graph_kcore", _kcore_oracle_sql())
+def _q_graph_kcore(spark, sf_dir):
+    """3-core of the part co-purchase graph (Seidman 1983): fixed-round
+    synchronous peel of degree<k nodes — per round one |E|-bounded
+    degree aggregate + two LEFT SEMI edge restrictions, lineage
+    checkpoint-truncated; exact integers throughout, oracle = the same
+    peel unrolled. Round budget convergence is pinned by
+    tests/test_graph_extras.py on this fixture. operators/graph.py
+    kcore."""
+    from flow_indexer_spark.operators.graph import kcore
+
+    return kcore(
+        _copurchase_edges(spark, sf_dir), k=_KCORE_K, n_rounds=_KCORE_ROUNDS
+    ).orderBy("node")
+
+
+@_register("graph_label_propagation", _lpa_oracle_sql())
+def _q_graph_label_propagation(spark, sf_dir):
+    """Deterministic synchronous label-propagation communities
+    (Raghavan 2007, min-label tie-break — the GraphX-style
+    determinization) on the co-purchase graph: per round one
+    |E|-bounded label join + a per-node windowed argmax (partitioned by
+    node, hub candidates bounded by degree, never an array
+    materialization). Fixed rounds make the oracle the recurrence
+    unrolled. operators/graph.py label_propagation."""
+    from flow_indexer_spark.operators.graph import label_propagation
+
+    return label_propagation(
+        _copurchase_edges(spark, sf_dir), n_rounds=_LPA_ROUNDS
+    ).orderBy("node")
+
+
 # --- classifier / retrieval evaluation metrics (evalmetrics.py) -----------
 
 #: deterministic scored-classifier fixture over documents: label = "long

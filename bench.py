@@ -370,6 +370,12 @@ def _bench_queries(spark, sf_dir: str) -> dict:
         "trajectory_path_forks",
         "doc_chunks_cdc",
         "embedding_gram_matrix",
+        "linkage_fs_em_report",
+        "preference_bt_ratings",
+        "scd2_temporal_lookup",
+        "graph_triangle_census",
+        "telemetry_cusum_changepoint",
+        "agreement_fleiss_kappa",
     ]
     qs = entry_mod.queries()
     out = {}

@@ -210,6 +210,117 @@ def triangle_census(edges: DataFrame) -> DataFrame:
     )
 
 
+def kcore(edges: DataFrame, k: int, n_rounds: int = 8) -> DataFrame:
+    """k-core membership (Seidman 1983) over an undirected simple graph
+    given as canonical (u, v) edges with u < v: iteratively peel nodes
+    of degree < k; what survives is the maximal subgraph where every
+    node keeps >= k neighbors (the "dense core" a curation pass keeps
+    when thinning an entity graph, and the standard cohesion filter
+    before community detection).
+
+    Runs a FIXED ``n_rounds`` of synchronous peeling — like
+    :func:`pagerank`, fixed rounds keep the computation a finite plan
+    the DuckDB oracle unrolls verbatim; when the peel converges within
+    the budget (test-pinned for the fixtures) the result IS the true
+    k-core, and all arithmetic is exact integers either way.  Returns
+    (node, degree) — degree within the surviving subgraph — for nodes
+    whose final degree >= k.
+
+    Scale shape per round: one degree aggregate (shuffle bounded by
+    |E|) + two LEFT SEMI joins restricting the edge list to surviving
+    endpoints; lineage truncated per round with an eager
+    localCheckpoint so the K-round plan never compounds.  Peeling only
+    ever REMOVES rows, so round cost is monotonically nonincreasing —
+    the opposite of the wedge blowup triangle_census guards against.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    e = edges.select("u", "v")
+    for _ in range(n_rounds):
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .unionAll(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("_d"))
+        )
+        alive = deg.filter(F.col("_d") >= k).select("node")
+        e = (
+            e.join(alive.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(alive.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    final_deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("degree"))
+    )
+    return final_deg.filter(F.col("degree") >= k)
+
+
+def label_propagation(edges: DataFrame, n_rounds: int = 4) -> DataFrame:
+    """Synchronous label propagation communities (Raghavan et al. 2007)
+    over an undirected simple graph of canonical (u, v) edges,
+    determinized: every node starts labeled with its own id; each round
+    every node adopts the most frequent label among its NEIGHBORS, ties
+    broken by the smallest label — no randomness, so a fixed
+    ``n_rounds`` gives one well-defined answer on both engines (the
+    classic random-order async variant is irreproducible by design;
+    synchronous + min-tie-break is the determinization every
+    distributed implementation (e.g. GraphX/GraphFrames LPA) ships).
+
+    Returns (node, community, community_size) — community = the final
+    label, an actual member node's id.
+
+    Scale shape per round: one |E|-bounded join of the label vector
+    against the (doubled) edge list, one groupBy (node, label), and a
+    per-node window for the deterministic argmax — partitioned by node,
+    so fully parallel; a hub node's candidate rows are bounded by its
+    degree (never materialized as one array).  Labels checkpointed per
+    round.  Isolated nodes (none arise from an edge list, but callers
+    may union extra nodes later) would keep their own label.
+    """
+    from pyspark.sql import Window
+
+    nodes = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    both = edges.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    labels = nodes.select("node", F.col("node").alias("label"))
+    w = Window.partitionBy("node").orderBy(F.desc("_cnt"), F.asc("label"))
+    for _ in range(n_rounds):
+        cand = both.join(
+            labels.withColumnRenamed("node", "src"), "src"
+        ).select(F.col("dst").alias("node"), "label")
+        counts = cand.groupBy("node", "label").agg(F.count("*").alias("_cnt"))
+        new = (
+            counts.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("node", "label")
+        )
+        labels = (
+            nodes.join(new.withColumnRenamed("label", "_nl"), "node", "left")
+            .select(
+                "node", F.coalesce("_nl", F.col("node")).alias("label")
+            )
+            .localCheckpoint(eager=True)
+        )
+    sizes = labels.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("community_size")
+    )
+    return labels.join(sizes, "label").select(
+        "node",
+        F.col("label").alias("community"),
+        "community_size",
+    )
+
+
 def undirected_edges(pairs: DataFrame) -> DataFrame:
     """Canonical a<b co-occurrence pairs (entity_cooccurrence output:
     class_a/key_a/class_b/key_b/n_turns) -> both directed edges."""
