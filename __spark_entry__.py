@@ -7577,6 +7577,146 @@ def _q_graph_label_propagation(spark, sf_dir):
     ).orderBy("node")
 
 
+# --- robust stats + experiment analysis (robust.py) -----------------------
+
+
+@_register(
+    "robust_value_outliers",
+    """
+    WITH v AS (
+      SELECT event_type AS grp,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    r AS (
+      SELECT grp, cents,
+             ROW_NUMBER() OVER (PARTITION BY grp ORDER BY cents) AS rn,
+             COUNT(*) OVER (PARTITION BY grp) AS n
+      FROM v
+    ),
+    m AS (
+      SELECT r.*,
+             MAX(CASE WHEN rn = CAST(FLOOR((n + 1) / 2.0) AS BIGINT)
+                      THEN cents END) OVER (PARTITION BY grp) AS med
+      FROM r
+    ),
+    d AS (
+      SELECT grp, cents, n, med, ABS(cents - med) AS dev,
+             ROW_NUMBER() OVER (PARTITION BY grp
+               ORDER BY ABS(cents - med), cents) AS rd
+      FROM m
+    ),
+    mm AS (
+      SELECT d.*,
+             MAX(CASE WHEN rd = CAST(FLOOR((n + 1) / 2.0) AS BIGINT)
+                      THEN dev END) OVER (PARTITION BY grp) AS mad
+      FROM d
+    )
+    SELECT grp AS "group", CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(med) AS BIGINT) AS med,
+           CAST(MIN(mad) AS BIGINT) AS mad,
+           CAST(SUM(CASE WHEN dev > 3 * mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+    FROM mm GROUP BY 1 ORDER BY 1
+    """,
+)
+def _q_robust_value_outliers(spark, sf_dir):
+    """Per-event-class robust outlier summary on integer cents: exact
+    LOWER-median + MAD (Hampel 1974, 50% breakdown — one corrupt spike
+    cannot drag the gate, unlike the trailing-mean anomaly baseline)
+    with the flag dev > 3*MAD an integer comparison. Windows
+    partitioned by class — parallel across groups; unbounded groups go
+    to the KLL sketch path instead (sketches.py).
+    operators/robust.py median_mad_outliers."""
+    from flow_indexer_spark.operators.robust import median_mad_outliers
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    out = median_mad_outliers(ev, "event_type", "cents", c=3)
+    return (
+        out.groupBy(F.col("group"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min("med").cast("bigint").alias("med"),
+            F.min("mad").cast("bigint").alias("mad"),
+            F.sum(F.col("is_outlier").cast("bigint"))
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .orderBy("group")
+    )
+
+
+@_register(
+    "ab_conversion_ztest",
+    """
+    WITH u AS (
+      SELECT user_id, user_id % 2 AS variant,
+             MAX(CASE WHEN event_type = 'purchase' AND value >= 170
+                      THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(converted) AS BIGINT) AS conv
+      FROM u GROUP BY 1
+    ),
+    j AS (
+      SELECT a.variant AS variant_a, b.variant AS variant_b,
+             a.n AS n_a, b.n AS n_b, a.conv AS conv_a, b.conv AS conv_b
+      FROM p a, p b WHERE a.variant = 0 AND b.variant = 1
+    )
+    SELECT variant_a, variant_b, n_a, n_b, conv_a, conv_b,
+           round(conv_a / CAST(n_a AS DOUBLE), 9) AS p_a,
+           round(conv_b / CAST(n_b AS DOUBLE), 9) AS p_b,
+           CASE WHEN conv_a + conv_b > 0
+                 AND conv_a + conv_b < n_a + n_b THEN
+             round((conv_a / CAST(n_a AS DOUBLE)
+                    - conv_b / CAST(n_b AS DOUBLE))
+                   / sqrt((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE)
+                          * (1.0 - (conv_a + conv_b)
+                                   / CAST(n_a + n_b AS DOUBLE))
+                          * (1.0 / n_a + 1.0 / n_b)), 9)
+           END AS z,
+           CASE WHEN conv_a + conv_b > 0
+                 AND conv_a + conv_b < n_a + n_b THEN
+             round(CAST(n_a + n_b AS DOUBLE)
+                   * CAST((conv_a * (n_b - conv_b)
+                           - (n_a - conv_a) * conv_b)
+                          * (conv_a * (n_b - conv_b)
+                             - (n_a - conv_a) * conv_b) AS DOUBLE)
+                   / CAST(n_a * n_b * (conv_a + conv_b)
+                          * (n_a + n_b - conv_a - conv_b) AS DOUBLE), 9)
+           END AS chi2
+    FROM j
+    """,
+)
+def _q_ab_conversion_ztest(spark, sf_dir):
+    """Two-proportion experiment readout (variant = user_id parity,
+    conversion = any high-value purchase): pooled z and Pearson 2x2 chi-square
+    from exact bigint counts — each statistic ONE IEEE expression
+    (sqrt + division) mirrored verbatim in the oracle, aggregation to
+    2 rows before any math. operators/robust.py two_proportion_test."""
+    from flow_indexer_spark.operators.robust import two_proportion_test
+
+    u = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id", (F.col("user_id") % 2).alias("variant"))
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") >= 170),
+                    1,
+                ).otherwise(0)
+            ).alias("converted")
+        )
+    )
+    return two_proportion_test(u, "variant", "converted")
+
+
 # --- classifier / retrieval evaluation metrics (evalmetrics.py) -----------
 
 #: deterministic scored-classifier fixture over documents: label = "long
