@@ -7577,6 +7577,144 @@ def _q_graph_label_propagation(spark, sf_dir):
     ).orderBy("node")
 
 
+# --- multinomial naive Bayes (nbayes.py) ----------------------------------
+
+#: shared token CTEs: per-(doc, lang, token) counts over whitespace
+#: tokens, the training vocabulary, and per-class totals.
+_NB_CTES = """
+    base AS MATERIALIZED (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    tok AS MATERIALIZED (
+      SELECT doc_id, lang, token, CAST(COUNT(*) AS BIGINT) AS n
+      FROM base GROUP BY 1, 2, 3
+    ),
+    voc AS MATERIALIZED (
+      SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS V FROM tok
+    ),
+    pc AS MATERIALIZED (
+      SELECT lang AS cls,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(SUM(n) AS BIGINT) AS tot
+      FROM tok GROUP BY 1
+    ),
+    model AS MATERIALIZED (
+      SELECT tok.lang AS cls, tok.token, CAST(SUM(tok.n) AS BIGINT) AS n,
+             round(ln((SUM(tok.n) + 1.0) / (ANY_VALUE(pc.tot) + 1.0 * ANY_VALUE(voc.V))), 9)
+               AS log_prob
+      FROM tok JOIN pc ON tok.lang = pc.cls CROSS JOIN voc
+      GROUP BY 1, 2
+    )
+"""
+
+
+@_register(
+    "nbayes_model",
+    f"""
+    WITH {_NB_CTES}
+    SELECT cls, token, n, log_prob FROM model ORDER BY cls, token
+    """,
+)
+def _q_nbayes_model(spark, sf_dir):
+    """Multinomial naive Bayes token model (McCallum-Nigam 1998)
+    trained in two map-side-combined aggregations — no iteration:
+    log_prob = ln((n_tc+1)/(tot_c+V)), each a single ln() of an exact
+    rational rounded to 9 (no float fold exists). operators/nbayes.py
+    nb_train."""
+    from flow_indexer_spark.operators.nbayes import nb_train
+
+    d = _t(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+        )
+        .groupBy("doc_id", "lang", "token")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    model, _ = nb_train(toks, "lang", "doc_id", "token", "n")
+    return model.orderBy("cls", "token")
+
+
+@_register(
+    "nbayes_confusion",
+    f"""
+    WITH {_NB_CTES},
+    d_all AS MATERIALIZED (
+      SELECT CAST(SUM(n_docs) AS BIGINT) AS D FROM pc
+    ),
+    pr AS MATERIALIZED (
+      SELECT pc.cls, round(ln(pc.n_docs / CAST(d_all.D AS DOUBLE)), 9)
+               AS log_prior,
+             round(ln(1.0 / (pc.tot + 1.0 * voc.V)), 9) AS log_default
+      FROM pc CROSS JOIN d_all CROSS JOIN voc
+    ),
+    tokd AS MATERIALIZED (
+      SELECT doc_id AS doc, token, CAST(COUNT(*) AS BIGINT) AS n
+      FROM base GROUP BY 1, 2
+    ),
+    terms AS MATERIALIZED (
+      SELECT tokd.doc, pr.cls, tokd.token,
+             tokd.n * COALESCE(m.log_prob, pr.log_default) AS term
+      FROM tokd CROSS JOIN pr
+      LEFT JOIN model m ON m.cls = pr.cls AND m.token = tokd.token
+    ),
+    sc AS MATERIALIZED (
+      SELECT t.doc, t.cls,
+             round(ANY_VALUE(pr.log_prior) + SUM(t.term ORDER BY t.token), 9)
+               AS score
+      FROM terms t JOIN pr ON t.cls = pr.cls
+      GROUP BY 1, 2
+    ),
+    pred AS MATERIALIZED (
+      SELECT doc, cls AS predicted FROM (
+        SELECT doc, cls, ROW_NUMBER() OVER (
+          PARTITION BY doc ORDER BY score DESC, cls) AS rn
+        FROM sc) WHERE rn = 1
+    )
+    SELECT d.lang AS actual, p.predicted,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents d JOIN pred p ON d.doc_id = p.doc
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def _q_nbayes_confusion(spark, sf_dir):
+    """Resubstitution confusion matrix of the trained NB classifier:
+    scoring fans doc-token rows by the broadcast class table, left-
+    joins the model, folds per-(doc, class) terms in SORTED token
+    order (oracle: SUM(term ORDER BY token)) over 9-dp-rounded terms,
+    and argmaxes the ROUNDED scores (ties -> smaller class) so a 1-ulp
+    libm divergence can never flip a prediction. operators/nbayes.py
+    nb_score / nb_predict."""
+    from flow_indexer_spark.operators.nbayes import (
+        nb_predict,
+        nb_score,
+        nb_train,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+        )
+        .groupBy("doc_id", "lang", "token")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    model, classes = nb_train(toks, "lang", "doc_id", "token", "n")
+    docd = toks.groupBy(F.col("doc_id").alias("doc"), "token").agg(
+        F.sum("n").cast("bigint").alias("n")
+    )
+    scores = nb_score(docd, model, classes, "doc", "token", "n")
+    pred = nb_predict(scores)
+    return (
+        d.join(pred, d["doc_id"] == pred["doc"])
+        .groupBy(F.col("lang").alias("actual"), "predicted")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .orderBy("actual", "predicted")
+    )
+
+
 # --- robust stats + experiment analysis (robust.py) -----------------------
 
 
