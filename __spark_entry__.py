@@ -7577,6 +7577,147 @@ def _q_graph_label_propagation(spark, sf_dir):
     ).orderBy("node")
 
 
+# --- Markov chain over role sequences (markov.py) -------------------------
+
+_MARKOV_CTES = """
+    t AS MATERIALIZED (
+      SELECT CAST(user_id AS VARCHAR) AS conv_id,
+             CAST(event_id AS INTEGER) AS turn_idx,
+             event_type AS role
+      FROM events
+    ),
+    pr AS MATERIALIZED (
+      SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT role AS src,
+               LEAD(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                 AS dst
+        FROM t
+      ) WHERE dst IS NOT NULL GROUP BY 1, 2
+    ),
+    tr AS MATERIALIZED (
+      SELECT src, dst, n,
+             round(n / CAST(SUM(n) OVER (PARTITION BY src) AS DOUBLE), 9)
+               AS prob
+      FROM pr
+    )
+"""
+
+
+@_register(
+    "markov_role_transitions",
+    f"""
+    WITH {_MARKOV_CTES}
+    SELECT src, dst, n, prob FROM tr ORDER BY src, dst
+    """,
+)
+def _q_markov_role_transitions(spark, sf_dir):
+    """First-order role-transition matrix of the transcript corpus:
+    consecutive turns per conversation via ONE lag window partitioned
+    by conv (the sessionize shape), exact bigint counts, probabilities
+    single exact-rational divisions. The corpus behavioral fingerprint
+    for drift/QA/anomaly routing. operators/markov.py
+    transition_matrix."""
+    from flow_indexer_spark.operators.markov import transition_matrix
+
+    t = synth_transcripts(spark, sf_dir)
+    return transition_matrix(t, "conv_id", "turn_idx", "role").orderBy(
+        "src", "dst"
+    )
+
+
+def _markov_kstep_oracle(k: int = 3) -> str:
+    parts = [
+        f"""WITH {_MARKOV_CTES},
+    srcs AS MATERIALIZED (SELECT DISTINCT src FROM tr),
+    d0 AS MATERIALIZED (
+      SELECT state, round(n / CAST(SUM(n) OVER () AS DOUBLE), 9) AS p
+      FROM (
+        SELECT role AS state, CAST(COUNT(*) AS BIGINT) AS n FROM (
+          SELECT role, ROW_NUMBER() OVER (
+            PARTITION BY conv_id ORDER BY turn_idx) AS rn
+          FROM t
+        ) WHERE rn = 1 GROUP BY 1
+      )
+    )"""
+    ]
+    for r in range(k):
+        parts.append(
+            f""", m{r + 1} AS MATERIALIZED (
+          SELECT tr.dst AS state, SUM(d{r}.p * tr.prob ORDER BY tr.src) AS p
+          FROM d{r} JOIN tr ON d{r}.state = tr.src GROUP BY 1
+        ), g{r + 1} AS MATERIALIZED (
+          SELECT state, p FROM d{r}
+          WHERE state NOT IN (SELECT src FROM srcs)
+        ), d{r + 1} AS MATERIALIZED (
+          SELECT COALESCE(m.state, g.state) AS state,
+                 round(COALESCE(m.p, 0) + COALESCE(g.p, 0), 9) AS p
+          FROM m{r + 1} m FULL JOIN g{r + 1} g ON m.state = g.state
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT state, p AS prob FROM d{k} WHERE p > 0 ORDER BY state"""
+    )
+    return "".join(parts)
+
+
+@_register("markov_kstep_distribution", _markov_kstep_oracle(3))
+def _q_markov_kstep_distribution(spark, sf_dir):
+    """Corpus role distribution pushed 3 steps through the transition
+    chain from the first-turn distribution: per-step <=|S|-term sorted-
+    source folds rounded to 9dp before the next step (the pagerank
+    bit-pinned-trajectory discipline), dangling states self-loop so
+    mass is conserved. The chain is broadcast every step; only |S|
+    rows shuffle. operators/markov.py k_step_distribution."""
+    from flow_indexer_spark.operators.markov import (
+        initial_distribution,
+        k_step_distribution,
+        transition_matrix,
+    )
+
+    t = synth_transcripts(spark, sf_dir)
+    trans = transition_matrix(t, "conv_id", "turn_idx", "role")
+    init = initial_distribution(t, "conv_id", "turn_idx", "role")
+    return k_step_distribution(trans, init, k=3).orderBy("state")
+
+
+@_register(
+    "benford_digit_audit",
+    """
+    WITH v AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events
+      WHERE CAST(round(value * 100) AS BIGINT) > 0
+    ),
+    per AS (
+      SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit,
+             CAST(COUNT(*) AS BIGINT) AS n_obs
+      FROM v GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM per)
+    SELECT digit, n_obs,
+           round(n_obs / CAST(n AS DOUBLE), 9) AS frac_obs,
+           round(log10(1.0 + 1.0 / digit), 9) AS p_benford,
+           round(n * log10(1.0 + 1.0 / digit), 9) AS n_expected,
+           round((n_obs - n * log10(1.0 + 1.0 / digit))
+                 * (n_obs - n * log10(1.0 + 1.0 / digit))
+                 / (n * log10(1.0 + 1.0 / digit)), 9) AS chi2_term
+    FROM per, tot ORDER BY digit
+    """,
+)
+def _q_benford_digit_audit(spark, sf_dir):
+    """First-digit Benford audit of event amounts (in cents): the
+    fabricated/defaulted-feed smell test. In-row digit extraction +
+    one <=9-group map-side aggregate; per-digit chi-square terms are
+    ratios against one log10 literal each — no cross-digit fold.
+    operators/diagnostics.py benford_report."""
+    from flow_indexer_spark.operators.diagnostics import benford_report
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    )
+    return benford_report(ev, "cents")
+
+
 # --- multinomial naive Bayes (nbayes.py) ----------------------------------
 
 #: shared token CTEs: per-(doc, lang, token) counts over whitespace

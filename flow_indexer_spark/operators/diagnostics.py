@@ -196,3 +196,51 @@ def distribution_drift(
         floor.alias("noise_floor"),
         (F.col("psi") > threshold + 2 * floor).alias("drifted"),
     )
+
+
+def benford_report(
+    df: DataFrame,
+    value_col: str,
+    dp: int = 9,
+) -> DataFrame:
+    """First-digit (Benford 1938) audit of a positive numeric column —
+    the classic fabricated/defaulted-data smell test for telemetry
+    amounts and counts: organic multiplicative quantities follow
+    P(d) = log10(1 + 1/d); constant-injected or truncated feeds don't.
+
+    Rows with value <= 0 are excluded (no leading digit).  Returns one
+    row per observed leading digit: (digit, n_obs, frac_obs, p_benford,
+    n_expected, chi2_term) ordered by digit — chi2_term =
+    (n_obs - n*p)^2 / (n*p), so sum(chi2_term) ~ chi2(8) under the
+    law.  Per-digit statistics are ratios of exact bigints against a
+    log10 literal each — no cross-digit float fold; callers needing
+    the scalar chi2 sum the 9 rows (sorted) themselves.
+
+    Scale shape: leading-digit extraction is in-row string math on the
+    bigint; then ONE map-side-combined groupBy over <= 9 groups.
+    """
+    v = F.col(value_col).cast("bigint")
+    d = df.filter(v > 0).select(
+        F.substring(v.cast("string"), 1, 1).cast("int").alias("digit")
+    )
+    per = d.groupBy("digit").agg(F.count("*").cast("bigint").alias("n_obs"))
+    tot = per.agg(F.sum("n_obs").cast("bigint").alias("_n"))
+    p = F.log10(1.0 + 1.0 / F.col("digit"))
+    exp_n = F.col("_n") * p
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_obs",
+            F.round(F.col("n_obs") / F.col("_n").cast("double"), dp).alias(
+                "frac_obs"
+            ),
+            F.round(p, dp).alias("p_benford"),
+            F.round(exp_n, dp).alias("n_expected"),
+            F.round(
+                (F.col("n_obs") - exp_n) * (F.col("n_obs") - exp_n) / exp_n,
+                dp,
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
