@@ -7577,6 +7577,193 @@ def _q_graph_label_propagation(spark, sf_dir):
     ).orderBy("node")
 
 
+#: deterministic scored-classifier fixture over documents: label = "long
+#: document" (n_chars >= 150); integer score on a 64-point grid,
+#: correlated with the label ((n_chars-100)/6) plus a deterministic
+#: doc_id jitter so the ROC is neither perfect nor random, clamped to
+#: [0, 63].  Identical integer arithmetic on both engines; probability
+#: = s64/64.0 is exactly dyadic, so float equality is exact.
+_SCORED_SQL = """
+    SELECT doc_id,
+           CASE WHEN n_chars >= 150 THEN 1 ELSE 0 END AS label,
+           CAST(LEAST(63, GREATEST(0,
+                CAST(FLOOR((n_chars - 100) / 6.0) AS BIGINT)
+                + (doc_id * 37) % 23 - 11)) AS BIGINT) AS s64
+    FROM documents
+"""
+
+
+def _scored(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    s64 = F.least(
+        F.lit(63),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col("n_chars") - 100) / 6.0).cast("bigint")
+            + (F.col("doc_id") * 37) % 23
+            - 11,
+        ),
+    ).cast("bigint")
+    return d.select(
+        "doc_id",
+        F.when(F.col("n_chars") >= 150, 1).otherwise(0).alias("label"),
+        s64.alias("s64"),
+    )
+
+
+# --- RRF fusion, Wilson bounds, mix concentration --------------------------
+
+_WILSON_Z = 1.959963985
+_WILSON_Z2 = _WILSON_Z * _WILSON_Z
+
+
+@_register(
+    "rank_fusion_rrf",
+    f"""
+    WITH pts AS ({_SCORED_SQL}),
+    r1 AS (
+      SELECT 'quality' AS list_id, doc_id AS item,
+             ROW_NUMBER() OVER (ORDER BY s64 DESC, doc_id) AS rank
+      FROM pts
+    ),
+    r2 AS (
+      SELECT 'length' AS list_id, d.doc_id AS item,
+             ROW_NUMBER() OVER (ORDER BY d.n_chars DESC, d.doc_id) AS rank
+      FROM documents d
+    ),
+    t AS (
+      SELECT item, list_id, 1.0 / (60 + rank) AS term
+      FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+    )
+    SELECT item, CAST(COUNT(*) AS BIGINT) AS n_lists,
+           round(SUM(term ORDER BY list_id), 9) AS rrf_score
+    FROM t GROUP BY item
+    ORDER BY rrf_score DESC, item LIMIT 50
+    """,
+)
+def _q_rank_fusion_rrf(spark, sf_dir):
+    """Reciprocal Rank Fusion (Cormack-Clarke-Buettcher 2009) of two
+    uncalibrated rankers (the quality scorer vs raw length): ranks
+    only, 1/(60+rank) terms folded in sorted list order, TakeOrdered
+    top-50 — the standard BM25+ANN combiner without score calibration.
+    operators/ranking.py rrf_fuse."""
+    from pyspark.sql import Window
+
+    from flow_indexer_spark.operators.ranking import rrf_fuse
+
+    d = _t(spark, sf_dir, "documents")
+    pts = _scored(spark, sf_dir)
+    r1 = pts.select(
+        F.lit("quality").alias("list_id"),
+        F.col("doc_id").alias("item"),
+        F.row_number()
+        .over(Window.orderBy(F.col("s64").desc(), F.col("doc_id")))
+        .alias("rank"),
+    )
+    r2 = d.select(
+        F.lit("length").alias("list_id"),
+        F.col("doc_id").alias("item"),
+        F.row_number()
+        .over(Window.orderBy(F.col("n_chars").desc(), F.col("doc_id")))
+        .alias("rank"),
+    )
+    return rrf_fuse(r1.unionByName(r2), k0=60, topk=50)
+
+
+@_register(
+    "rate_wilson_bounds",
+    f"""
+    WITH per AS (
+      SELECT event_type AS "group",
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN value >= 170 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS successes
+      FROM events GROUP BY 1
+    )
+    SELECT "group", n, successes,
+           round(successes / CAST(n AS DOUBLE), 9) AS p_hat,
+           round((successes / CAST(n AS DOUBLE)
+                  + {_WILSON_Z2!r} / (2.0 * n))
+                 / (1.0 + {_WILSON_Z2!r} / n)
+                 - {_WILSON_Z!r} / (1.0 + {_WILSON_Z2!r} / n)
+                   * sqrt(successes / CAST(n AS DOUBLE)
+                          * (1.0 - successes / CAST(n AS DOUBLE)) / n
+                          + {_WILSON_Z2!r} / (4.0 * n * n)), 9) AS lo,
+           round((successes / CAST(n AS DOUBLE)
+                  + {_WILSON_Z2!r} / (2.0 * n))
+                 / (1.0 + {_WILSON_Z2!r} / n)
+                 + {_WILSON_Z!r} / (1.0 + {_WILSON_Z2!r} / n)
+                   * sqrt(successes / CAST(n AS DOUBLE)
+                          * (1.0 - successes / CAST(n AS DOUBLE)) / n
+                          + {_WILSON_Z2!r} / (4.0 * n * n)), 9) AS hi
+    FROM per ORDER BY "group"
+    """,
+)
+def _q_rate_wilson_bounds(spark, sf_dir):
+    """Per-event-class high-value rate with the Wilson (1927) score
+    interval — the small-n-correct rate interval (never leaves [0,1]).
+    Exact bigint counts; each bound ONE IEEE expression mirrored in
+    identical association order in the oracle. operators/robust.py
+    wilson_bounds."""
+    from flow_indexer_spark.operators.robust import wilson_bounds
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(F.col("value") >= 170, 1).otherwise(0).alias("success"),
+    )
+    return wilson_bounds(ev, "event_type", "success", z=_WILSON_Z).orderBy(
+        "group"
+    )
+
+
+@_register(
+    "source_concentration",
+    """
+    WITH per AS (
+      SELECT source AS g, CAST(COUNT(*) AS BIGINT) AS x
+      FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(x) AS BIGINT) AS N FROM per),
+    r AS (
+      SELECT g, x, ROW_NUMBER() OVER (ORDER BY x, g) AS i FROM per
+    ),
+    a AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+             CAST(SUM(x) AS BIGINT) AS n_rows,
+             CAST(SUM(x * x) AS BIGINT) AS sq,
+             CAST(SUM(i * x) AS BIGINT) AS iwx,
+             SUM(-(x / CAST(tot.N AS DOUBLE))
+                 * ln(x / CAST(tot.N AS DOUBLE)) ORDER BY g) AS ent
+      FROM r, tot
+    )
+    SELECT n_groups, n_rows,
+           round(sq / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)), 9)
+             AS hhi,
+           round(ent, 9) AS entropy,
+           CASE WHEN n_groups > 1 THEN
+             round(ent / ln(CAST(n_groups AS DOUBLE)), 9)
+           END AS entropy_norm,
+           round(2.0 * iwx
+                 / (CAST(n_groups AS DOUBLE) * CAST(n_rows AS DOUBLE))
+                 - (CAST(n_groups AS DOUBLE) + 1.0)
+                   / CAST(n_groups AS DOUBLE), 9) AS gini
+    FROM a
+    """,
+)
+def _q_source_concentration(spark, sf_dir):
+    """One-row source-mix concentration audit: HHI (one exact bigint
+    numerator), entropy + normalized entropy (sorted-group fold), and
+    the Gini coefficient via the exact integer identity
+    2*sum(i*x_(i))/(k*N) - (k+1)/k over ascending counts (count ties
+    provably cannot perturb the sum — no tie-break needed).
+    operators/diagnostics.py concentration_report."""
+    from flow_indexer_spark.operators.diagnostics import concentration_report
+
+    return concentration_report(
+        _t(spark, sf_dir, "documents"), "source"
+    )
+
+
 # --- Markov chain over role sequences (markov.py) -------------------------
 
 _MARKOV_CTES = """
@@ -7997,40 +8184,6 @@ def _q_ab_conversion_ztest(spark, sf_dir):
 
 
 # --- classifier / retrieval evaluation metrics (evalmetrics.py) -----------
-
-#: deterministic scored-classifier fixture over documents: label = "long
-#: document" (n_chars >= 150); integer score on a 64-point grid,
-#: correlated with the label ((n_chars-100)/6) plus a deterministic
-#: doc_id jitter so the ROC is neither perfect nor random, clamped to
-#: [0, 63].  Identical integer arithmetic on both engines; probability
-#: = s64/64.0 is exactly dyadic, so float equality is exact.
-_SCORED_SQL = """
-    SELECT doc_id,
-           CASE WHEN n_chars >= 150 THEN 1 ELSE 0 END AS label,
-           CAST(LEAST(63, GREATEST(0,
-                CAST(FLOOR((n_chars - 100) / 6.0) AS BIGINT)
-                + (doc_id * 37) % 23 - 11)) AS BIGINT) AS s64
-    FROM documents
-"""
-
-
-def _scored(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    s64 = F.least(
-        F.lit(63),
-        F.greatest(
-            F.lit(0),
-            F.floor((F.col("n_chars") - 100) / 6.0).cast("bigint")
-            + (F.col("doc_id") * 37) % 23
-            - 11,
-        ),
-    ).cast("bigint")
-    return d.select(
-        "doc_id",
-        F.when(F.col("n_chars") >= 150, 1).otherwise(0).alias("label"),
-        s64.alias("s64"),
-    )
-
 
 @_register(
     "eval_roc_auc",

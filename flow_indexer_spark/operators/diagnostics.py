@@ -244,3 +244,70 @@ def benford_report(
         )
         .orderBy("digit")
     )
+
+
+def concentration_report(
+    df: DataFrame,
+    group_col: str,
+    dp: int = 9,
+) -> DataFrame:
+    """One-row concentration audit of a categorical mix (training
+    sources, routed entity classes): is the corpus dominated by a few
+    groups?  Returns (n_groups, n_rows, hhi, entropy, entropy_norm,
+    gini):
+
+    * hhi      — Herfindahl-Hirschman sum of squared shares,
+                 sum(n_i^2)/N^2: ONE exact bigint numerator.
+    * entropy  — -sum p_i ln p_i (nats), folded in sorted group order
+                 (oracle: SUM(term ORDER BY group)); entropy_norm
+                 divides by ln(k) (NULL for k = 1).
+    * gini     — from the exact integer identity over ascending counts
+                 x_(1..k):  G = 2*sum(i*x_(i)) / (k*N) - (k+1)/k.
+                 Ties in counts cannot perturb sum(i*x_(i)) (equal
+                 values swap between equal-weight positions), so the
+                 statistic is deterministic without a tie-break.
+
+    Scale: one groupBy over the group key; everything after is k rows
+    (the serial rank window over k groups is free — group cardinality
+    is mix-sized, not corpus-sized).
+    """
+    from pyspark.sql import Window
+
+    per = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.count("*").cast("bigint").alias("x")
+    )
+    tot = per.agg(F.sum("x").cast("bigint").alias("_N"))
+    ranked = (
+        per.withColumn("_i", F.row_number().over(Window.orderBy("x", "g")))
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "_t",
+            -(F.col("x") / F.col("_N").cast("double"))
+            * F.log(F.col("x") / F.col("_N").cast("double")),
+        )
+    )
+    agg = ranked.agg(
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.sum("x").cast("bigint").alias("n_rows"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("_sq"),
+        F.sum(F.col("_i") * F.col("x")).cast("bigint").alias("_iwx"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("g", "_t"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["_t"],
+        ).alias("_ent"),
+    )
+    k = F.col("n_groups").cast("double")
+    N = F.col("n_rows").cast("double")
+    return agg.select(
+        "n_groups",
+        "n_rows",
+        F.round(F.col("_sq") / (N * N), dp).alias("hhi"),
+        F.round(F.col("_ent"), dp).alias("entropy"),
+        F.when(
+            F.col("n_groups") > 1, F.round(F.col("_ent") / F.log(k), dp)
+        ).alias("entropy_norm"),
+        F.round(
+            2.0 * F.col("_iwx") / (k * N) - (k + 1.0) / k, dp
+        ).alias("gini"),
+    )

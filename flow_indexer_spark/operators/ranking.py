@@ -73,3 +73,43 @@ def bm25_search(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(topk)
     )
+
+
+def rrf_fuse(
+    rankings: DataFrame,
+    k0: int = 60,
+    topk: int | None = None,
+    dp: int = 9,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR 2009)
+    over any number of rankers: input long-form (list_id, item, rank
+    starting at 1), output (item, n_lists, rrf_score) with
+    rrf_score = sum over lists of 1/(k0 + rank) — the standard way to
+    combine BM25 with embedding ANN without score calibration (ranks
+    only, so incomparable score scales never touch).
+
+    Determinism: each term is one division of exact integers; the
+    per-item fold runs in sorted list_id order (oracle: ``SUM(term
+    ORDER BY list_id)``), rounded to ``dp``; output ordering is
+    (score DESC, item) so equal-score items are stable.  Scale: one
+    groupBy on item (fold width = number of rankers, a constant);
+    ``topk`` turns the global sort into TakeOrderedAndProject.
+    """
+    terms = rankings.select(
+        F.col("item"),
+        F.col("list_id").alias("_l"),
+        (1.0 / (k0 + F.col("rank"))).alias("_term"),
+    )
+    fused = terms.groupBy("item").agg(
+        F.count("*").cast("bigint").alias("n_lists"),
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("_l", "_term"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["_term"],
+            ),
+            dp,
+        ).alias("rrf_score"),
+    )
+    out = fused.orderBy(F.desc("rrf_score"), F.asc("item"))
+    return out.limit(topk) if topk else out

@@ -163,3 +163,48 @@ def two_proportion_test(
         F.round(z, dp).alias("z"),
         F.round(chi2, dp).alias("chi2"),
     )
+
+
+def wilson_bounds(
+    df: DataFrame,
+    group_col: str,
+    success_col: str,
+    z: float = 1.959963985,
+    dp: int = 9,
+) -> DataFrame:
+    """Per-group success rate with the Wilson (1927) score interval —
+    the right small-n interval for rates (never leaves [0,1], behaves
+    at p=0/1, unlike the Wald +-z*sqrt(pq/n)).  Returns (group, n,
+    successes, p_hat, lo, hi).
+
+    center = (p + z^2/(2n)) / (1 + z^2/n)
+    half   = (z / (1 + z^2/n)) * sqrt(p(1-p)/n + z^2/(4 n^2))
+
+    Counts are exact bigints; each bound is ONE IEEE expression
+    mirrored verbatim (same association order) in the oracle, rounded
+    to ``dp``.  One map-side-combined aggregate; no join, no fold.
+    """
+    per = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col(success_col).cast("bigint"))
+        .cast("bigint")
+        .alias("successes"),
+    )
+    n = F.col("n").cast("double")
+    p = F.col("successes") / n
+    z2 = z * z
+    denom = 1.0 + z2 / n
+    center = (p + z2 / (2.0 * n)) / denom
+    half = (
+        F.lit(z)
+        / denom
+        * F.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))
+    )
+    return per.select(
+        "group",
+        "n",
+        "successes",
+        F.round(p, dp).alias("p_hat"),
+        F.round(center - half, dp).alias("lo"),
+        F.round(center + half, dp).alias("hi"),
+    )
