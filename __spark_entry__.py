@@ -7611,6 +7611,114 @@ def _scored(spark, sf_dir):
     )
 
 
+# --- EWMA smoothing + touch attribution ------------------------------------
+
+_EWMA_ALPHA, _EWMA_LAGS = 0.5, 8
+
+
+def _ewma_oracle_sql() -> str:
+    win = "OVER (PARTITION BY event_type ORDER BY day)"
+    num, den = [], []
+    for l in range(_EWMA_LAGS):
+        wl = repr(_EWMA_ALPHA * (1.0 - _EWMA_ALPHA) ** l)
+        x = "n" if l == 0 else f"lag(n, {l}) {win}"
+        num.append(f"COALESCE({x}, 0.0) * {wl}")
+        den.append(f"CASE WHEN {x} IS NOT NULL THEN {wl} ELSE 0.0 END")
+    return f"""
+    WITH s AS MATERIALIZED (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type AS series, day AS t, n AS value,
+           round(({' + '.join(num)})
+                 / ({' + '.join(den)}), 9) AS ewma
+    FROM s ORDER BY series, t
+    """
+
+
+@_register("telemetry_ewma_smooth", _ewma_oracle_sql())
+def _q_telemetry_ewma_smooth(spark, sf_dir):
+    """Per-class daily-count EWMA with an explicit 8-lag truncation
+    horizon (tail weight 2^-8 at alpha=0.5): the recency-weighted
+    smoothing baseline the flat trailing mean lacks, as ONE window
+    pass with L lag() terms in a left-associated chain (dyadic
+    weights, so both engines evaluate term-for-term identically);
+    finite-history renormalization at series starts.
+    operators/telemetry.py ewma_truncated."""
+    from flow_indexer_spark.operators.telemetry import ewma_truncated
+
+    s = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    return ewma_truncated(
+        s, "event_type", "day", "n", alpha=_EWMA_ALPHA, lags=_EWMA_LAGS
+    ).orderBy("series", "t")
+
+
+_TOUCH_SQL = """
+      SELECT user_id AS "user", event_id AS _o, event_type AS _t,
+             LAST_VALUE(CASE WHEN event_type IN ('view', 'click')
+                             THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch_order,
+             LAST_VALUE(CASE WHEN event_type IN ('view', 'click')
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch_type
+      FROM events
+"""
+
+
+@_register(
+    "attribution_last_touch",
+    f"""
+    WITH c AS ({_TOUCH_SQL})
+    SELECT "user", _o AS conv_order, touch_order, touch_type
+    FROM c WHERE _t = 'purchase'
+    ORDER BY "user", conv_order
+    """,
+)
+def _q_attribution_last_touch(spark, sf_dir):
+    """Last-touch attribution: every purchase credited to the user's
+    most recent preceding view/click via ONE carried
+    last(ignorenulls) window over (-inf, -1) — no self-join, no
+    per-conversion rescan; organic conversions keep NULL.
+    operators/funnels.py touch_attribution."""
+    from flow_indexer_spark.operators.funnels import touch_attribution
+
+    ev = _t(spark, sf_dir, "events")
+    return touch_attribution(
+        ev, "user_id", "event_id", "event_type", ["view", "click"], "purchase"
+    ).orderBy("user", "conv_order")
+
+
+@_register(
+    "attribution_touch_report",
+    f"""
+    WITH c AS ({_TOUCH_SQL})
+    SELECT COALESCE(touch_type, 'organic') AS touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_conversions
+    FROM c WHERE _t = 'purchase'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def _q_attribution_touch_report(spark, sf_dir):
+    """Aggregate conversion credit per touch channel (+ 'organic'):
+    exact counts over the same single-window attribution pass.
+    operators/funnels.py touch_report."""
+    from flow_indexer_spark.operators.funnels import touch_report
+
+    ev = _t(spark, sf_dir, "events")
+    return touch_report(
+        ev, "user_id", "event_id", "event_type", ["view", "click"], "purchase"
+    ).orderBy("touch_type")
+
+
 # --- RRF fusion, Wilson bounds, mix concentration --------------------------
 
 _WILSON_Z = 1.959963985

@@ -110,3 +110,82 @@ def funnel_counts(
         .agg(F.count("*").alias("n_users"))
         .orderBy("step")
     )
+
+
+def touch_attribution(
+    events: DataFrame,
+    user_col: str,
+    order_col: str,
+    type_col: str,
+    touch_types: list[str],
+    conversion_type: str,
+) -> DataFrame:
+    """Attribute each conversion to the LAST preceding touch event of
+    the user (last-touch attribution, the marketing-analytics default;
+    first-touch would be the identical pass with ``F.first`` over the
+    same frame).
+
+    Returns one row per conversion event: (user, conv_order,
+    touch_order, touch_type) with NULLs when no touch precedes
+    (an "organic" conversion).
+
+    Plan: ONE window pass partitioned by user ordered by
+    ``order_col`` — the carried last-touch is ``last(touch_marker,
+    ignorenulls=True)`` over rows (-inf, -1), so no self-join and no
+    per-conversion scan; ties are impossible when ``order_col`` is
+    unique per user (event ids here).
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user")
+        .orderBy("_o")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col(type_col).isin(touch_types)
+    marked = events.select(
+        F.col(user_col).alias("user"),
+        F.col(order_col).alias("_o"),
+        F.col(type_col).alias("_t"),
+        F.when(is_touch, F.col(order_col)).alias("_touch_o"),
+        F.when(is_touch, F.col(type_col)).alias("_touch_t"),
+    )
+    carried = marked.select(
+        "user",
+        "_o",
+        "_t",
+        F.last("_touch_o", ignorenulls=True).over(w).alias("touch_order"),
+        F.last("_touch_t", ignorenulls=True).over(w).alias("touch_type"),
+    )
+    return carried.filter(F.col("_t") == conversion_type).select(
+        "user",
+        F.col("_o").alias("conv_order"),
+        "touch_order",
+        "touch_type",
+    )
+
+
+def touch_report(
+    events: DataFrame,
+    user_col: str,
+    order_col: str,
+    type_col: str,
+    touch_types: list[str],
+    conversion_type: str,
+) -> DataFrame:
+    """Conversion credit per touch type (plus 'organic' for
+    conversions with no preceding touch): (touch_type, n_conversions)
+    — the aggregate view of :func:`touch_attribution`, exact
+    counts."""
+    att = touch_attribution(
+        events, user_col, order_col, type_col, touch_types, conversion_type
+    )
+    return (
+        att.select(
+            F.coalesce(F.col("touch_type"), F.lit("organic")).alias(
+                "touch_type"
+            )
+        )
+        .groupBy("touch_type")
+        .agg(F.count("*").cast("bigint").alias("n_conversions"))
+    )

@@ -386,3 +386,55 @@ def cusum_changepoints(
         s_lo.alias("cusum_lo"),
         ((s_hi > threshold_h) | (s_lo > threshold_h)).alias("alarm"),
     )
+
+
+def ewma_truncated(
+    df: DataFrame,
+    part_col: str,
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    lags: int = 8,
+    dp: int = 9,
+) -> DataFrame:
+    """Per-series exponentially weighted moving average with an
+    EXPLICIT truncation horizon: ewma_t = sum_{l=0..L-1} w_l * x_{t-l}
+    / sum_{l present} w_l, with w_l = alpha*(1-alpha)^l — the
+    recency-weighted baseline `daily_anomaly`'s flat trailing mean
+    lacks.
+
+    Truncation is the point, not a compromise: the exact recursive
+    EWMA is an infinite-tail state recursion (the CUSUM prefix-min
+    trick does not apply — this recursion is contracting, not
+    max-based), while a FIXED lag horizon makes the operator one
+    window pass with L lag() terms — a finite expression both engines
+    evaluate term-for-term identically (weights are python-float
+    literals, the L-term sum one left-associated chain, so no fold
+    order exists to pin).  At alpha=0.5, L=8 the dropped tail weighs
+    2^-8 of the total.  Rows near the series start renormalize over
+    the lags that exist (the standard adjusted/finite-history EWMA).
+
+    Returns (series, t, value, ewma).  ONE window shuffle partitioned
+    by series; everything else is in-row arithmetic.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if lags < 1:
+        raise ValueError(f"lags must be >= 1, got {lags}")
+    w = Window.partitionBy(part_col).orderBy(order_col)
+    v = F.col(value_col).cast("double")
+    num = None
+    den = None
+    for l in range(lags):
+        wl = alpha * (1.0 - alpha) ** l
+        x = F.lag(v, l).over(w) if l else v
+        t = F.coalesce(x, F.lit(0.0)) * F.lit(wl)
+        h = F.when(x.isNotNull(), F.lit(wl)).otherwise(F.lit(0.0))
+        num = t if num is None else num + t
+        den = h if den is None else den + h
+    return df.select(
+        F.col(part_col).alias("series"),
+        F.col(order_col).alias("t"),
+        F.col(value_col).alias("value"),
+        F.round(num / den, dp).alias("ewma"),
+    )
