@@ -376,6 +376,12 @@ def _bench_queries(spark, sf_dir: str) -> dict:
         "graph_triangle_census",
         "telemetry_cusum_changepoint",
         "agreement_fleiss_kappa",
+        "graph_kcore",
+        "graph_label_propagation",
+        "nbayes_confusion",
+        "eval_pr_curve",
+        "markov_kstep_distribution",
+        "attribution_last_touch",
     ]
     qs = entry_mod.queries()
     out = {}

@@ -337,3 +337,48 @@ def test_video_frame_sampling_is_narrow_arrow_stage(spark):
     assert _shuffles(out) == 1  # make_mp4_media's own repartition only
     assert _count(out, "MapInPandas") == 2  # synth + frame stage
     assert _count(out, "BatchEvalPython") == 0
+
+
+def test_rrf_topk_is_take_ordered(spark):
+    """rrf_fuse with topk must compile to TakeOrderedAndProject, never
+    a global Sort of the fused table."""
+    from flow_indexer_spark.operators.ranking import rrf_fuse
+
+    rankings = spark.createDataFrame(
+        [("l1", f"d{i}", i + 1) for i in range(50)]
+        + [("l2", f"d{i}", 50 - i) for i in range(50)],
+        "list_id string, item string, rank int",
+    )
+    out = rrf_fuse(rankings, topk=10)
+    assert _count(out, "TakeOrderedAndProject") == 1
+    assert _count(out, "Sort") == 0
+
+
+def test_auc_prefix_has_no_global_sort_of_scores(spark):
+    """roc_auc's banded prefix: the only unpartitioned window is the
+    <=n_bands band-total pass; the per-score running sum must be
+    partitioned by band (parallel), and no Sort node may act as a
+    global (non-window) sort of the full per-score table."""
+    from flow_indexer_spark.operators.evalmetrics import roc_auc
+
+    pts = spark.createDataFrame(
+        [(i % 2, (i * 37 % 101) / 101.0) for i in range(200)],
+        "label int, score double",
+    )
+    out = roc_auc(pts, "label", "score")
+    nodes = _nodes(out)
+    # two Window nodes total: band prefix (tiny, serial) + banded
+    # per-score prefix (partitioned); a third would mean a regression
+    assert sum(1 for n in nodes if n == "Window") == 2
+
+
+def test_label_propagation_never_collects_neighborhoods(spark):
+    """LPA's argmax is a windowed row_number — a hub's candidate rows
+    stay rows; no collect_list/ObjectHashAggregate may appear."""
+    from flow_indexer_spark.operators.graph import label_propagation
+
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "u bigint, v bigint"
+    )
+    out = label_propagation(e, n_rounds=2)
+    assert _count(out, "ObjectHashAggregate") == 0
