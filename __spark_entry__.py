@@ -7611,6 +7611,85 @@ def _scored(spark, sf_dir):
     )
 
 
+# --- sliding active users + n-gram diversity --------------------------------
+
+
+@_register(
+    "telemetry_sliding_active",
+    """
+    WITH ud AS MATERIALIZED (
+      SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day FROM events
+    ),
+    dau AS (
+      SELECT day, CAST(COUNT(DISTINCT u) AS BIGINT) AS dau
+      FROM ud GROUP BY 1
+    ),
+    fan AS (
+      SELECT u, day + CAST(i AS INTEGER) AS wend
+      FROM ud, unnest(generate_series(0, 6)) AS t(i)
+    ),
+    wau AS (
+      SELECT wend AS day, CAST(COUNT(DISTINCT u) AS BIGINT) AS wau
+      FROM fan GROUP BY 1
+    )
+    SELECT wau.day, CAST(COALESCE(dau.dau, 0) AS BIGINT) AS dau, wau.wau,
+           round(COALESCE(dau.dau, 0) / CAST(wau.wau AS DOUBLE), 9)
+             AS stickiness
+    FROM wau LEFT JOIN dau USING (day) ORDER BY day
+    """,
+)
+def _q_telemetry_sliding_active(spark, sf_dir):
+    """Exact per-day DAU / trailing-7d WAU / stickiness: sliding
+    distinct is not sum-mergeable, so the exact scale form is the
+    explode-to-window trick — a x7 Expand on the DEDUPLICATED
+    (user, day) table (never raw events) + one count_distinct shuffle;
+    the HLL sketch path (sketches.py) is the approximate twin for wide
+    windows. operators/telemetry.py sliding_active_users."""
+    from flow_indexer_spark.operators.telemetry import sliding_active_users
+
+    return sliding_active_users(
+        _t(spark, sf_dir, "events"), "user_id", "ts", window_days=7
+    )
+
+
+@_register(
+    "ngram_diversity_report",
+    """
+    WITH toks AS MATERIALIZED (
+      SELECT source AS grp, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+      SELECT grp, n,
+             array_to_string(list_slice(t, i, i + n - 1), ' ') AS gram
+      FROM toks,
+           unnest([1, 2, 3]) AS nn(n),
+           unnest(generate_series(1, len(t) - n + 1)) AS ii(i)
+      WHERE len(t) >= n
+    ),
+    per AS (
+      SELECT grp, n, gram, COUNT(*) AS c FROM grams GROUP BY 1, 2, 3
+    )
+    SELECT grp AS "group", CAST(n AS INT) AS n,
+           CAST(SUM(c) AS BIGINT) AS total_ngrams,
+           CAST(COUNT(*) AS BIGINT) AS distinct_ngrams,
+           round(COUNT(*) / CAST(SUM(c) AS DOUBLE), 9) AS distinct_ratio
+    FROM per GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def _q_ngram_diversity_report(spark, sf_dir):
+    """Distinct-1/2/3 diversity per source (Li 2016) — the mode-
+    collapse smell test for synthetic corpora (a looping generator
+    collapses distinct-2/3 while byte dedup still passes): in-row
+    token-array n-gram slices, one map-side-combined (group, n, gram)
+    shuffle, tiny report aggregate. operators/textstats.py
+    ngram_diversity."""
+    from flow_indexer_spark.operators.textstats import ngram_diversity
+
+    return ngram_diversity(
+        _t(spark, sf_dir, "documents"), "source", "text", max_n=3
+    )
+
+
 # --- EWMA smoothing + touch attribution ------------------------------------
 
 _EWMA_ALPHA, _EWMA_LAGS = 0.5, 8

@@ -438,3 +438,69 @@ def ewma_truncated(
         F.col(value_col).alias("value"),
         F.round(num / den, dp).alias("ewma"),
     )
+
+
+def sliding_active_users(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    window_days: int = 7,
+    dp: int = 9,
+) -> DataFrame:
+    """Per-day exact DAU, trailing-``window_days`` WAU, and the
+    DAU/WAU stickiness ratio.
+
+    Exact sliding distinct does not decompose into per-day partials
+    (distinct is not sum-mergeable), so the scalable exact form is the
+    EXPLODE-TO-WINDOW trick: each (user, day) pair fans out to the
+    ``window_days`` trailing windows it is visible in — a constant-
+    factor Expand (x W) on the already-deduplicated (user, day) table,
+    never on raw events — followed by one count_distinct shuffle per
+    window end.  (The approximate path for big W is the mergeable HLL
+    in `operators/sketches.py`; this exact path is the audit twin.)
+
+    Windows with no *ending-day* activity still appear whenever any
+    activity falls inside them (window ends enumerate from the fan-out,
+    so a fully-silent corpus day between active days is present with
+    dau = 0 only if some earlier day reaches it — the convention the
+    SQL twin reproduces; day keys never invent rows the data does not
+    imply).
+
+    Returns (day, dau, wau, stickiness) ordered by day.
+    """
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+    ud = (
+        events.select(
+            F.col(user_col).alias("user"),
+            F.col(ts_col).cast("date").alias("day"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dau = ud.groupBy("day").agg(
+        F.count_distinct("user").cast("bigint").alias("dau")
+    )
+    offsets = F.array(*[F.lit(i) for i in range(window_days)])
+    fan = ud.select(
+        "user",
+        F.explode(
+            F.transform(offsets, lambda i: F.date_add(F.col("day"), i))
+        ).alias("wend"),
+    )
+    wau = fan.groupBy(F.col("wend").alias("day")).agg(
+        F.count_distinct("user").cast("bigint").alias("wau")
+    )
+    return (
+        wau.join(dau, "day", "left")
+        .select(
+            "day",
+            F.coalesce("dau", F.lit(0)).cast("bigint").alias("dau"),
+            "wau",
+            F.round(
+                F.coalesce("dau", F.lit(0)) / F.col("wau").cast("double"),
+                dp,
+            ).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
