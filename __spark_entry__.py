@@ -7611,6 +7611,86 @@ def _scored(spark, sf_dir):
     )
 
 
+# --- seasonal profile + readability -----------------------------------------
+
+
+@_register(
+    "telemetry_seasonal_dow",
+    """
+    WITH pd AS (
+      SELECT event_type AS cls, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT cls, CAST(isodow(day) AS INT) AS dow,
+             CAST(SUM(n) AS BIGINT) AS n_events,
+             CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM pd GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT cls, CAST(SUM(n) AS BIGINT) AS tn,
+             CAST(COUNT(*) AS BIGINT) AS td
+      FROM pd GROUP BY 1
+    )
+    SELECT c.cls AS class, dow, n_events, n_days,
+           round(n_events / CAST(n_days AS DOUBLE), 9) AS mean_daily,
+           round((n_events * td) / CAST(n_days * tn AS DOUBLE), 9)
+             AS "index"
+    FROM c JOIN t USING (cls) ORDER BY class, dow
+    """,
+)
+def _q_telemetry_seasonal_dow(spark, sf_dir):
+    """Per-class ISO day-of-week seasonal index (mean daily count per
+    weekday / overall mean daily count) — the 'Mondays are always 2x'
+    profile that belongs in front of the anomaly gates. The algebra
+    (n_cdow*days_c)/(days_cdow*n_c) keeps it ONE division of exact
+    bigint products; active-day convention; ISO numbering pinned
+    (Spark dayofweek() is Sunday-first, DuckDB isodow is Monday-first
+    — converted, not assumed). operators/telemetry.py
+    seasonal_dow_index."""
+    from flow_indexer_spark.operators.telemetry import seasonal_dow_index
+
+    return seasonal_dow_index(_t(spark, sf_dir, "events"), "event_type", "ts")
+
+
+@_register(
+    "readability_report",
+    """
+    WITH per AS (
+      SELECT source AS grp,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+             GREATEST(CAST(1 AS BIGINT),
+                      CAST(len(regexp_extract_all(text, '[.!?]+'))
+                           AS BIGINT)) AS s,
+             CAST(list_sum(list_transform(string_split(text, ' '),
+                    x -> GREATEST(1, len(regexp_extract_all(
+                           x, '[aeiouyAEIOUY]+'))))) AS BIGINT) AS y
+      FROM documents
+    )
+    SELECT grp AS "group",
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(w) AS BIGINT) AS words,
+           CAST(SUM(s) AS BIGINT) AS sentences,
+           CAST(SUM(y) AS BIGINT) AS syllables,
+           round(206.835
+                 - 1.015 * (CAST(SUM(w) AS DOUBLE) / SUM(s))
+                 - 84.6 * (SUM(y) / CAST(SUM(w) AS DOUBLE)), 9) AS flesch
+    FROM per GROUP BY 1 ORDER BY 1
+    """,
+)
+def _q_readability_report(spark, sf_dir):
+    """Per-source Flesch reading ease on corpus-aggregate exact counts
+    (words / [.!?]+ sentence runs floored at 1 / vowel-group syllable
+    heuristic floored at 1 per word — conventions pinned identically
+    on both engines): one IEEE expression of exact bigints, counting
+    fully in-row (integer HOF fold, order-free).
+    operators/textstats.py readability_report."""
+    from flow_indexer_spark.operators.textstats import readability_report
+
+    return readability_report(_t(spark, sf_dir, "documents"), "source", "text")
+
+
 # --- sliding active users + n-gram diversity --------------------------------
 
 

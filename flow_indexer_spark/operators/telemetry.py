@@ -504,3 +504,61 @@ def sliding_active_users(
         )
         .orderBy("day")
     )
+
+
+def seasonal_dow_index(
+    events: DataFrame,
+    class_col: str,
+    ts_col: str,
+    dp: int = 9,
+) -> DataFrame:
+    """Per-class day-of-week seasonal index: mean daily count on each
+    weekday divided by the class's overall mean daily count — the
+    profile that separates "Mondays are always 2x" from a genuine
+    anomaly before `daily_anomaly`/`cusum_changepoints` fire.
+
+    index(c, dow) = (n_cdow / days_cdow) / (n_c / days_c)
+                  = (n_cdow * days_c) / (days_cdow * n_c)
+
+    — ONE division of exact bigint products (the algebra keeps it a
+    single rational).  Day-of-week numbering is ISO (1 = Monday ...
+    7 = Sunday), explicitly pinned because engines disagree by
+    default.  Days are counted as DISTINCT ACTIVE days per cell (a
+    day with zero events contributes no row and no denominator — the
+    active-day convention, mirrored by the oracle).
+
+    Returns (class, dow, n_events, n_days, mean_daily, index) ordered.
+    Scale: one (class, day) aggregate, then a tiny (class, dow)
+    aggregate + per-class totals broadcast back.
+    """
+    per_day = events.groupBy(
+        F.col(class_col).alias("cls"),
+        F.col(ts_col).cast("date").alias("_day"),
+    ).agg(F.count("*").cast("bigint").alias("_n"))
+    # ISO dow: Spark dayofweek() is 1=Sunday..7=Saturday; pin to ISO
+    per_day = per_day.withColumn(
+        "dow", ((F.dayofweek("_day") + 5) % 7 + 1).cast("int")
+    )
+    cell = per_day.groupBy("cls", "dow").agg(
+        F.sum("_n").cast("bigint").alias("n_events"),
+        F.count("*").cast("bigint").alias("n_days"),
+    )
+    tot = per_day.groupBy("cls").agg(
+        F.sum("_n").cast("bigint").alias("_tn"),
+        F.count("*").cast("bigint").alias("_td"),
+    )
+    j = cell.join(F.broadcast(tot), "cls")
+    return j.select(
+        F.col("cls").alias("class"),
+        "dow",
+        "n_events",
+        "n_days",
+        F.round(
+            F.col("n_events") / F.col("n_days").cast("double"), dp
+        ).alias("mean_daily"),
+        F.round(
+            (F.col("n_events") * F.col("_td"))
+            / (F.col("n_days") * F.col("_tn")).cast("double"),
+            dp,
+        ).alias("index"),
+    ).orderBy("class", "dow")

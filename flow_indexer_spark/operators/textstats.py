@@ -620,3 +620,75 @@ def ngram_diversity(
             dp,
         ).alias("distinct_ratio"),
     ).orderBy("group", "n")
+
+
+def readability_report(
+    docs: DataFrame,
+    group_col: str,
+    text_col: str,
+    dp: int = 9,
+) -> DataFrame:
+    """Per-group Flesch reading ease (Flesch 1948) from corpus-level
+    exact counts — the classic readability gate beside the ratio
+    features in :func:`quality_features`.
+
+    Counting conventions (pinned, both engines identical):
+    * words      — whitespace tokens;
+    * sentences  — maximal runs ending in [.!?] (count of
+      ``[.!?]+`` matches), floored at 1 per document so fragment-only
+      docs still score;
+    * syllables  — vowel GROUPS per word ([aeiouyAEIOUY]+ runs),
+      floored at 1 per word — the standard heuristic (true syllable
+      counting needs a dictionary; the vowel-run estimate is the
+      documented approximation every fast implementation uses).
+
+    flesch = 206.835 - 1.015*(words/sentences) - 84.6*(syllables/words)
+
+    computed on the GROUP AGGREGATE counts (exact bigint sums — the
+    corpus-level score, not a float average of per-doc scores), so the
+    result is one IEEE expression of exact integers.  Scale: counting
+    is in-row (regexp_count + an integer HOF fold per doc, fold order
+    irrelevant for integers); one map-side-combined aggregate.
+
+    Returns (group, n_docs, words, sentences, syllables, flesch).
+    """
+    t = F.col(text_col)
+    words_arr = F.split(t, " ")
+    n_words = F.size(words_arr)
+    n_sent = F.greatest(
+        F.lit(1).cast("bigint"), F.regexp_count(t, F.lit(r"[.!?]+"))
+    )
+    syl = F.aggregate(
+        words_arr,
+        F.lit(0).cast("bigint"),
+        lambda acc, w: acc
+        + F.greatest(
+            F.lit(1).cast("bigint"),
+            F.regexp_count(w, F.lit(r"[aeiouyAEIOUY]+")),
+        ),
+    )
+    per = docs.select(
+        F.col(group_col).alias("group"),
+        n_words.cast("bigint").alias("_w"),
+        n_sent.alias("_s"),
+        syl.alias("_y"),
+    ).groupBy("group").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("_w").cast("bigint").alias("words"),
+        F.sum("_s").cast("bigint").alias("sentences"),
+        F.sum("_y").cast("bigint").alias("syllables"),
+    )
+    w = F.col("words").cast("double")
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (w / F.col("sentences"))
+        - F.lit(84.6) * (F.col("syllables") / w)
+    )
+    return per.select(
+        "group",
+        "n_docs",
+        "words",
+        "sentences",
+        "syllables",
+        F.round(flesch, dp).alias("flesch"),
+    ).orderBy("group")
