@@ -7611,6 +7611,99 @@ def _scored(spark, sf_dir):
     )
 
 
+# --- vocab coverage + quantile normalization ---------------------------------
+
+_COVERAGE_RANKS = [1, 5, 10, 25, 50, 100]
+
+
+@_register(
+    "vocab_coverage_curve",
+    f"""
+    WITH toks AS MATERIALIZED (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    v AS MATERIALIZED (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS count FROM toks GROUP BY 1
+    ),
+    r AS (
+      SELECT token, count,
+             CAST(ROW_NUMBER() OVER (ORDER BY count DESC, token)
+                  AS BIGINT) AS rank,
+             CAST(SUM(count) OVER (ORDER BY count DESC, token
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_count
+      FROM v
+    ),
+    t AS (SELECT CAST(SUM(count) AS BIGINT) AS T FROM v)
+    SELECT rank, token, count, cum_count,
+           round(cum_count / CAST(T AS DOUBLE), 9) AS coverage
+    FROM r, t WHERE rank IN ({", ".join(map(str, _COVERAGE_RANKS))})
+    ORDER BY rank
+    """,
+)
+def _q_vocab_coverage_curve(spark, sf_dir):
+    """Tokenizer-budget sizing curve: occurrence coverage of the top-R
+    vocabulary types at candidate sizes R. The vocab rank is banded
+    (floor(log2(count)) buckets — band order provably consistent with
+    global count-desc order, ties impossible across bands) so no
+    vocab-sized single-task sort exists; cum counts ride the same
+    window pass. Exact bigints, one division.
+    operators/tokenize.py vocab_coverage_curve."""
+    from flow_indexer_spark.operators.tokenize import vocab_coverage_curve
+
+    return vocab_coverage_curve(
+        _t(spark, sf_dir, "documents"), "text", _COVERAGE_RANKS
+    )
+
+
+@_register(
+    "score_quantile_normalize",
+    f"""
+    WITH pts AS ({_SCORED_SQL}),
+    d AS MATERIALIZED (
+      SELECT p.doc_id AS id, dd.source AS grp, p.s64 / 64.0 AS value
+      FROM pts p JOIN documents dd ON p.doc_id = dd.doc_id
+    ),
+    g AS MATERIALIZED (
+      SELECT value AS gv,
+             CAST(ROW_NUMBER() OVER (ORDER BY value, id) AS BIGINT)
+               AS grank
+      FROM d
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS N FROM d),
+    r AS (
+      SELECT grp, id, value,
+             CAST(ROW_NUMBER() OVER (PARTITION BY grp
+               ORDER BY value, id) AS BIGINT) AS rr,
+             CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT) AS ng
+      FROM d
+    )
+    SELECT r.grp AS "group", r.id, r.value, round(g.gv, 9) AS norm_value
+    FROM r, n
+    JOIN g ON g.grank = LEAST(n.N, GREATEST(CAST(1 AS BIGINT),
+      CAST(CEIL((r.rr - 0.5) / r.ng * n.N) AS BIGINT)))
+    ORDER BY "group", id
+    """,
+)
+def _q_score_quantile_normalize(spark, sf_dir):
+    """Per-source quantile normalization of the quality score onto the
+    GLOBAL distribution (rank-to-order-statistic mapping, midpoint
+    convention): kills systematic per-source scorer bias before a
+    global threshold. Exact integer ranks with (value, id) ties — a
+    deterministic SELECTION, no interpolation; global ranks banded
+    ([0,1] range buckets), group ranks windowed by group, one bigint
+    equi-join lookup. operators/curation.py quantile_normalize."""
+    from flow_indexer_spark.operators.curation import quantile_normalize
+
+    d = _t(spark, sf_dir, "documents")
+    pts = _scored(spark, sf_dir).withColumn("value", F.col("s64") / 64.0)
+    scored = pts.join(d.select("doc_id", "source"), "doc_id").select(
+        F.col("source"), F.col("doc_id"), F.col("value")
+    )
+    return quantile_normalize(
+        scored, "source", "doc_id", "value"
+    ).orderBy("group", "id")
+
+
 # --- seasonal profile + readability -----------------------------------------
 
 

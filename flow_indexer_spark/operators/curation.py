@@ -993,3 +993,84 @@ def preference_pairs(
         .withColumn("margin", margin)
         .filter((F.col("margin") > 0) & (F.col("margin") >= float(min_margin)))
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    value_col: str,
+    n_bands: int = 64,
+    dp: int = 9,
+) -> DataFrame:
+    """Map every group's score distribution onto the GLOBAL score
+    distribution by rank (quantile normalization, the microarray-
+    classic made per-source): a quality model that scores source A
+    systematically 0.1 higher than source B stops distorting a global
+    threshold once each row's value is replaced by the global value at
+    its within-group quantile.
+
+    Per row: q = (rank_in_group - 0.5) / n_group (midpoint
+    convention), target = the global order statistic at
+    clamp(ceil(q * N), 1, N).  Ranks are exact integers with (value,
+    id) tie-breaks, so the mapping is a deterministic SELECTION —
+    no interpolation, no float folds.
+
+    Scores are assumed in [0, 1] (the banded global rank uses
+    floor(value * n_bands) range buckets — the `_prefix_below` shape:
+    band offsets are a tiny broadcast, within-band windows
+    partitioned; no corpus-sized single-task sort).  Group ranks are
+    windows partitioned by group.  The final lookup is one bigint
+    equi-join against the (global_rank -> value) table.
+
+    Returns (group, id, value, norm_value).
+    """
+    from pyspark.sql import Window
+
+    d = df.select(
+        F.col(group_col).alias("group"),
+        F.col(id_col).alias("id"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    band = F.least(
+        F.lit(n_bands - 1),
+        F.greatest(F.lit(0), F.floor(F.col("value") * n_bands)),
+    ).cast("int")
+    g = d.withColumn("_b", band)
+    btot = g.groupBy("_b").agg(F.count("*").cast("bigint").alias("_bn"))
+    wb = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    boff = btot.select(
+        "_b", F.coalesce(F.sum("_bn").over(wb), F.lit(0)).alias("_off")
+    )
+    wi = Window.partitionBy("_b").orderBy("value", "id")
+    glob = g.join(F.broadcast(boff), "_b").select(
+        F.col("value").alias("_gv"),
+        (F.row_number().over(wi) + F.col("_off")).cast("bigint").alias(
+            "_grank"
+        ),
+    )
+    n_total = d.agg(F.count("*").cast("bigint").alias("_N"))
+    wg = Window.partitionBy("group").orderBy("value", "id")
+    ranked = (
+        d.withColumn("_r", F.row_number().over(wg).cast("bigint"))
+        .withColumn(
+            "_ng", F.count("*").over(Window.partitionBy("group"))
+        )
+        .crossJoin(F.broadcast(n_total))
+    )
+    target = F.least(
+        F.col("_N"),
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.ceil(
+                (F.col("_r") - 0.5) / F.col("_ng") * F.col("_N")
+            ).cast("bigint"),
+        ),
+    )
+    ranked = ranked.withColumn("_t", target)
+    return ranked.join(glob, ranked["_t"] == glob["_grank"]).select(
+        "group",
+        "id",
+        "value",
+        F.round(F.col("_gv"), dp).alias("norm_value"),
+    )

@@ -578,3 +578,87 @@ def bpe_segment(
         .select("word", F.split(seg, " ").alias("pieces"))
         .withColumn("n_pieces", F.size("pieces"))
     )
+
+
+def vocab_coverage_curve(
+    docs: DataFrame,
+    text_col: str,
+    ranks: list[int],
+    dp: int = 9,
+) -> DataFrame:
+    """Vocabulary coverage at candidate vocab sizes — the sizing curve
+    for a tokenizer budget: for each requested rank R, what fraction
+    of all token OCCURRENCES is covered by the R most frequent types?
+    (The Zipf-shaped knee of this curve is where `vocab_census` /
+    BPE/unigram training budgets come from.)
+
+    Returns (rank, token, count, cum_count, coverage) for each
+    requested rank present in the vocabulary (ranks beyond |V| are
+    absent — no row is invented), where `token` is the type AT that
+    rank (frequency desc, token asc ties) and coverage =
+    cum_count / total — exact bigints, one division.
+
+    Scale: one (token) count shuffle, then the banded two-level rank
+    on the VOCAB table — bands are floor(log2(count)) buckets
+    (descending count order == descending band order), band offsets
+    are a <=64-row broadcast, the within-band window is partitioned —
+    so no vocab-sized single-task sort; the cumulative count rides
+    the same window pass plus the band prefix.
+    """
+    from pyspark.sql import Window
+
+    if not ranks or any(r < 1 for r in ranks):
+        raise ValueError(f"ranks must be >= 1, got {ranks}")
+    toks = docs.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("token")
+    )
+    vocab = toks.groupBy("token").agg(
+        F.count("*").cast("bigint").alias("count")
+    )
+    total = vocab.agg(F.sum("count").cast("bigint").alias("_T"))
+    # descending band: higher counts -> higher log2 bucket -> rank first
+    band = F.floor(F.log2(F.col("count"))).cast("int")
+    v = vocab.withColumn("_b", band)
+    btot = v.groupBy("_b").agg(
+        F.count("*").cast("bigint").alias("_bn"),
+        F.sum("count").cast("bigint").alias("_bc"),
+    )
+    wb = Window.orderBy(F.desc("_b")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    boff = btot.select(
+        "_b",
+        F.coalesce(F.sum("_bn").over(wb), F.lit(0)).alias("_roff"),
+        F.coalesce(F.sum("_bc").over(wb), F.lit(0)).alias("_coff"),
+    )
+    wi = Window.partitionBy("_b").orderBy(F.desc("count"), F.asc("token"))
+    ranked = v.join(F.broadcast(boff), "_b").select(
+        "token",
+        "count",
+        (F.row_number().over(wi) + F.col("_roff")).cast("bigint").alias(
+            "rank"
+        ),
+        (
+            F.sum("count").over(
+                wi.rowsBetween(Window.unboundedPreceding, 0)
+            )
+            + F.col("_coff")
+        )
+        .cast("bigint")
+        .alias("cum_count"),
+    )
+    wanted = F.array(*[F.lit(r) for r in sorted(set(ranks))])
+    return (
+        ranked.filter(F.array_contains(wanted, F.col("rank").cast("int")))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "rank",
+            "token",
+            "count",
+            "cum_count",
+            F.round(
+                F.col("cum_count") / F.col("_T").cast("double"), dp
+            ).alias("coverage"),
+        )
+        .orderBy("rank")
+    )
