@@ -7611,6 +7611,104 @@ def _scored(spark, sf_dir):
     )
 
 
+# --- multiline reassembly + turn-taking --------------------------------------
+
+
+@_register(
+    "multiline_reassembly",
+    """
+    WITH d AS (
+      SELECT user_id AS stream, event_id AS o,
+             event_type || ':' || props AS l,
+             event_type <> 'error' AS s
+      FROM events
+    ),
+    r AS (
+      SELECT stream, o, l, s,
+             SUM(CASE WHEN s THEN 1 ELSE 0 END) OVER (
+               PARTITION BY stream ORDER BY o
+               ROWS UNBOUNDED PRECEDING) AS record_id
+      FROM d
+    )
+    SELECT stream, CAST(record_id AS BIGINT) AS record_id,
+           MIN(o) AS start_order,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           bool_or(s) AS has_start,
+           string_agg(l, chr(10) ORDER BY o) AS record_text
+    FROM r GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def _q_multiline_reassembly(spark, sf_dir):
+    """The log-shipper multiline codec (Logstash/Fluentd/Vector
+    analogue): stitch continuation lines ('error' rows) onto the
+    record that started them — ONE running-count window per stream +
+    one groupBy; reassembled text concatenated in explicit order
+    (sorted in-row fold vs string_agg ORDER BY); orphan continuations
+    kept and flagged, never silently dropped. operators/multiline.py
+    reassemble_multiline."""
+    from flow_indexer_spark.operators.multiline import reassemble_multiline
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.concat_ws(":", "event_type", "props").alias("line"),
+        (F.col("event_type") != "error").alias("is_start"),
+    )
+    return reassemble_multiline(
+        ev, "user_id", "event_id", "line", "is_start"
+    ).orderBy("stream", "record_id")
+
+
+@_register(
+    "transcript_turn_taking",
+    f"""
+    WITH t AS ({_SYNTH_SQL}),
+    d AS (
+      SELECT conv_id AS c, turn_idx AS o, role AS r,
+             CASE WHEN LAG(role) OVER (PARTITION BY conv_id
+                    ORDER BY turn_idx) IS NULL
+                   OR LAG(role) OVER (PARTITION BY conv_id
+                    ORDER BY turn_idx) = role
+                  THEN 0 ELSE 1 END AS sw
+      FROM t
+    ),
+    rr AS (
+      SELECT c, o, sw,
+             SUM(sw) OVER (PARTITION BY c ORDER BY o
+               ROWS UNBOUNDED PRECEDING) AS run
+      FROM d
+    ),
+    runs AS (
+      SELECT c, run, CAST(COUNT(*) AS BIGINT) AS rl
+      FROM rr GROUP BY 1, 2
+    ),
+    lr AS (SELECT c, CAST(MAX(rl) AS BIGINT) AS longest_run
+           FROM runs GROUP BY 1),
+    per AS (
+      SELECT c, CAST(COUNT(*) AS BIGINT) AS n_turns,
+             CAST(SUM(sw) AS BIGINT) AS n_switches
+      FROM d GROUP BY 1
+    )
+    SELECT per.c AS conv_id, n_turns, n_switches,
+           CASE WHEN n_turns > 1 THEN
+             round(n_switches / CAST(n_turns - 1 AS DOUBLE), 9)
+           END AS alternation,
+           longest_run
+    FROM per JOIN lr ON per.c = lr.c ORDER BY conv_id
+    """,
+)
+def _q_transcript_turn_taking(spark, sf_dir):
+    """Per-conversation dialogue structure: switch count, alternation
+    rate, longest same-role run (runs-trick: switch-flag cumsum as run
+    id — the sessionize idiom) — the 'is the agent monologuing' gate.
+    Exact integers; two windows per conversation, no self-join.
+    operators/transcripts.py turn_taking_stats."""
+    from flow_indexer_spark.operators.transcripts import turn_taking_stats
+
+    t = synth_transcripts(spark, sf_dir)
+    return turn_taking_stats(t).orderBy("conv_id")
+
+
 # --- vocab coverage + quantile normalization ---------------------------------
 
 _COVERAGE_RANKS = [1, 5, 10, 25, 50, 100]

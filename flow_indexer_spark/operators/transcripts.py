@@ -274,3 +274,75 @@ def context_window_pairs(
         F.col(text_col).alias("response"),
         F.size(fold["parts"]).cast("bigint").alias("n_context_turns"),
     )
+
+
+def turn_taking_stats(
+    t: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    dp: int = 9,
+) -> DataFrame:
+    """Per-conversation turn-taking structure: how dialogue-like is
+    the transcript?  A healthy agent loop alternates roles; a stuck
+    one monologues.
+
+    Returns (conv_id, n_turns, n_switches, alternation, longest_run):
+    * n_switches  — adjacent turn pairs with different roles (exact);
+    * alternation — n_switches / (n_turns - 1), NULL for 1-turn
+      conversations (no pair exists);
+    * longest_run — the longest same-role run, via the runs trick:
+      run id = running count of switch flags (the sessionize cumsum
+      idiom), then max run size.
+
+    Two window passes partitioned by conversation + two exact-integer
+    aggregates; no self-join.
+    """
+    w = Window.partitionBy("_c").orderBy("_o")
+    d = t.select(
+        F.col(conv_col).alias("_c"),
+        F.col(order_col).alias("_o"),
+        F.col(role_col).alias("_r"),
+    )
+    d = d.withColumn(
+        "_sw",
+        F.when(
+            F.lag("_r").over(w).isNull()
+            | (F.lag("_r").over(w) == F.col("_r")),
+            F.lit(0),
+        ).otherwise(F.lit(1)),
+    ).withColumn(
+        "_run",
+        F.sum("_sw").over(
+            Window.partitionBy("_c")
+            .orderBy("_o")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    runs = d.groupBy("_c", "_run").agg(
+        F.count("*").cast("bigint").alias("_rl")
+    )
+    per_run = runs.groupBy("_c").agg(
+        F.max("_rl").cast("bigint").alias("longest_run")
+    )
+    per = d.groupBy("_c").agg(
+        F.count("*").cast("bigint").alias("n_turns"),
+        F.sum("_sw").cast("bigint").alias("n_switches"),
+    )
+    return (
+        per.join(per_run, "_c")
+        .select(
+            F.col("_c").alias("conv_id"),
+            "n_turns",
+            "n_switches",
+            F.when(
+                F.col("n_turns") > 1,
+                F.round(
+                    F.col("n_switches")
+                    / (F.col("n_turns") - 1).cast("double"),
+                    dp,
+                ),
+            ).alias("alternation"),
+            "longest_run",
+        )
+    )
