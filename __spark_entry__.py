@@ -7611,6 +7611,96 @@ def _scored(spark, sf_dir):
     )
 
 
+# --- winnowing fingerprints (MOSS) ------------------------------------------
+
+_WINNOW_CTES = """
+    tok AS MATERIALIZED (
+      SELECT doc_id AS doc,
+             list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    grams AS MATERIALIZED (
+      SELECT doc, CAST(i - 1 AS INT) AS pos,
+             CAST('0x' || substr(md5(array_to_string(
+               list_slice(t, i, i + 2), ' ')), 1, 8) AS BIGINT) AS hash
+      FROM tok, unnest(generate_series(1, len(t) - 2)) AS ii(i)
+      WHERE len(t) >= 3
+    ),
+    g2 AS MATERIALIZED (
+      SELECT doc, pos, hash,
+             COUNT(*) OVER (PARTITION BY doc) AS n,
+             MIN(hash * 1048576 + (1048575 - pos)) OVER (
+               PARTITION BY doc ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+      FROM grams
+    ),
+    sel AS MATERIALIZED (
+      SELECT DISTINCT doc,
+             CAST(1048575 - (wmin % 1048576) AS INT) AS pos,
+             CAST(wmin // 1048576 AS BIGINT) AS hash
+      FROM g2 WHERE pos <= n - 4
+    )
+"""
+
+
+@_register(
+    "winnow_fingerprints",
+    f"""
+    WITH {_WINNOW_CTES}
+    SELECT doc, pos, hash FROM sel ORDER BY doc, pos
+    """,
+)
+def _q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing fingerprint selection (Schleimer-Wilkerson-Aiken
+    SIGMOD 2003, the MOSS scheme): the rightmost-min 3-gram hash of
+    every 4-window — guarantees any shared run of >= w+k-1 tokens
+    yields a shared fingerprint at ~2/(w+1) density. The rightmost-min
+    is ONE integer window MIN via key = h*2^20 + (2^20-1-pos) (orders
+    by h asc, pos desc — no struct comparators, no floats), window
+    partitioned by doc. operators/winnow.py winnow_fingerprints."""
+    from flow_indexer_spark.operators.winnow import winnow_fingerprints
+
+    return winnow_fingerprints(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=3, w=4
+    ).orderBy("doc", "pos")
+
+
+@_register(
+    "winnow_shared_pairs",
+    f"""
+    WITH {_WINNOW_CTES},
+    fp AS MATERIALIZED (SELECT DISTINCT doc, hash FROM sel),
+    ok AS MATERIALIZED (
+      SELECT hash FROM fp GROUP BY 1 HAVING COUNT(*) <= 50
+    ),
+    fpo AS MATERIALIZED (
+      SELECT fp.doc, fp.hash FROM fp JOIN ok USING (hash)
+    )
+    SELECT a.doc AS doc_a, b.doc AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM fpo a JOIN fpo b ON a.hash = b.hash AND a.doc < b.doc
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY 1, 2
+    """,
+)
+def _q_winnow_shared_pairs(spark, sf_dir):
+    """MOSS overlap report: document pairs sharing >= 2 winnowed
+    fingerprints, with boilerplate fingerprints (df > 50) dropped
+    BEFORE the self-join — the LSH bucket-cap discipline that keeps a
+    ubiquitous fingerprint from exploding the join quadratically.
+    operators/winnow.py winnow_shared_pairs."""
+    from flow_indexer_spark.operators.winnow import (
+        winnow_fingerprints,
+        winnow_shared_pairs,
+    )
+
+    fp = winnow_fingerprints(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=3, w=4
+    )
+    return winnow_shared_pairs(fp, min_shared=2, max_df=50).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
 # --- multiline reassembly + turn-taking --------------------------------------
 
 
