@@ -7611,6 +7611,82 @@ def _scored(spark, sf_dir):
     )
 
 
+# --- embedding centroid outlier audit ----------------------------------------
+
+
+@_register(
+    "embedding_centroid_outliers",
+    """
+    WITH longv AS MATERIALIZED (
+      SELECT label, vec_id AS id, CAST(i - 1 AS INT) AS dim,
+             CAST(e[i] AS DOUBLE) AS x
+      FROM (SELECT label, vec_id,
+                   list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
+            FROM embeddings),
+           UNNEST(generate_series(1, len(e))) AS t(i)
+    ),
+    cent AS MATERIALIZED (
+      SELECT label, dim, AVG(x) AS c FROM longv GROUP BY 1, 2
+    ),
+    dist AS MATERIALIZED (
+      SELECT l.label, l.id,
+             round(SUM((l.x - c.c) * (l.x - c.c) ORDER BY l.dim), 9)
+               AS dist2
+      FROM longv l JOIN cent c ON l.label = c.label AND l.dim = c.dim
+      GROUP BY 1, 2
+    ),
+    q AS (
+      SELECT label, CAST(round(dist2 * 1000000) AS BIGINT) AS qd
+      FROM dist
+    ),
+    r AS (
+      SELECT label, qd,
+             ROW_NUMBER() OVER (PARTITION BY label ORDER BY qd) AS rn,
+             COUNT(*) OVER (PARTITION BY label) AS n
+      FROM q
+    ),
+    m AS (
+      SELECT r.*,
+             MAX(CASE WHEN rn = CAST(FLOOR((n + 1) / 2.0) AS BIGINT)
+                      THEN qd END) OVER (PARTITION BY label) AS med
+      FROM r
+    ),
+    d AS (
+      SELECT label, qd, n, med, ABS(qd - med) AS dev,
+             ROW_NUMBER() OVER (PARTITION BY label
+               ORDER BY ABS(qd - med), qd) AS rd
+      FROM m
+    ),
+    mm AS (
+      SELECT d.*,
+             MAX(CASE WHEN rd = CAST(FLOOR((n + 1) / 2.0) AS BIGINT)
+                      THEN dev END) OVER (PARTITION BY label) AS mad
+      FROM d
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(med) AS BIGINT) AS med,
+           CAST(MIN(mad) AS BIGINT) AS mad,
+           CAST(SUM(CASE WHEN dev > 3 * mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+    FROM mm GROUP BY 1 ORDER BY 1
+    """,
+)
+def _q_embedding_centroid_outliers(spark, sf_dir):
+    """Per-label embedding outlier audit: squared distance to the OWN
+    label centroid (terms folded in dimension order), quantized to
+    micro-units so the robust median/MAD gate is exact-integer — the
+    O(n) mislabel/garbage detector beside the O(n^2)-shaped near-dup
+    family; centroids shuffle O(labels x dims), never O(vectors).
+    operators/similarity.py centroid_distance_report."""
+    from flow_indexer_spark.operators.similarity import (
+        centroid_distance_report,
+    )
+
+    return centroid_distance_report(
+        _t(spark, sf_dir, "embeddings"), "label", "vec_id", "embedding"
+    )
+
+
 # --- winnowing fingerprints (MOSS) ------------------------------------------
 
 _WINNOW_CTES = """

@@ -482,6 +482,11 @@ def _bench_queries(spark, sf_dir: str) -> dict:
         "eval_pr_curve",
         "markov_kstep_distribution",
         "attribution_last_touch",
+        "winnow_shared_pairs",
+        "multiline_reassembly",
+        "score_quantile_normalize",
+        "telemetry_sliding_active",
+        "ngram_diversity_report",
     ]
     qs = entry_mod.queries()
     out = {}

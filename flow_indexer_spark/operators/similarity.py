@@ -752,3 +752,74 @@ def pq_topk(
         .orderBy(F.asc("adc_dist"), id_col)
         .limit(k)
     )
+
+
+def centroid_distance_report(
+    emb: DataFrame,
+    label_col: str = "label",
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+    c: int = 3,
+) -> DataFrame:
+    """Per-label embedding-outlier audit: squared distance of every
+    vector to its OWN label centroid, gated by the robust median/MAD
+    rule — the mislabeled-or-garbage detector for embedding tables
+    (a vector far from its class prototype is a labeling error, an
+    encoder glitch, or genuinely novel content; all three deserve a
+    look before the class feeds contrastive training).
+
+    Returns one row per label: (label, n, med, mad, n_outliers) with
+    the distance quantized to ``scale`` (micro-units) so the
+    median/MAD arithmetic is EXACT integers (`operators/robust.py`
+    discipline); distances themselves fold (x_d - c_d)^2 terms in
+    dimension order (oracle: SUM(term ORDER BY dim)).
+
+    Scale shape: one (label, dim) aggregate for centroids — shuffle
+    O(labels x dims), never O(vectors) — one (label, dim) equi-join
+    back (dim-long rows), one (label, id) fold, then the per-label
+    median windows.  No vector is ever compared to another vector:
+    this is the O(n) audit beside the O(n^2)-shaped near-dup family.
+    """
+    from flow_indexer_spark.operators.robust import median_mad_outliers
+
+    long = emb.select(
+        F.col(label_col).alias("label"),
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(vec_col)).alias("dim", "x"),
+    ).withColumn("x", F.col("x").cast("double"))
+    cent = long.groupBy("label", "dim").agg(F.avg("x").alias("c"))
+    j = long.join(cent, ["label", "dim"])
+    term = (F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))
+    dist = (
+        j.select("label", "id", "dim", term.alias("_t"))
+        .groupBy("label", "id")
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("dim", "_t"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["_t"],
+                ),
+                9,
+            ).alias("dist2")
+        )
+    )
+    q = dist.select(
+        "label",
+        "id",
+        F.round(F.col("dist2") * scale).cast("bigint").alias("qd"),
+    )
+    flagged = median_mad_outliers(q.select("label", "qd"), "label", "qd", c=c)
+    return (
+        flagged.groupBy(F.col("group").alias("label"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min("med").cast("bigint").alias("med"),
+            F.min("mad").cast("bigint").alias("mad"),
+            F.sum(F.col("is_outlier").cast("bigint"))
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .orderBy("label")
+    )
