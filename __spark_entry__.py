@@ -9015,6 +9015,85 @@ def _q_eval_ndcg_mrr(spark, sf_dir):
     return ndcg_mrr(res, "query", "r", "rel", k=10)
 
 
+# --- speculative-decoding draft analytics ----------------------------------
+
+#: adjacent token pairs of every document, with the source carried —
+#: shared by the draft-model and acceptance oracles
+_SPECDEC_PAIRS_SQL = """
+    tok AS (
+      SELECT doc_id, source,
+             list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    pairs AS MATERIALIZED (
+      SELECT doc_id, source, t[i] AS context, t[i + 1] AS actual
+      FROM tok, unnest(generate_series(1, len(t) - 1)) AS ii(i)
+      WHERE len(t) >= 2
+    ),
+    model AS MATERIALIZED (
+      SELECT context, draft, n FROM (
+        SELECT context, actual AS draft, CAST(COUNT(*) AS BIGINT) AS n,
+               ROW_NUMBER() OVER (PARTITION BY context
+                 ORDER BY COUNT(*) DESC, actual) AS rk
+        FROM pairs GROUP BY context, actual
+      ) WHERE rk = 1 AND n >= 2
+    )
+"""
+
+
+@_register(
+    "specdec_bigram_model",
+    f"""
+    WITH {_SPECDEC_PAIRS_SQL}
+    SELECT context, draft, n FROM model ORDER BY context
+    """,
+)
+def _q_specdec_bigram_model(spark, sf_dir):
+    """Corpus bigram argmax drafter table: for each context token the
+    most frequent continuation (ties broken count DESC then draft ASC —
+    a total, engine-portable order), rare contexts (n < 2) dropped.
+    One groupBy with map-side combine + a vocab-partitioned window;
+    no floats. operators/specdec.py bigram_draft_model."""
+    from flow_indexer_spark.operators.specdec import bigram_draft_model
+
+    return bigram_draft_model(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", min_count=2
+    ).orderBy("context")
+
+
+@_register(
+    "specdec_acceptance",
+    f"""
+    WITH {_SPECDEC_PAIRS_SQL}
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_positions,
+           CAST(SUM(CASE WHEN m.draft = p.actual THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_accepted,
+           round(SUM(CASE WHEN m.draft = p.actual THEN 1 ELSE 0 END)
+                 / COUNT(*), 9) AS acceptance_rate
+    FROM pairs p LEFT JOIN model m USING (context)
+    GROUP BY source ORDER BY source
+    """,
+)
+def _q_specdec_acceptance(spark, sf_dir):
+    """Per-source acceptance ceiling of the corpus-bigram drafter: the
+    fraction of adjacent-pair positions where the argmax continuation
+    equals the actual next token (the in-sample upper bound an n-gram
+    speculative drafter could reach on this traffic).  The model table
+    (one row per context, <= vocab) broadcasts; the corpus position
+    stream never shuffles for the join. operators/specdec.py
+    draft_acceptance."""
+    from flow_indexer_spark.operators.specdec import draft_acceptance
+
+    return draft_acceptance(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        group_col="source",
+        min_count=2,
+    ).orderBy("source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return dict(_QUERIES)
