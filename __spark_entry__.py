@@ -9094,6 +9094,140 @@ def _q_specdec_acceptance(spark, sf_dir):
     ).orderBy("source")
 
 
+# --- generation-eval overlap metrics (BLEU / ROUGE-N) -----------------------
+
+#: candidate/reference pairs: even doc vs the next odd doc — then the
+#: full n-gram sufficient-statistics pipeline shared by both oracles
+_GENMETRIC_CTES = """
+    prs AS (
+      SELECT c.doc_id // 2 AS pair, c.text AS cand, r.text AS ref
+      FROM documents c JOIN documents r ON r.doc_id = c.doc_id + 1
+      WHERE c.doc_id % 2 = 0
+    ),
+    toks AS (
+      SELECT pair, 1 AS c, 0 AS r,
+             list_filter(string_split(cand, ' '), x -> x <> '') AS t
+      FROM prs
+      UNION ALL
+      SELECT pair, 0, 1,
+             list_filter(string_split(ref, ' '), x -> x <> '')
+      FROM prs
+    ),
+    grams AS (
+      SELECT pair, n,
+             array_to_string(list_slice(t, i, i + n - 1), ' ') AS gram,
+             c, r
+      FROM toks, (VALUES (1), (2), (3), (4)) ns(n),
+           unnest(generate_series(1, len(t) - n + 1)) AS ii(i)
+      WHERE len(t) >= n
+    ),
+    pg AS (
+      SELECT pair, n, gram, SUM(c) AS c, SUM(r) AS r
+      FROM grams GROUP BY 1, 2, 3
+    ),
+    pn AS (
+      SELECT pair, n, SUM(LEAST(c, r)) AS m, SUM(c) AS tc, SUM(r) AS tr
+      FROM pg GROUP BY 1, 2
+    ),
+    wide AS MATERIALIZED (
+      SELECT pair,
+             CAST(COALESCE(MAX(CASE WHEN n = 1 THEN m END), 0) AS BIGINT) AS m1,
+             CAST(COALESCE(MAX(CASE WHEN n = 1 THEN tc END), 0) AS BIGINT) AS tc1,
+             CAST(COALESCE(MAX(CASE WHEN n = 1 THEN tr END), 0) AS BIGINT) AS tr1,
+             CAST(COALESCE(MAX(CASE WHEN n = 2 THEN m END), 0) AS BIGINT) AS m2,
+             CAST(COALESCE(MAX(CASE WHEN n = 2 THEN tc END), 0) AS BIGINT) AS tc2,
+             CAST(COALESCE(MAX(CASE WHEN n = 2 THEN tr END), 0) AS BIGINT) AS tr2,
+             CAST(COALESCE(MAX(CASE WHEN n = 3 THEN m END), 0) AS BIGINT) AS m3,
+             CAST(COALESCE(MAX(CASE WHEN n = 3 THEN tc END), 0) AS BIGINT) AS tc3,
+             CAST(COALESCE(MAX(CASE WHEN n = 3 THEN tr END), 0) AS BIGINT) AS tr3,
+             CAST(COALESCE(MAX(CASE WHEN n = 4 THEN m END), 0) AS BIGINT) AS m4,
+             CAST(COALESCE(MAX(CASE WHEN n = 4 THEN tc END), 0) AS BIGINT) AS tc4,
+             CAST(COALESCE(MAX(CASE WHEN n = 4 THEN tr END), 0) AS BIGINT) AS tr4
+      FROM pn GROUP BY pair
+    )
+"""
+
+
+def _genmetric_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    c = d.filter(F.col("doc_id") % 2 == 0).select(
+        F.expr("doc_id div 2").alias("pair"), F.col("text").alias("cand")
+    )
+    r = d.filter(F.col("doc_id") % 2 == 1).select(
+        F.expr("doc_id div 2").alias("pair"), F.col("text").alias("ref")
+    )
+    return c.join(r, "pair")
+
+
+@_register(
+    "eval_bleu_rouge_pairs",
+    f"""
+    WITH {_GENMETRIC_CTES}
+    SELECT pair, m1, tc1, tr1, m2, tc2, tr2, m3, tc3, tr3, m4, tc4, tr4,
+           tc1 AS cand_len, tr1 AS ref_len
+    FROM wide ORDER BY pair
+    """,
+)
+def _q_eval_bleu_rouge_pairs(spark, sf_dir):
+    """Per-pair BLEU/ROUGE-N sufficient statistics (Papineni ACL 2002;
+    Lin 2004), exact integers: clipped n-gram matches m_n (numerator of
+    BLEU precision AND ROUGE-n recall), candidate totals tc_n, reference
+    totals tr_n for n=1..4.  All orders and both sides are built in-row
+    and exploded once; clipping is least(c, r) inside one gram-keyed
+    group — no join. operators/genmetrics.py ngram_overlap_stats."""
+    from flow_indexer_spark.operators.genmetrics import ngram_overlap_stats
+
+    return ngram_overlap_stats(
+        _genmetric_pairs(spark, sf_dir), "pair", "cand", "ref", max_n=4
+    ).orderBy("pair")
+
+
+@_register(
+    "eval_bleu_corpus",
+    f"""
+    WITH {_GENMETRIC_CTES},
+    s AS (
+      SELECT CAST(SUM(m1) AS BIGINT) AS m1, CAST(SUM(tc1) AS BIGINT) AS tc1,
+             CAST(SUM(m2) AS BIGINT) AS m2, CAST(SUM(tc2) AS BIGINT) AS tc2,
+             CAST(SUM(m3) AS BIGINT) AS m3, CAST(SUM(tc3) AS BIGINT) AS tc3,
+             CAST(SUM(m4) AS BIGINT) AS m4, CAST(SUM(tc4) AS BIGINT) AS tc4,
+             CAST(SUM(tc1) AS BIGINT) AS cand_len,
+             CAST(SUM(tr1) AS BIGINT) AS ref_len
+      FROM wide
+    )
+    SELECT m1, tc1, m2, tc2, m3, tc3, m4, tc4, cand_len, ref_len,
+           round(exp(least(0.0, 1.0 - ref_len / cand_len)), 9)
+             AS brevity_penalty,
+           round(CASE WHEN m1 = 0 OR tc1 = 0 OR m2 = 0 OR tc2 = 0
+                        OR m3 = 0 OR tc3 = 0 OR m4 = 0 OR tc4 = 0
+                      THEN 0.0
+                      ELSE exp(least(0.0, 1.0 - ref_len / cand_len))
+                           * exp((ln(m1 / tc1) + ln(m2 / tc2)
+                                  + ln(m3 / tc3) + ln(m4 / tc4)) / 4)
+                 END, 9) AS bleu
+    FROM s
+    """,
+)
+def _q_eval_bleu_corpus(spark, sf_dir):
+    """One-row corpus BLEU-4: micro-averaged clipped precisions over
+    exact summed integers, uniform log weights, brevity penalty — the
+    two floats are single rounded expressions over bigints (the
+    integer-sufficient-statistics discipline). operators/genmetrics.py
+    corpus_bleu."""
+    from flow_indexer_spark.operators.genmetrics import (
+        corpus_bleu,
+        ngram_overlap_stats,
+    )
+
+    stats = ngram_overlap_stats(
+        _genmetric_pairs(spark, sf_dir), "pair", "cand", "ref", max_n=4
+    )
+    return corpus_bleu(stats, max_n=4).select(
+        "m1", "tc1", "m2", "tc2", "m3", "tc3", "m4", "tc4",
+        "cand_len", "ref_len", "brevity_penalty", "bleu",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return dict(_QUERIES)

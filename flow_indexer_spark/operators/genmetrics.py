@@ -1,0 +1,136 @@
+"""Generation-evaluation overlap metrics: BLEU / ROUGE-N from exact
+n-gram sufficient statistics.
+
+BLEU (Papineni et al., ACL 2002) and ROUGE-N (Lin, 2004) are the
+standard n-gram overlap scores between a candidate generation and a
+reference.  At corpus scale the engine's job is the *sufficient
+statistics* — clipped n-gram matches and totals per pair, exact
+integers — with the only floats appearing in the final corpus-level
+fold (log-precision mean + brevity penalty, one rounded expression).
+
+Scale shape:
+
+- Grams for all orders 1..max_n and BOTH sides are built in-row
+  (nested ``transform`` over the token array — no self-joins) and
+  exploded ONCE; per-(pair, n, gram) counts then per-(pair, n)
+  clipped matches are two groupBys, both map-side partial-aggregated.
+  The shuffle key (pair, n, gram) is near-uniform: no gram of one
+  pair ever co-shuffles with another pair's.
+- The per-pair wide report is a conditional aggregation (no pivot
+  shuffle); the corpus score is one global partial-aggregated fold to
+  a single row.
+- Clipping needs no join: a gram's candidate and reference counts
+  meet in the same group row, so ``least(c, r)`` IS the clip —
+  grams present only in the reference contribute ``least(0, r) = 0``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from flow_indexer_spark.operators.dedup import tokens
+
+__all__ = ["ngram_overlap_stats", "corpus_bleu"]
+
+
+def _gram_structs(tok: Column, n: int, c: int, r: int) -> Column:
+    """array<struct<n,gram,c,r>> of the order-``n`` grams of ``tok``,
+    tagged with side indicator counts (c=1 for candidate, r=1 for
+    reference)."""
+    idx = F.sequence(F.lit(1), F.size(tok) - (n - 1))
+    mk = lambda i: F.struct(  # noqa: E731
+        F.lit(n).alias("n"),
+        F.concat_ws(" ", F.slice(tok, i, n)).alias("gram"),
+        F.lit(c).alias("c"),
+        F.lit(r).alias("r"),
+    )
+    empty = F.array().cast(
+        "array<struct<n:int,gram:string,c:int,r:int>>"
+    )
+    return F.when(F.size(tok) >= n, F.transform(idx, mk)).otherwise(empty)
+
+
+def ngram_overlap_stats(
+    pairs: DataFrame,
+    id_col: str,
+    cand_col: str,
+    ref_col: str,
+    max_n: int = 4,
+) -> DataFrame:
+    """Per-pair exact overlap sufficient statistics.
+
+    Output (all bigint): ``pair``, ``cand_len``, ``ref_len``, and per
+    order n in 1..max_n: ``m<n>`` (clipped matches — BLEU's numerator
+    AND ROUGE-n's), ``tc<n>`` (candidate gram count — BLEU precision
+    denominator), ``tr<n>`` (reference gram count — ROUGE recall
+    denominator)."""
+    ct, rt = tokens(cand_col), tokens(ref_col)
+    both = F.flatten(
+        F.array(
+            *[_gram_structs(ct, n, 1, 0) for n in range(1, max_n + 1)],
+            *[_gram_structs(rt, n, 0, 1) for n in range(1, max_n + 1)],
+        )
+    )
+    g = pairs.select(
+        F.col(id_col).alias("pair"), F.explode(both).alias("g")
+    ).select("pair", "g.n", "g.gram", "g.c", "g.r")
+    per_gram = g.groupBy("pair", "n", "gram").agg(
+        F.sum("c").alias("c"), F.sum("r").alias("r")
+    )
+    per_n = per_gram.groupBy("pair", "n").agg(
+        F.sum(F.least("c", "r")).cast("bigint").alias("m"),
+        F.sum("c").cast("bigint").alias("tc"),
+        F.sum("r").cast("bigint").alias("tr"),
+    )
+    aggs = []
+    for n in range(1, max_n + 1):
+        for src, out in (("m", f"m{n}"), ("tc", f"tc{n}"), ("tr", f"tr{n}")):
+            aggs.append(
+                F.coalesce(
+                    F.max(F.when(F.col("n") == n, F.col(src))), F.lit(0)
+                )
+                .cast("bigint")
+                .alias(out)
+            )
+    wide = per_n.groupBy("pair").agg(*aggs)
+    return wide.withColumns(
+        {"cand_len": F.col("tc1"), "ref_len": F.col("tr1")}
+    )
+
+
+def corpus_bleu(stats: DataFrame, max_n: int = 4) -> DataFrame:
+    """One-row corpus BLEU-``max_n`` from the per-pair statistics:
+    micro-averaged clipped precisions, uniform 1/max_n log weights,
+    brevity penalty exp(min(0, 1 - ref_len/cand_len)).  All sums are
+    exact bigints; ``bleu`` and ``brevity_penalty`` are the only
+    floats, each one rounded expression over the summed integers
+    (BLEU = 0 by convention when any order has zero matches)."""
+    sums = stats.agg(
+        *[
+            F.sum(c).cast("bigint").alias(c)
+            for n in range(1, max_n + 1)
+            for c in (f"m{n}", f"tc{n}")
+        ],
+        F.sum("cand_len").cast("bigint").alias("cand_len"),
+        F.sum("ref_len").cast("bigint").alias("ref_len"),
+    )
+    log_sum = None
+    any_zero = F.lit(False)
+    for n in range(1, max_n + 1):
+        term = F.log(F.col(f"m{n}") / F.col(f"tc{n}"))
+        log_sum = term if log_sum is None else log_sum + term
+        any_zero = any_zero | (F.col(f"m{n}") == 0) | (F.col(f"tc{n}") == 0)
+    bp = F.exp(
+        F.least(F.lit(0.0), F.lit(1.0) - F.col("ref_len") / F.col("cand_len"))
+    )
+    return sums.withColumns(
+        {
+            "brevity_penalty": F.round(bp, 9),
+            "bleu": F.round(
+                F.when(any_zero, F.lit(0.0)).otherwise(
+                    bp * F.exp(log_sum / max_n)
+                ),
+                9,
+            ),
+        }
+    )
