@@ -9228,6 +9228,64 @@ def _q_eval_bleu_corpus(spark, sf_dir):
     )
 
 
+@_register(
+    "source_js_divergence",
+    """
+    WITH tok AS (
+      SELECT source AS grp,
+             unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS token
+      FROM documents
+    ),
+    pgt AS (
+      SELECT grp, token, CAST(COUNT(*) AS BIGINT) AS n_gt
+      FROM tok GROUP BY 1, 2
+    ),
+    pg AS (SELECT grp, CAST(SUM(n_gt) AS BIGINT) AS n_g FROM pgt GROUP BY 1),
+    ct AS (SELECT token, CAST(SUM(n_gt) AS BIGINT) AS n_t FROM pgt GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n_t) AS BIGINT) AS n_total FROM ct),
+    j AS (
+      SELECT grp, n_g, n_t, n_total,
+             n_gt / n_g AS p, n_t / n_total AS q
+      FROM pgt JOIN ct USING (token) JOIN pg USING (grp) CROSS JOIN tot
+    ),
+    terms AS (
+      SELECT grp, n_g, n_t, n_total,
+             CAST(round(p * ln(p / ((p + q) / 2)) * 1000000000)
+                  AS BIGINT) AS tp,
+             CAST(round(q * ln(q / ((p + q) / 2)) * 1000000000)
+                  AS BIGINT) AS tq
+      FROM j
+    ),
+    agg AS (
+      SELECT grp, MAX(n_g) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(SUM(tp) AS BIGINT) AS sp, CAST(SUM(tq) AS BIGINT) AS sq,
+             CAST(SUM(n_t) AS BIGINT) AS qnum, MAX(n_total) AS ntot
+      FROM terms GROUP BY 1
+    )
+    SELECT grp AS source, n_tokens, n_distinct,
+           round(0.5 * (sp / 1000000000.0 + sq / 1000000000.0
+                        + ln(2.0) * (1 - qnum / ntot)), 9) AS js_divergence
+    FROM agg ORDER BY source
+    """,
+)
+def _q_source_js_divergence(spark, sf_dir):
+    """Per-source Jensen-Shannon divergence of the unigram distribution
+    vs the corpus — the lexical drift gate beside PSI (symmetric,
+    bounded by ln 2, thresholds portable).  The absent-token q-side
+    mass folds algebraically to ln2*(1 - Q_g) (exact integer ratio), so
+    no groups x vocab cross join ever materializes; present-token terms
+    quantize to the 1e-9 lattice and sum as bigints — order-free exact
+    addition on both engines. operators/diagnostics.py
+    lexical_js_divergence."""
+    from flow_indexer_spark.operators.diagnostics import lexical_js_divergence
+
+    return lexical_js_divergence(
+        _t(spark, sf_dir, "documents"), "source", "text"
+    ).orderBy("source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return dict(_QUERIES)

@@ -311,3 +311,82 @@ def concentration_report(
             2.0 * F.col("_iwx") / (k * N) - (k + 1.0) / k, dp
         ).alias("gini"),
     )
+
+
+def lexical_js_divergence(
+    docs: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    dp: int = 9,
+    grid: int = 1_000_000_000,
+) -> DataFrame:
+    """Per-group Jensen-Shannon divergence between the group's unigram
+    distribution p and the corpus distribution q — the LEXICAL drift
+    gate beside ``distribution_drift``'s numeric PSI (is one source's
+    vocabulary usage diverging from the corpus it feeds?).  JS is
+    symmetric and bounded by ln 2, so thresholds are portable across
+    corpora — the property PSI lacks.
+
+    The textbook sum runs over the union of vocabularies, which would
+    need a groups x vocab cross join to materialize the zeros.  The
+    zero-side mass is instead folded algebraically: for a token absent
+    from the group, p = 0 and m = q/2, so its q-side term is
+    q*ln(q/(q/2)) = q*ln2 — summing to ``ln2 * (1 - Q_g)`` where
+    ``Q_g`` is the corpus mass of the tokens the group DOES use (an
+    exact integer ratio).  Only (group, token) rows that exist are
+    ever touched: one exploded groupBy + a broadcast join of the
+    vocab-sized corpus counts.
+
+    Cross-engine determinism: each present-token term is quantized to
+    the 1/``grid`` integer lattice and summed as bigints (order-free
+    exact addition); the closed-form zero-mass term and the final
+    blend are single rounded expressions.
+    """
+    from flow_indexer_spark.operators.dedup import tokens
+
+    tok = (
+        docs.select(
+            F.col(group_col).alias("grp"),
+            F.explode(tokens(text_col)).alias("token"),
+        )
+    )
+    per_grp_tok = tok.groupBy("grp", "token").agg(
+        F.count("*").cast("bigint").alias("n_gt")
+    )
+    per_grp = per_grp_tok.groupBy("grp").agg(
+        F.sum("n_gt").cast("bigint").alias("n_g")
+    )
+    corpus_tok = per_grp_tok.groupBy("token").agg(
+        F.sum("n_gt").cast("bigint").alias("n_t")
+    )
+    total = corpus_tok.agg(F.sum("n_t").cast("bigint").alias("n_total"))
+    j = (
+        per_grp_tok.join(F.broadcast(corpus_tok), "token")
+        .join(F.broadcast(per_grp), "grp")
+        .join(F.broadcast(total))
+    )
+    p = F.col("n_gt") / F.col("n_g")
+    q = F.col("n_t") / F.col("n_total")
+    m = (p + q) / 2.0
+    g = float(grid)
+    term_p = F.round(p * F.log(p / m) * g).cast("bigint")
+    term_q = F.round(q * F.log(q / m) * g).cast("bigint")
+    agg = j.groupBy("grp").agg(
+        F.max("n_g").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+        F.sum(term_p).alias("_sp"),
+        F.sum(term_q).alias("_sq"),
+        F.sum("n_t").cast("bigint").alias("_qnum"),
+        F.max("n_total").alias("_ntot"),
+    )
+    zero_mass = F.log(F.lit(2.0)) * (
+        F.lit(1.0) - F.col("_qnum") / F.col("_ntot")
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n_tokens",
+        "n_distinct",
+        F.round(
+            0.5 * (F.col("_sp") / g + F.col("_sq") / g + zero_mass), dp
+        ).alias("js_divergence"),
+    )
