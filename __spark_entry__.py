@@ -9286,6 +9286,115 @@ def _q_source_js_divergence(spark, sf_dir):
     ).orderBy("source")
 
 
+# --- pLSA topic model (fixed-iteration EM, unrolled oracle) -----------------
+
+
+def _plsa_sql(k: int = 3, t: int = 2, dp: int = 9) -> str:
+    """The pLSA EM trajectory unrolled in SQL, term-for-term mirroring
+    operators/plsa.py plsa_em (same hash init, same 10^-dp integer
+    lattice for responsibilities, same rounded divisions)."""
+    zs = list(range(1, k + 1))
+    g = "1000000000.0" if dp == 9 else f"{10.0**dp!r}"
+    gi = str(10**dp)
+
+    def h(prefix: str, key: str, z: int) -> str:
+        return (
+            f"CAST('0x' || substr(md5('{prefix}:' || {key} || ':{z}'), 1, 8)"
+            f" AS BIGINT) % 1000 + 1"
+        )
+
+    rsum = " + ".join(f"r{z}" for z in zs)
+    sql = f"""
+    nd AS MATERIALIZED (
+      SELECT doc, token, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT doc_id AS doc,
+                   unnest(list_filter(string_split(text, ' '),
+                                      x -> x <> '')) AS token
+            FROM documents)
+      GROUP BY 1, 2
+    ),
+    t0 AS MATERIALIZED (
+      SELECT doc, {', '.join(f'CAST((2 * r{z} * {gi} + ({rsum})) // (2 * ({rsum})) AS BIGINT) / {g} AS th{z}' for z in zs)}
+      FROM (SELECT doc, {', '.join(h('d', 'CAST(doc AS VARCHAR)', z) + f' AS r{z}' for z in zs)}
+            FROM (SELECT DISTINCT doc FROM nd))
+    ),
+    vr AS (
+      SELECT token, {', '.join(h('w', 'token', z) + f' AS r{z}' for z in zs)}
+      FROM (SELECT DISTINCT token FROM nd)
+    ),
+    vs AS (SELECT {', '.join(f'CAST(SUM(r{z}) AS BIGINT) AS s{z}' for z in zs)} FROM vr),
+    p0 AS MATERIALIZED (
+      SELECT token, {', '.join(f'CAST((2 * r{z} * {gi} + s{z}) // (2 * s{z}) AS BIGINT) / {g} AS ph{z}' for z in zs)}
+      FROM vr CROSS JOIN vs
+    )"""
+    denom = " + ".join(f"th{z} * ph{z}" for z in zs)
+    for i in range(1, t + 1):
+        prev_t, prev_p = f"t{i-1}", f"p{i-1}"
+        sql += f""",
+    e{i} AS MATERIALIZED (
+      SELECT nd.doc, nd.token, nd.n,
+             {', '.join(f'CAST(round(th{z} * ph{z} / ({denom}) * {g}) AS BIGINT) AS R{z}' for z in zs)}
+      FROM nd JOIN {prev_t} USING (doc) JOIN {prev_p} USING (token)
+    ),
+    t{i} AS MATERIALIZED (
+      SELECT doc,
+             {', '.join(f'CAST((2 * SUM(n * R{z}) + SUM(n)) // (2 * SUM(n)) AS BIGINT) / {g} AS th{z}' for z in zs)}
+      FROM e{i} GROUP BY 1
+    ),
+    wn{i} AS (
+      SELECT token, {', '.join(f'CAST(SUM(n * R{z}) AS HUGEINT) AS s{z}' for z in zs)}
+      FROM e{i} GROUP BY 1
+    ),
+    wd{i} AS (SELECT {', '.join(f'CAST(SUM(s{z}) AS HUGEINT) AS d{z}' for z in zs)} FROM wn{i}),
+    p{i} AS MATERIALIZED (
+      SELECT token, {', '.join(f'CAST((2 * s{z} * {gi} + d{z}) // (2 * d{z}) AS BIGINT) / {g} AS ph{z}' for z in zs)}
+      FROM wn{i} CROSS JOIN wd{i}
+    )"""
+    return sql
+
+
+def _plsa_fitted(spark, sf_dir):
+    from flow_indexer_spark.operators.plsa import doc_term_counts, plsa_em
+
+    nd = doc_term_counts(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return plsa_em(nd, k=3, n_iter=2, dp=9)
+
+
+@_register(
+    "topic_word_dist",
+    f"""
+    WITH {_plsa_sql(3, 2, 9)}
+    SELECT token, ph1, ph2, ph3 FROM p2 ORDER BY token
+    """,
+)
+def _q_topic_word_dist(spark, sf_dir):
+    """pLSA p(w|z) after 2 bit-pinned EM iterations (Hofmann SIGIR
+    1999), K=3: phi broadcast to the E-step, responsibilities emitted
+    as scaled bigints so every M-step numerator is an exact integer
+    sum — the trajectory is identical at any parallelism, and the
+    oracle is the recurrence unrolled in SQL. operators/plsa.py
+    plsa_em."""
+    _, phi = _plsa_fitted(spark, sf_dir)
+    return phi.orderBy("token")
+
+
+@_register(
+    "topic_doc_mixture",
+    f"""
+    WITH {_plsa_sql(3, 2, 9)}
+    SELECT doc AS doc_id, th1, th2, th3 FROM t2 ORDER BY doc_id
+    """,
+)
+def _q_topic_doc_mixture(spark, sf_dir):
+    """pLSA p(z|d) after the same 2 EM iterations: the per-document
+    topic mixture (doc-major groupBy, integer-lattice numerators / one
+    rounded division per cell). operators/plsa.py plsa_em."""
+    theta, _ = _plsa_fitted(spark, sf_dir)
+    return theta.select(
+        F.col("doc").alias("doc_id"), "th1", "th2", "th3"
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return dict(_QUERIES)
