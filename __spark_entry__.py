@@ -9395,6 +9395,72 @@ def _q_topic_doc_mixture(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+@_register(
+    "media_h264_cabac",
+    """
+    WITH v AS (SELECT CAST(range AS INTEGER) AS i FROM range(24)),
+    p AS (
+      SELECT i, printf('v%05d', i) AS media_id,
+             6 + (i % 3) * 3 AS n_frames,
+             16 + (i % 5) * 8 AS w, 12 + (i % 3) * 8 AS h
+      FROM v
+    ),
+    f AS (
+      SELECT p.*, CAST(r.range AS INTEGER) AS frame_idx
+      FROM p, range(12) r
+      WHERE r.range < p.n_frames AND r.range % 2 = 0
+    )
+    SELECT media_id, 'avc1' AS codec,
+           CAST(n_frames AS INTEGER) AS n_frames,
+           CAST(n_frames * 100 AS BIGINT) AS duration_ms,
+           frame_idx, CAST(frame_idx * 100 AS BIGINT) AS t_ms,
+           CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           TRUE AS mean_r_ok, TRUE AS mean_g_ok, TRUE AS mean_b_ok,
+           TRUE AS edge_ok
+    FROM f
+    ORDER BY media_id, frame_idx
+    """,
+)
+def _q_media_h264_cabac(spark, sf_dir):
+    """The CABAC arm of the H.264 seam: the same lossless I_PCM pixel
+    family as media_h264_frames, but the slice layer is genuinely
+    arithmetic-coded — spec 9.3 range coder (Table 9-44/9-45 state
+    machine, context-modeled mb_type bins, terminate + EncodeFlush,
+    engine re-init around PCM payloads), encoded AND decoded on
+    executors (operators/h264cabac.py).  Same container fixtures, same
+    tolerance gates; 'CABAC raises NotImplementedError' is no longer
+    blanket-true — only prediction/residual syntax under CABAC
+    classifies now."""
+    from flow_indexer_spark.operators.mp4codec import (
+        make_h264_cabac_media,
+        video_frame_features,
+    )
+
+    d = video_frame_features(make_h264_cabac_media(spark, 24), every_n=2)
+    i = F.substring("media_id", 2, 5).cast("int")
+    red = ((F.lit(7) * i + F.lit(11) * F.col("frame_idx")) % 256).cast(
+        "double"
+    )
+    mean_g_theory = (F.col("width") - 1) / 2.0
+    mean_b_theory = (F.col("height") - 1) / 2.0
+    return d.select(
+        "media_id",
+        "codec",
+        "n_frames",
+        "duration_ms",
+        "frame_idx",
+        "t_ms",
+        "width",
+        "height",
+        (F.abs(F.col("mean_r") - red) < 0.75).alias("mean_r_ok"),
+        (F.abs(F.col("mean_g") - mean_g_theory) < 0.75).alias("mean_g_ok"),
+        (F.abs(F.col("mean_b") - mean_b_theory) < 0.75).alias("mean_b_ok"),
+        (F.abs(F.col("edge_energy") - F.lit(0.587 + 0.114)) < 0.25).alias(
+            "edge_ok"
+        ),
+    ).orderBy("media_id", "frame_idx")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return dict(_QUERIES)

@@ -317,8 +317,11 @@ def parse_pps(nal: bytes) -> dict:
     r = _BitReader(rbsp)
     pps_id = r.ue("pic_parameter_set_id")
     sps_id = r.ue("seq_parameter_set_id")
-    if r.u(1, "entropy_coding_mode_flag") != 0:
-        raise NotImplementedError("CABAC entropy coding")
+    # CABAC is a supported entropy coder now (operators/h264cabac.py
+    # decodes I_PCM IDR slices under it): parsing a CABAC PPS succeeds
+    # and returns the flag; slice DECODERS that only speak CAVLC
+    # classify on it at their own boundary.
+    cabac = bool(r.u(1, "entropy_coding_mode_flag"))
     r.u(1, "bottom_field_pic_order_in_frame_present_flag")
     if r.ue("num_slice_groups_minus1") != 0:
         raise NotImplementedError("slice groups (FMO)")
@@ -329,6 +332,7 @@ def parse_pps(nal: bytes) -> dict:
     return {
         "pps_id": pps_id,
         "sps_id": sps_id,
+        "cabac": cabac,
         "weighted_pred": weighted_pred,
         "weighted_bipred_idc": weighted_bipred_idc,
     }
@@ -560,7 +564,9 @@ def encode_frame_sample(px: np.ndarray, idr_pic_id: int = 0) -> bytes:
 def decode_frame_sample(sample: bytes, avcc: bytes) -> np.ndarray:
     """MP4 sample (length-prefixed NALs) + avcC -> RGB pixels. Decodes
     the first coded-slice NAL; SEI/parameter-set NALs are skipped."""
-    sps = parse_sps(parse_avcc(avcc)[0])
+    sps_nal, pps_nal = parse_avcc(avcc)
+    sps = parse_sps(sps_nal)
+    cabac = parse_pps(pps_nal).get("cabac", False)
     p = 0
     while p + 4 <= len(sample):
         ln = int.from_bytes(sample[p : p + 4], "big")
@@ -570,6 +576,13 @@ def decode_frame_sample(sample: bytes, avcc: bytes) -> np.ndarray:
         p += 4 + ln
         nal_type = nal[0] & 0x1F if nal else 0
         if nal_type in (1, 5):
-            y, cb, cr = decode_idr_ipcm(nal, sps)
+            if cabac:
+                from flow_indexer_spark.operators.h264cabac import (
+                    decode_idr_ipcm_cabac,
+                )
+
+                y, cb, cr = decode_idr_ipcm_cabac(nal, sps)
+            else:
+                y, cb, cr = decode_idr_ipcm(nal, sps)
             return planes_to_frame(y, cb, cr, sps["width"], sps["height"])
     raise ValueError("sample holds no coded-slice NAL")

@@ -1798,6 +1798,12 @@ class GopDecoder:
         sps_nal, pps_nal = parse_avcc(avcc)
         self.sps = parse_sps(sps_nal)
         self.pps = parse_pps(pps_nal)
+        if self.pps.get("cabac"):
+            raise NotImplementedError(
+                "CABAC P/B slices: only CABAC I_PCM IDR pictures decode "
+                "(operators/h264cabac.py); inter prediction under CABAC "
+                "needs the full residual/mvd bin syntax"
+            )
         self._refs: list[tuple] = []
 
     @staticmethod

@@ -1786,11 +1786,14 @@ def decode_frame_sample_any(sample: bytes, avcc: bytes) -> np.ndarray:
     classifies from the parsed syntax element that needs it."""
     from flow_indexer_spark.operators.h264codec import (
         parse_avcc,
+        parse_pps,
         parse_sps,
         planes_to_frame,
     )
 
-    sps = parse_sps(parse_avcc(avcc)[0])
+    sps_nal, pps_nal = parse_avcc(avcc)
+    sps = parse_sps(sps_nal)
+    pps = parse_pps(pps_nal)
     coded = []
     p = 0
     while p + 4 <= len(sample):
@@ -1804,5 +1807,17 @@ def decode_frame_sample_any(sample: bytes, avcc: bytes) -> np.ndarray:
             coded.append(nal)
     if not coded:
         raise ValueError("sample holds no coded-slice NAL")
+    if pps.get("cabac"):
+        # CABAC route (operators/h264cabac.py): single-slice all-I_PCM
+        # IDR pictures decode byte-exactly; anything narrower
+        # classifies inside the CABAC decoder itself.
+        from flow_indexer_spark.operators.h264cabac import (
+            decode_idr_ipcm_cabac,
+        )
+
+        if len(coded) > 1:
+            raise NotImplementedError("multi-slice CABAC pictures")
+        y, cb, cr = decode_idr_ipcm_cabac(coded[0], sps)
+        return planes_to_frame(y, cb, cr, sps["width"], sps["height"])
     y, cb, cr = decode_idr_picture(coded, sps)
     return planes_to_frame(y, cb, cr, sps["width"], sps["height"])

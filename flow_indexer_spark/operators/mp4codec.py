@@ -132,6 +132,29 @@ def encode_mp4_h264(frames: list[np.ndarray], fps: int = VIDEO_FPS) -> bytes:
     )
 
 
+def encode_mp4_h264_cabac(frames: list, fps: int = VIDEO_FPS) -> bytes:
+    """Write frames as CABAC H.264-in-MP4: identical pixel semantics
+    to :func:`encode_mp4_h264` (lossless I_PCM IDR samples) but the
+    slice layer is arithmetic-coded (operators/h264cabac.py) and the
+    avcC carries the entropy_coding_mode_flag=1 PPS."""
+    from flow_indexer_spark.operators import h264codec as h264
+    from flow_indexer_spark.operators.h264cabac import (
+        encode_frame_sample_cabac,
+        make_pps_cabac,
+    )
+
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape[:2]
+    samples = [encode_frame_sample_cabac(f, k) for k, f in enumerate(frames)]
+    avcc = _box(
+        b"avcC", h264.make_avcc(h264.make_sps(w, h), make_pps_cabac())
+    )
+    return _encode_mp4(
+        samples, w, h, fps, _visual_entry(b"avc1", w, h, b"h264 cabac", avcc)
+    )
+
+
 def encode_mp4_h264_i16(
     frames: list[np.ndarray], fps: int = VIDEO_FPS, qp: int = 12,
     slices: int = 1,
@@ -994,6 +1017,22 @@ def make_h264_bytes(i: int) -> bytes:
     return encode_mp4_h264(frames, fps=VIDEO_FPS)
 
 
+def make_h264_cabac_bytes(i: int) -> bytes:
+    """The same deterministic frame family as :func:`make_h264_bytes`,
+    arithmetic-coded: CABAC I_PCM-in-avc1 (operators/h264cabac.py) —
+    identical pixel theory, identical lossless guarantee, different
+    entropy layer."""
+    n, w, h = video_params(i)
+    frames = []
+    for t in range(n):
+        px = np.empty((h, w, 3), dtype=np.uint8)
+        px[:, :, 0] = (7 * i + 11 * t) % 256
+        px[:, :, 1] = np.arange(w, dtype=np.uint8)[None, :]
+        px[:, :, 2] = np.arange(h, dtype=np.uint8)[:, None]
+        frames.append(px)
+    return encode_mp4_h264_cabac(frames, fps=VIDEO_FPS)
+
+
 def make_h264_intra_bytes(i: int, qp: int = 12) -> bytes:
     """The same deterministic frame family, coded as intra-predicted
     I_16x16 DC-mode H.264 (operators/h264intra.py) — a genuinely lossy
@@ -1322,6 +1361,11 @@ def make_mp4_media(spark, n: int = 24) -> DataFrame:
 def make_h264_media(spark, n: int = 24) -> DataFrame:
     """Executor-side synthesis of real H.264-in-MP4 payloads."""
     return _media_gen(spark, n, "v", make_h264_bytes)
+
+
+def make_h264_cabac_media(spark, n: int = 24) -> DataFrame:
+    """Executor-side synthesis of CABAC H.264-in-MP4 payloads."""
+    return _media_gen(spark, n, "v", make_h264_cabac_bytes)
 
 
 def make_h264_intra_media(spark, n: int = 24) -> DataFrame:

@@ -114,16 +114,26 @@ def test_classifies_unsupported_coding_tools():
     w.ue(0)  # mb_type I_4x4
     with pytest.raises(NotImplementedError, match="intra-predicted"):
         H.decode_idr_ipcm(H.rbsp_to_nal(0x65, w.rbsp_trailing()), sps)
-    # CABAC PPS
-    pps = H.make_pps()
+    # CABAC PPS: parsing now SUCCEEDS (operators/h264cabac.py decodes
+    # CABAC I_PCM IDR slices); the flag routes slice decoding, and the
+    # CAVLC-only paths classify on it (test_h264_cabac.py pins both
+    # the decode route and the GopDecoder classification)
+    assert H.parse_pps(H.make_pps())["cabac"] is False
     cab = H._BitWriter()
     cab.ue(0)
     cab.ue(0)
     cab.u(1, 1)  # entropy_coding_mode_flag = CABAC
+    cab.u(0, 1)
     cab.ue(0)
-    with pytest.raises(NotImplementedError, match="CABAC"):
-        H.parse_pps(H.rbsp_to_nal(0x68, cab.rbsp_trailing()))
-    del pps
+    cab.ue(0)
+    cab.ue(0)
+    cab.u(0, 1)
+    cab.u(0, 2)
+    cab.se(0)
+    cab.se(0)
+    cab.se(0)
+    cab.u(0, 3)
+    assert H.parse_pps(H.rbsp_to_nal(0x68, cab.rbsp_trailing()))["cabac"] is True
 
 
 def test_corruption_is_classifiable_valueerror():
