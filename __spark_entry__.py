@@ -9461,6 +9461,219 @@ def _q_media_h264_cabac(spark, sf_dir):
     ).orderBy("media_id", "frame_idx")
 
 
+# --- containment dedup / b-bit minhash / priority sampling ------------------
+
+
+@_register(
+    "dedup_containment",
+    """
+    WITH tok AS (
+      SELECT doc_id AS doc,
+             list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    sh AS MATERIALIZED (
+      SELECT DISTINCT doc,
+             array_to_string(list_slice(t, i, i + 2), ' ') AS gram
+      FROM tok, unnest(generate_series(1, len(t) - 2)) AS ii(i)
+      WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS size FROM sh GROUP BY 1),
+    ok AS (SELECT gram FROM sh GROUP BY 1 HAVING COUNT(*) <= 50),
+    sho AS MATERIALIZED (SELECT sh.doc, sh.gram FROM sh JOIN ok USING (gram)),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM sho a JOIN sho b ON a.gram = b.gram AND a.doc < b.doc
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_shared, sa.size AS size_a, sb.size AS size_b,
+           round(n_shared / sa.size, 9) AS cont_a_in_b,
+           round(n_shared / sb.size, 9) AS cont_b_in_a
+    FROM inter
+    JOIN sizes sa ON sa.doc = doc_a JOIN sizes sb ON sb.doc = doc_b
+    WHERE greatest(round(n_shared / sa.size, 9),
+                   round(n_shared / sb.size, 9)) >= 0.2
+    ORDER BY doc_a, doc_b
+    """,
+)
+def _q_dedup_containment(spark, sf_dir):
+    """Asymmetric shingle CONTAINMENT (Broder 1997's second measure):
+    |S(A) & S(B)| / |S(A)| — catches the quote/subset near-dup that
+    Jaccard structurally misses (a short doc embedded in a long one).
+    df-capped inverted index before the self-join, exact integer
+    sufficient stats, one rounded ratio per direction.
+    operators/dedup.py containment_pairs."""
+    from flow_indexer_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        k=3, min_containment=0.2, max_df=50,
+    ).orderBy("doc_a", "doc_b")
+
+
+def _bbit_sql(n_hashes: int = 16, b_bits: int = 2) -> str:
+    mod = 1 << b_bits
+    c0 = 1.0 / mod
+
+    def mh(side: str, j: int) -> str:
+        return (
+            f"list_min(list_transform({side}, x -> CAST('0x' || "
+            f"substr(md5('b{j}' || x), 1, 8) AS BIGINT)))"
+        )
+
+    matches = " + ".join(
+        f"CASE WHEN {mh('tc', j)} % {mod} = {mh('tr', j)} % {mod} "
+        f"THEN 1 ELSE 0 END"
+        for j in range(n_hashes)
+    )
+    return f"""
+    prs AS (
+      SELECT c.doc_id // 2 AS pair,
+             list_filter(string_split(c.text, ' '), x -> x <> '') AS tc,
+             list_filter(string_split(r.text, ' '), x -> x <> '') AS tr
+      FROM documents c JOIN documents r ON r.doc_id = c.doc_id + 1
+      WHERE c.doc_id % 2 = 0
+    ),
+    m AS MATERIALIZED (
+      SELECT pair, CAST({matches} AS BIGINT) AS n_match,
+             CAST(len(list_filter(list_distinct(tc),
+                                  x -> list_contains(tr, x))) AS BIGINT)
+               AS n_inter,
+             CAST(len(list_distinct(list_concat(tc, tr))) AS BIGINT)
+               AS n_union
+      FROM prs
+    )
+    SELECT pair, n_match, n_inter, n_union,
+           round((n_match / {float(n_hashes)} - {c0}) / {1.0 - c0}, 9)
+             AS s_bbit,
+           round(n_inter / n_union, 9) AS jaccard
+    FROM m ORDER BY pair
+    """
+
+
+@_register("dedup_bbit_minhash", f"WITH {_bbit_sql(16, 2)}")
+def _q_dedup_bbit_minhash(spark, sf_dir):
+    """b-bit minwise hashing (Li & Koenig CACM 2011): resemblance from
+    b=2-bit truncated minhashes — 1/16th the sketch memory — with the
+    collision-floor-corrected estimator beside the exact token-set
+    Jaccard it approximates.  Entirely in-row (16 hash minima per side
+    via transform/array_min, no shuffle beyond the pair join).
+    operators/dedup.py bbit_minhash_pairs."""
+    from flow_indexer_spark.operators.dedup import bbit_minhash_pairs
+
+    return bbit_minhash_pairs(
+        _genmetric_pairs(spark, sf_dir), "cand", "ref", "pair",
+        n_hashes=16, b_bits=2,
+    ).orderBy("pair")
+
+
+@_register(
+    "curation_priority_sample",
+    """
+    WITH p AS (
+      SELECT doc_id, source, n_chars,
+             CAST('0x' || substr(md5('ps0:' || CAST(doc_id AS VARCHAR)),
+                                 1, 8) AS BIGINT) AS h
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, source, n_chars,
+             (CAST(n_chars AS BIGINT) * 4294967296) // (h + 1) AS priority
+      FROM p
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY source ORDER BY priority DESC, doc_id) AS rk
+      FROM q
+    )
+    SELECT doc_id, source, n_chars, priority
+    FROM r WHERE rk <= 3 ORDER BY source, doc_id
+    """,
+)
+def _q_curation_priority_sample(spark, sf_dir):
+    """Priority sampling (Duffield-Lund-Thorup JACM 2007): the k=3
+    highest w/u priorities per source — unbiased weighted sampling
+    without replacement, with the priority key computed as the EXACT
+    bigint (w * 2^32) div (h+1): no float pow/log, so the selection is
+    engine- and parallelism-exact. One window per group.
+    operators/curation.py priority_sample."""
+    from flow_indexer_spark.operators.curation import priority_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        priority_sample(d, "source", "n_chars", "doc_id", k=3)
+        .select("doc_id", "source", "n_chars", "priority")
+        .orderBy("source", "doc_id")
+    )
+
+
+@_register(
+    "tool_retry_chains",
+    """
+    WITH t AS (
+      SELECT CAST(user_id AS VARCHAR) AS conv,
+             CAST(event_id AS INTEGER) AS idx,
+             CASE CAST((event_id // 8) % 3 AS INTEGER)
+               WHEN 0 THEN 'search' WHEN 1 THEN 'fetch' ELSE 'calc'
+             END AS tool,
+             CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END AS ok
+      FROM events
+    ),
+    runs AS (
+      SELECT conv, tool, idx, ok,
+             ROW_NUMBER() OVER (PARTITION BY conv ORDER BY idx)
+             - ROW_NUMBER() OVER (PARTITION BY conv, tool ORDER BY idx)
+               AS run_id
+      FROM t
+    ),
+    per_run AS (
+      SELECT conv, tool, run_id,
+             CAST(COUNT(*) AS BIGINT) AS n_attempts,
+             CAST(SUM(1 - ok) AS BIGINT) AS n_failures,
+             MAX_BY(ok, idx) AS final_ok
+      FROM runs GROUP BY 1, 2, 3
+    ),
+    cls AS (
+      SELECT *, (n_failures - (1 - final_ok) > 0) AS is_chain FROM per_run
+    )
+    SELECT tool,
+           CAST(COUNT(*) AS BIGINT) AS n_runs,
+           CAST(SUM(CASE WHEN is_chain THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_retry_chains,
+           CAST(SUM(CASE WHEN is_chain AND final_ok = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_recovered,
+           CAST(SUM(CASE WHEN is_chain AND final_ok = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_exhausted,
+           CAST(COALESCE(MAX(CASE WHEN is_chain THEN n_attempts END), 0)
+                AS BIGINT) AS max_chain_len,
+           CAST(SUM(CASE WHEN is_chain THEN n_attempts - 1 ELSE 0 END)
+                AS BIGINT) AS wasted_attempts
+    FROM cls GROUP BY tool ORDER BY tool
+    """,
+)
+def _q_tool_retry_chains(spark, sf_dir):
+    """Retry-chain mining over tool invocations: maximal same-tool runs
+    per conversation (runs trick: difference of two row_numbers inside
+    conversation-partitioned windows), classified into retry chains
+    (some non-final attempt failed), recovered vs exhausted, with the
+    wasted-attempt cost — the 'is this tool flaky and does retrying
+    help' agent-ops gate. operators/transcripts.py tool_retry_chains."""
+    from flow_indexer_spark.operators.transcripts import tool_retry_chains
+
+    ev = _t(spark, sf_dir, "events")
+    t = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        F.when((F.expr("event_id div 8") % 3).cast("int") == 0, "search")
+        .when((F.expr("event_id div 8") % 3).cast("int") == 1, "fetch")
+        .otherwise("calc")
+        .alias("tool"),
+        (F.col("event_type") != "error").alias("ok"),
+    )
+    return tool_retry_chains(t).orderBy("tool")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return dict(_QUERIES)

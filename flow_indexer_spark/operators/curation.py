@@ -1074,3 +1074,51 @@ def quantile_normalize(
         "value",
         F.round(F.col("_gv"), dp).alias("norm_value"),
     )
+
+
+def priority_sample(
+    docs: DataFrame,
+    group_col: str,
+    weight_col: str,
+    id_col: str,
+    k: int,
+    salt: str = "ps0",
+) -> DataFrame:
+    """Weighted-without-replacement sampling by PRIORITY SAMPLING
+    (Duffield, Lund & Thorup, JACM 2007): priority q_i = w_i / u_i
+    with u_i uniform in (0, 1]; the k highest-priority rows per group
+    are an unbiased weighted sample with near-optimal variance.
+    Temperature/stratified sampling upstream picks BETWEEN groups;
+    this is the principled pick WITHIN a group when rows carry an
+    importance weight (quality score, length, dedup multiplicity).
+
+    Determinism/portability: u_i is the md5-derived integer
+    h in [0, 2^32) mapped to (h+1)/2^32, so the priority ORDER is the
+    order of w_i * 2^32 / (h+1) — computed as an EXACT bigint
+    ``(w * 2^32) div (h+1)`` (no float pow/log anywhere, unlike the
+    exponential-key A-ES formulation whose u^(1/w) is libm-dependent);
+    ties (possible after the floor) break by id.  One window per
+    group, rank <= k; no global sort, no shuffle beyond the window.
+    Weights must be positive integers (or integer-valued) bounded by
+    ~2^20 so w << 32 stays inside int64."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    pri = docs.select(
+        "*",
+        md5_int32(
+            F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))
+        ).alias("_h"),
+    ).withColumn(
+        "priority",
+        F.expr(
+            f"(CAST({weight_col} AS BIGINT) * 4294967296) div (_h + 1)"
+        ),
+    )
+    win = Window.partitionBy(group_col).orderBy(
+        F.desc("priority"), F.col(id_col)
+    )
+    return (
+        pri.withColumn("_rk", F.row_number().over(win))
+        .filter(F.col("_rk") <= k)
+        .drop("_h", "_rk")
+    )

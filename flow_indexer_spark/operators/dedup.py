@@ -1107,3 +1107,134 @@ def duplicate_segment_removal(
             "text_deduped",
         )
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    min_containment: float = 0.5,
+    max_df: int = 50,
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection: shingle containment
+    C(A in B) = |S(A) & S(B)| / |S(A)| (Broder 1997's second measure).
+    Resemblance (Jaccard) misses the quote/subset case — a short doc
+    fully embedded in a long one scores low Jaccard but containment
+    ~1.0 — which is exactly the "document quotes another" relation a
+    training-corpus dedup wants to find before packing both.
+
+    Shape: distinct k-gram shingles per doc (in-row), df-capped
+    inverted index (boilerplate shingles dropped BEFORE the self-join,
+    the LSH bucket-cap discipline), one join + one groupBy for the
+    intersections, sizes joined back (broadcast-able aggregate).
+    Output both directions' containments as exact integer sufficient
+    stats + one rounded ratio each: (doc_a, doc_b, n_shared, size_a,
+    size_b, cont_a_in_b, cont_b_in_a), doc_a < doc_b, filtered to
+    max(cont) >= ``min_containment``."""
+    tok = tokens(text_col)
+    idx = F.sequence(F.lit(1), F.size(tok) - (k - 1))
+    grams = F.when(
+        F.size(tok) >= k,
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tok, i, k)))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = docs.select(
+        F.col(id_col).alias("doc"), F.explode(grams).alias("gram")
+    )
+    sizes = sh.groupBy("doc").agg(F.count("*").cast("bigint").alias("size"))
+    df_ok = (
+        sh.groupBy("gram")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") <= max_df)
+        .select("gram")
+    )
+    sh = sh.join(df_ok, "gram", "left_semi")
+    a = sh.select("gram", F.col("doc").alias("doc_a"))
+    b = sh.select("gram", F.col("doc").alias("doc_b"))
+    inter = (
+        a.join(b, "gram")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )
+    out = (
+        inter.join(sizes.withColumnsRenamed({"doc": "doc_a", "size": "size_a"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc": "doc_b", "size": "size_b"}), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            "size_a",
+            "size_b",
+            F.round(F.col("n_shared") / F.col("size_a"), 9).alias("cont_a_in_b"),
+            F.round(F.col("n_shared") / F.col("size_b"), 9).alias("cont_b_in_a"),
+        )
+    )
+    return out.filter(
+        F.greatest("cont_a_in_b", "cont_b_in_a") >= F.lit(min_containment)
+    )
+
+
+def bbit_minhash_pairs(
+    pairs: DataFrame,
+    a_col: str = "cand",
+    b_col: str = "ref",
+    id_col: str = "pair",
+    n_hashes: int = 32,
+    b_bits: int = 2,
+) -> DataFrame:
+    """b-bit minwise hashing (Li & Koenig, CACM 2011): store only the
+    lowest ``b_bits`` of each of ``n_hashes`` minhashes and estimate
+    resemblance from the collision fraction — 1/(32/b)th the sketch
+    memory of full minhash, the difference between fitting a 100 TB
+    corpus sketch in executor memory or not.
+
+    For each pair this computes, ALL in-row (no shuffle beyond the
+    input): ``n_match`` = collision count of the b-bit values (exact
+    int), the estimator s_hat = (c - c0)/(1 - c0) with c = n_match/n
+    and c0 = 2^-b (the random-collision floor), and the EXACT token-set
+    Jaccard (inter/union ints + ratio) as the ground truth column the
+    estimator is judged against."""
+    if n_hashes < 1 or not 1 <= b_bits <= 16:
+        raise ValueError(f"need n_hashes >= 1, 1 <= b_bits <= 16")
+    mask = (1 << b_bits) - 1
+    ta, tb = tokens(a_col), tokens(b_col)
+
+    def mh(tok: Column, j: int) -> Column:
+        return F.array_min(
+            F.transform(
+                tok, lambda x: md5_int32(F.concat(F.lit(f"b{j}"), x))
+            )
+        )
+
+    match_terms = [
+        F.when(
+            mh(ta, j).bitwiseAND(F.lit(mask))
+            == mh(tb, j).bitwiseAND(F.lit(mask)),
+            1,
+        ).otherwise(0)
+        for j in range(n_hashes)
+    ]
+    n_match = match_terms[0]
+    for t in match_terms[1:]:
+        n_match = n_match + t
+    sa, sb = F.array_distinct(ta), F.array_distinct(tb)
+    inter = F.size(F.array_intersect(sa, sb)).cast("bigint")
+    union = F.size(F.array_union(sa, sb)).cast("bigint")
+    c0 = 1.0 / (1 << b_bits)
+    c = F.col("n_match") / F.lit(float(n_hashes))
+    return pairs.select(
+        F.col(id_col).alias("pair"),
+        n_match.cast("bigint").alias("n_match"),
+        inter.alias("n_inter"),
+        union.alias("n_union"),
+    ).select(
+        "pair",
+        "n_match",
+        "n_inter",
+        "n_union",
+        F.round((c - F.lit(c0)) / F.lit(1.0 - c0), 9).alias("s_bbit"),
+        F.round(F.col("n_inter") / F.col("n_union"), 9).alias("jaccard"),
+    )

@@ -79,6 +79,7 @@ def plsa_em(
     k: int = 3,
     n_iter: int = 2,
     dp: int = 9,
+    checkpoint: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Run ``n_iter`` EM iterations; returns (theta, phi):
     theta = (doc, th1..thK) with p(z|d), phi = (token, ph1..phK) with
@@ -180,8 +181,11 @@ def plsa_em(
                 for z in zs
             ],
         )
-        # tiny param tables; materialize to keep each iteration's plan flat
-        theta = theta.localCheckpoint(eager=False)
-        phi = phi.localCheckpoint(eager=False)
+        # tiny param tables; materialize to keep each iteration's plan
+        # flat (checkpoint=False leaves the full lineage visible for
+        # plan-shape pins)
+        if checkpoint:
+            theta = theta.localCheckpoint(eager=False)
+            phi = phi.localCheckpoint(eager=False)
 
     return theta, phi

@@ -346,3 +346,70 @@ def turn_taking_stats(
             "longest_run",
         )
     )
+
+
+def tool_retry_chains(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    tool_col: str = "tool",
+    ok_col: str = "ok",
+) -> DataFrame:
+    """Retry-chain mining over agent tool invocations: a RUN is a
+    maximal stretch of consecutive turns in one conversation invoking
+    the same tool; a RETRY CHAIN is a run where some non-final attempt
+    failed (the agent re-invoked after an error).  The per-tool report
+    is the 'is this tool flaky, and does retrying it help' gate an
+    agent-ops pipeline runs before trusting tool success rates:
+
+    - ``n_runs`` / ``n_retry_chains``
+    - ``n_recovered`` (chain whose final attempt succeeded) vs
+      ``n_exhausted`` (gave up failing)
+    - ``max_chain_len``, ``wasted_attempts`` (sum of len-1 over chains
+      — the retry-traffic cost)
+
+    Shape: run ids via the runs trick (row_number difference inside
+    one conversation-partitioned window — turn index minus the
+    per-(conv, tool) rank is constant exactly on a run), then two
+    map-combined groupBys.  Nothing is ever corpus-sorted; the window
+    partitions by conversation."""
+    w_conv = Window.partitionBy("conv").orderBy("idx")
+    w_tool = Window.partitionBy("conv", "tool").orderBy("idx")
+    runs = df.select(
+        F.col(conv_col).alias("conv"),
+        F.col(tool_col).alias("tool"),
+        F.col(idx_col).alias("idx"),
+        F.col(ok_col).cast("int").alias("ok"),
+    ).withColumn(
+        "run_id",
+        F.row_number().over(w_conv) - F.row_number().over(w_tool),
+    )
+    per_run = runs.groupBy("conv", "tool", "run_id").agg(
+        F.count("*").cast("bigint").alias("n_attempts"),
+        F.sum(1 - F.col("ok")).cast("bigint").alias("n_failures"),
+        F.max_by("ok", "idx").alias("final_ok"),
+    )
+    is_chain = (
+        F.col("n_failures") - (1 - F.col("final_ok")) > 0
+    )  # some NON-final attempt failed
+    return (
+        per_run.groupBy("tool")
+        .agg(
+            F.count("*").cast("bigint").alias("n_runs"),
+            F.sum(F.when(is_chain, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_retry_chains"),
+            F.sum(F.when(is_chain & (F.col("final_ok") == 1), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_recovered"),
+            F.sum(F.when(is_chain & (F.col("final_ok") == 0), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_exhausted"),
+            F.coalesce(F.max(F.when(is_chain, F.col("n_attempts"))), F.lit(0))
+            .cast("bigint")
+            .alias("max_chain_len"),
+            F.sum(F.when(is_chain, F.col("n_attempts") - 1).otherwise(0))
+            .cast("bigint")
+            .alias("wasted_attempts"),
+        )
+    )

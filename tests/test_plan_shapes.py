@@ -382,3 +382,84 @@ def test_label_propagation_never_collects_neighborhoods(spark):
     )
     out = label_propagation(e, n_rounds=2)
     assert _count(out, "ObjectHashAggregate") == 0
+
+
+def test_specdec_model_broadcasts_to_position_stream(docs):
+    """specdec.draft_acceptance: the bigram model (one row per context)
+    reaches the corpus position stream as a BroadcastHashJoin — the
+    100 TB position stream itself never shuffles for the join (the
+    model build's groupBy+window shuffles are model-sized)."""
+    from flow_indexer_spark.operators.specdec import draft_acceptance
+
+    rep = draft_acceptance(docs, "doc_id", "text", group_col="source")
+    assert _count(rep, "BroadcastHashJoin") == 1
+    assert _count(rep, "SortMergeJoin") == 0
+
+
+def test_bleu_stats_clip_without_joins(docs):
+    """genmetrics.ngram_overlap_stats: clipping is least(c, r) inside
+    one gram-keyed aggregation — NO join anywhere in the plan, and the
+    wide report is conditional aggregation (no Expand/pivot)."""
+    from flow_indexer_spark.operators.genmetrics import ngram_overlap_stats
+
+    pairs = docs.select(
+        F.col("doc_id").alias("pair"),
+        F.col("text").alias("cand"),
+        F.col("text").alias("ref"),
+    )
+    stats = ngram_overlap_stats(pairs, "pair", "cand", "ref")
+    nodes = _nodes(stats)
+    assert not any("Join" in n for n in nodes)
+    assert "Expand" not in nodes
+
+
+def test_js_divergence_broadcasts_vocab_aggregates(docs):
+    """diagnostics.lexical_js_divergence: the vocab-sized corpus counts
+    and the tiny per-group totals reach the (group, token) rows by
+    broadcast — the exploded token table shuffles once for its own
+    groupBy, never sort-merge-joins."""
+    from flow_indexer_spark.operators.diagnostics import lexical_js_divergence
+
+    rep = lexical_js_divergence(docs, "source", "text")
+    assert _count(rep, "SortMergeJoin") == 0
+    assert _count(rep, "BroadcastHashJoin") >= 2
+
+
+def test_priority_sample_is_one_window_no_global_sort(docs):
+    """curation.priority_sample: one group-partitioned window over the
+    exact-integer priority; no global Sort (only window-local sorts
+    under the partitioned Exchange)."""
+    from flow_indexer_spark.operators.curation import priority_sample
+
+    sel = priority_sample(docs, "source", "doc_id", "doc_id", k=3)
+    nodes = _nodes(sel)
+    assert _shuffles(sel) == 1  # the window partition exchange
+    assert "Window" in nodes
+
+
+def test_containment_caps_before_selfjoin(docs):
+    """dedup.containment_pairs: the df-capped shingle index self-joins
+    on the gram key (shuffle join on gram), sizes arrive by broadcast;
+    no BroadcastNestedLoopJoin anywhere."""
+    from flow_indexer_spark.operators.dedup import containment_pairs
+
+    pairs = containment_pairs(docs, "doc_id", "text", k=2)
+    assert _count(pairs, "BroadcastNestedLoopJoin") == 0
+
+
+def test_plsa_estep_broadcasts_phi(docs):
+    """plsa.plsa_em: the E-step joins nd with theta (co-partitioned
+    hash join) and PHI BY BROADCAST — the vocab-parameter table never
+    forces a corpus shuffle; responsibilities stay bigint (no float
+    aggregation nodes needed for the M-step numerators)."""
+    from flow_indexer_spark.operators.plsa import doc_term_counts, plsa_em
+
+    nd = doc_term_counts(docs, "doc_id", "text")
+    theta, phi = plsa_em(nd, k=3, n_iter=1, checkpoint=False)
+    # theta after one iteration: the E-step reaches phi by broadcast
+    # hash join; the only other joins are the doc-co-partitioned
+    # nd-theta join (sort-merge on doc) and 1-row normalizer
+    # cross-broadcasts (BNLJ with a single-row build side — constant
+    # cost at any scale)
+    assert _count(theta, "BroadcastHashJoin") >= 1
+    assert _count(theta, "SortMergeJoin") <= 1
