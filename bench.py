@@ -487,6 +487,15 @@ def _bench_queries(spark, sf_dir: str) -> dict:
         "score_quantile_normalize",
         "telemetry_sliding_active",
         "ngram_diversity_report",
+        "specdec_acceptance",
+        "eval_bleu_rouge_pairs",
+        "source_js_divergence",
+        "topic_word_dist",
+        "media_h264_cabac",
+        "dedup_containment",
+        "dedup_bbit_minhash",
+        "curation_priority_sample",
+        "tool_retry_chains",
     ]
     qs = entry_mod.queries()
     out = {}
