@@ -9674,6 +9674,198 @@ def _q_tool_retry_chains(spark, sf_dir):
     return tool_retry_chains(t).orderBy("tool")
 
 
+#: TF-IDF lattice weights shared by both tfidf oracles
+_TFIDF_CTES = """
+    tf AS (
+      SELECT doc, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id AS doc,
+                   unnest(list_filter(string_split(text, ' '),
+                                      x -> x <> '')) AS token
+            FROM documents)
+      GROUP BY 1, 2
+    ),
+    dfs AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    w AS MATERIALIZED (
+      SELECT token, doc,
+             CAST(round(ln(1.0 + tf) * ln(n_docs / df) * 1000000)
+                  AS BIGINT) AS w
+      FROM tf JOIN dfs USING (token) CROSS JOIN nn
+    )
+"""
+
+
+@_register(
+    "tfidf_weights",
+    f"""
+    WITH {_TFIDF_CTES}
+    SELECT token, doc, w FROM w ORDER BY token, doc
+    """,
+)
+def _q_tfidf_weights(spark, sf_dir):
+    """TF-IDF weights on the inverted-index layout (Salton-Buckley lnc
+    family), quantized to a 1e-6 integer lattice so every downstream
+    dot/norm is an exact integer sum; df and N join back by broadcast.
+    operators/tfidf.py tfidf_weights."""
+    from flow_indexer_spark.operators.tfidf import tfidf_weights
+
+    return tfidf_weights(
+        _t(spark, sf_dir, "documents"), "doc_id", "text"
+    ).orderBy("token", "doc")
+
+
+@_register(
+    "tfidf_cosine_pairs",
+    f"""
+    WITH {_TFIDF_CTES},
+    ok AS (SELECT token FROM w GROUP BY 1 HAVING COUNT(*) <= 50),
+    wok AS MATERIALIZED (SELECT w.* FROM w JOIN ok USING (token)),
+    norms AS (
+      SELECT doc, CAST(SUM(w * w) AS BIGINT) AS norm2 FROM wok GROUP BY 1
+    ),
+    dots AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b,
+             CAST(SUM(a.w * b.w) AS BIGINT) AS dot
+      FROM wok a JOIN wok b ON a.token = b.token AND a.doc < b.doc
+      GROUP BY 1, 2
+    ),
+    res AS (
+      SELECT doc_a, doc_b, dot, na.norm2 AS norm_a, nb.norm2 AS norm_b,
+             round(dot / (sqrt(na.norm2) * sqrt(nb.norm2)), 9) AS cosine
+      FROM dots JOIN norms na ON na.doc = doc_a
+                JOIN norms nb ON nb.doc = doc_b
+    )
+    SELECT * FROM res WHERE cosine >= 0.3 ORDER BY doc_a, doc_b
+    """,
+)
+def _q_tfidf_cosine_pairs(spark, sf_dir):
+    """Lexical cosine similarity pairs over the TF-IDF lattice: the
+    df-capped inverted index generates candidates AND the dot product
+    (one self-join + one groupBy, exact integer sums); sqrt is
+    IEEE-exact on both engines and the single rounded division closes
+    it. The graded lexical twin of the embedding-cosine and MinHash
+    families. operators/tfidf.py tfidf_cosine_pairs."""
+    from flow_indexer_spark.operators.tfidf import (
+        tfidf_cosine_pairs,
+        tfidf_weights,
+    )
+
+    w = tfidf_weights(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return tfidf_cosine_pairs(w, min_cosine=0.3, max_df=50).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+@_register(
+    "entity_ppr",
+    f"""
+    WITH t AS ({_SYNTH_SQL}),
+    e AS (
+      SELECT DISTINCT 'ip' AS cls, {_SYNTH_IP_KEY_SQL} AS ky, conv_id, turn_idx FROM t
+      UNION
+      SELECT DISTINCT 'role' AS cls, role AS ky, conv_id, turn_idx
+      FROM t WHERE role IS NOT NULL AND role <> ''
+    ),
+    ok AS (SELECT cls, ky FROM e GROUP BY cls, ky HAVING COUNT(*) <= 5000),
+    e2 AS (SELECT e.* FROM e JOIN ok USING (cls, ky)),
+    p AS (
+      SELECT a.cls AS ca, a.ky AS ka, b.cls AS cb, b.ky AS kb, COUNT(*) AS w
+      FROM e2 a JOIN e2 b
+        ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+      WHERE (a.cls < b.cls) OR (a.cls = b.cls AND a.ky < b.ky)
+      GROUP BY 1, 2, 3, 4
+    ),
+    edges AS (
+      SELECT ca AS sc, ka AS sk, cb AS dc, kb AS dk, w FROM p
+      UNION ALL
+      SELECT cb, kb, ca, ka, w FROM p
+    ),
+    nodes AS (SELECT DISTINCT cls, ky FROM e2),
+    ns AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS nsd FROM nodes WHERE cls = 'role'
+    ),
+    sv AS MATERIALIZED (
+      SELECT cls, ky,
+             CASE WHEN cls = 'role' THEN 1.0 / (SELECT nsd FROM ns)
+                  ELSE 0.0 END AS s
+      FROM nodes
+    ),
+    outw AS (SELECT sc, sk, SUM(w) AS ow FROM edges GROUP BY 1, 2),
+    pr0 AS (SELECT cls, ky, s AS pr FROM sv),
+    s1 AS (
+      SELECT dc AS cls, dk AS ky, SUM(pr * w / ow ORDER BY sc, sk) AS s
+      FROM edges JOIN outw USING (sc, sk)
+      JOIN pr0 ON pr0.cls = sc AND pr0.ky = sk
+      GROUP BY 1, 2
+    ),
+    i1 AS (
+      SELECT sv.cls, sv.ky,
+             (1.0 - 0.85) * sv.s + 0.85 * COALESCE(s1.s, 0.0) AS pr
+      FROM sv LEFT JOIN s1 ON s1.cls = sv.cls AND s1.ky = sv.ky
+    ),
+    s2 AS (
+      SELECT dc AS cls, dk AS ky, SUM(pr * w / ow ORDER BY sc, sk) AS s
+      FROM edges JOIN outw USING (sc, sk)
+      JOIN i1 ON i1.cls = sc AND i1.ky = sk
+      GROUP BY 1, 2
+    ),
+    i2 AS (
+      SELECT sv.cls, sv.ky,
+             (1.0 - 0.85) * sv.s + 0.85 * COALESCE(s2.s, 0.0) AS pr
+      FROM sv LEFT JOIN s2 ON s2.cls = sv.cls AND s2.ky = sv.ky
+    ),
+    s3 AS (
+      SELECT dc AS cls, dk AS ky, SUM(pr * w / ow ORDER BY sc, sk) AS s
+      FROM edges JOIN outw USING (sc, sk)
+      JOIN i2 ON i2.cls = sc AND i2.ky = sk
+      GROUP BY 1, 2
+    ),
+    i3 AS (
+      SELECT sv.cls, sv.ky,
+             (1.0 - 0.85) * sv.s + 0.85 * COALESCE(s3.s, 0.0) AS pr
+      FROM sv LEFT JOIN s3 ON s3.cls = sv.cls AND s3.ky = sv.ky
+    )
+    SELECT cls AS entity_class, ky AS entity_key, pr AS pagerank
+    FROM i3 ORDER BY entity_class, entity_key
+    """,
+)
+def _q_entity_ppr(spark, sf_dir):
+    """PERSONALIZED PageRank (Haveliwala WWW 2002) seeded at the role
+    class: teleport mass restricted to the seed distribution — 'which
+    entities are most related to the seeds', the proximity complement
+    to the global centrality of entity_pagerank. Same bit-exact
+    sorted-fold trajectory, seeds joined by broadcast; oracle is the
+    seeded recurrence unrolled. operators/graph.py pagerank(seeds=...)."""
+    from flow_indexer_spark.functions.extractors import extract_entities
+    from flow_indexer_spark.operators.graph import pagerank, undirected_edges
+    from flow_indexer_spark.operators.transcripts import (
+        capped_entities,
+        entity_cooccurrence,
+    )
+
+    t = synth_transcripts(spark, sf_dir)
+    ents = capped_entities(
+        extract_entities(t), max_entity_df=5000
+    ).localCheckpoint(eager=True)
+    nodes = ents.select(
+        F.col("entity_class").alias("node_class"),
+        F.col("entity_key").alias("node_key"),
+    ).distinct()
+    seeds = nodes.filter(F.col("node_class") == "role").select(
+        "node_class", "node_key", F.lit(1).cast("bigint").alias("weight")
+    )
+    edges = undirected_edges(entity_cooccurrence(ents, max_entity_df=None))
+    return (
+        pagerank(nodes, edges, damping=0.85, n_iter=3, seeds=seeds)
+        .select(
+            F.col("node_class").alias("entity_class"),
+            F.col("node_key").alias("entity_key"),
+            "pagerank",
+        )
+        .orderBy("entity_class", "entity_key")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return dict(_QUERIES)

@@ -48,16 +48,25 @@ def pagerank(
     damping: float = 0.85,
     n_iter: int = 3,
     deterministic: bool = True,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
-    """Damped PageRank over a weighted DIRECTED edge list.
+    """Damped (optionally PERSONALIZED) PageRank over a weighted
+    DIRECTED edge list.
 
     ``nodes``: (node_class, node_key) — every rankable node, including
     isolated ones (they keep teleport-only mass). ``edges``:
     (src_class, src_key, dst_class, dst_key, weight); for an undirected
     graph pass both directions (see :func:`undirected_edges`).
 
-    pr_0(v) = 1/N;
+    Uniform (``seeds=None``):  pr_0(v) = 1/N;
     pr_k(v) = (1-d)/N + d * sum_u pr_{k-1}(u) * w(u,v) / outw(u)
+
+    Personalized (Haveliwala, WWW 2002): ``seeds`` =
+    (node_class, node_key, weight) restricts the teleport vector to
+    s(v) = weight/sum(weights) (0 off-seed): pr_0 = s,
+    pr_k(v) = (1-d)*s(v) + d * sum(...) — rank relative to the seed
+    set, the 'entities related to X' query.  The seed table is tiny
+    and joins the node set by broadcast.
 
     Dangling nodes (no out-edges) leak their damped mass — the
     simplified textbook variant; the oracle mirrors it exactly.
@@ -74,10 +83,32 @@ def pagerank(
     # materializes the shared entity set feeding BOTH inputs). Same
     # pattern as GraphX/bpe_train: iterative algorithms checkpoint
     # their working set.
+    if seeds is not None:
+        total = seeds.agg(F.sum("weight").alias("_tw"))
+        nodes = (
+            nodes.join(
+                F.broadcast(
+                    seeds.join(F.broadcast(total)).select(
+                        "node_class",
+                        "node_key",
+                        (F.col("weight") / F.col("_tw")).alias("_s"),
+                    )
+                ),
+                ["node_class", "node_key"],
+                "left",
+            )
+            .select(
+                "node_class",
+                "node_key",
+                F.coalesce(F.col("_s"), F.lit(0.0)).alias("_s"),
+            )
+        )
     nodes = nodes.localCheckpoint(eager=True)
     n = nodes.count()
     if n == 0:
         raise ValueError("empty node set")
+    if seeds is not None and nodes.agg(F.sum("_s")).first()[0] == 0.0:
+        raise ValueError("no seed overlaps the node set")
     teleport = (1.0 - damping) / n
 
     out_w = edges.groupBy("src_class", "src_key").agg(
@@ -85,8 +116,15 @@ def pagerank(
     )
     e = edges.join(out_w, ["src_class", "src_key"]).localCheckpoint(eager=True)
 
+    tele = (
+        F.lit(1.0 - damping) * F.col("_s")
+        if seeds is not None
+        else F.lit(teleport)
+    )
     pr = nodes.select(
-        F.col("node_class"), F.col("node_key"), F.lit(1.0 / n).alias("pr")
+        F.col("node_class"),
+        F.col("node_key"),
+        (F.col("_s") if seeds is not None else F.lit(1.0 / n)).alias("pr"),
     )
     for _ in range(n_iter):
         joined = e.join(
@@ -122,8 +160,7 @@ def pagerank(
             nodes["node_class"],
             nodes["node_key"],
             (
-                F.lit(teleport)
-                + F.lit(damping) * F.coalesce(F.col("_sum"), F.lit(0.0))
+                tele + F.lit(damping) * F.coalesce(F.col("_sum"), F.lit(0.0))
             ).alias("pr"),
         )
     return pr.select("node_class", "node_key", F.col("pr").alias("pagerank"))

@@ -101,3 +101,50 @@ def test_lpa_clique_converges_to_min_label(spark):
     e = _edges(spark, [(7, 8), (7, 9), (8, 9)])
     out = {r["node"]: r["community"] for r in label_propagation(e, 4).collect()}
     assert set(out.values()) == {7}
+
+
+def test_personalized_pagerank_seed_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from flow_indexer_spark.operators.graph import pagerank
+
+    nodes = spark.createDataFrame(
+        [("e", "a"), ("e", "b"), ("e", "c"), ("e", "iso")],
+        "node_class string, node_key string",
+    )
+    edges = spark.createDataFrame(
+        [("e", "a", "e", "b", 1.0), ("e", "b", "e", "c", 1.0),
+         ("e", "c", "e", "a", 1.0)],
+        "src_class string, src_key string, dst_class string, "
+        "dst_key string, weight double",
+    )
+    seeds = spark.createDataFrame(
+        [("e", "a", 1)], "node_class string, node_key string, weight bigint"
+    )
+    pr = {
+        r["node_key"]: r["pagerank"]
+        for r in pagerank(nodes, edges, n_iter=4, seeds=seeds).collect()
+    }
+    # the isolated non-seed node gets NO teleport and NO in-edges: 0
+    assert pr["iso"] == 0.0
+    # all cycle nodes reachable from the seed carry positive mass
+    assert pr["a"] > 0 and pr["b"] > 0 and pr["c"] > 0
+    # python mirror of the seeded recurrence, bit-exact
+    s = {"a": 1.0, "b": 0.0, "c": 0.0, "iso": 0.0}
+    ref = dict(s)
+    nxt = {"a": "b", "b": "c", "c": "a"}
+    for _ in range(4):
+        inc = {k: 0.0 for k in ref}
+        for u, v in nxt.items():
+            inc[v] += ref[u] * 1.0 / 1.0
+        ref = {k: (1.0 - 0.85) * s[k] + 0.85 * inc[k] for k in ref}
+    for k in ref:
+        assert pr[k] == ref[k], k
+    # a seed set disjoint from the nodes is a caller error
+    import pytest as _pt
+
+    bad = spark.createDataFrame(
+        [("e", "zz", 1)], "node_class string, node_key string, weight bigint"
+    )
+    with _pt.raises(ValueError, match="seed"):
+        pagerank(nodes, edges, n_iter=1, seeds=bad)
