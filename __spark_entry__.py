@@ -9866,6 +9866,226 @@ def _q_entity_ppr(spark, sf_dir):
     )
 
 
+def _matryoshka_sql(dims=(4, 8, 16)) -> str:
+    def osum(expr: str, d: int | None) -> str:
+        guard = f"CASE WHEN i <= {d} THEN {expr} END" if d else expr
+        return f"SUM({guard} ORDER BY i)"
+
+    cols = []
+    for d in dims:
+        cols += [
+            f"{osum('xa * xb', d)} AS d{d}",
+            f"{osum('xa * xa', d)} AS na{d}",
+            f"{osum('xb * xb', d)} AS nb{d}",
+        ]
+    cols += [
+        f"{osum('xa * xb', None)} AS df_",
+        f"{osum('xa * xa', None)} AS naf",
+        f"{osum('xb * xb', None)} AS nbf",
+    ]
+    err_rows = "\n      UNION ALL\n".join(
+        f"""      SELECT pair, {d} AS dim,
+             CAST(round(ABS(d{d} / (sqrt(na{d}) * sqrt(nb{d}))
+                            - df_ / (sqrt(naf) * sqrt(nbf))) * 1000000000.0)
+                  AS BIGINT) AS err_u
+      FROM agg WHERE na{d} > 0 AND nb{d} > 0"""
+        for d in dims
+    )
+    return f"""
+    prs AS (
+      SELECT a.vec_id // 2 AS pair, a.embedding AS va, b.embedding AS vb
+      FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+      WHERE a.vec_id % 2 = 0
+    ),
+    el AS (
+      SELECT pair, i, CAST(va[i] AS DOUBLE) AS xa, CAST(vb[i] AS DOUBLE) AS xb
+      FROM prs, unnest(generate_series(1, len(va))) AS ii(i)
+    ),
+    agg AS MATERIALIZED (
+      SELECT pair, {', '.join(cols)}
+      FROM el GROUP BY pair
+    ),
+    errs AS (
+{err_rows}
+    )
+    SELECT dim, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           round(CAST(SUM(err_u) AS BIGINT) / (COUNT(*) * 1000000000.0), 9)
+             AS mae,
+           round(MAX(err_u) / 1000000000.0, 9) AS max_abs_err
+    FROM errs GROUP BY dim ORDER BY dim
+    """
+
+
+@_register("embedding_matryoshka", f"WITH {_matryoshka_sql()}")
+def _q_embedding_matryoshka(spark, sf_dir):
+    """Matryoshka truncation audit (Kusupati et al. 2022): fidelity of
+    pair cosine at prefix dims 4/8/16 vs the full dimension — MAE and
+    max error per prefix, errors quantized to the 1e-9 lattice before
+    the mean (order-free exact sums; the dots/norms themselves are
+    dimension-ordered left folds, identical on both engines).  All
+    in-row over twin pairs; the serving question it answers is whether
+    truncated vectors can drive the ANN tier. operators/similarity.py
+    matryoshka_fidelity."""
+    from flow_indexer_spark.operators.similarity import matryoshka_fidelity
+
+    e = _t(spark, sf_dir, "embeddings")
+    a = e.filter(F.col("vec_id") % 2 == 0).select(
+        F.expr("vec_id div 2").alias("pair"), F.col("embedding").alias("va")
+    )
+    b = e.filter(F.col("vec_id") % 2 == 1).select(
+        F.expr("vec_id div 2").alias("pair"), F.col("embedding").alias("vb")
+    )
+    return matryoshka_fidelity(
+        a.join(b, "pair"), "va", "vb", dims=(4, 8, 16)
+    ).orderBy("dim")
+
+
+@_register(
+    "eval_isotonic_calibration",
+    f"""
+    WITH pts AS ({_SCORED_SQL}),
+    b AS (
+      SELECT LEAST(15, CAST(s64 / 4 AS INTEGER)) AS bin, label AS y FROM pts
+    ),
+    bins AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS n_pos
+      FROM b GROUP BY 1
+    ),
+    cum AS (
+      SELECT bin, n, n_pos,
+             SUM(n) OVER (ORDER BY bin) AS cn,
+             SUM(n_pos) OVER (ORDER BY bin) AS cp
+      FROM bins
+    ),
+    spans AS (
+      SELECT lo.j, hi.k,
+             (hi.cp_hi - lo.cp_lo) / (hi.cn_hi - lo.cn_lo) AS avg
+      FROM (SELECT bin AS j, cn - n AS cn_lo, cp - n_pos AS cp_lo FROM cum) lo
+      JOIN (SELECT bin AS k, cn AS cn_hi, cp AS cp_hi FROM cum) hi
+        ON hi.k >= lo.j
+    ),
+    iso AS (
+      SELECT i AS bin, MAX(minavg) AS iso_rate FROM (
+        SELECT bb.bin AS i, s.j, MIN(s.avg) AS minavg
+        FROM bins bb JOIN spans s ON s.j <= bb.bin AND s.k >= bb.bin
+        GROUP BY 1, 2
+      ) GROUP BY 1
+    )
+    SELECT bins.bin, n, n_pos,
+           round(n_pos / n, 9) AS rate,
+           round(iso_rate, 9) AS iso_rate
+    FROM bins JOIN iso USING (bin) ORDER BY bin
+    """,
+)
+def _q_eval_isotonic_calibration(spark, sf_dir):
+    """Isotonic calibration map fitted on-engine (PAV; Zadrozny-Elkan
+    2002) via the minimax closed form max_{{j<=i}} min_{{k>=i}}
+    avg(j..k) over bin-compressed exact-integer sufficient statistics —
+    no sequential pooling loop, no driver round-trip; the corpus is
+    scanned once, everything after is n_bins-sized.  iso_rate is
+    monotone by construction (the property ECE's raw bins lack).
+    operators/evalmetrics.py isotonic_calibration."""
+    from flow_indexer_spark.operators.evalmetrics import isotonic_calibration
+
+    return isotonic_calibration(
+        _scored(spark, sf_dir), "label", "s64", n_bins=16, score_scale=64
+    ).orderBy("bin")
+
+
+@_register(
+    "drift_incremental_js",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS token
+      FROM documents
+    ),
+    b AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS nb
+      FROM tok WHERE doc_id % 3 = 2 GROUP BY 1
+    ),
+    r AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS nr
+      FROM tok WHERE doc_id % 3 IN (0, 1) GROUP BY 1
+    ),
+    t AS (SELECT (SELECT SUM(nb) FROM b) AS bt, (SELECT SUM(nr) FROM r) AS rt),
+    j AS (
+      SELECT COALESCE(nb, 0) AS nb, COALESCE(nr, 0) AS nr, bt, rt,
+             COALESCE(nb, 0) / bt AS p, COALESCE(nr, 0) / rt AS q
+      FROM b FULL OUTER JOIN r USING (token) CROSS JOIN t
+    ),
+    terms AS (
+      SELECT nb, nr, bt, rt,
+             CASE WHEN nb > 0 AND nr > 0
+               THEN CAST(round(p * ln(p / ((p + q) / 2)) * 1000000000)
+                         AS BIGINT) ELSE 0 END AS tp,
+             CASE WHEN nb > 0 AND nr > 0
+               THEN CAST(round(q * ln(q / ((p + q) / 2)) * 1000000000)
+                         AS BIGINT) ELSE 0 END AS tq,
+             CASE WHEN nr = 0 THEN nb ELSE 0 END AS bo,
+             CASE WHEN nb = 0 THEN nr ELSE 0 END AS ro
+      FROM j
+    ),
+    agg AS (
+      SELECT CAST(SUM(tp) AS BIGINT) AS sp, CAST(SUM(tq) AS BIGINT) AS sq,
+             CAST(SUM(bo) AS BIGINT) AS b_only, CAST(SUM(ro) AS BIGINT)
+               AS r_only,
+             CAST(COUNT(*) AS BIGINT) AS vocab,
+             CAST(MAX(bt) AS BIGINT) AS bt, CAST(MAX(rt) AS BIGINT) AS rt
+      FROM terms
+    )
+    SELECT round(0.5 * (sp / 1000000000.0 + ln(2.0) * (b_only / bt)
+                        + sq / 1000000000.0 + ln(2.0) * (r_only / rt)),
+                 9) AS js_divergence,
+           bt AS n_batch_tokens, rt AS n_ref_tokens,
+           round(b_only / bt, 9) AS batch_only_mass,
+           round(r_only / rt, 9) AS ref_only_mass,
+           vocab AS n_union_vocab
+    FROM agg
+    """,
+)
+def _q_drift_incremental_js(spark, sf_dir):
+    """Incremental lexical drift against PERSISTED reference state: two
+    deterministic batches (doc_id%3 in {0,1}) commit their token counts
+    as idempotent batch partitions, then the third slice's JS divergence
+    is computed against the read-back reference — O(batch + vocab), the
+    open-vocabulary two-sided fold (both one-sided token masses reduce
+    to closed-form ln2 terms).  The Spark side exercises the real
+    filesystem state machinery; the oracle recomputes the identical
+    mathematics from the raw table. operators/drift_state.py."""
+    import tempfile
+
+    from flow_indexer_spark.operators.drift_state import (
+        batch_drift,
+        commit_token_counts,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    state = tempfile.mkdtemp(prefix="drift_state_")
+    commit_token_counts(spark, d.filter(F.col("doc_id") % 3 == 0), state, "b0")
+    commit_token_counts(spark, d.filter(F.col("doc_id") % 3 == 1), state, "b1")
+    # replay b1: the reference must not double-count (idempotence is
+    # part of what this query proves)
+    commit_token_counts(spark, d.filter(F.col("doc_id") % 3 == 1), state, "b1")
+    rep = batch_drift(spark, d.filter(F.col("doc_id") % 3 == 2), state)
+    return spark.createDataFrame(
+        [
+            (
+                rep["js_divergence"],
+                rep["n_batch_tokens"],
+                rep["n_ref_tokens"],
+                rep["batch_only_mass"],
+                rep["ref_only_mass"],
+                rep["n_union_vocab"],
+            )
+        ],
+        "js_divergence double, n_batch_tokens bigint, n_ref_tokens bigint, "
+        "batch_only_mass double, ref_only_mass double, n_union_vocab bigint",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return dict(_QUERIES)

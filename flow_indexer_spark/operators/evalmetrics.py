@@ -336,3 +336,91 @@ def ndcg_mrr(
         F.round(ndcg, dp).alias("ndcg"),
         F.round(rr, dp).alias("rr"),
     ).orderBy("query")
+
+
+def isotonic_calibration(
+    scored: DataFrame,
+    label_col: str,
+    score_col: str,
+    n_bins: int = 16,
+    score_scale: int = 64,
+) -> DataFrame:
+    """Isotonic calibration map (pool-adjacent-violators; Ayer et al.
+    1955, Zadrozny & Elkan 2002) fitted on-engine, with the same
+    bin-compression trick as the EM family: bin the integer score grid
+    into ``n_bins`` equal-width bins (one groupBy -> exact integer
+    sufficient statistics), then compute the PAV fit via its MINIMAX
+    closed form over the tiny bin table:
+
+        iso(i) = max_{j <= i} min_{k >= i} mean(y over bins j..k)
+
+    — a textbook identity with the sequential pooling algorithm, but
+    expressible as two nested extrema over interval averages, i.e.
+    pure joins/windows over n_bins^2 interval rows: engine-exact on
+    both sides, no driver-side loop, no recursion.  The corpus is
+    touched exactly once regardless of n_bins.
+
+    Output per bin: (bin, n, n_pos, rate, iso_rate) — iso_rate is the
+    calibrated probability the isotonic map assigns to scores in that
+    bin; rate is the raw bin positive rate.  iso_rate is monotone
+    non-decreasing in bin by construction."""
+    if n_bins < 1 or score_scale < 1:
+        raise ValueError("n_bins and score_scale must be >= 1")
+    width = max(1, (score_scale + n_bins - 1) // n_bins)
+    b = scored.select(
+        F.least(
+            F.lit(n_bins - 1), (F.col(score_col) / width).cast("int")
+        ).alias("bin"),
+        F.col(label_col).cast("bigint").alias("y"),
+    )
+    bins = b.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+    )
+    # interval averages over the <= n_bins^2 (j, k) spans: cumulative
+    # sums per bin make avg(j..k) = (cp[k]-cp[j-1]) / (cn[k]-cn[j-1])
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bins.select(
+        "bin", "n", "n_pos",
+        F.sum("n").over(w).alias("cn"),
+        F.sum("n_pos").over(w).alias("cp"),
+    )
+    lo = cum.select(
+        F.col("bin").alias("j"),
+        (F.col("cn") - F.col("n")).alias("cn_lo"),
+        (F.col("cp") - F.col("n_pos")).alias("cp_lo"),
+    )
+    hi = cum.select(
+        F.col("bin").alias("k"),
+        F.col("cn").alias("cn_hi"),
+        F.col("cp").alias("cp_hi"),
+    )
+    spans = lo.join(hi, F.col("k") >= F.col("j")).select(
+        "j", "k",
+        (
+            (F.col("cp_hi") - F.col("cp_lo"))
+            / (F.col("cn_hi") - F.col("cn_lo"))
+        ).alias("avg"),
+    )
+    # classic minimax: iso(i) = max_{j <= i} min_{k >= i} avg(j..k) —
+    # enumerate (i, j, k) with j <= i <= k (n_bins^3 tiny rows), min
+    # over k per (i, j), then max over j per i
+    idx = bins.select(F.col("bin").alias("i"))
+    iso = (
+        idx.join(
+            spans, (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i"))
+        )
+        .groupBy("i", "j")
+        .agg(F.min("avg").alias("minavg"))
+        .groupBy("i")
+        .agg(F.max("minavg").alias("iso_rate"))
+        .select(F.col("i").alias("bin"), "iso_rate")
+    )
+    return (
+        bins.join(iso, "bin")
+        .select(
+            "bin", "n", "n_pos",
+            F.round(F.col("n_pos") / F.col("n"), 9).alias("rate"),
+            F.round("iso_rate", 9).alias("iso_rate"),
+        )
+    )

@@ -37,7 +37,6 @@ import numpy as np
 from flow_indexer_spark.operators.h264codec import (
     _BitReader,
     _BitWriter,
-    _I_PCM,
     nal_to_rbsp,
     rbsp_to_nal,
 )

@@ -823,3 +823,67 @@ def centroid_distance_report(
         )
         .orderBy("label")
     )
+
+
+def matryoshka_fidelity(
+    pairs: DataFrame,
+    a_col: str = "va",
+    b_col: str = "vb",
+    dims: tuple = (4, 8, 16),
+    full_dim: int | None = None,
+) -> DataFrame:
+    """Matryoshka truncation audit (Kusupati et al., NeurIPS 2022):
+    how faithful is pair cosine at PREFIX dimensions d to the full-
+    dimension cosine?  The go/no-go gate before serving truncated
+    embeddings (d << D is a 1/(D/d) memory/bandwidth cut in ANN).
+
+    Per prefix d: ``n_pairs``, ``mae`` and ``max_abs_err`` of
+    |cos_d - cos_full| over all pairs (pairs whose prefix norm is zero
+    on either side are excluded for that d — cosine undefined).
+
+    Everything is IN-ROW (slice + zip_with + a left-fold aggregate per
+    dot/norm — dimension-ordered, so the float trajectory is identical
+    on any engine that folds in index order) and the per-pair error
+    quantizes to a 1e-9 integer lattice before the mean — the
+    order-free exact-sum discipline."""
+    if not dims:
+        raise ValueError("dims must be non-empty")
+
+    def _fold(col: Column) -> Column:
+        return F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x)
+
+    def _dot(a: Column, b: Column, d: int | None) -> Column:
+        if d is not None:
+            a, b = F.slice(a, 1, d), F.slice(b, 1, d)
+        return _fold(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")))
+
+    a0, b0 = F.col(a_col), F.col(b_col)
+    full_cos = _dot(a0, b0, full_dim) / (
+        F.sqrt(_dot(a0, a0, full_dim)) * F.sqrt(_dot(b0, b0, full_dim))
+    )
+    entries = []
+    for d in dims:
+        na, nb = _dot(a0, a0, d), _dot(b0, b0, d)
+        cos_d = _dot(a0, b0, d) / (F.sqrt(na) * F.sqrt(nb))
+        err = F.round(F.abs(cos_d - full_cos) * 1e9).cast("bigint")
+        entries.append(
+            F.when(
+                (na > 0) & (nb > 0),
+                F.struct(F.lit(d).alias("dim"), err.alias("err_u")),
+            )
+        )
+    exploded = pairs.select(
+        F.explode(
+            F.filter(F.array(*entries), lambda s: s.isNotNull())
+        ).alias("e")
+    ).select("e.dim", "e.err_u")
+    return (
+        exploded.groupBy("dim")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.round(
+                F.sum("err_u") / (F.count("*") * F.lit(1e9)), 9
+            ).alias("mae"),
+            F.round(F.max("err_u") / F.lit(1e9), 9).alias("max_abs_err"),
+        )
+    )
