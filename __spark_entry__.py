@@ -9945,7 +9945,7 @@ def _q_embedding_matryoshka(spark, sf_dir):
     f"""
     WITH pts AS ({_SCORED_SQL}),
     b AS (
-      SELECT LEAST(15, CAST(s64 / 4 AS INTEGER)) AS bin, label AS y FROM pts
+      SELECT LEAST(15, CAST(s64 // 4 AS INTEGER)) AS bin, label AS y FROM pts
     ),
     bins AS (
       SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,

@@ -502,6 +502,11 @@ def _bench_queries(spark, sf_dir: str) -> dict:
         "dedup_bbit_minhash",
         "curation_priority_sample",
         "tool_retry_chains",
+        "tfidf_cosine_pairs",
+        "entity_ppr",
+        "embedding_matryoshka",
+        "eval_isotonic_calibration",
+        "drift_incremental_js",
     ]
     qs = entry_mod.queries()
     out = {}

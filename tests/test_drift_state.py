@@ -59,9 +59,9 @@ def test_commit_replay_is_idempotent_and_drift_matches_textbook(
     rep = batch_drift(spark, _docs(spark, batch), state)
     ref = _ref_js(batch, ref1 + ref2)
     assert abs(rep["js_divergence"] - ref) < 2e-8
-    # q and z are batch-only (3 of 6 tokens); e is ref-only (1 of 9)
+    # q,z are batch-only (3 of 6 tokens); d,e are ref-only (3 of 12)
     assert rep["batch_only_mass"] == round(3 / 6, 9)
-    assert rep["ref_only_mass"] == round(1 / 9, 9)
+    assert rep["ref_only_mass"] == round(3 / 12, 9)
 
 
 def test_identity_and_disjoint_bounds(spark, tmp_path):
