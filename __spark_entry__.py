@@ -10086,6 +10086,120 @@ def _q_drift_incremental_js(spark, sf_dir):
     )
 
 
+@_register(
+    "score_rank_correlation",
+    f"""
+    WITH sc AS ({_SCORED_SQL}),
+    pts AS (
+      SELECT d.n_chars AS x, p.s64 AS y
+      FROM documents d JOIN sc p USING (doc_id)
+    ),
+    vx AS (SELECT x AS v, CAST(COUNT(*) AS BIGINT) AS c FROM pts GROUP BY 1),
+    rx AS (
+      SELECT v, 2 * COALESCE(SUM(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + c + 1 AS r2
+      FROM vx
+    ),
+    vy AS (SELECT y AS v, CAST(COUNT(*) AS BIGINT) AS c FROM pts GROUP BY 1),
+    ry AS (
+      SELECT v, 2 * COALESCE(SUM(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + c + 1 AS r2
+      FROM vy
+    ),
+    j AS (
+      SELECT rx.r2 AS rxv, ry.r2 AS ryv
+      FROM pts JOIN rx ON rx.v = pts.x JOIN ry ON ry.v = pts.y
+    ),
+    a AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(rxv AS HUGEINT)) AS sx,
+             SUM(CAST(ryv AS HUGEINT)) AS sy,
+             SUM(CAST(rxv AS HUGEINT) * rxv) AS sxx,
+             SUM(CAST(ryv AS HUGEINT) * ryv) AS syy,
+             SUM(CAST(rxv AS HUGEINT) * ryv) AS sxy
+      FROM j
+    )
+    SELECT n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 9) AS rho
+    FROM a
+    """,
+)
+def _q_score_rank_correlation(spark, sf_dir):
+    """Spearman rank correlation between the raw length signal and the
+    s64 quality score: average-tie ranks kept integral by doubling
+    (R = 2*cum_below + cnt + 1), Pearson over ranks with every moment
+    an exact DECIMAL(38,0)/HUGEINT integer sum — order-free; the only
+    floats are the final sqrt/division. Windows run over the
+    DISTINCT-value grid, never the corpus. operators/diagnostics.py
+    spearman_correlation."""
+    from flow_indexer_spark.operators.diagnostics import spearman_correlation
+
+    d = _t(spark, sf_dir, "documents")
+    pts = d.join(_scored(spark, sf_dir), "doc_id").select(
+        F.col("n_chars").alias("x"), F.col("s64").alias("y")
+    )
+    return spearman_correlation(pts, "x", "y")
+
+
+@_register(
+    "ab_cuped_report",
+    """
+    WITH pu AS (
+      SELECT user_id AS u,
+             CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                  THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+                  AS HUGEINT) AS x,
+             CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                  THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+                  AS HUGEINT) AS y
+      FROM events GROUP BY 1
+    ),
+    a AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+      FROM pu
+    )
+    SELECT n AS n_users,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 9) AS theta,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 9) AS corr,
+           round((CAST(n * sxy - sx * sy AS DOUBLE)
+                  / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                         * CAST(n * syy - sy * sy AS DOUBLE)))
+                 * (CAST(n * sxy - sx * sy AS DOUBLE)
+                    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                           * CAST(n * syy - sy * sy AS DOUBLE))), 9)
+             AS var_reduction,
+           round(CAST(sy AS DOUBLE) / (n * 100.0), 9) AS mean_post
+    FROM a
+    """,
+)
+def _q_ab_cuped_report(spark, sf_dir):
+    """CUPED variance-reduction report (Deng-Xu-Kohavi-Walker WSDM
+    2013) over the events telemetry: pre-period per-user value sums as
+    the control covariate for the post period, theta = cov/var and the
+    rho^2 traffic saving — every moment an exact integer-cents sum
+    (row-level quantization makes per-user and global sums order-free),
+    floats only in the final divisions. operators/telemetry.py
+    cuped_report."""
+    from flow_indexer_spark.operators.telemetry import cuped_report
+
+    ev = _t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    return cuped_report(
+        ev, "user_id", "value",
+        pre_cond=F.col("ts") < cutoff,
+        post_cond=F.col("ts") >= cutoff,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return dict(_QUERIES)

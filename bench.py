@@ -507,6 +507,8 @@ def _bench_queries(spark, sf_dir: str) -> dict:
         "embedding_matryoshka",
         "eval_isotonic_calibration",
         "drift_incremental_js",
+        "score_rank_correlation",
+        "ab_cuped_report",
     ]
     qs = entry_mod.queries()
     out = {}

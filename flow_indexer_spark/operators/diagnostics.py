@@ -390,3 +390,75 @@ def lexical_js_divergence(
             0.5 * (F.col("_sp") / g + F.col("_sq") / g + zero_mass), dp
         ).alias("js_divergence"),
     )
+
+
+def spearman_correlation(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    dp: int = 9,
+) -> DataFrame:
+    """Spearman rank correlation between two columns, EXACT up to one
+    final rounded division — the monotone-association gate between two
+    scoring signals (does the cheap heuristic rank like the expensive
+    model?) that Pearson-on-raw-values gets wrong under any nonlinear
+    calibration difference.
+
+    Tie handling is the standard average rank, kept integral by
+    doubling: R = 2*cum_below + cnt + 1 (an exact bigint per distinct
+    value).  Spearman is then Pearson over (Rx, Ry):
+
+        rho = (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2) * (n*Syy - Sy^2))
+
+    with every S an exact DECIMAL(38,0) sum of integer products —
+    order-free at any parallelism; the only floats are the final
+    sqrt/division (IEEE-identical on both engines).
+
+    Shape: one groupBy per column over DISTINCT values + a window over
+    the distinct-value table (cardinality = score grid, not corpus),
+    ranks joined back by broadcast, one global aggregate.  Returns one
+    row: (n, rho)."""
+    from pyspark.sql import Window
+
+    def _ranks(col: str):
+        per = df.groupBy(F.col(col).alias("v")).agg(
+            F.count("*").cast("bigint").alias("c")
+        )
+        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+        return per.select(
+            "v",
+            (
+                2 * F.coalesce(F.sum("c").over(w), F.lit(0))
+                + F.col("c")
+                + 1
+            ).alias("r2"),
+        )
+
+    j = (
+        df.select(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+        .join(
+            F.broadcast(_ranks(x_col).withColumnsRenamed({"v": "x", "r2": "rx"})),
+            "x",
+        )
+        .join(
+            F.broadcast(_ranks(y_col).withColumnsRenamed({"v": "y", "r2": "ry"})),
+            "y",
+        )
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    agg = j.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(dec("rx")).alias("sx"),
+        F.sum(dec("ry")).alias("sy"),
+        F.sum(dec("rx") * dec("rx")).alias("sxx"),
+        F.sum(dec("ry") * dec("ry")).alias("syy"),
+        F.sum(dec("rx") * dec("ry")).alias("sxy"),
+    )
+    n = F.col("n").cast("decimal(38,0)")
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return agg.select(
+        "n",
+        F.round(num / F.sqrt(dx * dy), dp).alias("rho"),
+    )

@@ -13,7 +13,7 @@ hot.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def new_vs_returning(
@@ -562,3 +562,65 @@ def seasonal_dow_index(
             dp,
         ).alias("index"),
     ).orderBy("class", "dow")
+
+
+def cuped_report(
+    events: DataFrame,
+    user_col: str,
+    value_col: str,
+    pre_cond: Column,
+    post_cond: Column,
+    cents: int = 100,
+    dp: int = 9,
+) -> DataFrame:
+    """CUPED variance reduction report (Deng, Xu, Kohavi & Walker,
+    WSDM 2013): using each unit's PRE-period metric X as the control
+    covariate for its post-period metric Y, the adjusted estimator
+    Y - theta*(X - E[X]) with theta = cov(X,Y)/var(X) keeps the mean
+    and cuts the variance by corr(X,Y)^2 — the standard lever that
+    lets an A/B test on this telemetry reach significance with
+    1/(1-rho^2) less traffic.
+
+    This computes, from EXACT integer sufficient statistics (values
+    quantized to integer cents at the ROW level, so every per-user sum
+    and every moment is an order-free bigint/decimal sum):
+    ``n_users``, ``theta``, ``corr``, ``var_reduction`` (= rho^2), and
+    ``mean_post`` — one groupBy(user) + one global aggregate; floats
+    appear only in the final divisions.  Units with no pre-period
+    activity contribute X = 0 (the standard convention: CUPED stays
+    unbiased for any fixed covariate)."""
+    v = F.round(F.col(value_col) * cents).cast("bigint")
+    per_user = events.groupBy(F.col(user_col).alias("u")).agg(
+        F.sum(F.when(pre_cond, v).otherwise(0)).alias("x"),
+        F.sum(F.when(post_cond, v).otherwise(0)).alias("y"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    agg = per_user.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(dec("x")).alias("sx"),
+        F.sum(dec("y")).alias("sy"),
+        F.sum(dec("x") * dec("x")).alias("sxx"),
+        F.sum(dec("y") * dec("y")).alias("syy"),
+        F.sum(dec("x") * dec("y")).alias("sxy"),
+    )
+    n = F.col("n").cast("decimal(38,0)")
+    cov = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    # degenerate guards: var(X)=0 means the covariate carries no
+    # information (theta/corr/reduction 0 by convention); var(Y)=0
+    # means there is no variance to reduce (corr 0)
+    corr = F.when(
+        (vx > 0) & (vy > 0), cov / F.sqrt(vx * vy)
+    ).otherwise(F.lit(0.0))
+    theta = F.when(vx > 0, cov / vx).otherwise(F.lit(0.0))
+    return agg.select(
+        F.col("n").alias("n_users"),
+        F.round(theta, dp).alias("theta"),
+        F.round(corr, dp).alias("corr"),
+        F.round(corr * corr, dp).alias("var_reduction"),
+        F.round(
+            F.col("sy").cast("double") / (F.col("n") * F.lit(float(cents))),
+            dp,
+        ).alias("mean_post"),
+    )

@@ -62,3 +62,41 @@ def test_cube_report_all_marginals(spark):
 
     with _pt.raises(ValueError):
         cube_report(df, [], "n")
+
+
+def test_spearman_matches_scipy_free_reference(spark):
+    """spearman_correlation vs a plain-python average-rank reference,
+    including ties; perfect monotone and anti-monotone bounds."""
+    from flow_indexer_spark.operators.diagnostics import spearman_correlation
+
+    rows = [(3, 9), (1, 2), (4, 16), (1, 3), (5, 25), (9, 81), (2, 4),
+            (6, 36), (5, 24), (3, 10)]
+    df = spark.createDataFrame(rows, "x bigint, y bigint")
+    got = spearman_correlation(df, "x", "y").collect()[0]
+
+    def avg_ranks(vals):
+        import collections
+        cnt = collections.Counter(vals)
+        below, r = {}, 0
+        for v in sorted(cnt):
+            below[v] = r
+            r += cnt[v]
+        return [below[v] + (cnt[v] + 1) / 2 for v in vals]
+
+    xs, ys = [r[0] for r in rows], [r[1] for r in rows]
+    rx, ry = avg_ranks(xs), avg_ranks(ys)
+    n = len(rows)
+    mx, my = sum(rx) / n, sum(ry) / n
+    num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    den = (sum((a - mx) ** 2 for a in rx) * sum((b - my) ** 2 for b in ry)) ** 0.5
+    assert got["n"] == n
+    assert abs(got["rho"] - num / den) < 1e-9
+    # a strictly monotone pair is exactly 1; reversed exactly -1
+    mono = spark.createDataFrame(
+        [(i, i * i) for i in range(1, 9)], "x bigint, y bigint"
+    )
+    assert spearman_correlation(mono, "x", "y").collect()[0]["rho"] == 1.0
+    anti = spark.createDataFrame(
+        [(i, -i) for i in range(1, 9)], "x bigint, y bigint"
+    )
+    assert spearman_correlation(anti, "x", "y").collect()[0]["rho"] == -1.0
