@@ -10200,6 +10200,73 @@ def _q_ab_cuped_report(spark, sf_dir):
     )
 
 
+def _lsh_tuning_sql(n_bands: int = 4, r: int = 2) -> str:
+    def mh(side: str, hj: int) -> str:
+        return (
+            f"list_min(list_transform({side}, x -> md5('b{hj}' || x)))"
+        )
+
+    def band(side: str, b: int) -> str:
+        parts = " || '|' || ".join(mh(side, b * r + k) for k in range(r))
+        return f"md5({parts})"
+
+    hits = " OR ".join(
+        f"({band('tc', b)} = {band('tr', b)})" for b in range(n_bands)
+    )
+    sr = " * ".join(["j"] * r)
+    ub = "u"
+    for _ in range(n_bands - 1):
+        ub = f"({ub} * u)"
+    return f"""
+    prs AS (
+      SELECT c.doc_id // 2 AS pair,
+             list_filter(string_split(c.text, ' '), x -> x <> '') AS tc,
+             list_filter(string_split(r.text, ' '), x -> x <> '') AS tr
+      FROM documents c JOIN documents r ON r.doc_id = c.doc_id + 1
+      WHERE c.doc_id % 2 = 0
+    ),
+    jm AS (
+      SELECT pair, tc, tr,
+             CAST(len(list_filter(list_distinct(tc),
+                                  x -> list_contains(tr, x))) AS BIGINT)
+             / CAST(len(list_distinct(list_concat(tc, tr))) AS BIGINT) AS j
+      FROM prs
+      WHERE len(list_distinct(list_concat(tc, tr))) > 0
+    ),
+    pp AS MATERIALIZED (
+      SELECT LEAST({9}, CAST(FLOOR(j * 10) AS INTEGER)) AS decile,
+             CAST(round(j * 1000000000.0) AS BIGINT) AS j_u,
+             CAST(round((1.0 - {ub}) * 1000000000.0) AS BIGINT) AS p_u,
+             CASE WHEN {hits} THEN 1 ELSE 0 END AS hit
+      FROM (SELECT *, 1.0 - {sr} AS u FROM jm)
+    )
+    SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           round(CAST(SUM(j_u) AS BIGINT) / (COUNT(*) * 1000000000.0), 9)
+             AS mean_jaccard,
+           round(CAST(SUM(p_u) AS BIGINT) / (COUNT(*) * 1000000000.0), 9)
+             AS mean_predicted,
+           round(CAST(SUM(hit) AS BIGINT) / COUNT(*), 9) AS observed_rate
+    FROM pp GROUP BY decile ORDER BY decile
+    """
+
+
+@_register("lsh_tuning_curve", f"WITH {_lsh_tuning_sql(4, 2)}")
+def _q_lsh_tuning_curve(spark, sf_dir):
+    """Banded-LSH S-curve validation: analytic 1-(1-s^r)^b at each
+    pair's exact Jaccard vs the OBSERVED band-collision rate under the
+    production minhash bands (b=4, r=2), per Jaccard decile — the
+    tuning report run before committing a 100 TB dedup pass to a
+    threshold knob.  All in-row; the polynomial is fixed-association
+    (no libm pow), per-pair values quantized to the 1e-9 lattice.
+    operators/dedup.py lsh_tuning_curve."""
+    from flow_indexer_spark.operators.dedup import lsh_tuning_curve
+
+    return lsh_tuning_curve(
+        _genmetric_pairs(spark, sf_dir), "cand", "ref",
+        n_bands=4, rows_per_band=2,
+    ).orderBy("decile")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return dict(_QUERIES)

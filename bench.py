@@ -509,6 +509,7 @@ def _bench_queries(spark, sf_dir: str) -> dict:
         "drift_incremental_js",
         "score_rank_correlation",
         "ab_cuped_report",
+        "lsh_tuning_curve",
     ]
     qs = entry_mod.queries()
     out = {}

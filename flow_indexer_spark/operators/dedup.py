@@ -1238,3 +1238,68 @@ def bbit_minhash_pairs(
         F.round((c - F.lit(c0)) / F.lit(1.0 - c0), 9).alias("s_bbit"),
         F.round(F.col("n_inter") / F.col("n_union"), 9).alias("jaccard"),
     )
+
+
+def lsh_tuning_curve(
+    pairs: DataFrame,
+    a_col: str = "cand",
+    b_col: str = "ref",
+    n_bands: int = 4,
+    rows_per_band: int = 2,
+    n_deciles: int = 10,
+) -> DataFrame:
+    """The banded-LSH S-curve, VALIDATED against the corpus: for
+    labeled pairs, the analytic collision probability
+    P(collide) = 1 - (1 - s^r)^b at the pair's exact Jaccard s versus
+    the OBSERVED band-collision rate under the configured
+    (n_bands, rows_per_band) — the tuning report that says whether the
+    dedup tier's threshold knob actually sits where the theory says
+    before committing a 100 TB pass to it.
+
+    All in-row per pair (token-set Jaccard, the same md5 minhash bands
+    the production path uses, the analytic curve as a fixed-order
+    polynomial — no pow()); aggregated per Jaccard decile with
+    per-pair predictions quantized to the 1e-9 lattice so the mean is
+    an order-free exact sum.  Output per decile: (decile, n_pairs,
+    mean_jaccard, mean_predicted, observed_rate)."""
+    if n_bands < 1 or rows_per_band < 1 or n_deciles < 1:
+        raise ValueError("n_bands, rows_per_band, n_deciles must be >= 1")
+    ta, tb = tokens(a_col), tokens(b_col)
+    sa, sb = F.array_distinct(ta), F.array_distinct(tb)
+    inter = F.size(F.array_intersect(sa, sb)).cast("bigint")
+    union = F.size(F.array_union(sa, sb)).cast("bigint")
+    j = inter / union
+    # analytic S-curve with fixed association, no libm pow: u = 1-s^r
+    # by repeated multiplication, then 1 - u^b the same way
+    sr = j
+    for _ in range(rows_per_band - 1):
+        sr = sr * j
+    u = F.lit(1.0) - sr
+    ub = u
+    for _ in range(n_bands - 1):
+        ub = ub * u
+    pred = F.lit(1.0) - ub
+    bands_a = minhash_signature(a_col, n_bands, rows_per_band)
+    bands_b = minhash_signature(b_col, n_bands, rows_per_band)
+    collided = None
+    for ba, bb in zip(bands_a, bands_b):
+        hit = ba.eqNullSafe(bb)
+        collided = hit if collided is None else (collided | hit)
+    per_pair = pairs.select(
+        F.least(
+            F.lit(n_deciles - 1), F.floor(j * n_deciles).cast("int")
+        ).alias("decile"),
+        F.round(j * 1e9).cast("bigint").alias("j_u"),
+        F.round(pred * 1e9).cast("bigint").alias("p_u"),
+        F.when(collided, 1).otherwise(0).cast("bigint").alias("hit"),
+    ).filter(F.col("j_u").isNotNull())  # empty-token pairs drop out
+    return per_pair.groupBy("decile").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.round(F.sum("j_u") / (F.count("*") * F.lit(1e9)), 9).alias(
+            "mean_jaccard"
+        ),
+        F.round(F.sum("p_u") / (F.count("*") * F.lit(1e9)), 9).alias(
+            "mean_predicted"
+        ),
+        F.round(F.sum("hit") / F.count("*"), 9).alias("observed_rate"),
+    )

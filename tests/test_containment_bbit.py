@@ -90,3 +90,33 @@ def test_priority_sample_is_deterministic_weighted_topk(spark):
     assert 99 in {r["doc_id"] for r in sel.collect()}
     with pytest.raises(ValueError):
         priority_sample(docs, "grp", "w", "doc_id", k=0)
+
+
+def test_lsh_tuning_curve_bounds_and_identity(spark):
+    """Identical pairs must predict AND observe collision 1.0; disjoint
+    pairs predict ~0 and never collide; predictions stay in [0,1]."""
+    from flow_indexer_spark.operators.dedup import lsh_tuning_curve
+
+    pairs = spark.createDataFrame(
+        [
+            (1, "a b c d e", "a b c d e"),   # jaccard 1 -> decile 9
+            (2, "a b c", "x y z"),           # jaccard 0 -> decile 0
+            (3, "a b c d", "a b c e"),       # jaccard 0.6 -> decile 6
+        ],
+        "pair bigint, cand string, ref string",
+    )
+    got = {
+        r["decile"]: r
+        for r in lsh_tuning_curve(pairs, n_bands=4, rows_per_band=2).collect()
+    }
+    assert got[9]["mean_predicted"] == 1.0 and got[9]["observed_rate"] == 1.0
+    assert got[0]["mean_predicted"] == 0.0 and got[0]["observed_rate"] == 0.0
+    d6 = got[6]
+    # analytic value at s = 0.6, r=2, b=4: 1 - (1 - 0.36)^4
+    u = 1.0 - 0.6 * 0.6
+    assert abs(d6["mean_predicted"] - round(1.0 - ((u * u) * u) * u, 9)) < 2e-9
+    assert 0.0 <= d6["observed_rate"] <= 1.0
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        lsh_tuning_curve(pairs, n_bands=0)
