@@ -10267,6 +10267,120 @@ def _q_lsh_tuning_curve(spark, sf_dir):
     ).orderBy("decile")
 
 
+@_register(
+    "eval_lift_gain",
+    f"""
+    WITH pts AS ({_SCORED_SQL}),
+    b AS (
+      SELECT LEAST(9, CAST(s64 // 7 AS INTEGER)) AS bucket, label AS y
+      FROM pts
+    ),
+    per AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS n_pos
+      FROM b GROUP BY 1
+    ),
+    cum AS (
+      SELECT bucket, n, n_pos,
+             CAST(SUM(n) OVER (ORDER BY bucket DESC) AS BIGINT) AS cum_n,
+             CAST(SUM(n_pos) OVER (ORDER BY bucket DESC) AS BIGINT)
+               AS cum_pos
+      FROM per
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(n_pos) AS BIGINT) AS tp
+      FROM per
+    )
+    SELECT bucket, n, n_pos, cum_n, cum_pos,
+           round(cum_pos / tp, 9) AS gain,
+           round((cum_pos / CAST(cum_n AS DOUBLE)) / (tp / CAST(tn AS DOUBLE)), 9)
+             AS lift
+    FROM cum CROSS JOIN tot ORDER BY bucket
+    """,
+)
+def _q_eval_lift_gain(spark, sf_dir):
+    """Decile lift / cumulative-gain chart for the scored corpus,
+    ranked best-first: exact bigint cumulative counts over the bucket
+    grid (never the corpus), gain and lift as single divisions — the
+    Lorenz-curve companion to roc_auc for 'how good is the top X%'.
+    operators/evalmetrics.py lift_gain_curve."""
+    from flow_indexer_spark.operators.evalmetrics import lift_gain_curve
+
+    return lift_gain_curve(
+        _scored(spark, sf_dir), "label", "s64", n_buckets=10, score_scale=64
+    ).orderBy("bucket")
+
+
+@_register(
+    "survival_km_conversion",
+    """
+    WITH per AS (
+      SELECT user_id AS s, MIN(ts) AS t0,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS te,
+             MAX(ts) AS tl
+      FROM events GROUP BY 1
+    ),
+    subj AS (
+      SELECT CAST(FLOOR((FLOOR(epoch(COALESCE(te, tl)))
+                         - FLOOR(epoch(t0))) / 86400) AS BIGINT) AS t_day,
+             CASE WHEN te IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM per
+    ),
+    grid AS (
+      SELECT t_day, CAST(SUM(ev) AS BIGINT) AS n_events,
+             CAST(SUM(1 - ev) AS BIGINT) AS n_censored
+      FROM subj GROUP BY 1
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM subj),
+    g AS (
+      SELECT t_day, n_events, n_censored,
+             (SELECT n FROM tot)
+             - COALESCE(SUM(n_events + n_censored) OVER (
+                 ORDER BY t_day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM grid
+    ),
+    t2 AS (
+      SELECT *,
+             CASE WHEN n_events > 0 AND n_events < n_risk
+               THEN CAST(round(ln((n_risk - n_events)
+                                  / CAST(n_risk AS DOUBLE))
+                               * 1000000000) AS BIGINT)
+               ELSE 0 END AS term,
+             CASE WHEN n_events >= n_risk THEN 1 ELSE 0 END AS dead
+      FROM g
+    ),
+    t3 AS (
+      SELECT *, SUM(term) OVER (ORDER BY t_day) AS lsum,
+             MAX(dead) OVER (ORDER BY t_day) AS dmax
+      FROM t2
+    )
+    SELECT t_day, CAST(n_risk AS BIGINT) AS n_risk, n_events, n_censored,
+           CASE WHEN dmax = 1 THEN 0.0
+                ELSE round(exp(CAST(lsum AS BIGINT) / 1000000000.0), 9)
+           END AS survival
+    FROM t3 WHERE n_events > 0 ORDER BY t_day
+    """,
+)
+def _q_survival_km_conversion(spark, sf_dir):
+    """Kaplan-Meier time-to-first-purchase (Kaplan-Meier JASA 1958):
+    censoring-aware conversion curve — never-converters are observed
+    until last activity, not infinity.  Everything after one
+    groupBy(subject) lives on the duration-day grid; the product-limit
+    is exp of a lattice-exact cumulative ln sum, with the all-die step
+    handled by an explicit zero flag, never ln(0).
+    operators/survival.py km_curve."""
+    from flow_indexer_spark.operators.survival import km_curve
+
+    return km_curve(
+        _t(spark, sf_dir, "events"),
+        "user_id",
+        "ts",
+        event_cond=F.col("event_type") == "purchase",
+    ).orderBy("t_day")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return dict(_QUERIES)

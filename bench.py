@@ -510,6 +510,8 @@ def _bench_queries(spark, sf_dir: str) -> dict:
         "score_rank_correlation",
         "ab_cuped_report",
         "lsh_tuning_curve",
+        "eval_lift_gain",
+        "survival_km_conversion",
     ]
     qs = entry_mod.queries()
     out = {}
