@@ -463,3 +463,52 @@ def test_plsa_estep_broadcasts_phi(docs):
     # cost at any scale)
     assert _count(theta, "BroadcastHashJoin") >= 1
     assert _count(theta, "SortMergeJoin") <= 1
+
+
+def test_spearman_windows_run_on_distinct_value_grid(docs):
+    """diagnostics.spearman_correlation: rank windows order the
+    DISTINCT-value tables, ranks re-attach by broadcast — the corpus
+    rows never pass through a global Sort."""
+    from flow_indexer_spark.operators.diagnostics import spearman_correlation
+
+    pts = docs.select(
+        F.length("text").alias("x"), (F.col("doc_id") % 7).alias("y")
+    )
+    rho = spearman_correlation(pts, "x", "y")
+    assert _count(rho, "BroadcastHashJoin") == 2
+    assert _count(rho, "SortMergeJoin") == 0
+
+
+def test_cuped_is_two_aggregates_no_join(docs):
+    """telemetry.cuped_report: one groupBy(user) + one global fold —
+    no join anywhere; every moment partial-aggregates map-side."""
+    from flow_indexer_spark.operators.telemetry import cuped_report
+
+    ev = docs.select(
+        F.col("doc_id").alias("u"),
+        (F.col("doc_id") % 2).alias("period"),
+        F.length("text").cast("double").alias("value"),
+    )
+    rep = cuped_report(
+        ev, "u", "value",
+        pre_cond=F.col("period") == 0, post_cond=F.col("period") == 1,
+    )
+    nodes = _nodes(rep)
+    assert not any("Join" in n for n in nodes)
+    assert sum(1 for n in nodes if n == "HashAggregate") >= 2
+
+
+def test_km_curve_window_is_duration_grid_only(spark):
+    """survival.km_curve: after the per-subject aggregate, every
+    window runs over the day grid (grid-sized, not corpus-sized) and
+    the plan has no join."""
+    from flow_indexer_spark.operators.survival import km_curve
+
+    ev = spark.createDataFrame(
+        [(i, f"2024-01-{1 + i % 20:02d}", "purchase" if i % 3 == 0 else "v")
+         for i in range(60)],
+        "user_id bigint, d string, event_type string",
+    ).select("user_id", F.col("d").cast("timestamp").alias("ts"),
+             "event_type")
+    km = km_curve(ev, "user_id", "ts", F.col("event_type") == "purchase")
+    assert not any("Join" in n for n in _nodes(km))
