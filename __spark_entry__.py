@@ -10381,6 +10381,116 @@ def _q_survival_km_conversion(spark, sf_dir):
     ).orderBy("t_day")
 
 
+@_register(
+    "curation_doremi_weights",
+    """
+    WITH split AS (
+      SELECT doc_id, source, text,
+             CAST('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 10000 AS bucket
+      FROM documents
+    ),
+    tt AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+             AS tok FROM split WHERE bucket < 9000),
+    st AS (SELECT doc_id, source,
+             list_filter(string_split(text, ' '), x -> x <> '') AS tok
+           FROM split WHERE bucket >= 9000),
+    tb AS (
+      SELECT b.w1 AS w1, b.w2 AS w2
+      FROM (SELECT unnest(list_transform(range(1, len(tok)),
+                   i -> struct_pack(w1 := tok[i], w2 := tok[i + 1]))) AS b
+            FROM tt WHERE len(tok) >= 2)
+    ),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM tb GROUP BY 1, 2),
+    c1 AS (SELECT w1, COUNT(*) AS c1 FROM tb GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT w2) AS v FROM tb),
+    sb AS (
+      SELECT doc_id, b.w1 AS w1, b.w2 AS w2
+      FROM (SELECT doc_id, unnest(list_transform(range(1, len(tok)),
+                   i -> struct_pack(w1 := tok[i], w2 := tok[i + 1]))) AS b
+            FROM st WHERE len(tok) >= 2)
+    ),
+    lpb AS (
+      SELECT doc_id,
+             AVG(ln((COALESCE(c2, 0) + 0.4)
+                    / (COALESCE(c1, 0) + 0.4 * v))) AS lp_bi
+      FROM sb LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1)
+      CROSS JOIN v GROUP BY doc_id
+    ),
+    tu AS (SELECT unnest(tok) AS w FROM tt),
+    cw AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cw FROM tu GROUP BY 1),
+    nv AS (SELECT CAST(SUM(cw) AS BIGINT) AS n,
+                  CAST(COUNT(*) AS BIGINT) AS vv FROM cw),
+    su AS (SELECT doc_id, unnest(tok) AS w FROM st WHERE len(tok) >= 1),
+    lpu AS (
+      SELECT doc_id,
+             AVG(ln((COALESCE(cw, 0) + 0.4) / (n + 0.4 * vv))) AS lp_uni
+      FROM su LEFT JOIN cw USING (w) CROSS JOIN nv GROUP BY doc_id
+    ),
+    loss AS (
+      SELECT st.source AS grp,
+             CAST(round(GREATEST(0.0, (-lp_uni) - (-lp_bi)) * 1000000000)
+                  AS BIGINT) AS e_u
+      FROM st JOIN lpb USING (doc_id) JOIN lpu USING (doc_id)
+    ),
+    per AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(e_u) AS BIGINT) AS se
+      FROM loss GROUP BY 1
+    ),
+    w AS (
+      SELECT grp, n_docs, se / (n_docs * 1000000000.0) AS me,
+             exp(1.0 * (se / (n_docs * 1000000000.0))) AS ww
+      FROM per
+    ),
+    z AS (SELECT SUM(ww ORDER BY grp) AS z FROM w)
+    SELECT grp AS source, n_docs, round(me, 9) AS mean_excess,
+           round(ww / (SELECT z FROM z), 9) AS weight
+    FROM w ORDER BY source
+    """,
+)
+def _q_curation_doremi_weights(spark, sf_dir):
+    """DoReMi-style domain reweighting (Xie et al. NeurIPS 2023), the
+    one-step exponentiated form: per source, mean clipped excess loss
+    of the context-free unigram proxy over the bigram reference (the
+    unmodeled-structure headroom), then weights softmaxed over domains
+    — both LMs trained ON-ENGINE on the same deterministic split.
+    Per-doc excess on the 1e-9 lattice; softmax denominator folded in
+    sorted domain order. operators/curation.py doremi_weights,
+    operators/textstats.py unigram_lm_scores/bigram_lm_scores."""
+    import tempfile
+
+    from flow_indexer_spark.operators.curation import doremi_weights, hash_split
+    from flow_indexer_spark.operators.textstats import (
+        bigram_lm_scores,
+        unigram_lm_scores,
+    )
+
+    d = hash_split(_t(spark, sf_dir, "documents"))
+    train = d.filter(F.col("split") == "train")
+    ev = d.filter(F.col("split") != "train")
+    bi = bigram_lm_scores(
+        train, ev,
+        model_path=tempfile.mkdtemp(prefix="fis_doremi_") + "/bigram_counts",
+    ).select("doc_id", F.col("avg_logp").alias("_lpb"))
+    un = unigram_lm_scores(train, ev).select(
+        "doc_id", F.col("avg_logp").alias("_lpu")
+    )
+    losses = (
+        ev.select("doc_id", "source")
+        .join(bi, "doc_id")
+        .join(un, "doc_id")
+        .select(
+            "source",
+            (-F.col("_lpu")).alias("loss_proxy"),
+            (-F.col("_lpb")).alias("loss_ref"),
+        )
+    )
+    return doremi_weights(
+        losses, "source", "loss_proxy", "loss_ref", eta=1.0
+    ).orderBy("source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return dict(_QUERIES)

@@ -512,6 +512,7 @@ def _bench_queries(spark, sf_dir: str) -> dict:
         "lsh_tuning_curve",
         "eval_lift_gain",
         "survival_km_conversion",
+        "curation_doremi_weights",
     ]
     qs = entry_mod.queries()
     out = {}

@@ -1122,3 +1122,56 @@ def priority_sample(
         .filter(F.col("_rk") <= k)
         .drop("_h", "_rk")
     )
+
+
+def doremi_weights(
+    losses: DataFrame,
+    group_col: str,
+    proxy_loss_col: str,
+    ref_loss_col: str,
+    eta: float = 1.0,
+    dp: int = 9,
+) -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al., NeurIPS 2023), the
+    one-step exponentiated form: per domain, mean CLIPPED excess loss
+    max(0, L_proxy - L_ref) — where the proxy model underperforms the
+    reference, the domain is under-served and gets upweighted —
+    then weights w_s proportional to exp(eta * excess_s), normalized
+    over domains.
+
+    Exactness: per-doc excess quantizes to the 1e-9 lattice (bigint,
+    order-free group sums); the softmax runs over the handful of
+    domain rows with its denominator folded in sorted domain order
+    (the determinism idiom).  Output per domain: (group, n_docs,
+    mean_excess, weight); weights sum to 1 up to the rounding grain."""
+    exc = F.greatest(
+        F.lit(0.0), F.col(proxy_loss_col) - F.col(ref_loss_col)
+    )
+    per = losses.select(
+        F.col(group_col).alias("grp"),
+        F.round(exc * 1e9).cast("bigint").alias("e_u"),
+    ).groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("e_u").alias("_se"),
+    )
+    mean_exc = F.col("_se") / (F.col("n_docs") * F.lit(1e9))
+    per = per.select(
+        "grp", "n_docs", mean_exc.alias("_me"),
+        F.exp(F.lit(eta) * mean_exc).alias("_w"),
+    )
+    denom = per.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("grp", "_w"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["_w"],
+        ).alias("_z")
+    )
+    return (
+        per.join(F.broadcast(denom))
+        .select(
+            F.col("grp").alias(group_col),
+            "n_docs",
+            F.round("_me", dp).alias("mean_excess"),
+            F.round(F.col("_w") / F.col("_z"), dp).alias("weight"),
+        )
+    )

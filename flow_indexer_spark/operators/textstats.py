@@ -692,3 +692,46 @@ def readability_report(
         "syllables",
         F.round(flesch, dp).alias("flesch"),
     ).orderBy("group")
+
+
+def unigram_lm_scores(
+    train_df: DataFrame,
+    score_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Add-alpha unigram LM scoring — the weaker sibling of
+    :func:`bigram_lm_scores` (same smoothing convention, context-free):
+    P(w) = (C(w) + alpha) / (N + alpha*V).  Its role here is the
+    REFERENCE model in excess-loss computations (DoReMi-style domain
+    reweighting): the unigram/bigram loss gap isolates what context
+    modeling buys per domain.  Returns (id, n_tokens, avg_logp, ppl)
+    for docs with >= 1 token.  Same topology discipline: two train
+    aggs, token-keyed hash join, V and N broadcast as 1-row tables."""
+    from flow_indexer_spark.operators.dedup import tokens
+
+    tr = train_df.select(F.explode(tokens(text_col)).alias("w"))
+    cw = tr.groupBy("w").agg(F.count("*").cast("bigint").alias("cw"))
+    nv = cw.agg(
+        F.sum("cw").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("v"),
+    )
+    sc = score_df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("w")
+    )
+    lp = (
+        sc.join(cw, "w", "left")
+        .join(F.broadcast(nv))
+        .select(
+            id_col,
+            F.log(
+                (F.coalesce(F.col("cw"), F.lit(0)) + F.lit(alpha))
+                / (F.col("n") + F.lit(alpha) * F.col("v"))
+            ).alias("lp"),
+        )
+    )
+    return lp.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.avg("lp").alias("avg_logp"),
+    ).withColumn("ppl", F.exp(-F.col("avg_logp")))

@@ -251,3 +251,33 @@ def test_preference_pairs_min_margin_and_determinism(spark):
     assert t <= w
     assert all(r[-1] >= 4.0 for r in t)
     assert {tuple(r) for r in wide.collect()} == w  # stable re-run
+
+
+def test_doremi_weights_hand_example(spark):
+    """doremi_weights: clipping, softmax normalization, monotonicity in
+    excess; uniform when proxy never lags."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from flow_indexer_spark.operators.curation import doremi_weights
+
+    rows = [
+        ("a", 2.0, 1.0),   # excess 1.0
+        ("a", 1.5, 1.5),   # excess 0.0
+        ("b", 1.0, 3.0),   # proxy BETTER -> clipped to 0
+        ("b", 1.0, 1.0),
+        ("c", 4.0, 1.0),   # excess 3.0
+    ]
+    df = spark.createDataFrame(rows, "src string, lp double, lr double")
+    got = {
+        r["src"]: r.asDict()
+        for r in doremi_weights(df, "src", "lp", "lr", eta=1.0).collect()
+    }
+    assert got["a"]["mean_excess"] == 0.5
+    assert got["b"]["mean_excess"] == 0.0
+    assert got["c"]["mean_excess"] == 3.0
+    z = math.exp(0.5) + math.exp(0.0) + math.exp(3.0)
+    assert abs(got["c"]["weight"] - math.exp(3.0) / z) < 2e-9
+    assert abs(sum(g["weight"] for g in got.values()) - 1.0) < 3e-9
+    assert got["c"]["weight"] > got["a"]["weight"] > got["b"]["weight"]
