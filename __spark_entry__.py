@@ -10491,6 +10491,54 @@ def _q_curation_doremi_weights(spark, sf_dir):
     ).orderBy("source")
 
 
+@_register(
+    "telemetry_trimmed_mean",
+    """
+    WITH h AS (
+      SELECT event_type AS grp, CAST(round(value * 100) AS BIGINT) AS v,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    h2 AS (
+      SELECT grp, v, c,
+             CAST(SUM(c) OVER (PARTITION BY grp) AS BIGINT) AS n,
+             CAST(COALESCE(SUM(c) OVER (PARTITION BY grp ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS below
+      FROM h
+    ),
+    h3 AS (
+      SELECT *,
+             CAST(FLOOR(n * 0.1) AS BIGINT) AS k,
+             GREATEST(0, LEAST(below + c, n - CAST(FLOOR(n * 0.1) AS BIGINT))
+                         - GREATEST(below + 1,
+                                    CAST(FLOOR(n * 0.1) AS BIGINT) + 1)
+                         + 1) AS kept
+      FROM h2
+    )
+    SELECT grp AS event_type, MAX(n) AS n,
+           MAX(k) AS n_trimmed_each_side,
+           round(CAST(SUM(v * kept) AS BIGINT)
+                 / (CAST(SUM(kept) AS BIGINT) * 100.0), 9) AS trimmed_mean,
+           round(CAST(SUM(v * c) AS BIGINT) / (MAX(n) * 100.0), 9)
+             AS raw_mean
+    FROM h3 GROUP BY grp ORDER BY event_type
+    """,
+)
+def _q_telemetry_trimmed_mean(spark, sf_dir):
+    """Per-event-type 10% symmetric trimmed mean beside the raw mean:
+    integer-cents histogram + per-group grid prefix sums give each
+    value's exact rank interval, kept multiplicity = interval overlap
+    with [k+1, n-k] — pure integer arithmetic, windows over the value
+    grid only. The robust-location tier between mean and median.
+    operators/robust.py trimmed_mean_report."""
+    from flow_indexer_spark.operators.robust import trimmed_mean_report
+
+    return trimmed_mean_report(
+        _t(spark, sf_dir, "events"), "event_type", "value", trim_frac=0.1
+    ).orderBy("event_type")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return dict(_QUERIES)

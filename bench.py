@@ -513,6 +513,7 @@ def _bench_queries(spark, sf_dir: str) -> dict:
         "eval_lift_gain",
         "survival_km_conversion",
         "curation_doremi_weights",
+        "telemetry_trimmed_mean",
     ]
     qs = entry_mod.queries()
     out = {}

@@ -208,3 +208,69 @@ def wilson_bounds(
         F.round(center - half, dp).alias("lo"),
         F.round(center + half, dp).alias("hi"),
     )
+
+
+def trimmed_mean_report(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    trim_frac: float = 0.1,
+    cents: int = 100,
+    dp: int = 9,
+) -> DataFrame:
+    """Per-group symmetric TRIMMED mean — the robust location estimate
+    between the mean (outlier-hostage) and the median (throws away
+    80% of the data): drop exactly k = floor(n * trim_frac) smallest
+    and k largest observations, average the rest.
+
+    Exact by construction: values quantize to integer cents at the row
+    level; per (group, cent-value) counts plus a per-group running
+    prefix give each value's rank interval, so the trimmed sum is
+    SUM(value * kept_multiplicity) with kept_multiplicity =
+    overlap of [rank_lo, rank_hi] with [k+1, n-k] — pure integer
+    arithmetic, one shuffle (groupBy), windows partitioned per group
+    over the value GRID.  Output: (group, n, n_trimmed_each_side,
+    trimmed_mean, raw_mean)."""
+    if not 0.0 <= trim_frac < 0.5:
+        raise ValueError("trim_frac must be in [0, 0.5)")
+    v = F.round(F.col(value_col) * cents).cast("bigint")
+    hist = df.select(F.col(group_col).alias("grp"), v.alias("v")).groupBy(
+        "grp", "v"
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    w_tot = Window.partitionBy("grp")
+    w_pre = (
+        Window.partitionBy("grp")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    h = (
+        hist.withColumn("n", F.sum("c").over(w_tot))
+        .withColumn("below", F.coalesce(F.sum("c").over(w_pre), F.lit(0)))
+    )
+    k = F.floor(F.col("n") * trim_frac).cast("bigint")
+    # rank interval of this value: [below+1, below+c]; keep window
+    # [k+1, n-k]; kept multiplicity = interval overlap
+    kept = F.greatest(
+        F.lit(0),
+        F.least(F.col("below") + F.col("c"), F.col("n") - k)
+        - F.greatest(F.col("below") + 1, k + 1)
+        + 1,
+    )
+    agg = h.groupBy("grp").agg(
+        F.max("n").alias("n"),
+        F.max(k).alias("k"),
+        F.sum(F.col("v") * kept).alias("_ts"),
+        F.sum(kept).alias("_tn"),
+        F.sum(F.col("v") * F.col("c")).alias("_rs"),
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n",
+        F.col("k").alias("n_trimmed_each_side"),
+        F.round(
+            F.col("_ts") / (F.col("_tn") * F.lit(float(cents))), dp
+        ).alias("trimmed_mean"),
+        F.round(
+            F.col("_rs") / (F.col("n") * F.lit(float(cents))), dp
+        ).alias("raw_mean"),
+    )

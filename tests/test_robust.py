@@ -89,3 +89,31 @@ def test_two_proportion_degenerate_rates_null(spark):
     )
     r = two_proportion_test(allconv, "variant", "conv").collect()[0]
     assert r["z"] is None and r["chi2"] is None and r["p_a"] == 1.0
+
+
+def test_trimmed_mean_exact_hand_case(spark):
+    """10% trim of 10 values drops exactly min and max; ties across the
+    trim boundary keep partial multiplicity."""
+    from flow_indexer_spark.operators.robust import trimmed_mean_report
+
+    vals = [100.0, 1.0, 2.0, 2.0, 3.0, 3.0, 3.0, 4.0, 5.0, -50.0]
+    df = spark.createDataFrame(
+        [("g", v) for v in vals], "grp string, value double"
+    )
+    got = trimmed_mean_report(df, "grp", "value", trim_frac=0.1).collect()[0]
+    inner = sorted(vals)[1:-1]
+    assert got["n"] == 10 and got["n_trimmed_each_side"] == 1
+    assert got["trimmed_mean"] == round(sum(inner) / len(inner), 9)
+    assert got["raw_mean"] == round(sum(vals) / 10, 9)
+    # boundary ties: k=1 with duplicated extremes trims ONE copy only
+    vals2 = [1.0, 1.0, 2.0, 9.0, 9.0, 3.0, 3.0, 4.0, 5.0, 6.0]
+    df2 = spark.createDataFrame(
+        [("g", v) for v in vals2], "grp string, value double"
+    )
+    got2 = trimmed_mean_report(df2, "grp", "value", trim_frac=0.1).collect()[0]
+    inner2 = sorted(vals2)[1:-1]
+    assert got2["trimmed_mean"] == round(sum(inner2) / len(inner2), 9)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        trimmed_mean_report(df, "grp", "value", trim_frac=0.5)
