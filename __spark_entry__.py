@@ -10539,6 +10539,63 @@ def _q_telemetry_trimmed_mean(spark, sf_dir):
     ).orderBy("event_type")
 
 
+@_register(
+    "conversation_topic_segments",
+    f"""
+    WITH t AS ({_SYNTH_SQL}),
+    tk AS (
+      SELECT conv_id AS c, turn_idx AS i,
+             list_distinct(list_filter(string_split(text, ' '),
+                                       x -> x <> '')) AS s
+      FROM t
+    ),
+    lg AS (
+      SELECT c, i, s, LAG(s) OVER (PARTITION BY c ORDER BY i) AS p FROM tk
+    ),
+    jj AS (
+      SELECT c,
+             CASE WHEN p IS NULL THEN NULL
+                  WHEN len(list_distinct(list_concat(p, s))) > 0
+                    THEN CAST(len(list_filter(p, x -> list_contains(s, x)))
+                              AS BIGINT)
+                         / CAST(len(list_distinct(list_concat(p, s)))
+                                AS BIGINT)
+                  ELSE NULL END AS j,
+             CASE WHEN p IS NULL THEN 0
+                  WHEN len(list_distinct(list_concat(p, s))) = 0 THEN 1
+                  WHEN CAST(len(list_filter(p, x -> list_contains(s, x)))
+                            AS BIGINT)
+                       / CAST(len(list_distinct(list_concat(p, s)))
+                              AS BIGINT) < 0.2 THEN 1
+                  ELSE 0 END AS b
+      FROM lg
+    ),
+    per AS (
+      SELECT c, CAST(COUNT(*) AS BIGINT) AS n_turns,
+             CAST(SUM(b) + 1 AS BIGINT) AS n_segments,
+             round(MIN(j), 9) AS min_jaccard
+      FROM jj GROUP BY 1
+    )
+    SELECT c AS conv_id, n_turns, n_segments,
+           round(n_turns / n_segments, 9) AS mean_segment_len, min_jaccard
+    FROM per ORDER BY conv_id
+    """,
+)
+def _q_conversation_topic_segments(spark, sf_dir):
+    """Lexical topic segmentation per conversation (TextTiling's core,
+    Hearst CL 1997): a boundary where adjacent turns' token-set Jaccard
+    drops below 0.2 (or a side is empty) — the context-packing /
+    retrieval-chunking signal for agent transcripts.  One
+    conversation-partitioned lag window + one groupBy; exact integer
+    Jaccards, one rounded division per conversation.
+    operators/transcripts.py topic_segments."""
+    from flow_indexer_spark.operators.transcripts import topic_segments
+
+    return topic_segments(
+        synth_transcripts(spark, sf_dir), min_overlap=0.2
+    ).orderBy("conv_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return dict(_QUERIES)

@@ -514,6 +514,7 @@ def _bench_queries(spark, sf_dir: str) -> dict:
         "survival_km_conversion",
         "curation_doremi_weights",
         "telemetry_trimmed_mean",
+        "conversation_topic_segments",
     ]
     qs = entry_mod.queries()
     out = {}

@@ -413,3 +413,58 @@ def tool_retry_chains(
             .alias("wasted_attempts"),
         )
     )
+
+
+def topic_segments(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    text_col: str = "text",
+    min_overlap: float = 0.2,
+    dp: int = 9,
+) -> DataFrame:
+    """Lexical topic segmentation of conversations (the TextTiling idea
+    — Hearst, CL 1997 — reduced to its scale-friendly core): a segment
+    boundary falls between adjacent turns whose token-set Jaccard
+    drops below ``min_overlap`` (or where either side has no tokens —
+    a topic reset by construction).  'How many topics does a
+    conversation span' is a context-packing and retrieval-chunking
+    signal over agent transcripts.
+
+    Per conversation: ``n_turns``, ``n_segments`` (1 + boundary
+    count), ``mean_segment_len`` (one rounded division of exact
+    integers), ``min_jaccard`` over adjacent pairs (rounded; null for
+    single-turn conversations).  One conversation-partitioned window
+    (the lag of the token set) + one groupBy — nothing corpus-global."""
+    from pyspark.sql import Window
+
+    from flow_indexer_spark.operators.dedup import tokens
+
+    w = Window.partitionBy("c").orderBy("i")
+    t = df.select(
+        F.col(conv_col).alias("c"),
+        F.col(idx_col).alias("i"),
+        F.array_distinct(tokens(text_col)).alias("s"),
+    ).withColumn("p", F.lag("s").over(w))
+    inter = F.size(F.array_intersect("p", "s")).cast("bigint")
+    union = F.size(F.array_union("p", "s")).cast("bigint")
+    j = F.when(union > 0, inter / union)
+    boundary = F.when(
+        F.col("p").isNull(), F.lit(0)  # first turn opens, not a boundary
+    ).otherwise(
+        F.when(j.isNull() | (j < F.lit(min_overlap)), 1).otherwise(0)
+    )
+    per = t.select("c", boundary.alias("b"), j.alias("j")).groupBy("c").agg(
+        F.count("*").cast("bigint").alias("n_turns"),
+        (F.sum("b") + 1).cast("bigint").alias("n_segments"),
+        F.round(F.min("j"), dp).alias("min_jaccard"),
+    )
+    return per.select(
+        F.col("c").alias(conv_col),
+        "n_turns",
+        "n_segments",
+        F.round(F.col("n_turns") / F.col("n_segments"), dp).alias(
+            "mean_segment_len"
+        ),
+        "min_jaccard",
+    )

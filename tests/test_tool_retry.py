@@ -33,3 +33,26 @@ def test_retry_chain_semantics(spark):
     assert s["wasted_attempts"] == (3 - 1) + (2 - 1)
     assert f["n_runs"] == 2 and f["n_retry_chains"] == 0
     assert f["max_chain_len"] == 0 and f["wasted_attempts"] == 0
+
+
+def test_topic_segments_boundaries(spark):
+    """Hand-built conversation: overlap-rich run, hard topic switch,
+    empty-turn reset, single-turn conversation."""
+    from flow_indexer_spark.operators.transcripts import topic_segments
+
+    rows = [
+        ("A", 0, "alpha beta gamma"),
+        ("A", 1, "beta gamma delta"),     # jaccard 2/4 = 0.5 -> same seg
+        ("A", 2, "xray yankee zulu"),     # 0 -> boundary
+        ("A", 3, "yankee zulu xray"),     # 1.0 -> same
+        ("B", 0, "solo"),
+        ("C", 0, "one two"),
+        ("C", 1, "   "),                  # empty side -> boundary
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    got = {r["conv_id"]: r.asDict() for r in topic_segments(df).collect()}
+    assert got["A"]["n_turns"] == 4 and got["A"]["n_segments"] == 2
+    assert got["A"]["mean_segment_len"] == 2.0
+    assert got["A"]["min_jaccard"] == 0.0
+    assert got["B"]["n_segments"] == 1 and got["B"]["min_jaccard"] is None
+    assert got["C"]["n_segments"] == 2
