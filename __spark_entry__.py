@@ -10596,6 +10596,70 @@ def _q_conversation_topic_segments(spark, sf_dir):
     ).orderBy("conv_id")
 
 
+@_register(
+    "context_eviction_report",
+    f"""
+    WITH t AS ({_SYNTH_SQL}),
+    tk AS (
+      SELECT conv_id AS c, turn_idx AS i,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS BIGINT) AS n
+      FROM t
+    ),
+    ws AS (
+      SELECT c, i, n,
+             SUM(n) OVER (PARTITION BY c ORDER BY i DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS suf
+      FROM tk
+    ),
+    per AS (
+      SELECT c, CAST(COUNT(*) AS BIGINT) AS n_turns,
+             CAST(SUM(n) AS BIGINT) AS total_tokens,
+             CAST(SUM(CASE WHEN suf <= 256 THEN 1 ELSE 0 END) AS BIGINT)
+               AS kept_recency,
+             CAST(SUM(CASE WHEN suf <= 256 THEN n ELSE 0 END) AS BIGINT)
+               AS tok_recency,
+             CAST(COALESCE(list_reduce(
+               list_transform(list_sort(list(n), 'DESC'),
+                 x -> CASE WHEN x <= 256 THEN x * 4096 + 1
+                      ELSE CAST(0 AS BIGINT) END),
+               (acc, e) -> CASE WHEN acc // 4096 + e // 4096 <= 256
+                           THEN acc + e ELSE acc END), 0) AS BIGINT) AS acc
+      FROM ws GROUP BY 1
+    ),
+    per2 AS (
+      SELECT c, n_turns, total_tokens, kept_recency, tok_recency,
+             CAST(acc % 4096 AS BIGINT) AS kept_longest,
+             CAST(acc // 4096 AS BIGINT) AS tok_longest
+      FROM per
+    )
+    SELECT c AS conv_id, n_turns, total_tokens, kept_recency,
+           CASE WHEN total_tokens > 0
+                THEN round(tok_recency / total_tokens, 9) END
+             AS retained_recency,
+           kept_longest,
+           CASE WHEN total_tokens > 0
+                THEN round(tok_longest / total_tokens, 9) END
+             AS retained_longest
+    FROM per2 ORDER BY conv_id
+    """,
+)
+def _q_context_eviction_report(spark, sf_dir):
+    """Context-window eviction policy comparison at budget 256 tokens:
+    recency suffix vs retention-maximal longest-first, kept turns and
+    retained token fraction per conversation — the measured answer to
+    'what does the truncation heuristic throw away', two
+    conversation-partitioned windows + one groupBy, exact integers.
+    operators/transcripts.py context_eviction_report."""
+    from flow_indexer_spark.operators.transcripts import (
+        context_eviction_report,
+    )
+
+    return context_eviction_report(
+        synth_transcripts(spark, sf_dir), budget=256
+    ).orderBy("conv_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return dict(_QUERIES)

@@ -515,6 +515,7 @@ def _bench_queries(spark, sf_dir: str) -> dict:
         "curation_doremi_weights",
         "telemetry_trimmed_mean",
         "conversation_topic_segments",
+        "context_eviction_report",
     ]
     qs = entry_mod.queries()
     out = {}

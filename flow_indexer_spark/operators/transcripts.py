@@ -468,3 +468,94 @@ def topic_segments(
         ),
         "min_jaccard",
     )
+
+
+def context_eviction_report(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    text_col: str = "text",
+    budget: int = 256,
+    dp: int = 9,
+) -> DataFrame:
+    """Context-window eviction policy comparison: given a token budget
+    per conversation, how much does each standard assembly policy
+    retain?  The serving-side question behind every 'truncate the
+    history' heuristic, answered exactly from the corpus before
+    anyone ships the heuristic:
+
+    - ``recency``: keep the longest SUFFIX of turns fitting the budget
+      (the sliding-window default);
+    - ``longest_first``: the standard skip-greedy knapsack heuristic —
+      walk turns by descending token count, keep each one that still
+      fits the remaining budget (an oversized turn is SKIPPED, not a
+      stopper).
+
+    Per conversation: ``n_turns``, ``total_tokens``, per policy the
+    kept-turn count and retained token fraction (one rounded division
+    of exact integers).  One conversation-partitioned window (the
+    recency suffix) + one groupBy; the skip-greedy runs IN-ROW as a
+    fold over the size-sorted array with a single encoded accumulator
+    ``tok * 4096 + kept`` — identical on both engines because the
+    first folded element equals step(0, e) (conversations are bounded
+    well under 4096 turns by construction)."""
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    from pyspark.sql import Window
+
+    from flow_indexer_spark.operators.dedup import tokens
+
+    t = df.select(
+        F.col(conv_col).alias("c"),
+        F.col(idx_col).alias("i"),
+        F.size(tokens(text_col)).cast("bigint").alias("n"),
+    )
+    w_suf = (
+        Window.partitionBy("c")
+        .orderBy(F.desc("i"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    t = t.withColumn("suf", F.sum("n").over(w_suf))
+    keep_rec = F.when(F.col("suf") <= budget, 1).otherwise(0)
+    enc = lambda x: F.when(  # noqa: E731
+        x <= budget, x * 4096 + 1
+    ).otherwise(F.lit(0).cast("bigint"))
+    # tok(acc) = floor(acc / 4096): division by a power of two is
+    # IEEE-exact, so the floor is the true integer quotient
+    step = lambda acc, e: F.when(  # noqa: E731
+        F.floor(acc / 4096) + F.floor(e / 4096) <= budget, acc + e
+    ).otherwise(acc)
+    per = t.groupBy("c").agg(
+        F.count("*").cast("bigint").alias("n_turns"),
+        F.sum("n").cast("bigint").alias("total_tokens"),
+        F.sum(keep_rec).cast("bigint").alias("kept_recency"),
+        F.sum(F.when(F.col("suf") <= budget, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("tok_recency"),
+        F.aggregate(
+            F.transform(
+                F.reverse(F.array_sort(F.collect_list("n"))),
+                lambda x: enc(x),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, e: step(acc, e),
+        ).alias("_acc"),
+    )
+    per = per.withColumn(
+        "kept_longest", (F.col("_acc") % 4096).cast("bigint")
+    ).withColumn(
+        "tok_longest", F.expr("_acc div 4096").cast("bigint")
+    )
+    frac = lambda c: F.when(  # noqa: E731
+        F.col("total_tokens") > 0,
+        F.round(F.col(c) / F.col("total_tokens"), dp),
+    ).otherwise(F.lit(None))
+    return per.select(
+        F.col("c").alias(conv_col),
+        "n_turns",
+        "total_tokens",
+        "kept_recency",
+        frac("tok_recency").alias("retained_recency"),
+        "kept_longest",
+        frac("tok_longest").alias("retained_longest"),
+    )

@@ -56,3 +56,41 @@ def test_topic_segments_boundaries(spark):
     assert got["A"]["min_jaccard"] == 0.0
     assert got["B"]["n_segments"] == 1 and got["B"]["min_jaccard"] is None
     assert got["C"]["n_segments"] == 2
+
+
+def test_context_eviction_policies(spark):
+    """Hand case: recency keeps the fitting suffix; longest-first keeps
+    the big turns regardless of position; empty conversation guarded."""
+    from flow_indexer_spark.operators.transcripts import (
+        context_eviction_report,
+    )
+
+    rows = [
+        ("A", 0, "w " * 50), ("A", 1, "w " * 10), ("A", 2, "w " * 10),
+        ("B", 0, "w " * 100), ("B", 1, "w " * 5),
+        ("C", 0, "   "),
+    ]
+    df = spark.createDataFrame(
+        [(c, i, t.strip()) for c, i, t in rows],
+        "conv_id string, turn_idx int, text string",
+    )
+    got = {
+        r["conv_id"]: r.asDict()
+        for r in context_eviction_report(df, budget=60).collect()
+    }
+    # A: suffix sums from the end: 10, 20, 70 -> keep 2 turns (20 tok);
+    # longest-first: 50, 60, 70 -> keep 2 turns (60 tok)
+    a = got["A"]
+    assert a["kept_recency"] == 2 and a["retained_recency"] == round(20 / 70, 9)
+    assert a["kept_longest"] == 2 and a["retained_longest"] == round(60 / 70, 9)
+    # B: last turn fits (5), the 100-turn doesn't in either policy
+    b = got["B"]
+    assert b["kept_recency"] == 1 and b["kept_longest"] == 1
+    assert b["retained_longest"] == round(5 / 105, 9)
+    # C: zero tokens -> null fractions
+    assert got["C"]["total_tokens"] == 0
+    assert got["C"]["retained_recency"] is None
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        context_eviction_report(df, budget=-1)
