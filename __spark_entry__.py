@@ -7529,6 +7529,32 @@ def _lpa_oracle_sql() -> str:
     return "".join(parts)
 
 
+def _lpa_modularity_sql() -> str:
+    """The same unrolled LPA rounds, finished with the exact-integer
+    Newman modularity Q = (4m*intra - sum d_c^2) / (4m^2)."""
+    base = _lpa_oracle_sql()
+    last = _LPA_ROUNDS
+    cut = base.rindex(", s AS")
+    return base[:cut] + f"""
+        , deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+                  FROM b GROUP BY 1)
+        , dcm AS (SELECT label, CAST(SUM(d) AS BIGINT) AS dsum
+                  FROM deg JOIN l{last} USING (node) GROUP BY 1)
+        , ds AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+                        SUM(CAST(dsum AS HUGEINT) * dsum) AS sd2 FROM dcm)
+        , ee AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+                        CAST(SUM(CASE WHEN lu.label = lv.label
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS intra_edges
+                 FROM e JOIN l{last} lu ON e.u = lu.node
+                        JOIN l{last} lv ON e.v = lv.node)
+        SELECT ds.n_communities, ee.n_edges, ee.intra_edges,
+               round(CAST(4 * CAST(ee.n_edges AS HUGEINT) * ee.intra_edges
+                          - ds.sd2 AS DOUBLE)
+                     / CAST(4 * CAST(ee.n_edges AS HUGEINT) * ee.n_edges
+                            AS DOUBLE), 9) AS modularity
+        FROM ee CROSS JOIN ds"""
+
+
 def _copurchase_edges(spark, sf_dir):
     li = (
         _t(spark, sf_dir, "lineitem")
@@ -10658,6 +10684,26 @@ def _q_context_eviction_report(spark, sf_dir):
     return context_eviction_report(
         synth_transcripts(spark, sf_dir), budget=256
     ).orderBy("conv_id")
+
+
+@_register("graph_modularity", _lpa_modularity_sql())
+def _q_graph_modularity(spark, sf_dir):
+    """Newman modularity (Newman-Girvan 2004) of the LPA communities on
+    the co-purchase graph — the 'better than chance' quality number
+    that closes the community loop: exact integer form
+    (4m*intra - sum d_c^2) / (4m^2), squares in DECIMAL/HUGEINT, one
+    final division. operators/graph.py modularity +
+    label_propagation."""
+    from flow_indexer_spark.operators.graph import (
+        label_propagation,
+        modularity,
+    )
+
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    comm = label_propagation(edges, n_rounds=_LPA_ROUNDS).select(
+        "node", "community"
+    )
+    return modularity(edges, comm)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

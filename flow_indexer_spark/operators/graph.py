@@ -376,3 +376,65 @@ def undirected_edges(pairs: DataFrame) -> DataFrame:
         F.col("n_turns").alias("weight"),
     )
     return fwd.unionByName(rev)
+
+
+def modularity(edges: DataFrame, communities: DataFrame) -> DataFrame:
+    """Newman modularity of a community assignment over an undirected
+    simple graph (Newman & Girvan 2004): Q = sum_c [e_c/m -
+    (d_c/2m)^2] — THE standard 'is this partition better than chance'
+    score, closing the loop on label_propagation (communities without
+    a quality number are a demo, not an operator).
+
+    Exact integer form: Q = (4m * intra - sum_c d_c^2) / (4 m^2) —
+    intra-community edge count and per-community degree sums are plain
+    aggregates; the squares run in DECIMAL(38,0) so the single final
+    division is the only float.  Two label joins on the edge list +
+    two groupBys; nothing quadratic, no collect.
+
+    ``edges``: canonical (u, v), u < v, one row per edge.
+    ``communities``: (node, community).  Returns one row:
+    (n_communities, n_edges, intra_edges, modularity)."""
+    lab = communities.select("node", "community")
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("d"))
+    )
+    dc = (
+        deg.join(lab, "node")
+        .groupBy("community")
+        .agg(F.sum("d").cast("bigint").alias("dsum"))
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    dstats = dc.agg(
+        F.count("*").cast("bigint").alias("n_communities"),
+        F.sum(dec("dsum") * dec("dsum")).alias("_sd2"),
+    )
+    intra = (
+        edges.join(
+            lab.withColumnsRenamed({"node": "u", "community": "_cu"}), "u"
+        )
+        .join(
+            lab.withColumnsRenamed({"node": "v", "community": "_cv"}), "v"
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_edges"),
+            F.sum(F.when(F.col("_cu") == F.col("_cv"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("intra_edges"),
+        )
+    )
+    j = intra.join(F.broadcast(dstats))
+    m = F.col("n_edges").cast("decimal(38,0)")
+    num = (
+        F.lit(4).cast("decimal(38,0)") * m * F.col("intra_edges")
+        - F.col("_sd2")
+    ).cast("double")
+    den = (F.lit(4).cast("decimal(38,0)") * m * m).cast("double")
+    return j.select(
+        "n_communities",
+        "n_edges",
+        "intra_edges",
+        F.round(num / den, 9).alias("modularity"),
+    )

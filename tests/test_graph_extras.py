@@ -148,3 +148,24 @@ def test_personalized_pagerank_seed_semantics(spark):
     )
     with _pt.raises(ValueError, match="seed"):
         pagerank(nodes, edges, n_iter=1, seeds=bad)
+
+
+def test_modularity_two_triangles(spark):
+    """Known value: two triangles joined by one bridge edge, communities
+    = the triangles -> Q = 70/196."""
+    from flow_indexer_spark.operators.graph import modularity
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"),
+         ("d", "e"), ("d", "f"), ("e", "f"), ("c", "d")],
+        "u string, v string",
+    )
+    comm = spark.createDataFrame(
+        [("a", "t1"), ("b", "t1"), ("c", "t1"),
+         ("d", "t2"), ("e", "t2"), ("f", "t2")],
+        "node string, community string",
+    )
+    r = modularity(edges, comm).collect()[0]
+    assert r["n_communities"] == 2 and r["n_edges"] == 7
+    assert r["intra_edges"] == 6
+    assert r["modularity"] == round(70 / 196, 9)
