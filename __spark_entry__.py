@@ -9807,14 +9807,15 @@ def _q_tfidf_cosine_pairs(spark, sf_dir):
       SELECT cb, kb, ca, ka, w FROM p
     ),
     nodes AS (SELECT DISTINCT cls, ky FROM e2),
-    ns AS (
-      SELECT CAST(COUNT(*) AS DOUBLE) AS nsd FROM nodes WHERE cls = 'role'
+    seeds AS (
+      SELECT cls, ky FROM nodes WHERE cls = 'ip' ORDER BY ky LIMIT 16
     ),
+    ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nsd FROM seeds),
     sv AS MATERIALIZED (
-      SELECT cls, ky,
-             CASE WHEN cls = 'role' THEN 1.0 / (SELECT nsd FROM ns)
+      SELECT n.cls, n.ky,
+             CASE WHEN sd.ky IS NOT NULL THEN 1.0 / (SELECT nsd FROM ns)
                   ELSE 0.0 END AS s
-      FROM nodes
+      FROM nodes n LEFT JOIN seeds sd ON n.cls = sd.cls AND n.ky = sd.ky
     ),
     outw AS (SELECT sc, sk, SUM(w) AS ow FROM edges GROUP BY 1, 2),
     pr0 AS (SELECT cls, ky, s AS pr FROM sv),
@@ -9856,12 +9857,20 @@ def _q_tfidf_cosine_pairs(spark, sf_dir):
     """,
 )
 def _q_entity_ppr(spark, sf_dir):
-    """PERSONALIZED PageRank (Haveliwala WWW 2002) seeded at the role
-    class: teleport mass restricted to the seed distribution — 'which
-    entities are most related to the seeds', the proximity complement
-    to the global centrality of entity_pagerank. Same bit-exact
-    sorted-fold trajectory, seeds joined by broadcast; oracle is the
-    seeded recurrence unrolled. operators/graph.py pagerank(seeds=...)."""
+    """PERSONALIZED PageRank (Haveliwala WWW 2002): teleport mass
+    restricted to the seed distribution — 'which entities are most
+    related to the seeds', the proximity complement to the global
+    centrality of entity_pagerank. Same bit-exact sorted-fold
+    trajectory, seeds joined by broadcast; oracle is the seeded
+    recurrence unrolled. SEED RULE IS CAP-PROOF BY CONSTRUCTION
+    (round-4 bug class): seeds are drawn FROM the capped node set —
+    the 16 lexicographically-smallest ip-class keys — so the set is
+    non-empty at every scale factor.  The old rule (node_class ==
+    'role') encoded a scale-dependent df assumption: at sf0.1 every
+    role value exceeds max_entity_df=5000, capped_entities drops the
+    whole class, and pagerank correctly raised 'no seed overlaps the
+    node set' — pinned by test_graph_extras.py::test_entity_ppr_seed
+    _rule_survives_df_cap. operators/graph.py pagerank(seeds=...)."""
     from flow_indexer_spark.functions.extractors import extract_entities
     from flow_indexer_spark.operators.graph import pagerank, undirected_edges
     from flow_indexer_spark.operators.transcripts import (
@@ -9877,8 +9886,13 @@ def _q_entity_ppr(spark, sf_dir):
         F.col("entity_class").alias("node_class"),
         F.col("entity_key").alias("node_key"),
     ).distinct()
-    seeds = nodes.filter(F.col("node_class") == "role").select(
-        "node_class", "node_key", F.lit(1).cast("bigint").alias("weight")
+    seeds = (
+        nodes.filter(F.col("node_class") == "ip")
+        .orderBy("node_key")
+        .limit(16)
+        .select(
+            "node_class", "node_key", F.lit(1).cast("bigint").alias("weight")
+        )
     )
     edges = undirected_edges(entity_cooccurrence(ents, max_entity_df=None))
     return (

@@ -392,6 +392,129 @@ def _bench_pipeline(
     }
 
 
+# The bench sweep — every name must exist in __spark_entry__.queries();
+# tests/test_bench_smoke.py runs each once at sf0.1 so a scale-crashing
+# query is caught BEFORE the driver bench (round-4 lesson).
+BENCH_QUERY_NAMES = [
+    "token_postings",
+    "token_search",
+    "pipeline_routed_counts",
+    "props_regex_extract",
+    "stats_two_level_buckets",
+    "enrich_broadcast_dims",
+    "tpch_q1_agg",
+    "topk_revenue_orders",
+    "dedup_exact",
+    "minhash_lsh_buckets",
+    "ann_topk_cosine",
+    "sessionize_native",
+    "curation_source_cap",
+    "top_distinctive_terms",
+    "dedup_ngram_prefix",
+    "bm25_search",
+    "asof_latest_purchase",
+    "interval_window_counts",
+    "funnel_view_click_purchase",
+    "retention_cohorts",
+    "redact_transcripts",
+    "telemetry_rollup",
+    "doc_chunks_sliding",
+    "boilerplate_common_grams",
+    "embedding_quantize_int8",
+    "skew_report_events",
+    "log_template_census",
+    "dedup_exact_substring",
+    "curation_mix_budget",
+    "curation_training_order",
+    "dedup_incremental_state",
+    "quality_lm_perplexity",
+    "ann_ivf_topk",
+    "tokenize_packs",
+    "sft_loss_spans",
+    "dsir_importance_weights",
+    "ivf_kmeans_assign",
+    "sft_conversation_examples",
+    "context_length_sweep",
+    "curation_temperature_mix",
+    "tokenizer_fertility",
+    "contrastive_hard_negatives",
+    "quality_train_logreg",
+    "dedup_semdedup",
+    "curation_upsample_epochs",
+    "embedding_pq_codes",
+    "ann_pq_adc_topk",
+    "tokenize_bpe_merges",
+    "tokenize_bpe_segment",
+    "sketch_hll_distinct_users",
+    "sketch_theta_returning",
+    "sketch_kll_value_ranks",
+    "media_real_decode",
+    "media_png_decode",
+    "media_jpeg_decode",
+    "media_mp4_frames",
+    "skew_salted_join",
+    "preference_pairs_docs",
+    "corpus_validation",
+    "image_phash_neardup",
+    "source_drift_psi",
+    "audio_fp_neardup",
+    "corpus_report_cube",
+    "entity_pagerank",
+    "ip_block_enrich",
+    "media_h264_frames",
+    "media_h264_intra",
+    "heavy_hitter_users",
+    "media_h264_residual",
+    "media_h264_b",
+    "dedup_segment_removal",
+    "trajectory_dedup",
+    "trajectory_path_forks",
+    "doc_chunks_cdc",
+    "embedding_gram_matrix",
+    "linkage_fs_em_report",
+    "preference_bt_ratings",
+    "scd2_temporal_lookup",
+    "graph_triangle_census",
+    "telemetry_cusum_changepoint",
+    "agreement_fleiss_kappa",
+    "graph_kcore",
+    "graph_label_propagation",
+    "nbayes_confusion",
+    "eval_pr_curve",
+    "markov_kstep_distribution",
+    "attribution_last_touch",
+    "winnow_shared_pairs",
+    "multiline_reassembly",
+    "score_quantile_normalize",
+    "telemetry_sliding_active",
+    "ngram_diversity_report",
+    "specdec_acceptance",
+    "eval_bleu_rouge_pairs",
+    "source_js_divergence",
+    "topic_word_dist",
+    "media_h264_cabac",
+    "dedup_containment",
+    "dedup_bbit_minhash",
+    "curation_priority_sample",
+    "tool_retry_chains",
+    "tfidf_cosine_pairs",
+    "entity_ppr",
+    "embedding_matryoshka",
+    "eval_isotonic_calibration",
+    "drift_incremental_js",
+    "score_rank_correlation",
+    "ab_cuped_report",
+    "lsh_tuning_curve",
+    "eval_lift_gain",
+    "survival_km_conversion",
+    "curation_doremi_weights",
+    "telemetry_trimmed_mean",
+    "conversation_topic_segments",
+    "context_eviction_report",
+    "graph_modularity",
+]
+
+
 def _bench_queries(spark, sf_dir: str) -> dict:
     """Headline operator queries (forced via collect), best-of-2 per
     query: the first execution of anything after session boot is
@@ -400,133 +523,25 @@ def _bench_queries(spark, sf_dir: str) -> dict:
     warm) — so a single cold run measures warm-up, not the plan."""
     import __spark_entry__ as entry_mod
 
-    names = [
-        "token_postings",
-        "token_search",
-        "pipeline_routed_counts",
-        "props_regex_extract",
-        "stats_two_level_buckets",
-        "enrich_broadcast_dims",
-        "tpch_q1_agg",
-        "topk_revenue_orders",
-        "dedup_exact",
-        "minhash_lsh_buckets",
-        "ann_topk_cosine",
-        "sessionize_native",
-        "curation_source_cap",
-        "top_distinctive_terms",
-        "dedup_ngram_prefix",
-        "bm25_search",
-        "asof_latest_purchase",
-        "interval_window_counts",
-        "funnel_view_click_purchase",
-        "retention_cohorts",
-        "redact_transcripts",
-        "telemetry_rollup",
-        "doc_chunks_sliding",
-        "boilerplate_common_grams",
-        "embedding_quantize_int8",
-        "skew_report_events",
-        "log_template_census",
-        "dedup_exact_substring",
-        "curation_mix_budget",
-        "curation_training_order",
-        "dedup_incremental_state",
-        "quality_lm_perplexity",
-        "ann_ivf_topk",
-        "tokenize_packs",
-        "sft_loss_spans",
-        "dsir_importance_weights",
-        "ivf_kmeans_assign",
-        "sft_conversation_examples",
-        "context_length_sweep",
-        "curation_temperature_mix",
-        "tokenizer_fertility",
-        "contrastive_hard_negatives",
-        "quality_train_logreg",
-        "dedup_semdedup",
-        "curation_upsample_epochs",
-        "embedding_pq_codes",
-        "ann_pq_adc_topk",
-        "tokenize_bpe_merges",
-        "tokenize_bpe_segment",
-        "sketch_hll_distinct_users",
-        "sketch_theta_returning",
-        "sketch_kll_value_ranks",
-        "media_real_decode",
-        "media_png_decode",
-        "media_jpeg_decode",
-        "media_mp4_frames",
-        "skew_salted_join",
-        "preference_pairs_docs",
-        "corpus_validation",
-        "image_phash_neardup",
-        "source_drift_psi",
-        "audio_fp_neardup",
-        "corpus_report_cube",
-        "entity_pagerank",
-        "ip_block_enrich",
-        "media_h264_frames",
-        "media_h264_intra",
-        "heavy_hitter_users",
-        "media_h264_residual",
-        "media_h264_b",
-        "dedup_segment_removal",
-        "trajectory_dedup",
-        "trajectory_path_forks",
-        "doc_chunks_cdc",
-        "embedding_gram_matrix",
-        "linkage_fs_em_report",
-        "preference_bt_ratings",
-        "scd2_temporal_lookup",
-        "graph_triangle_census",
-        "telemetry_cusum_changepoint",
-        "agreement_fleiss_kappa",
-        "graph_kcore",
-        "graph_label_propagation",
-        "nbayes_confusion",
-        "eval_pr_curve",
-        "markov_kstep_distribution",
-        "attribution_last_touch",
-        "winnow_shared_pairs",
-        "multiline_reassembly",
-        "score_quantile_normalize",
-        "telemetry_sliding_active",
-        "ngram_diversity_report",
-        "specdec_acceptance",
-        "eval_bleu_rouge_pairs",
-        "source_js_divergence",
-        "topic_word_dist",
-        "media_h264_cabac",
-        "dedup_containment",
-        "dedup_bbit_minhash",
-        "curation_priority_sample",
-        "tool_retry_chains",
-        "tfidf_cosine_pairs",
-        "entity_ppr",
-        "embedding_matryoshka",
-        "eval_isotonic_calibration",
-        "drift_incremental_js",
-        "score_rank_correlation",
-        "ab_cuped_report",
-        "lsh_tuning_curve",
-        "eval_lift_gain",
-        "survival_km_conversion",
-        "curation_doremi_weights",
-        "telemetry_trimmed_mean",
-        "conversation_topic_segments",
-        "context_eviction_report",
-    ]
+    names = BENCH_QUERY_NAMES
     qs = entry_mod.queries()
     out = {}
     for name in names:
-        best = None
-        for _ in range(2):
-            t0 = time.monotonic()
-            qs[name](spark, sf_dir).collect()
-            wall = time.monotonic() - t0
-            best = wall if best is None else min(best, wall)
-        out[name] = round(best, 3)
+        # Per-query failure isolation (round-4 lesson: one
+        # scale-crashing query — entity_ppr's cap-emptied seed set —
+        # aborted the whole sweep and left the round with NO bench
+        # record at all).  A failing query records {"err": ...} and the
+        # sweep, headline, and scaling evidence still land.
+        try:
+            best = None
+            for _ in range(2):
+                t0 = time.monotonic()
+                qs[name](spark, sf_dir).collect()
+                wall = time.monotonic() - t0
+                best = wall if best is None else min(best, wall)
+            out[name] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001 — record, never abort
+            out[name] = {"err": f"{type(exc).__name__}: {exc}"[:300]}
     return out
 
 
@@ -625,7 +640,16 @@ def main() -> None:
             full = {}
         prev = full.get("queries", {})
         full["queries"] = {
-            k: min(v, prev.get(k, float("inf"))) for k, v in queries.items()
+            # err entries (dicts) never overwrite a real wall; a real
+            # wall always replaces a stale err entry
+            k: (
+                prev[k]
+                if isinstance(v, dict) and isinstance(prev.get(k), float)
+                else v
+                if isinstance(v, dict) or not isinstance(prev.get(k), (int, float))
+                else min(v, prev[k])
+            )
+            for k, v in queries.items()
         }
         with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as f:
             json.dump(full, f, indent=1, sort_keys=True)

@@ -246,18 +246,30 @@ def make_pps_cabac() -> bytes:
     return rbsp_to_nal(0x68, w.rbsp_trailing())
 
 
-def _mb_type_ctxs() -> list[list]:
-    return [_init_ctx(m, n) for m, n in _CTX_INIT_MB_TYPE_I]
+def _mb_type_ctxs(qp: int = 26) -> list[list]:
+    """mb_type contexts initialized at SliceQP_Y (9.3.1.1 applies the
+    (m, n) pairs to the SLICE qp, not a constant — a nonzero
+    pic_init_qp_minus26/slice_qp_delta changes the init states and
+    therefore every mb_type bin)."""
+    return [_init_ctx(m, n, qp) for m, n in _CTX_INIT_MB_TYPE_I]
 
 
 def encode_idr_ipcm_cabac(
-    y: np.ndarray, cb: np.ndarray, cr: np.ndarray, idr_pic_id: int = 0
+    y: np.ndarray,
+    cb: np.ndarray,
+    cr: np.ndarray,
+    idr_pic_id: int = 0,
+    qp: int = 26,
 ) -> bytes:
     """Padded planes -> one CABAC IDR slice NAL, every macroblock
     I_PCM.  Slice header as the CAVLC twin; then
     cabac_alignment_one_bit(s), and per MB: mb_type bin0 (decision,
     ctxInc = availA + availB), the I_PCM terminate bin, flush, pcm
-    alignment zeros, raw planes, engine restart, end_of_slice_flag."""
+    alignment zeros, raw planes, engine restart, end_of_slice_flag.
+    ``qp`` becomes slice_qp_delta (= qp - 26 against this repo's
+    pic_init_qp 26) and seeds the mb_type context initialization —
+    I_PCM carries no quantized residual, so qp changes only the
+    entropy-coder trajectory, not the samples."""
     mb_h, mb_w = y.shape[0] // 16, y.shape[1] // 16
     if y.shape != (mb_h * 16, mb_w * 16) or cb.shape != (mb_h * 8, mb_w * 8):
         raise ValueError("planes must be macroblock-aligned (16 luma / 8 chroma)")
@@ -269,11 +281,13 @@ def encode_idr_ipcm_cabac(
     w.ue(idr_pic_id % 65536)
     w.u(0, 1)  # no_output_of_prior_pics_flag
     w.u(0, 1)  # long_term_reference_flag
-    w.se(0)  # slice_qp_delta
+    if not 0 <= qp <= 51:
+        raise ValueError(f"SliceQP_Y {qp} out of [0, 51]")
+    w.se(qp - 26)  # slice_qp_delta (pic_init_qp is 26)
     while not w.bit_aligned:
         w.u(1, 1)  # cabac_alignment_one_bit
     enc = _CabacEncoder(w)
-    ctxs = _mb_type_ctxs()
+    ctxs = _mb_type_ctxs(qp)
     for my in range(mb_h):
         for mx in range(mb_w):
             ctx_inc = (1 if mx > 0 else 0) + (1 if my > 0 else 0)
@@ -291,10 +305,15 @@ def encode_idr_ipcm_cabac(
 
 
 def decode_idr_ipcm_cabac(
-    nal: bytes, sps: dict
+    nal: bytes, sps: dict, pic_init_qp_minus26: int = 0
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """CABAC IDR slice NAL -> exact (y, cb, cr) planes; narrower
-    coding tools classify (module docstring)."""
+    coding tools classify (module docstring).  ``pic_init_qp_minus26``
+    comes from the stream's PPS (parse_pps); SliceQP_Y = 26 +
+    pic_init_qp_minus26 + slice_qp_delta seeds the mb_type context
+    initialization — a conformant stream coded at nonzero qp delta
+    decodes correctly instead of silently mis-decoding bins against
+    qp-26 contexts (round-4 ADVICE)."""
     header, rbsp = nal_to_rbsp(nal)
     nal_type = header & 0x1F
     if nal_type == 1:
@@ -317,7 +336,9 @@ def decode_idr_ipcm_cabac(
         r.u(sps["log2_max_poc_lsb"], "pic_order_cnt_lsb")
     r.u(1, "no_output_of_prior_pics_flag")
     r.u(1, "long_term_reference_flag")
-    r.se("slice_qp_delta")
+    qp = 26 + pic_init_qp_minus26 + r.se("slice_qp_delta")
+    if not 0 <= qp <= 51:
+        raise ValueError(f"SliceQP_Y {qp} out of [0, 51]: corrupt stream")
     while r._pos & 7:
         if r.u(1, "cabac_alignment_one_bit") != 1:
             raise ValueError("cabac_alignment_one_bit must be 1")
@@ -332,7 +353,7 @@ def decode_idr_ipcm_cabac(
     cr = np.empty_like(cb)
     dec = _CabacDecoder(r)
     dec.start()
-    ctxs = _mb_type_ctxs()
+    ctxs = _mb_type_ctxs(qp)
     for my in range(mb_h):
         for mx in range(mb_w):
             ctx_inc = (1 if mx > 0 else 0) + (1 if my > 0 else 0)

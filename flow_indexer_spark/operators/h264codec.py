@@ -329,12 +329,16 @@ def parse_pps(nal: bytes) -> dict:
     r.ue("num_ref_idx_l1_default_active_minus1")
     weighted_pred = bool(r.u(1, "weighted_pred_flag"))
     weighted_bipred_idc = r.u(2, "weighted_bipred_idc")
+    pic_init_qp_minus26 = r.se("pic_init_qp_minus26")
     return {
         "pps_id": pps_id,
         "sps_id": sps_id,
         "cabac": cabac,
         "weighted_pred": weighted_pred,
         "weighted_bipred_idc": weighted_bipred_idc,
+        # SliceQP_Y = 26 + this + slice_qp_delta (7.4.2.2); CABAC
+        # context init depends on it, so slice decoders must see it
+        "pic_init_qp_minus26": pic_init_qp_minus26,
     }
 
 
@@ -566,7 +570,8 @@ def decode_frame_sample(sample: bytes, avcc: bytes) -> np.ndarray:
     the first coded-slice NAL; SEI/parameter-set NALs are skipped."""
     sps_nal, pps_nal = parse_avcc(avcc)
     sps = parse_sps(sps_nal)
-    cabac = parse_pps(pps_nal).get("cabac", False)
+    pps = parse_pps(pps_nal)
+    cabac = pps.get("cabac", False)
     p = 0
     while p + 4 <= len(sample):
         ln = int.from_bytes(sample[p : p + 4], "big")
@@ -581,7 +586,9 @@ def decode_frame_sample(sample: bytes, avcc: bytes) -> np.ndarray:
                     decode_idr_ipcm_cabac,
                 )
 
-                y, cb, cr = decode_idr_ipcm_cabac(nal, sps)
+                y, cb, cr = decode_idr_ipcm_cabac(
+                    nal, sps, pps.get("pic_init_qp_minus26", 0)
+                )
             else:
                 y, cb, cr = decode_idr_ipcm(nal, sps)
             return planes_to_frame(y, cb, cr, sps["width"], sps["height"])

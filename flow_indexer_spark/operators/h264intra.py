@@ -1817,7 +1817,9 @@ def decode_frame_sample_any(sample: bytes, avcc: bytes) -> np.ndarray:
 
         if len(coded) > 1:
             raise NotImplementedError("multi-slice CABAC pictures")
-        y, cb, cr = decode_idr_ipcm_cabac(coded[0], sps)
+        y, cb, cr = decode_idr_ipcm_cabac(
+            coded[0], sps, pps.get("pic_init_qp_minus26", 0)
+        )
         return planes_to_frame(y, cb, cr, sps["width"], sps["height"])
     y, cb, cr = decode_idr_picture(coded, sps)
     return planes_to_frame(y, cb, cr, sps["width"], sps["height"])

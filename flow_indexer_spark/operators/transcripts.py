@@ -379,7 +379,12 @@ def tool_retry_chains(
         F.col(conv_col).alias("conv"),
         F.col(tool_col).alias("tool"),
         F.col(idx_col).alias("idx"),
-        F.col(ok_col).cast("int").alias("ok"),
+        # null status = the attempt never reported success: a FAILURE,
+        # not a droppable row — without the coalesce a null propagates
+        # through the cast and silently vanishes from n_failures and
+        # from final_ok's max_by, diverging from the oracle's
+        # CASE-maps-null-to-0 semantics on dirty input.
+        F.coalesce(F.col(ok_col).cast("int"), F.lit(0)).alias("ok"),
     ).withColumn(
         "run_id",
         F.row_number().over(w_conv) - F.row_number().over(w_tool),

@@ -169,3 +169,26 @@ def test_modularity_two_triangles(spark):
     assert r["n_communities"] == 2 and r["n_edges"] == 7
     assert r["intra_edges"] == 6
     assert r["modularity"] == round(70 / 196, 9)
+
+
+def test_entity_ppr_seed_rule_survives_df_cap(spark):
+    """Round-4 scale bug class: the registered entity_ppr query must
+    return rows at sf0.1, where every role value's document frequency
+    exceeds capped_entities' max_entity_df=5000 and the whole 'role'
+    class is dropped from the node set.  The old seed rule (node_class
+    == 'role') produced an empty seed set exactly there and killed the
+    driver bench (BENCH_r04 rc=1); the fix draws seeds FROM the capped
+    node set (16 smallest ip keys), non-empty at every scale factor."""
+    import os
+
+    import __spark_entry__ as entry_mod
+
+    sf_dir = "/root/testdata/sf0.1"
+    if not os.path.isdir(sf_dir):  # driver hosts always have it
+        import pytest
+
+        pytest.skip("sf0.1 testdata not present")
+    df = entry_mod.queries()["entity_ppr"](spark, sf_dir)
+    head = df.limit(5).collect()
+    assert len(head) == 5
+    assert {r["entity_class"] for r in head} <= {"ip", "role", "tool"}

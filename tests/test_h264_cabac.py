@@ -150,3 +150,42 @@ def test_state_machine_tables_are_consistent():
     for s, t in enumerate(_TRANS_IDX_LPS[:-1]):
         assert 0 <= t <= s + 1
     assert _TRANS_IDX_LPS[63] == 63
+
+
+def test_cabac_nonzero_slice_qp_roundtrips():
+    """9.3.1.1 context init depends on SliceQP_Y: a stream coded at
+    qp != 26 (nonzero slice_qp_delta) must decode byte-exactly — the
+    round-4 ADVICE bug was contexts hardcoded at qp 26, which
+    mis-decodes every mb_type bin of a conformant nonzero-delta
+    stream.  I_PCM carries no residual, so qp changes only the entropy
+    trajectory and the round-trip stays lossless."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    y = rng.integers(0, 256, (32, 48), dtype=np.uint8)
+    cb = rng.integers(0, 256, (16, 24), dtype=np.uint8)
+    cr = rng.integers(0, 256, (16, 24), dtype=np.uint8)
+    sps = {"mb_width": 3, "mb_height": 2, "log2_max_frame_num": 4,
+           "poc_type": 2}
+    for qp in (0, 12, 40, 51):
+        nal = encode_idr_ipcm_cabac(y, cb, cr, qp=qp)
+        y2, cb2, cr2 = decode_idr_ipcm_cabac(nal, sps)
+        assert (y2 == y).all() and (cb2 == cb).all() and (cr2 == cr).all()
+    # context mismatch is DETECTED, not silently wrong: decoding a qp-0
+    # stream against qp-26-initialized contexts derails the bin
+    # trajectory and trips a structural guard
+    import pytest as _pt
+
+    nal = encode_idr_ipcm_cabac(y, cb, cr, qp=0)
+    with _pt.raises((ValueError, NotImplementedError)):
+        decode_idr_ipcm_cabac(nal, sps, pic_init_qp_minus26=26)
+    # out-of-range SliceQP classifies as corrupt
+    with _pt.raises(ValueError, match="out of"):
+        encode_idr_ipcm_cabac(y, cb, cr, qp=52)
+
+
+def test_parse_pps_exposes_pic_init_qp():
+    from flow_indexer_spark.operators import h264codec as H
+
+    assert H.parse_pps(H.make_pps())["pic_init_qp_minus26"] == 0
+    assert H.parse_pps(make_pps_cabac())["pic_init_qp_minus26"] == 0

@@ -35,6 +35,32 @@ def test_retry_chain_semantics(spark):
     assert f["max_chain_len"] == 0 and f["wasted_attempts"] == 0
 
 
+def test_null_ok_counts_as_failure(spark):
+    """A null status means the attempt never reported success: it must
+    count as a FAILURE (oracle semantics: CASE maps null to 0), not
+    silently vanish from n_failures / final_ok through a null-
+    propagating cast (the round-4 ADVICE divergence)."""
+    rows = [
+        # conv A, tool s: null, null, ok -> recovered chain, len 3
+        ("A", 0, "s", None),
+        ("A", 1, "s", None),
+        ("A", 2, "s", True),
+        # conv B, tool s: ok then trailing null -> final_ok=0, no chain
+        ("B", 0, "s", True),
+        ("B", 1, "s", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, tool string, ok boolean"
+    )
+    got = {r["tool"]: r.asDict() for r in tool_retry_chains(df).collect()}
+    s = got["s"]
+    assert s["n_runs"] == 2
+    assert s["n_retry_chains"] == 1          # conv A's nulls are failures
+    assert s["n_recovered"] == 1 and s["n_exhausted"] == 0
+    assert s["max_chain_len"] == 3
+    assert s["wasted_attempts"] == 2
+
+
 def test_topic_segments_boundaries(spark):
     """Hand-built conversation: overlap-rich run, hard topic switch,
     empty-turn reset, single-turn conversation."""
