@@ -4284,6 +4284,70 @@ def _q_sketch_countmin(spark, sf_dir):
 
 
 @_register(
+    "sketch_hll_distinct",
+    """
+    WITH h AS (
+      SELECT CAST('0x' || substr(md5('hll|' || CAST(event_id AS VARCHAR)),
+                  1, 15) AS BIGINT) AS h
+      FROM events
+    ),
+    reg AS (
+      SELECT CAST(h % 1024 AS INT) AS j,
+             MAX(CASE WHEN (h >> 10) = 0 THEN 51
+                 ELSE 50 - length(bin(h >> 10)) + 1 END) AS r
+      FROM h GROUP BY 1
+    ),
+    agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS nset, MAX(r) AS rmax FROM reg),
+    s AS (
+      SELECT SUM(CAST((CAST(1 AS BIGINT) << (agg.rmax - r)) AS HUGEINT))
+               AS ssum
+      FROM reg, agg
+    ),
+    tot AS (
+      SELECT agg.nset, agg.rmax,
+             s.ssum + (1024 - agg.nset)
+               * CAST((CAST(1 AS BIGINT) << agg.rmax) AS HUGEINT) AS big_s
+      FROM agg, s
+    )
+    SELECT CAST(1024 AS BIGINT) AS m_registers,
+           CAST(1024 - nset AS BIGINT) AS n_zero_registers,
+           CAST(rmax AS INT) AS rmax,
+           755541.746198293 * power(2.0, CAST(rmax AS DOUBLE))
+             / CAST(big_s AS DOUBLE) AS hll_estimate,
+           (SELECT CAST(COUNT(DISTINCT event_id) AS BIGINT) FROM events)
+             AS exact_distinct
+    FROM tot
+    """,
+)
+def _q_sketch_hll_distinct(spark, sf_dir):
+    """Open-representation HyperLogLog (Flajolet et al. 2007) distinct
+    count of the event stream, reported BESIDE the exact answer — the
+    third classic sketch joining bloom/count-min as an ordinary
+    DataFrame of integers (j, max-rho registers), mergeable by
+    cell-wise MAX, where sketches.py's DataSketches HLL is an opaque
+    blob.  Cross-engine float pinning: Z is an exact DECIMAL(38,0)/
+    HUGEINT integer sum of power-of-two terms; the harmonic estimate
+    is a single deterministic IEEE expression on both engines (see
+    operators/membership.py hll_estimate).  Scale: the register table
+    is <= 2^10 rows whatever the input; build is one map-side-combined
+    MAX agg. operators/membership.py hll_build/hll_estimate."""
+    from flow_indexer_spark.operators.membership import (
+        hll_build,
+        hll_estimate,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    reg = hll_build(
+        ev.select(F.col("event_id").cast("string").alias("key")), "key", p=10
+    )
+    est = hll_estimate(reg, p=10)
+    exact = ev.agg(
+        F.countDistinct("event_id").cast("bigint").alias("exact_distinct")
+    )
+    return est.crossJoin(F.broadcast(exact))
+
+
+@_register(
     "media_real_decode",
     """
     WITH m AS (SELECT CAST(range AS INTEGER) AS i FROM range(48)),

@@ -198,3 +198,95 @@ def bloom_prune_join(
         "in_bloom"
     ).drop("in_bloom")
     return pruned.join(small, [key_col], "inner")
+
+
+def hll_build(
+    df: DataFrame,
+    key_col: str = "key",
+    p: int = 10,
+) -> DataFrame:
+    """Open-representation HyperLogLog (Flajolet et al. 2007) register
+    table over the column's values — the third classic sketch beside
+    Bloom and Count-Min, OPEN like them: the sketch is an ordinary
+    (j, r) DataFrame, so it shuffles, merges (cell-wise MAX over a
+    union), persists, and oracle-checks like any table, where the
+    DataSketches binary HLL (operators/sketches.py) is an opaque blob.
+
+    Hash discipline: 60 bits from the first 15 md5 hex digits of the
+    key (md5_int32 family — portable bit-for-bit to the DuckDB
+    oracle, never touches the BIGINT sign).  j = low ``p`` bits
+    (register index), w = high 60-p bits, r = rho(w) = leading-zero
+    count + 1 in the (60-p)-bit window (w == 0 -> 61-p).  Registers no
+    key touches are ABSENT (sparse, value 0).
+
+    Scale shape: one in-row projection + one map-side-combined MAX agg;
+    output is at most 2^p rows regardless of input size.  Distributed
+    build = this agg per partition-group, merged by the same MAX."""
+    if not 4 <= p <= 14:
+        raise ValueError("p must be in [4, 14]")
+    key = F.col(key_col)
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("hll|"), key.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    m = 1 << p
+    wbits = 60 - p
+    j = (h % F.lit(m)).cast("int")
+    w = F.shiftright(h, p)  # exact bit shift — `/` would round via double
+    rho = F.when(w == 0, F.lit(wbits + 1)).otherwise(
+        F.lit(wbits) - F.length(F.bin(w)) + 1
+    )
+    return (
+        df.select(j.alias("j"), rho.cast("int").alias("rho"))
+        .groupBy("j")
+        .agg(F.max("rho").alias("r"))
+    )
+
+
+def hll_estimate(registers: DataFrame, p: int = 10) -> DataFrame:
+    """Register table -> one row (m_registers, n_zero_registers, rmax,
+    hll_estimate): the raw harmonic-mean estimate alpha_m * m^2 / Z.
+
+    Cross-engine float pinning: Z = sum_j 2^-M_j is computed EXACTLY —
+    Z = S / 2^Rmax with S = sum_j 2^(Rmax - M_j), each term a bigint
+    shiftleft (Rmax <= 61 - p + p = 61), summed in DECIMAL(38,0)
+    (S <= 2^p * 2^61 < 10^38); the estimate is then one deterministic
+    IEEE double expression alpha * m * m * 2^Rmax / S — multiplication
+    and division are correctly rounded, identical on Spark and DuckDB.
+    alpha_m = 0.7213 / (1 + 1.079/m) (the m >= 128 constant; p >= 7
+    enforced so the small-m constants never apply).  No bias/linear-
+    counting correction: this reports the RAW estimator, and the
+    companion query carries the exact distinct count beside it."""
+    if not 7 <= p <= 14:
+        raise ValueError("p must be in [7, 14] (alpha formula regime)")
+    m = 1 << p
+    agg = registers.agg(
+        F.count("*").cast("bigint").alias("_nset"),
+        F.coalesce(F.max("r"), F.lit(0)).cast("int").alias("rmax"),
+    )
+    reg_sum = registers.crossJoin(F.broadcast(agg)).select(
+        F.expr("CAST(shiftleft(CAST(1 AS BIGINT), rmax - r) AS decimal(38,0))")
+        .alias("_t")
+    ).agg(F.coalesce(F.sum("_t"), F.lit(0).cast("decimal(38,0)")).alias("_ssum"))
+    out = agg.crossJoin(F.broadcast(reg_sum)).select(
+        F.lit(m).cast("bigint").alias("m_registers"),
+        (F.lit(m) - F.col("_nset")).cast("bigint").alias("n_zero_registers"),
+        "rmax",
+        (
+            F.col("_ssum")
+            + (F.lit(m) - F.col("_nset")).cast("decimal(38,0)")
+            * F.expr("CAST(shiftleft(CAST(1 AS BIGINT), rmax) AS decimal(38,0))")
+        ).alias("_S"),
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    return out.select(
+        "m_registers",
+        "n_zero_registers",
+        "rmax",
+        (
+            F.lit(alpha * m * m)
+            * F.pow(F.lit(2.0), F.col("rmax").cast("double"))
+            / F.col("_S").cast("double")
+        ).alias("hll_estimate"),
+    )
