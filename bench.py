@@ -512,6 +512,8 @@ BENCH_QUERY_NAMES = [
     "conversation_topic_segments",
     "context_eviction_report",
     "graph_modularity",
+    "sketch_hll_distinct",
+    "graph_connected_components",
 ]
 
 

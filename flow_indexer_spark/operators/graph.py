@@ -438,3 +438,82 @@ def modularity(edges: DataFrame, communities: DataFrame) -> DataFrame:
         "intra_edges",
         F.round(num / den, 9).alias("modularity"),
     )
+
+
+def connected_components(edges: DataFrame, max_rounds: int = 25) -> DataFrame:
+    """Connected components of an undirected simple graph given as
+    canonical (u, v) edges, u < v — min-label propagation run to
+    FIXPOINT: every node starts labeled with its own id; each round a
+    node's label becomes min(own, neighbors'); converged when no label
+    changed.  The component id is therefore the lexicographically
+    smallest member's id — deterministic and oracle-expressible (the
+    DuckDB twin is a recursive CTE computing min reachable id).
+
+    Completes the graph family (triangles/k-core/LPA/modularity/
+    PageRank): components are what near-dup CLUSTERS are — the dedup
+    keeper rule 'one representative per connected component of the
+    match graph' is exactly this operator downstream of any pairwise
+    matcher (minhash/simhash/embedding/entity matches).
+
+    Returns (node, component, component_size).  Nodes are taken from
+    the edge list; a caller with isolated nodes unions them afterwards
+    (their component is themselves).
+
+    Scale shape: per round one |E|-bounded join of the label vector
+    against the doubled edge list, one map-side-combined MIN agg onto
+    the destination, one node-keyed join; labels localCheckpoint per
+    round (the kcore/bpe_train iterative discipline).  Rounds needed =
+    graph diameter — right for the low-diameter entity graphs here;
+    a high-diameter graph (long chains) wants the two-phase
+    large-star/small-star scheme (Kiveris et al., SoCC 2014, O(log^2)
+    rounds), which trades this operator's oracle-exact simplicity for
+    round count.  The driver-side state is ONE scalar per round (the
+    changed count — an aggregate action, not a collect of rows).
+    Raises ValueError if not converged within ``max_rounds``: loud,
+    never silently partial."""
+    nodes = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    both = edges.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    both = both.localCheckpoint(eager=True)
+    labels = nodes.select("node", F.col("node").alias("label"))
+    converged = False
+    for _ in range(max_rounds):
+        nbr_min = (
+            both.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("_nl"))
+        )
+        stepped = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.col("label").alias("_old"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("_nl"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = stepped.filter(F.col("label") != F.col("_old")).count()
+        labels = stepped.drop("_old")
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        raise ValueError(
+            f"connected_components did not converge in {max_rounds} rounds "
+            "(graph diameter exceeds the budget — use a star-contraction "
+            "scheme for high-diameter graphs)"
+        )
+    sizes = labels.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("component_size")
+    )
+    return labels.join(sizes, "label").select(
+        "node", F.col("label").alias("component"), "component_size"
+    )

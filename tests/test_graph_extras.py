@@ -192,3 +192,73 @@ def test_entity_ppr_seed_rule_survives_df_cap(spark):
     head = df.limit(5).collect()
     assert len(head) == 5
     assert {r["entity_class"] for r in head} <= {"ip", "role", "tool"}
+
+
+def test_connected_components_hand_graph(spark):
+    """Two chains, one triangle-with-tail, and the fixpoint guard."""
+    from flow_indexer_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"),          # chain of 4
+         ("p", "q"),                                   # pair
+         ("x", "y"), ("x", "z"), ("y", "z"), ("z", "w")],  # triangle+tail
+        "u string, v string",
+    )
+    got = {r["node"]: (r["component"], r["component_size"])
+           for r in connected_components(edges).collect()}
+    assert got == {
+        "a": ("a", 4), "b": ("a", 4), "c": ("a", 4), "d": ("a", 4),
+        "p": ("p", 2), "q": ("p", 2),
+        "w": ("w", 4), "x": ("w", 4), "y": ("w", 4), "z": ("w", 4),
+    }
+    # a long chain exceeding the round budget must fail LOUD
+    import pytest
+
+    chain = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(10)],
+        "u string, v string",
+    )
+    with pytest.raises(ValueError, match="converge"):
+        connected_components(chain, max_rounds=3)
+
+
+def test_connected_components_matches_union_find(spark):
+    """Random sparse graph vs a plain-python union-find mirror."""
+    import random
+
+    from flow_indexer_spark.operators.graph import connected_components
+
+    rnd = random.Random(42)
+    n = 120
+    edges = sorted(
+        {
+            tuple(sorted((f"v{rnd.randrange(n):03d}", f"v{rnd.randrange(n):03d}")))
+            for _ in range(90)
+        }
+    )
+    edges = [(u, v) for u, v in edges if u != v]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    expect = {}
+    comp_members = {}
+    for x in list(parent):
+        comp_members.setdefault(find(x), []).append(x)
+    for root, members in comp_members.items():
+        cid = min(members)
+        for m in members:
+            expect[m] = (cid, len(members))
+    df = spark.createDataFrame(edges, "u string, v string")
+    got = {r["node"]: (r["component"], r["component_size"])
+           for r in connected_components(df).collect()}
+    assert got == expect
