@@ -5039,6 +5039,162 @@ def _q_media_h264_b(spark, sf_dir):
 
 
 @_register(
+    "media_h264_tdirect",
+    """
+    WITH v AS (SELECT CAST(range AS INTEGER) AS i FROM range(24)),
+    p AS (
+      SELECT i, printf('v%05d', i) AS media_id,
+             6 + (i % 3) * 3 AS n_frames,
+             16 + (i % 5) * 8 AS w, 12 + (i % 3) * 8 AS h
+      FROM v
+    ),
+    f AS (
+      SELECT p.*, CAST(r.range AS INTEGER) AS frame_idx
+      FROM p, range(12) r
+      WHERE r.range < p.n_frames AND r.range % 2 = 0
+    )
+    SELECT media_id, 'avc1' AS codec,
+           CAST(n_frames AS INTEGER) AS n_frames,
+           CAST(n_frames * 100 AS BIGINT) AS duration_ms,
+           frame_idx, CAST(frame_idx * 100 AS BIGINT) AS t_ms,
+           CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           TRUE AS mean_r_ok, TRUE AS mean_g_ok, TRUE AS mean_b_ok
+    FROM f
+    ORDER BY media_id, frame_idx
+    """,
+)
+def _q_media_h264_tdirect(spark, sf_dir):
+    """TEMPORAL direct mode (spec 8.4.1.2.3) — the round-5 slice of
+    the H.264 seam after media_h264_b's spatial-direct GOPs: the same
+    IBBP/ctts track family coded with direct_spatial_mv_pred_flag = 0,
+    so every B_Skip / B_Direct_16x16 macroblock's motion is the
+    co-located anchor's L0 motion scaled by picture-order-count
+    distances (tb/td, DistScaleFactor — trunc-division tx, arithmetic
+    shifts) instead of the spatial median; the GopDecoder tracks POC
+    from the slice headers and the decoder CLASSIFIES when that
+    context is missing rather than silently decoding temporal streams
+    against spatial motion (the round-4 CABAC-qp bug class, closed the
+    same way).  The content translates (+1, +1) px per display frame,
+    so the POC ratio scales the anchor's (gap, gap) MVs to exactly
+    each B's displacement: temporal direct wins SAD selection for
+    real, asserted on the wire by tests/test_h264_tdirect.py.
+    Reference analogue: backend/pcap.go:17-54.
+    operators/h264inter.py temporal_direct, mp4codec.py
+    make_h264_tdirect_bytes."""
+    from flow_indexer_spark.operators.mp4codec import (
+        make_h264_tdirect_media,
+        video_frame_features,
+    )
+
+    d = video_frame_features(make_h264_tdirect_media(spark, 24), every_n=2)
+    i = F.substring("media_id", 2, 5).cast("int")
+    dt = F.col("frame_idx") % 6
+    red = ((F.lit(7) * i + F.lit(11) * F.col("frame_idx")) % 256).cast(
+        "double"
+    )
+    mean_g_theory = (F.col("width") - 1) / 2.0 + dt
+    mean_b_theory = (F.col("height") - 1) / 2.0 + dt
+    return d.select(
+        "media_id",
+        "codec",
+        "n_frames",
+        "duration_ms",
+        "frame_idx",
+        "t_ms",
+        "width",
+        "height",
+        (F.abs(F.col("mean_r") - red) < 2.0).alias("mean_r_ok"),
+        (F.abs(F.col("mean_g") - mean_g_theory) < 1.5).alias("mean_g_ok"),
+        (F.abs(F.col("mean_b") - mean_b_theory) < 1.5).alias("mean_b_ok"),
+    ).orderBy("media_id", "frame_idx")
+
+
+@_register(
+    "media_h264_bparts",
+    """
+    WITH v AS (SELECT CAST(range AS INTEGER) AS i FROM range(24)),
+    p AS (
+      SELECT i, printf('v%05d', i) AS media_id,
+             6 + (i % 3) * 3 AS n_frames,
+             16 + (i % 5) * 8 AS w, 12 + (i % 3) * 8 AS h
+      FROM v
+    ),
+    f AS (
+      SELECT p.*, CAST(r.range AS INTEGER) AS frame_idx
+      FROM p, range(12) r
+      WHERE r.range < p.n_frames AND r.range % 2 = 0
+    )
+    SELECT media_id, 'avc1' AS codec,
+           CAST(n_frames AS INTEGER) AS n_frames,
+           CAST(n_frames * 100 AS BIGINT) AS duration_ms,
+           frame_idx, CAST(frame_idx * 100 AS BIGINT) AS t_ms,
+           CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           TRUE AS mean_r_ok, TRUE AS mean_g_ok, TRUE AS mean_b_ok
+    FROM f
+    ORDER BY media_id, frame_idx
+    """,
+)
+def _q_media_h264_bparts(spark, sf_dir):
+    """PARTITIONED B macroblocks (round-5, after media_h264_tdirect):
+    the part_scene opposing-motion four-region content inside an IBBP
+    B-GOP, so straddling macroblocks code as the Table 7-14 16x8/8x16
+    two-partition B types with per-partition LIST choice — the bytes
+    builder itself fails unless the mode decision genuinely emitted
+    partitioned B mb_types (min_part_mbs=1), and decode runs
+    per-partition per-list MV prediction on the per-list 4x4 Motion4
+    grids with the 8.4.1.3 directional rules and the 6.4.11.7
+    partition fill order (partition 1's predictor reads partition 0's
+    freshly decoded cells).  The oracle gates each sampled frame's
+    channel means against the deterministic source scene, computed
+    in-query and broadcast-joined (the media_h264_parts discipline).
+    Reference analogue: backend/pcap.go:17-54.
+    operators/h264inter.py (_B_PART_MODES, _predict_b_parts),
+    mp4codec.py make_h264_bparts_bytes."""
+    import pandas as pd
+
+    from flow_indexer_spark.operators.mp4codec import (
+        make_h264_bparts_media,
+        part_scene,
+        video_frame_features,
+        video_params,
+    )
+
+    rows = []
+    for i in range(24):
+        n, _, _ = video_params(i)
+        for t in range(0, n, 2):
+            src = part_scene(i, t, gop=4)
+            rows.append(
+                {
+                    "media_id": f"v{i:05d}",
+                    "frame_idx": t,
+                    "exp_r": float(src[:, :, 0].mean()),
+                    "exp_g": float(src[:, :, 1].mean()),
+                    "exp_b": float(src[:, :, 2].mean()),
+                }
+            )
+    exp = spark.createDataFrame(pd.DataFrame(rows))
+    d = video_frame_features(make_h264_bparts_media(spark, 24), every_n=2)
+    return (
+        d.join(F.broadcast(exp), ["media_id", "frame_idx"])
+        .select(
+            "media_id",
+            "codec",
+            "n_frames",
+            "duration_ms",
+            "frame_idx",
+            "t_ms",
+            "width",
+            "height",
+            (F.abs(F.col("mean_r") - F.col("exp_r")) < 1.0).alias("mean_r_ok"),
+            (F.abs(F.col("mean_g") - F.col("exp_g")) < 1.0).alias("mean_g_ok"),
+            (F.abs(F.col("mean_b") - F.col("exp_b")) < 1.0).alias("mean_b_ok"),
+        )
+        .orderBy("media_id", "frame_idx")
+    )
+
+
+@_register(
     "media_h264_parts",
     """
     WITH v AS (SELECT CAST(range AS INTEGER) AS i FROM range(24)),

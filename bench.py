@@ -514,6 +514,8 @@ BENCH_QUERY_NAMES = [
     "graph_modularity",
     "sketch_hll_distinct",
     "graph_connected_components",
+    "media_h264_tdirect",
+    "media_h264_bparts",
 ]
 
 

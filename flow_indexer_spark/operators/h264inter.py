@@ -80,9 +80,19 @@ byte equality of the full reconstruction chain, not means.
   weight table (the fade fixture's weights make prediction exact, so
   macroblocks genuinely skip).
 
-Still classified from parsed syntax: reference list modification,
-weighted BI-prediction (weighted_bipred_idc != 0), CABAC (PPS), and
-everything h264codec already classifies.
+* **B slices (spec 8.4.1.2 / 8.4.2.3)** — B_L0/B_L1/B_Bi_16x16, the
+  two-partition Table 7-14 types 4..21 (16x8 / 8x16 with per-
+  partition list choice, round 5) on per-list :class:`Motion4` state,
+  B_Skip / B_Direct_16x16 under BOTH direct derivations: spatial
+  (8.4.1.2.2, :func:`spatial_direct4`) and temporal (8.4.1.2.3,
+  :func:`temporal_direct` — POC-distance scaling with trunc-division
+  tx and arithmetic shifts; GopDecoder tracks POC from slice headers
+  and the decoder CLASSIFIES when the context is missing).
+
+Still classified from parsed syntax: B_8x8 sub-macroblock partitions
+(sub_mb_type), reference list modification, weighted BI-prediction
+(weighted_bipred_idc != 0), CABAC (PPS), and everything h264codec
+already classifies.
 
 Reference analogue: the pcap backend decodes every packet format its
 library supports (/root/reference/backend/pcap.go:17-54) — the same
@@ -575,6 +585,131 @@ def spatial_direct(grids, mx, my, mb_w, col_motion):
         else:
             mvs_out[lx] = mv_pred_16x16(*grids[lx], mx, my, mb_w)
     return mvs_out, pred
+
+
+def spatial_direct4(m4s, mx, my, col_motion):
+    """Spatial direct-mode motion for a whole 16x16 B macroblock on
+    the per-list 4x4 motion state (spec 8.4.1.2.2 with one picture per
+    list): the Motion4 twin of :func:`spatial_direct` — identical
+    output on pictures whose macroblocks are all 16x16 (the per-MB
+    A/B/C neighbours coincide with the 4x4-grid ones there), and
+    partition-exact when 16x8/8x16 macroblocks give a neighbour MB
+    different motion per cell. ``m4s`` = {0: Motion4, 1: Motion4}."""
+    refs = {}
+    for lx in (0, 1):
+        a, b, c = _neighbors4(m4s[lx], 4 * mx, 4 * my, 4)
+        refs[lx] = min((n[2] for n in (a, b, c) if n[2] >= 0), default=-1)
+    if refs[0] < 0 and refs[1] < 0:
+        return {0: (0, 0), 1: (0, 0)}, {0: True, 1: True}
+    col_zero = False
+    if col_motion is not None:
+        col_mvs, col_inter = col_motion
+        if col_inter[my][mx]:
+            cmv = col_mvs[my][mx]
+            col_zero = abs(cmv[0]) <= 1 and abs(cmv[1]) <= 1
+    mvs_out, pred = {}, {}
+    for lx in (0, 1):
+        pred[lx] = refs[lx] >= 0
+        if not pred[lx] or col_zero:
+            mvs_out[lx] = (0, 0)
+        else:
+            mvs_out[lx] = mv_pred_part(
+                m4s[lx], 4 * mx, 4 * my, 4, 4, 0, "16x16"
+            )
+    return mvs_out, pred
+
+
+#: Table 7-14 two-partition B macroblock types 4..21: per-partition
+#: prediction modes as _predict_b_mb ints (1 = L0, 2 = L1, 3 = Bi),
+#: row index (mb_type - 4) // 2; odd mb_type = 8x16, even = 16x8
+_B_PART_MODES = (
+    (1, 1), (2, 2), (1, 2), (2, 1), (1, 3), (2, 3), (3, 1), (3, 2), (3, 3),
+)
+#: per-partition (ox, oy, w, h, mv-pred kind) in luma pixels
+_B_PART_GEOM_16x8 = ((0, 0, 16, 8, "16x8t"), (0, 8, 16, 8, "16x8b"))
+_B_PART_GEOM_8x16 = ((0, 0, 8, 16, "8x16l"), (8, 0, 8, 16, "8x16r"))
+
+
+def _predict_b_parts(refs, mx, my, parts):
+    """Assemble one B macroblock's (py, pcb, pcr) prediction from
+    partitions ``[(ox, oy, w, h, pmode, {lx: mv})]`` — per partition a
+    single-list MC block or the default-weighted bi average (8.4.2.3),
+    chroma at halved geometry with the shared eighth-sample MVs."""
+    py = np.empty((16, 16), dtype=np.uint8)
+    pcb = np.empty((8, 8), dtype=np.uint8)
+    pcr = np.empty((8, 8), dtype=np.uint8)
+    for ox, oy, pw, ph, pmode, mvs in parts:
+        blocks = []
+        for lx in (0, 1):
+            if pmode == 3 or pmode == 1 + lx:
+                ry, rcb, rcr = refs[lx]
+                xq = 4 * (16 * mx + ox) + mvs[lx][0]
+                yq = 4 * (16 * my + oy) + mvs[lx][1]
+                blocks.append(
+                    (
+                        mc_luma(ry, xq, yq, ph, pw),
+                        mc_chroma(rcb, xq, yq, ph // 2, pw // 2),
+                        mc_chroma(rcr, xq, yq, ph // 2, pw // 2),
+                    )
+                )
+        blk = (
+            blocks[0]
+            if len(blocks) == 1
+            else tuple(_bi_avg(a, b) for a, b in zip(*blocks))
+        )
+        py[oy : oy + ph, ox : ox + pw] = blk[0]
+        pcb[oy // 2 : (oy + ph) // 2, ox // 2 : (ox + pw) // 2] = blk[1]
+        pcr[oy // 2 : (oy + ph) // 2, ox // 2 : (ox + pw) // 2] = blk[2]
+    return py, pcb, pcr
+
+
+def _div_trunc(a: int, b: int) -> int:
+    """Spec integer division: truncation toward zero (Python's // is
+    floor — they differ on negative quotients, and 8.4.1.2.3's tx
+    formula is sign-sensitive)."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def temporal_direct(
+    col_motion, mx: int, my: int, poc_cur: int, poc0: int, poc1: int
+):
+    """TEMPORAL direct-mode motion for a whole 16x16 B macroblock
+    (spec 8.4.1.2.3 with one short-term picture per list, macroblock
+    granularity): the co-located L0 motion of RefPicList1[0] is scaled
+    by picture-order-count distances —
+
+        tb = Clip3(-128, 127, poc_cur - poc0)
+        td = Clip3(-128, 127, poc1  - poc0)
+        tx = (16384 + Abs(td/2)) / td                 (trunc division)
+        DistScaleFactor = Clip3(-1024, 1023, (tb*tx + 32) >> 6)
+        mvL0 = (DistScaleFactor * mvCol + 128) >> 8   (per component)
+        mvL1 = mvL0 - mvCol
+
+    both lists always predict from refIdx 0.  An intra or absent
+    co-located macroblock contributes mvCol = (0, 0) (8.4.1.2.3's
+    colRefIdx/ mvCol zeroing), and td == 0 degrades to the spec's
+    long-term shape mvL0 = mvCol, mvL1 = 0.  Granularity note: this
+    operates on the exported per-MB motion grid (_export_mb_motion) —
+    exact for 16x16-coded anchors (everything this repo's encoders
+    emit), a documented top-left-cell approximation for partitioned
+    anchors, same contract as the spatial path's colZeroFlag.
+    Returns ({0: mvL0, 1: mvL1}, {0: True, 1: True})."""
+    mv_col = (0, 0)
+    if col_motion is not None:
+        col_mvs, col_inter = col_motion
+        if col_inter[my][mx]:
+            mv_col = col_mvs[my][mx]
+    clip3 = lambda lo, hi, v: max(lo, min(hi, v))  # noqa: E731
+    tb = clip3(-128, 127, poc_cur - poc0)
+    td = clip3(-128, 127, poc1 - poc0)
+    if td == 0:
+        return {0: tuple(mv_col), 1: (0, 0)}, {0: True, 1: True}
+    tx = _div_trunc(16384 + abs(td) // 2, td)
+    dsf = clip3(-1024, 1023, (tb * tx + 32) >> 6)
+    mv0 = ((dsf * mv_col[0] + 128) >> 8, (dsf * mv_col[1] + 128) >> 8)
+    mv1 = (mv0[0] - mv_col[0], mv0[1] - mv_col[1])
+    return {0: mv0, 1: mv1}, {0: True, 1: True}
 
 
 def _direct_mode(pred: dict) -> int:
@@ -1399,6 +1534,9 @@ def encode_b_slice(
     return_recon: bool = False,
     direct: bool = False,
     col_motion=None,
+    direct_temporal: bool = False,
+    ref_pocs: tuple[int, int] | None = None,
+    stats: dict | None = None,
 ):
     """Current planes + BOTH reference reconstructions (ref0 = the
     past picture in display order, list 0; ref1 = the future, list 1)
@@ -1414,7 +1552,13 @@ def encode_b_slice(
     MVDs) + residual. ``col_motion`` is the future anchor's (mvs,
     inter) grid for colZeroFlag — None = intra co-located picture. A
     poc_type-0 SPS is REQUIRED (``poc`` = (lsb, bits)): reordered
-    output under poc_type 2 is non-conformant."""
+    output under poc_type 2 is non-conformant. ``direct_temporal``
+    switches the direct derivation to 8.4.1.2.3 TEMPORAL scaling
+    (direct_spatial_mv_pred_flag 0); it needs ``ref_pocs`` =
+    (poc_ref0, poc_ref1) and ``col_motion`` carrying RefPicList1[0]'s
+    L0 motion — the current POC is ``poc[0]`` (lsb values must BE the
+    POCs, i.e. no wrap inside the GOP, which these closed fixtures
+    guarantee)."""
     mb_h, mb_w = y.shape[0] // 16, y.shape[1] // 16
     if (
         y.shape != (mb_h * 16, mb_w * 16)
@@ -1426,6 +1570,8 @@ def encode_b_slice(
         raise ValueError("planes must be macroblock-aligned and match refs")
     if not 0 <= qp <= 51:
         raise ValueError("qp out of range")
+    if direct_temporal and ref_pocs is None:
+        raise ValueError("direct_temporal needs ref_pocs=(poc0, poc1)")
     qpc = chroma_qp(qp)
     w = _BitWriter()
     w.ue(0)  # first_mb_in_slice
@@ -1433,7 +1579,7 @@ def encode_b_slice(
     w.ue(0)  # pic_parameter_set_id
     w.u(frame_num % (1 << log2_max_frame_num), log2_max_frame_num)
     w.u(poc[0] % (1 << poc[1]), poc[1])  # pic_order_cnt_lsb
-    w.u(1, 1)  # direct_spatial_mv_pred_flag (no direct MBs are coded)
+    w.u(0 if direct_temporal else 1, 1)  # direct_spatial_mv_pred_flag
     w.u(0, 1)  # num_ref_idx_active_override_flag
     w.u(0, 1)  # ref_pic_list_modification_flag_l0
     w.u(0, 1)  # ref_pic_list_modification_flag_l1
@@ -1442,14 +1588,10 @@ def encode_b_slice(
     ry = np.zeros_like(y)
     rcb = np.zeros_like(cb)
     rcr = np.zeros_like(cr)
-    # per-list MV grids for the 8.4.1.3 median (a neighbour not using
-    # a list contributes (0, 0, refIdx -1) to that list's median)
-    grids = {
-        0: ([[(0, 0)] * mb_w for _ in range(mb_h)],
-            [[False] * mb_w for _ in range(mb_h)]),
-        1: ([[(0, 0)] * mb_w for _ in range(mb_h)],
-            [[False] * mb_w for _ in range(mb_h)]),
-    }
+    # per-list 4x4 motion state for the 8.4.1.3 median (a cell not
+    # using a list carries refIdx -1; partitions give cells of one MB
+    # different motion, so the state is Motion4, not per-MB grids)
+    m4s = {0: Motion4(mb_w, mb_h), 1: Motion4(mb_w, mb_h)}
     nzc = NzcCtx(mb_w, mb_h)
     refs = (ref0, ref1)
     skip_run = 0
@@ -1491,6 +1633,8 @@ def encode_b_slice(
                     w, y, cb, cr, ry, rcb, rcr, mx, my, qp, qpc,
                     mb_type_base=23, nzc=nzc,
                 )
+                for lx in (0, 1):  # intra cells: decoded, never matching
+                    m4s[lx].fill(4 * mx, 4 * my, 4, 4, (0, 0), -1)
                 continue
             cur_y = y[16 * my : 16 * my + 16, 16 * mx : 16 * mx + 16]
             mv0 = _search_mv(cur_y, ref0[0], mx, my, search_range, quarter)
@@ -1505,9 +1649,12 @@ def encode_b_slice(
             best_sad, mode = min(cand)
             use_direct = False
             if direct:
-                d_mvs, d_pred = spatial_direct(
-                    grids, mx, my, mb_w, col_motion
-                )
+                if direct_temporal:
+                    d_mvs, d_pred = temporal_direct(
+                        col_motion, mx, my, poc[0], *ref_pocs
+                    )
+                else:
+                    d_mvs, d_pred = spatial_direct4(m4s, mx, my, col_motion)
                 d_mode = _direct_mode(d_pred)
                 d_planes = _predict_b_mb(
                     refs, mx, my, d_mode, d_mvs[0], d_mvs[1]
@@ -1518,6 +1665,109 @@ def encode_b_slice(
                     mode = d_mode
                     mv0, mv1 = d_mvs[0], d_mvs[1]
                     pred = d_planes
+            use_split = None
+            if not use_direct:
+                # two-partition candidates (Table 7-14 types 4..21):
+                # per partition the best of L0 / L1 / Bi under SAD +
+                # the _MV_PENALTY bits proxy; a split must be STRICTLY
+                # cheaper than the 16x16 candidate (incl. its own MV
+                # penalties) so identical-motion content never
+                # fragments
+                best16_cost = best_sad + _MV_PENALTY * (
+                    2 if mode == 3 else 1
+                )
+                for geom, shape_bit in (
+                    (_B_PART_GEOM_16x8, 0),
+                    (_B_PART_GEOM_8x16, 1),
+                ):
+                    total = _MV_PENALTY  # second-partition signalling
+                    cand_parts = []
+                    for ox, oy, pw, ph, kind in geom:
+                        px_, py_ = 16 * mx + ox, 16 * my + oy
+                        blk = y[py_ : py_ + ph, px_ : px_ + pw]
+                        m0x, m0y, s0 = _search_block(
+                            blk, ref0[0], px_, py_, search_range, quarter
+                        )
+                        m1x, m1y, s1 = _search_block(
+                            blk, ref1[0], px_, py_, search_range, quarter
+                        )
+                        pb0 = mc_luma(
+                            ref0[0], 4 * px_ + m0x, 4 * py_ + m0y, ph, pw
+                        )
+                        pb1 = mc_luma(
+                            ref1[0], 4 * px_ + m1x, 4 * py_ + m1y, ph, pw
+                        )
+                        sbi = _sad(blk, _bi_avg(pb0, pb1))
+                        c, pm, pmvs = min(
+                            (
+                                (s0 + _MV_PENALTY, 1, {0: (m0x, m0y)}),
+                                (s1 + _MV_PENALTY, 2, {1: (m1x, m1y)}),
+                                (
+                                    sbi + 2 * _MV_PENALTY,
+                                    3,
+                                    {0: (m0x, m0y), 1: (m1x, m1y)},
+                                ),
+                            ),
+                            key=lambda t: (t[0], t[1]),
+                        )
+                        total += c
+                        cand_parts.append((ox, oy, pw, ph, kind, pm, pmvs))
+                    if total < best16_cost and (
+                        use_split is None or total < use_split[0]
+                    ):
+                        use_split = (total, shape_bit, cand_parts)
+            if use_split is not None:
+                _, shape_bit, cand_parts = use_split
+                pair_idx = _B_PART_MODES.index(
+                    tuple(p[5] for p in cand_parts)
+                )
+                parts, mvds = [], {0: {}, 1: {}}
+                for pi, (ox, oy, pw, ph, kind, pm, pmvs) in enumerate(
+                    cand_parts
+                ):
+                    x4, y4 = 4 * mx + ox // 4, 4 * my + oy // 4
+                    w4, h4 = pw // 4, ph // 4
+                    for lx in (0, 1):
+                        if pm == 3 or pm == 1 + lx:
+                            mvp = mv_pred_part(
+                                m4s[lx], x4, y4, w4, h4, 0, kind
+                            )
+                            mvds[lx][pi] = (
+                                pmvs[lx][0] - mvp[0],
+                                pmvs[lx][1] - mvp[1],
+                            )
+                            m4s[lx].fill(x4, y4, w4, h4, pmvs[lx], 0)
+                        else:
+                            m4s[lx].fill(x4, y4, w4, h4, (0, 0), -1)
+                    parts.append((ox, oy, pw, ph, pm, pmvs))
+                pred = _predict_b_parts(refs, mx, my, parts)
+                cbp, luma_levels, cdcs, cacs = _residual(
+                    cur_y, pred, mx, my
+                )
+                if stats is not None:
+                    stats["part_mbs"] = stats.get("part_mbs", 0) + 1
+                w.ue(skip_run)
+                skip_run = 0
+                w.ue(4 + 2 * pair_idx + shape_bit)  # mb_type
+                for lx in (0, 1):  # 7.3.5.1: all L0 mvds, then all L1
+                    for pi in sorted(mvds[lx]):
+                        w.se(mvds[lx][pi][0])
+                        w.se(mvds[lx][pi][1])
+                w.ue(_CBP_INTER_CODE[cbp])
+                if cbp:
+                    w.se(0)  # mb_qp_delta
+                    _emit_inter_residual(
+                        w, cbp, luma_levels, cdcs, cacs, mx, my, nzc
+                    )
+                    rec = _recon_inter_mb(
+                        *pred, cbp, luma_levels, cdcs, cacs, qp, qpc
+                    )
+                else:
+                    rec = pred
+                ry[16 * my : 16 * my + 16, 16 * mx : 16 * mx + 16] = rec[0]
+                rcb[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8] = rec[1]
+                rcr[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8] = rec[2]
+                continue
             if not use_direct:
                 pred = _predict_b_mb(refs, mx, my, mode, mv0, mv1)
             cbp, luma_levels, cdcs, cacs = _residual(cur_y, pred, mx, my)
@@ -1538,7 +1788,9 @@ def encode_b_slice(
                     w.ue(mode)  # mb_type: 1 B_L0 / 2 B_L1 / 3 B_Bi
                     for lx, mv in ((0, mv0), (1, mv1)):
                         if mode == 3 or mode == 1 + lx:
-                            mvp = mv_pred_16x16(*grids[lx], mx, my, mb_w)
+                            mvp = mv_pred_part(
+                                m4s[lx], 4 * mx, 4 * my, 4, 4, 0, "16x16"
+                            )
                             w.se(mv[0] - mvp[0])
                             w.se(mv[1] - mvp[1])
                 w.ue(_CBP_INTER_CODE[cbp])
@@ -1561,8 +1813,9 @@ def encode_b_slice(
                 used = {lx: mode == 3 or mode == 1 + lx for lx in (0, 1)}
             for lx, mv in ((0, mv0), (1, mv1)):
                 if used[lx]:
-                    grids[lx][0][my][mx] = mv
-                    grids[lx][1][my][mx] = True
+                    m4s[lx].fill(4 * mx, 4 * my, 4, 4, mv, 0)
+                else:
+                    m4s[lx].fill(4 * mx, 4 * my, 4, 4, (0, 0), -1)
     if skip_run:
         w.ue(skip_run)  # trailing skip run
     nal = rbsp_to_nal(0x01, w.rbsp_trailing())  # nal_ref_idc 0, type 1
@@ -1575,6 +1828,7 @@ def decode_b_slice(
     ref0: tuple[np.ndarray, np.ndarray, np.ndarray],
     ref1: tuple[np.ndarray, np.ndarray, np.ndarray],
     col_motion=None,
+    pocs: tuple[int, int, int] | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Non-reference B-slice NAL + both reference reconstructions ->
     (y, cb, cr): B_L0/B_L1/B_Bi_16x16 through per-list median MV
@@ -1582,9 +1836,18 @@ def decode_b_slice(
     bi averaging, and the full inter residual layer; B_Skip runs and
     B_Direct_16x16 through the 8.4.1.2.2 spatial direct derivation
     (``col_motion`` = RefPicList1[0]'s (mvs, inter) grid for
-    colZeroFlag; None = an intra co-located picture); intra refresh
-    MBs via Table 7-14's +23 offset. Partitions and weighted
-    prediction classify from the syntax element that requires them."""
+    colZeroFlag; None = an intra co-located picture); the Table 7-14
+    two-partition types 4..21 (16x8 / 8x16, per-partition list choice)
+    through per-list 4x4 motion state with the 8.4.1.3 directional
+    predictors; intra refresh MBs via Table 7-14's +23 offset.  B_8x8
+    sub-macroblock partitions and weighted bi-prediction classify from
+    the syntax element that requires them.
+    A stream with direct_spatial_mv_pred_flag == 0 uses the 8.4.1.2.3
+    TEMPORAL derivation, which needs ``pocs`` = (poc_cur, poc_ref0,
+    poc_ref1) — the caller owns POC bookkeeping (GopDecoder tracks it
+    from the slice headers); without it the decoder CLASSIFIES rather
+    than silently decoding a temporal stream against spatial motion
+    (the round-4 CABAC-qp bug class)."""
     header, rbsp = nal_to_rbsp(nal)
     if header & 0x1F != 1:
         raise ValueError(f"not a non-IDR coded-slice NAL (type {header & 0x1F})")
@@ -1598,7 +1861,7 @@ def decode_b_slice(
     r.u(sps["log2_max_frame_num"], "frame_num")
     if sps.get("poc_type", 2) == 0:
         r.u(sps["log2_max_poc_lsb"], "pic_order_cnt_lsb")
-    r.u(1, "direct_spatial_mv_pred_flag")
+    spatial_flag = r.u(1, "direct_spatial_mv_pred_flag")
     if r.u(1, "num_ref_idx_active_override_flag"):
         raise NotImplementedError("multi-reference lists")
     if r.u(1, "ref_pic_list_modification_flag_l0"):
@@ -1622,12 +1885,11 @@ def decode_b_slice(
     y = np.zeros((mb_h * 16, mb_w * 16), dtype=np.uint8)
     cb = np.zeros((mb_h * 8, mb_w * 8), dtype=np.uint8)
     cr = np.zeros_like(cb)
-    grids = {
-        0: ([[(0, 0)] * mb_w for _ in range(mb_h)],
-            [[False] * mb_w for _ in range(mb_h)]),
-        1: ([[(0, 0)] * mb_w for _ in range(mb_h)],
-            [[False] * mb_w for _ in range(mb_h)]),
-    }
+    # per-list 4x4 motion state (Motion4): the 16x8/8x16 partitions
+    # give different cells of one MB different motion, and 8.4.1.3
+    # predicts from 4x4 neighbours — per-MB grids stopped being exact
+    # the moment partitions joined the B surface
+    m4s = {0: Motion4(mb_w, mb_h), 1: Motion4(mb_w, mb_h)}
     modes = np.full((4 * mb_h, 4 * mb_w), -1, dtype=np.int8)
     nzc = NzcCtx(mb_w, mb_h)
     refs = (ref0, ref1)
@@ -1637,19 +1899,32 @@ def decode_b_slice(
         y[16 * my : 16 * my + 16, 16 * mx : 16 * mx + 16] = rec[0]
         cb[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8] = rec[1]
         cr[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8] = rec[2]
+        if mvs is None:  # partitioned MB: cells filled during derivation
+            return
         for lx in (0, 1):
             if lx in mvs:
-                grids[lx][0][my][mx] = mvs[lx]
-                grids[lx][1][my][mx] = True
+                m4s[lx].fill(4 * mx, 4 * my, 4, 4, mvs[lx], 0)
+            else:
+                m4s[lx].fill(4 * mx, 4 * my, 4, 4, (0, 0), -1)
+
+    def _direct(mx, my):
+        if spatial_flag:
+            return spatial_direct4(m4s, mx, my, col_motion)
+        if pocs is None:
+            raise NotImplementedError(
+                "temporal direct (direct_spatial_mv_pred_flag 0) needs POC "
+                "context: pass pocs=(poc_cur, poc_ref0, poc_ref1)"
+            )
+        return temporal_direct(col_motion, mx, my, *pocs)
 
     addr = 0
     while addr < n_mbs:
         run = r.ue("mb_skip_run")
         if run > n_mbs - addr:
             raise ValueError("mb_skip_run overruns the picture")
-        for _ in range(run):  # B_Skip: spatial direct, nothing coded
+        for _ in range(run):  # B_Skip: direct motion, nothing coded
             mx, my = addr % mb_w, addr // mb_w
-            d_mvs, d_pred = spatial_direct(grids, mx, my, mb_w, col_motion)
+            d_mvs, d_pred = _direct(mx, my)
             rec = _predict_b_mb(
                 refs, mx, my, _direct_mode(d_pred), d_mvs[0], d_mvs[1]
             )
@@ -1667,31 +1942,72 @@ def decode_b_slice(
             qp = decode_i_mb(
                 r, mb_type - 23, qp, y, cb, cr, mx, my, modes, nzc
             )
+            for lx in (0, 1):  # intra cells: decoded, never matching
+                m4s[lx].fill(4 * mx, 4 * my, 4, 4, (0, 0), -1)
             addr += 1
             continue
-        if mb_type > 3:
+        if mb_type == 22:
             raise NotImplementedError(
-                f"B-slice partition mb_type {mb_type}: sub-macroblock "
-                "bi-prediction not implemented"
+                "B_8x8 sub-macroblock partitions: per-8x8 sub_mb_type "
+                "syntax not implemented"
             )
         mvs = {}
+        part_pred = None
         if mb_type == 0:  # B_Direct_16x16: derived motion, no MVDs
-            d_mvs, d_pred = spatial_direct(grids, mx, my, mb_w, col_motion)
+            d_mvs, d_pred = _direct(mx, my)
             mode = _direct_mode(d_pred)
             mvs = {lx: d_mvs[lx] for lx in (0, 1) if d_pred[lx]}
-        else:
+        elif mb_type <= 3:
             mode = mb_type
             for lx in (0, 1):
                 if mb_type == 3 or mb_type == 1 + lx:
-                    mvp = mv_pred_16x16(*grids[lx], mx, my, mb_w)
+                    mvp = mv_pred_part(
+                        m4s[lx], 4 * mx, 4 * my, 4, 4, 0, "16x16"
+                    )
                     mvd = (r.se("mvd x"), r.se("mvd y"))
                     mvs[lx] = (mvp[0] + mvd[0], mvp[1] + mvd[1])
+        else:  # Table 7-14 two-partition types 4..21 (16x8 / 8x16)
+            k = mb_type - 4
+            pmodes = _B_PART_MODES[k // 2]
+            geom = _B_PART_GEOM_8x16 if k % 2 else _B_PART_GEOM_16x8
+            # 7.3.5.1 syntax order: every L0 mvd in partition order,
+            # then every L1 mvd
+            mvd = {0: {}, 1: {}}
+            for lx in (0, 1):
+                for pi, pm in enumerate(pmodes):
+                    if pm == 3 or pm == 1 + lx:
+                        mvd[lx][pi] = (r.se("mvd x"), r.se("mvd y"))
+            # derivation in PARTITION order: partition 1's predictors
+            # read partition 0's freshly filled cells (8.4.1.3 /
+            # 6.4.11.7 ordering)
+            parts = []
+            for pi, (ox, oy, pw, ph, kind) in enumerate(geom):
+                x4, y4 = 4 * mx + ox // 4, 4 * my + oy // 4
+                w4, h4 = pw // 4, ph // 4
+                pmvs = {}
+                for lx in (0, 1):
+                    if pmodes[pi] == 3 or pmodes[pi] == 1 + lx:
+                        mvp = mv_pred_part(
+                            m4s[lx], x4, y4, w4, h4, 0, kind
+                        )
+                        d = mvd[lx][pi]
+                        pmvs[lx] = (mvp[0] + d[0], mvp[1] + d[1])
+                        m4s[lx].fill(x4, y4, w4, h4, pmvs[lx], 0)
+                    else:
+                        m4s[lx].fill(x4, y4, w4, h4, (0, 0), -1)
+                parts.append((ox, oy, pw, ph, pmodes[pi], pmvs))
+            part_pred = _predict_b_parts(refs, mx, my, parts)
+            mvs = None
         code = r.ue("coded_block_pattern")
         if code > 47:
             raise ValueError(f"coded_block_pattern codeNum {code} > 47")
         cbp = _CBP_INTER[code]
-        pred = _predict_b_mb(
-            refs, mx, my, mode, mvs.get(0, (0, 0)), mvs.get(1, (0, 0))
+        pred = (
+            part_pred
+            if part_pred is not None
+            else _predict_b_mb(
+                refs, mx, my, mode, mvs.get(0, (0, 0)), mvs.get(1, (0, 0))
+            )
         )
         if cbp:
             qp += r.se("mb_qp_delta")
@@ -1759,13 +2075,18 @@ def encode_frame_sample_b(
     quarter: bool = True,
     direct: bool = False,
     col_motion=None,
+    direct_temporal: bool = False,
+    ref_pocs: tuple[int, int] | None = None,
+    stats: dict | None = None,
 ) -> bytes:
     """RGB frame + both anchor reconstructions (past, future) -> one
     length-prefixed non-reference B-slice MP4 sample. No recon is
     returned: nal_ref_idc 0 pictures never enter the reference
     window, so nothing downstream predicts from them. ``direct`` /
-    ``col_motion``: the spatial direct mode (B_Skip / B_Direct_16x16)
-    and the future anchor's motion grid it derives colZeroFlag from."""
+    ``col_motion``: the direct mode (B_Skip / B_Direct_16x16) and the
+    future anchor's motion grid (colZeroFlag for spatial, mvCol for
+    temporal); ``direct_temporal`` + ``ref_pocs`` select the
+    8.4.1.2.3 temporal derivation (see encode_b_slice)."""
     from flow_indexer_spark.operators.h264codec import frame_to_planes
 
     y, cb, cr = frame_to_planes(px)
@@ -1773,6 +2094,7 @@ def encode_frame_sample_b(
         y, cb, cr, ref0, ref1, frame_num, poc, qp=qp,
         search_range=search_range, code_residual=code_residual,
         quarter=quarter, direct=direct, col_motion=col_motion,
+        direct_temporal=direct_temporal, ref_pocs=ref_pocs, stats=stats,
     )
     return len(nal).to_bytes(4, "big") + nal
 
@@ -1805,6 +2127,28 @@ class GopDecoder:
                 "needs the full residual/mvd bin syntax"
             )
         self._refs: list[tuple] = []
+
+    def _poc_lsb(self, nal: bytes) -> int | None:
+        """pic_order_cnt_lsb from a coded-slice header (poc_type 0
+        only — type 2 has none; closed GOPs keep lsb == POC, no wrap).
+        The decoder owns POC bookkeeping so temporal direct can scale
+        by real picture distances."""
+        if self.sps.get("poc_type", 2) != 0:
+            return None
+        from flow_indexer_spark.operators.h264codec import (
+            _BitReader,
+            nal_to_rbsp,
+        )
+
+        _, rbsp = nal_to_rbsp(nal)
+        r = _BitReader(rbsp)
+        r.ue("first_mb_in_slice")
+        r.ue("slice_type")
+        r.ue("pic_parameter_set_id")
+        r.u(self.sps["log2_max_frame_num"], "frame_num")
+        if (nal[0] & 0x1F) == 5:
+            r.ue("idr_pic_id")
+        return r.u(self.sps["log2_max_poc_lsb"], "pic_order_cnt_lsb")
 
     @staticmethod
     def _slice_type(nal: bytes) -> int:
@@ -1856,9 +2200,16 @@ class GopDecoder:
                         raise ValueError(
                             "B slice with fewer than two reference pictures"
                         )
+                    p0, p1 = self._refs[-2][2], self._refs[-1][2]
+                    poc_cur = self._poc_lsb(nal)
                     planes = decode_b_slice(
                         nal, self.sps, self._refs[-2][0], self._refs[-1][0],
                         col_motion=self._refs[-1][1],
+                        pocs=(
+                            (poc_cur, p0, p1)
+                            if None not in (poc_cur, p0, p1)
+                            else None
+                        ),
                     )
                 else:
                     # list0 = stored reference pictures, most recent
@@ -1867,18 +2218,20 @@ class GopDecoder:
                     # num_ref_idx_l0_active consume as many as they ask
                     *planes, motion = decode_p_slice(
                         nal, self.sps,
-                        [rp for rp, _ in reversed(self._refs)],
+                        [rp for rp, *_ in reversed(self._refs)],
                         return_motion=True,
                         weighted=self.pps.get("weighted_pred", False),
                     )
                     planes = tuple(planes)
                 if nal[0] >> 5:  # nal_ref_idc != 0: mark as reference
-                    self._refs = (self._refs + [(planes, motion)])[-2:]
+                    self._refs = (
+                        self._refs + [(planes, motion, self._poc_lsb(nal))]
+                    )[-2:]
             # SEI / parameter-set NALs are skipped
         if idr_nals:
             planes = decode_idr_picture(idr_nals, self.sps)
             # IDR carries no inter motion: colZeroFlag reads 0
-            self._refs = [(planes, None)]
+            self._refs = [(planes, None, self._poc_lsb(idr_nals[0]))]
         if planes is None:
             raise ValueError("sample contains no coded-slice NAL")
         return planes_to_frame(

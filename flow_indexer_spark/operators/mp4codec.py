@@ -339,6 +339,8 @@ def encode_mp4_h264_bgop(
     code_residual: bool = False,
     quarter: bool = True,
     direct: bool = True,
+    direct_mode: str = "spatial",
+    min_part_mbs: int = 0,
 ) -> bytes:
     """Write frames as a B-frame H.264 GOP (IBBP...): within each
     closed ``gop``-frame GOP, anchor pictures sit every ``b_frames``+1
@@ -363,6 +365,8 @@ def encode_mp4_h264_bgop(
     )
     from flow_indexer_spark.operators.h264intra import encode_idr_i16
 
+    if direct_mode not in ("spatial", "temporal"):
+        raise ValueError("direct_mode must be 'spatial' or 'temporal'")
     poc_bits = 6
     if not 1 <= gop <= (1 << poc_bits) // 2:
         raise ValueError("gop must be in [1, 32]: POC lsb is 6 bits")
@@ -381,6 +385,7 @@ def encode_mp4_h264_bgop(
     samples: list[bytes] = []
     ct_offsets: list[int] = []
     sync: list[int] = []
+    b_stats: dict = {}
     for g0 in range(0, n, gop):
         length = min(gop, n - g0)
         anchors = [0]
@@ -418,10 +423,20 @@ def encode_mp4_h264_bgop(
                         qp=qp, search_range=search_range,
                         code_residual=code_residual, quarter=quarter,
                         direct=direct, col_motion=anchor_motion,
+                        direct_temporal=direct_mode == "temporal",
+                        # POC = 2 x display offset throughout this GOP
+                        ref_pocs=(2 * ap, 2 * ac),
+                        stats=b_stats,
                     )
                 )
                 ct_offsets.append(0)
             del recon[ap]  # 2-deep reference window: the past anchor retires
+    if b_stats.get("part_mbs", 0) < min_part_mbs:
+        raise ValueError(
+            f"fixture demanded >= {min_part_mbs} partitioned B macroblocks "
+            f"but the mode decision emitted {b_stats.get('part_mbs', 0)}: "
+            "the scene does not exercise B partitions"
+        )
     avcc = _box(
         b"avcC",
         h264.make_avcc(
@@ -869,10 +884,11 @@ def mp4_frames(
     non-target B samples skipped outright). Decodable codecs: ``jpeg``
     (Motion JPEG) and ``avc1`` over the implemented H.264 subset —
     I_PCM / Intra_16x16 / I_4x4 IDR slices, P_Skip / P_L0_16x16 P
-    slices, and B_Skip / B_Direct_16x16 / B_L0/B_L1/B_Bi_16x16 B
-    slices, all with or without CAVLC residuals (operators/h264codec +
-    h264intra + h264inter; the classifier parses the real NAL/slice
-    syntax, so P/B partitions, weighted prediction and CABAC raise
+    slices, and B slices — B_Skip / B_Direct_16x16 under spatial OR
+    temporal direct, 16x16 modes, and the Table 7-14 16x8/8x16
+    two-partition types (operators/h264codec + h264intra + h264inter;
+    the classifier parses the real NAL/slice syntax, so B_8x8
+    sub-partitions, weighted bi-prediction and CABAC raise
     NotImplementedError from the bitstream itself, not the fourcc)."""
     from flow_indexer_spark.operators.jpegcodec import _jpeg_pixels
 
@@ -1411,6 +1427,68 @@ def make_h264_fade_media(spark, n: int = 24) -> DataFrame:
 def make_h264_b_media(spark, n: int = 24) -> DataFrame:
     """Executor-side synthesis of B-frame (IBBP + ctts) GOP payloads."""
     return _media_gen(spark, n, "v", make_h264_b_bytes)
+
+
+def make_h264_tdirect_bytes(
+    i: int, qp: int = 10, gop: int = 6, b_frames: int = 2
+) -> bytes:
+    """The TEMPORAL-direct B-frame fixture family: the same
+    stepped-R / translating-G/B content as make_h264_b_bytes, coded
+    with direct_spatial_mv_pred_flag = 0 — every direct/skip
+    macroblock's motion comes from POC-scaled co-located anchor motion
+    (8.4.1.2.3), not the spatial median.  The content translates (+1,
+    +1) px per display frame, so the P anchor's co-located MVs are
+    (gap, gap) full-pel and the POC ratio tb/td scales them to exactly
+    the B's own displacement — temporal direct predicts the
+    translation with ZERO motion bits and wins SAD selection for
+    real, which tests/test_h264_tdirect.py asserts on the wire."""
+    n, w, h = video_params(i)
+    frames = []
+    for t in range(n):
+        dt = t % gop
+        px = np.empty((h, w, 3), dtype=np.uint8)
+        px[:, :, 0] = (7 * i + 11 * t) % 256
+        px[:, :, 1] = (np.arange(w, dtype=np.uint16) + dt).astype(np.uint8)[
+            None, :
+        ]
+        px[:, :, 2] = (np.arange(h, dtype=np.uint16) + dt).astype(np.uint8)[
+            :, None
+        ]
+        frames.append(px)
+    return encode_mp4_h264_bgop(
+        frames, fps=VIDEO_FPS, qp=qp, gop=gop, b_frames=b_frames,
+        search_range=4, code_residual=True, quarter=False,
+        direct_mode="temporal",
+    )
+
+
+def make_h264_tdirect_media(spark, n: int = 24) -> DataFrame:
+    """Executor-side synthesis of temporal-direct B-GOP payloads."""
+    return _media_gen(spark, n, "v", make_h264_tdirect_bytes)
+
+
+def make_h264_bparts_bytes(i: int, qp: int = 10, gop: int = 4) -> bytes:
+    """The PARTITIONED B-frame family: the part_scene four-region
+    opposing-motion content inside an IBBP GOP, so macroblocks
+    straddling the mid-macroblock splits code as Table 7-14 16x8/8x16
+    two-partition B types — ``min_part_mbs=1`` makes the builder FAIL
+    if the mode decision didn't genuinely emit one (the
+    make_h264_part_bytes discipline, lifted to B slices).  A decoder
+    whose per-partition per-LIST MV prediction or partition fill order
+    was wrong reconstructs the straddling MBs from the wrong reference
+    area of the wrong list and GOP-chains the error."""
+    n, w, h = video_params(i)
+    frames = [part_scene(i, t, gop) for t in range(n)]
+    return encode_mp4_h264_bgop(
+        frames, fps=VIDEO_FPS, qp=qp, gop=gop, b_frames=2,
+        search_range=6, code_residual=True, quarter=False,
+        min_part_mbs=1,
+    )
+
+
+def make_h264_bparts_media(spark, n: int = 24) -> DataFrame:
+    """Executor-side synthesis of partitioned-B GOP payloads."""
+    return _media_gen(spark, n, "v", make_h264_bparts_bytes)
 
 
 # --- the Spark stage --------------------------------------------------------

@@ -176,12 +176,21 @@ def test_unimplemented_b_tools_classify_from_syntax():
     with pytest.raises(ValueError, match="truncated"):
         P.decode_b_slice(H.rbsp_to_nal(0x01, w.rbsp_trailing()), sps, ref, ref)
 
-    # bi-directional partitions (mb_type 4..22)
+    # two-partition types decode since round 5; a TRUNCATED one is a
+    # ValueError (mvd parse), not a classification
     w = H._BitWriter()
     _b_header(w)
     w.ue(0)
-    w.ue(4)  # B_L0_L0_16x8
-    with pytest.raises(NotImplementedError, match="partition"):
+    w.ue(4)  # B_L0_L0_16x8: two L0 mvd pairs expected, none coded
+    with pytest.raises(ValueError, match="truncated"):
+        P.decode_b_slice(H.rbsp_to_nal(0x01, w.rbsp_trailing()), sps, ref, ref)
+
+    # B_8x8 sub-macroblock partitions still classify
+    w = H._BitWriter()
+    _b_header(w)
+    w.ue(0)
+    w.ue(22)  # B_8x8
+    with pytest.raises(NotImplementedError, match="sub-macroblock"):
         P.decode_b_slice(H.rbsp_to_nal(0x01, w.rbsp_trailing()), sps, ref, ref)
 
     # invalid mb_type
@@ -429,3 +438,247 @@ def test_fuzz_corrupted_b_samples_always_classify():
                 pass
         except (ValueError, NotImplementedError):
             pass
+
+
+# --- temporal direct (8.4.1.2.3) ---------------------------------------------
+
+
+def test_temporal_direct_scaling_known_values():
+    """Hand-checked POC scaling: cur midway between refs halves the
+    co-located motion (tb=2, td=4 -> DistScaleFactor 128)."""
+    col = ([[(8, -6)]], [[True]])
+    mvs, pred = P.temporal_direct(col, 0, 0, 2, 0, 4)
+    assert mvs[0] == (4, -3) and mvs[1] == (-4, 3)
+    assert pred == {0: True, 1: True}
+    # intra co-located MB -> mvCol (0,0) -> both lists zero
+    mvs, _ = P.temporal_direct(([[(8, -6)]], [[False]]), 0, 0, 2, 0, 4)
+    assert mvs[0] == (0, 0) and mvs[1] == (0, 0)
+    # td == 0 degrades to mvL0 = mvCol, mvL1 = 0 (spec long-term shape)
+    mvs, _ = P.temporal_direct(col, 0, 0, 2, 4, 4)
+    assert mvs[0] == (8, -6) and mvs[1] == (0, 0)
+    # asymmetric distances: tb=1, td=4 -> quarter scaling
+    mvs, _ = P.temporal_direct(col, 0, 0, 1, 0, 4)
+    assert mvs[0] == (2, -1) and mvs[1] == (2 - 8, -1 + 6)
+
+
+def test_temporal_direct_b_slice_roundtrip_and_classification():
+    """A stream coded with direct_spatial_mv_pred_flag == 0: every MB's
+    content IS the temporal-direct bi prediction from a nonzero
+    co-located motion field, so the encoder emits B_Skip/B_Direct
+    everywhere, the decoder must reproduce the recon byte-exactly —
+    and WITHOUT POC context it must CLASSIFY (NotImplementedError),
+    never silently decode against spatial motion."""
+    rng = np.random.default_rng(77)
+    sps = _sps(48, 32)
+    ref0 = _rand_planes(rng)
+    ref1 = _rand_planes(rng)
+    mb_w, mb_h = 3, 2
+    col_motion = (
+        [[(8, -6)] * mb_w for _ in range(mb_h)],
+        [[True] * mb_w for _ in range(mb_h)],
+    )
+    refs = (ref0, ref1)
+    # build cur = the exact temporal-direct prediction per MB
+    cur_y = np.zeros_like(ref0[0])
+    cur_cb = np.zeros_like(ref0[1])
+    cur_cr = np.zeros_like(ref0[2])
+    for my in range(mb_h):
+        for mx in range(mb_w):
+            mvs, _ = P.temporal_direct(col_motion, mx, my, 2, 0, 4)
+            py, pcb, pcr = P._predict_b_mb(refs, mx, my, 3, mvs[0], mvs[1])
+            cur_y[16 * my : 16 * my + 16, 16 * mx : 16 * mx + 16] = py
+            cur_cb[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8] = pcb
+            cur_cr[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8] = pcr
+    nal, recon = P.encode_b_slice(
+        cur_y, cur_cb, cur_cr, ref0, ref1, frame_num=2, poc=POC,
+        return_recon=True, direct=True, col_motion=col_motion,
+        direct_temporal=True, ref_pocs=(0, 4),
+    )
+    # the flag is genuinely 0 on the wire
+    _, rbsp = H.nal_to_rbsp(nal)
+    r = P._BitReader(rbsp)
+    r.ue("first_mb"); r.ue("slice_type"); r.ue("pps")
+    r.u(sps["log2_max_frame_num"], "frame_num")
+    r.u(sps["log2_max_poc_lsb"], "poc_lsb")
+    assert r.u(1, "direct_spatial_mv_pred_flag") == 0
+    # decode with POC context: byte-exact
+    dec = P.decode_b_slice(
+        nal, sps, ref0, ref1, col_motion=col_motion, pocs=(2, 0, 4)
+    )
+    for a, b in zip(recon, dec):
+        assert (a == b).all()
+    assert (dec[0] == cur_y).all()  # direct prediction was exact
+    # without POC context: classify, never guess
+    with pytest.raises(NotImplementedError, match="temporal direct"):
+        P.decode_b_slice(nal, sps, ref0, ref1, col_motion=col_motion)
+    # encoder guard: temporal direct without ref POCs is a caller error
+    with pytest.raises(ValueError, match="ref_pocs"):
+        P.encode_b_slice(
+            cur_y, cur_cb, cur_cr, ref0, ref1, frame_num=2, poc=POC,
+            direct=True, direct_temporal=True,
+        )
+
+
+# --- two-partition B macroblocks (Table 7-14 types 4..21) --------------------
+
+
+def _parts_planes(refs, mb_w, mb_h, parts_of):
+    """Build (y, cb, cr) whose every MB is exactly the partitioned
+    prediction given by parts_of(mx, my) — through the decoder's own
+    MC, so the match is exact including edge clamping."""
+    y = np.zeros((mb_h * 16, mb_w * 16), dtype=np.uint8)
+    cb = np.zeros((mb_h * 8, mb_w * 8), dtype=np.uint8)
+    cr = np.zeros_like(cb)
+    for my in range(mb_h):
+        for mx in range(mb_w):
+            py, pcb, pcr = P._predict_b_parts(refs, mx, my, parts_of(mx, my))
+            y[16 * my : 16 * my + 16, 16 * mx : 16 * mx + 16] = py
+            cb[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8] = pcb
+            cr[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8] = pcr
+    return y, cb, cr
+
+
+def _wire_mb_types(nal: bytes, sps: dict) -> list[int]:
+    """All mb_types of a B slice in decode order (skip runs -> -1)."""
+    _, rbsp = H.nal_to_rbsp(nal)
+    r = P._BitReader(rbsp)
+    r.ue("first_mb")
+    assert r.ue("slice_type") % 5 == 1
+    r.ue("pps")
+    r.u(sps["log2_max_frame_num"], "fn")
+    r.u(sps["log2_max_poc_lsb"], "poc")
+    r.u(4, "flags")
+    r.se("qp_delta")
+    out = []
+    n_mbs = sps["mb_width"] * sps["mb_height"]
+    while len(out) < n_mbs and r.more_data():
+        out.extend([-1] * r.ue("skip_run"))
+        if len(out) >= n_mbs or not r.more_data():
+            break
+        mb_type = r.ue("mb_type")
+        out.append(mb_type)
+        if not 0 <= mb_type <= 3:
+            break  # partitioned/intra: stop at the first (mvds follow)
+    return out
+
+
+@pytest.mark.parametrize(
+    "parts,want_mb_type,exact",
+    [
+        # (L0, L1) 16x8 -> pair idx 2, mb_type 8
+        (
+            (
+                (0, 0, 16, 8, 1, {0: (8, 0)}),
+                (0, 8, 16, 8, 2, {1: (0, 8)}),
+            ),
+            8,
+            True,
+        ),
+        # (L0, L0) 8x16 with different MVs -> pair idx 0, mb_type 5
+        (
+            (
+                (0, 0, 8, 16, 1, {0: (8, 0)}),
+                (8, 0, 8, 16, 1, {0: (-8, 4)}),
+            ),
+            5,
+            True,
+        ),
+        # (Bi, L1) 16x8 -> pair idx 7 (Table 7-14 B_Bi_L1_16x8),
+        # mb_type 18.  The bi content is an average the single-list
+        # searches cannot invert exactly, so only recon==decode is
+        # guaranteed — the residual layer carries the remainder.
+        (
+            (
+                (0, 0, 16, 8, 3, {0: (4, 0), 1: (-4, 0)}),
+                (0, 8, 16, 8, 2, {1: (0, 4)}),
+            ),
+            18,
+            False,
+        ),
+    ],
+)
+def test_b_partition_roundtrip_byte_exact(parts, want_mb_type, exact):
+    """Content whose halves genuinely move differently (built through
+    the decoder's own partitioned MC): the encoder must pick the
+    two-partition type ON THE WIRE, and decode must equal the encoder
+    recon byte-exactly — and the source too when the generating MVs
+    are single-list recoverable (SAD-0 search)."""
+    rng = np.random.default_rng(57)
+    sps = _sps(48, 32)
+    ref0 = _rand_planes(rng)
+    ref1 = _rand_planes(rng)
+    refs = (ref0, ref1)
+    cur = _parts_planes(refs, 3, 2, lambda mx, my: list(parts))
+    nal, recon = P.encode_b_slice(
+        *cur, ref0, ref1, frame_num=2, poc=POC, return_recon=True,
+        code_residual=True,
+    )
+    types = _wire_mb_types(nal, sps)
+    assert types[0] == want_mb_type
+    dec = P.decode_b_slice(nal, sps, ref0, ref1)
+    for a, b in zip(recon, dec):
+        assert (a == b).all()
+    if exact:
+        for a, b in zip(cur, dec):
+            assert (a == b).all()  # prediction exact -> lossless
+
+
+def test_b_partition_mv_prediction_crosses_partitions():
+    """Partition 1's MV predictor must read partition 0's freshly
+    decoded cells (8.4.1.3 via the 4x4 grid): same content, but the
+    roundtrip only stays byte-exact if encoder and decoder agree on
+    the within-MB fill order — exercised by per-MB VARYING motion so
+    neighbour MBs contribute genuinely different predictors."""
+    rng = np.random.default_rng(58)
+    sps = _sps(64, 48)
+    ref0 = _rand_planes(rng, 64, 48)
+    ref1 = _rand_planes(rng, 64, 48)
+    refs = (ref0, ref1)
+
+    def parts_of(mx, my):
+        d = 4 * ((mx + my) % 3)
+        return [
+            (0, 0, 16, 8, 1, {0: (d, 0)}),
+            (0, 8, 16, 8, 1, {0: (0, -d)}),
+        ]
+
+    cur = _parts_planes(refs, 4, 3, parts_of)
+    nal, recon = P.encode_b_slice(
+        *cur, ref0, ref1, frame_num=2, poc=POC, return_recon=True,
+        code_residual=True,
+    )
+    dec = P.decode_b_slice(nal, sps, ref0, ref1)
+    for a, b in zip(recon, dec):
+        assert (a == b).all()
+    for a, b in zip(cur, dec):
+        assert (a == b).all()
+
+
+def test_b_16x16_content_never_fragments():
+    """Identical motion across a whole MB must still code as 16x16
+    (the split carries a strict-inequality penalty): the existing
+    uniquely-optimal-mode fixtures stay 16x16 on the wire."""
+    rng = np.random.default_rng(59)
+    sps = _sps(32, 32)
+    ref0 = _rand_planes(rng, 32, 32)
+    ref1 = tuple((p + 20).astype(np.uint8) for p in ref0)
+    nal, _ = P.encode_b_slice(
+        *ref1, ref0, ref1, frame_num=2, poc=POC, return_recon=True,
+    )
+    types = _wire_mb_types(nal, sps)
+    assert all(t in (-1, 0, 1, 2, 3) for t in types)
+
+
+def test_bparts_fixture_asserts_emission():
+    """make_h264_bparts_bytes fails LOUD when the scene cannot force a
+    partitioned B macroblock — the min_part_mbs discipline; and the
+    real scene genuinely emits them (builder does not raise)."""
+    from flow_indexer_spark.operators.mp4codec import (
+        encode_mp4_h264_bgop,
+        make_h264_bparts_bytes,
+    )
+
+    assert len(make_h264_bparts_bytes(1)) > 0  # emits, or would raise
+    still = [np.zeros((16, 16, 3), dtype=np.uint8) for _ in range(4)]
+    with pytest.raises(ValueError, match="partitioned B macroblocks"):
+        encode_mp4_h264_bgop(still, gop=4, b_frames=2, min_part_mbs=1)

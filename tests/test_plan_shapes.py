@@ -512,3 +512,22 @@ def test_km_curve_window_is_duration_grid_only(spark):
              "event_type")
     km = km_curve(ev, "user_id", "ts", F.col("event_type") == "purchase")
     assert not any("Join" in n for n in _nodes(km))
+
+
+def test_hll_build_is_one_exchange_no_python(docs):
+    """membership.hll_build: the register table materializes with ONE
+    shuffle (the j-keyed MAX agg, partial-aggregated map-side) and no
+    Python stage — the whole hash/shift/rank pipeline is JVM codegen;
+    hll_estimate adds only broadcast-sized reductions."""
+    from flow_indexer_spark.operators.membership import (
+        hll_build,
+        hll_estimate,
+    )
+
+    reg = hll_build(docs.select(F.col("doc_id").alias("key")), "key", p=8)
+    nodes = _nodes(reg)
+    assert sum(1 for n in nodes if n == "Exchange") == 1
+    assert not any("Python" in n for n in nodes)
+    est = hll_estimate(reg, p=8)
+    assert not any("Python" in n for n in _nodes(est))
+    assert not any("SortMergeJoin" in n for n in _nodes(est))
