@@ -879,7 +879,15 @@ def main() -> None:
     record = dict(result)
     prev_q = prev.get("queries", {})
     record["queries"] = {
-        k: min(v, prev_q[k]) if k in prev_q else v
+        # err entries (dicts) never overwrite a real wall; a real wall
+        # always replaces a stale err entry
+        k: (
+            prev_q[k]
+            if isinstance(v, dict) and isinstance(prev_q.get(k), (int, float))
+            else v
+            if isinstance(v, dict) or not isinstance(prev_q.get(k), (int, float))
+            else min(v, prev_q[k])
+        )
         for k, v in result["queries"].items()
     }
     if prev.get("value", float("inf")) < result["value"]:
@@ -893,8 +901,14 @@ def main() -> None:
     with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as f:
         json.dump(record, f, indent=1, sort_keys=True)
     headline = dict(result)
-    slowest = sorted(result["queries"].items(), key=lambda kv: -kv[1])[:10]
+    timed = {
+        k: v for k, v in result["queries"].items() if isinstance(v, (int, float))
+    }
+    errs = {k: v for k, v in result["queries"].items() if isinstance(v, dict)}
+    slowest = sorted(timed.items(), key=lambda kv: -kv[1])[:10]
     headline["queries"] = dict(slowest)
+    if errs:
+        headline["query_errors"] = errs
     headline["n_queries_benched"] = len(result["queries"])
     headline["full_results"] = "BENCH_FULL.json"
     print(json.dumps(headline))

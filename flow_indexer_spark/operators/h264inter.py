@@ -89,10 +89,17 @@ byte equality of the full reconstruction chain, not means.
   tx and arithmetic shifts; GopDecoder tracks POC from slice headers
   and the decoder CLASSIFIES when the context is missing).
 
+* **Reference picture list modification (spec 7.3.3.1 / 8.2.4.3)** —
+  P slices parse the abs-diff short-term command loop and replay
+  8.2.4.3.1 over the recency list (picNumL0Pred chaining, PicNum
+  wrap, move-and-filter), so ref_idx 0 can name any stored picture;
+  the encoder's ``l0_reorder`` emits the commands for an arbitrary
+  permutation. Long-term commands (idc 2) classify.
+
 Still classified from parsed syntax: B_8x8 sub-macroblock partitions
-(sub_mb_type), reference list modification, weighted BI-prediction
-(weighted_bipred_idc != 0), CABAC (PPS), and everything h264codec
-already classifies.
+(sub_mb_type), B-slice reference list modification, weighted
+BI-prediction (weighted_bipred_idc != 0), CABAC (PPS), and everything
+h264codec already classifies.
 
 Reference analogue: the pcap backend decodes every packet format its
 library supports (/root/reference/backend/pcap.go:17-54) — the same
@@ -1018,6 +1025,7 @@ def encode_p_slice(
     partitions: bool = False,
     return_stats: bool = False,
     weights: dict | None = None,
+    l0_reorder: tuple | None = None,
 ):
     """Macroblock-aligned current planes + previous reconstruction ->
     one non-IDR P-slice NAL (nal_ref_idc 2, slice_type 5). With the
@@ -1051,10 +1059,23 @@ def encode_p_slice(
     recency == PicNum order). With more than one reference the slice
     header overrides num_ref_idx_l0_active and every inter partition
     signals ref_idx_l0 as te(v); the per-block search tries every
-    reference (+16 cost per ref_idx step, most recent wins ties)."""
+    reference (+16 cost per ref_idx step, most recent wins ties).
+
+    ``l0_reorder`` — a permutation of range(len(refs)) — emits the
+    7.3.3.1 ref_pic_list_modification_l0 syntax whose 8.2.4.3.1
+    replay builds RefPicList0 in exactly that order (abs-diff
+    short-term commands chained through picNumL0Pred), and the
+    encoder searches/predicts against the REORDERED list, so ref_idx
+    0 can name any stored picture."""
     refs = ref if isinstance(ref, list) else [ref]
     if not 1 <= len(refs) <= 16:
         raise ValueError("reference list must hold 1..16 pictures")
+    if l0_reorder is not None:
+        if sorted(l0_reorder) != list(range(len(refs))):
+            raise ValueError(
+                "l0_reorder must be a permutation of range(len(refs))"
+            )
+        refs = [refs[k] for k in l0_reorder]
     ref_y, ref_cb, ref_cr = refs[0]
     n_active = len(refs)
     mb_h, mb_w = y.shape[0] // 16, y.shape[1] // 16
@@ -1085,7 +1106,14 @@ def encode_p_slice(
         w.ue(n_active - 1)  # num_ref_idx_l0_active_minus1
     else:
         w.u(0, 1)  # num_ref_idx_active_override_flag
-    w.u(0, 1)  # ref_pic_list_modification_flag_l0
+    if l0_reorder is None:
+        w.u(0, 1)  # ref_pic_list_modification_flag_l0
+    else:
+        w.u(1, 1)  # ref_pic_list_modification_flag_l0
+        for idc, v in _l0_modification_commands(l0_reorder, frame_num):
+            w.ue(idc)
+            w.ue(v)
+        w.ue(3)  # end of modification loop
     if weights is not None:
         # explicit weighted prediction: the PPS this stream is wrapped
         # with must set weighted_pred_flag (make_pps(weighted_pred=True))
@@ -1294,6 +1322,64 @@ def encode_p_slice(
 # --- P-slice decoder ---------------------------------------------------------
 
 
+def _l0_modification_commands(order, frame_num: int):
+    """Modification commands (idc, abs_diff_pic_num_minus1) whose
+    8.2.4.3.1 replay builds RefPicList0 = [refs[k] for k in order]
+    from the default recency list, CurrPicNum = ``frame_num``:
+    each command moves the short-term picture with PicNum =
+    frame_num - 1 - k to the next list position; picNumL0Pred chains
+    through the commands exactly as the decoder re-derives it."""
+    cmds = []
+    pred = frame_num
+    for k in order:
+        pic_num = frame_num - 1 - k
+        diff = pred - pic_num
+        if diff == 0:
+            raise ValueError("modification cannot re-target picNumL0Pred")
+        cmds.append((0, diff - 1) if diff > 0 else (1, -diff - 1))
+        pred = pic_num
+    return cmds
+
+
+def _apply_l0_modification(r, frame_num: int, max_pic_num: int, n_refs: int):
+    """Parse the ref_pic_list_modification_l0 loop (7.3.3.1) and apply
+    8.2.4.3.1 on RECENCY INDICES: returns the modified list (index k =
+    k+1 pictures back, PicNum = frame_num - 1 - k).  Short-term
+    abs-diff commands only; idc 2 (long-term) CLASSIFIES — this
+    decoder keeps no long-term pictures.  A command naming an absent
+    PicNum is a ValueError (corrupt or non-conformant stream)."""
+    lst = list(range(n_refs))
+    pred = frame_num
+    ins = 0
+    while True:
+        idc = r.ue("modification_of_pic_nums_idc")
+        if idc == 3:
+            break
+        if idc == 2:
+            raise NotImplementedError(
+                "long-term reference picture list modification"
+            )
+        if idc > 3:
+            raise ValueError(f"modification_of_pic_nums_idc {idc} invalid")
+        diff = r.ue("abs_diff_pic_num_minus1") + 1
+        nowrap = (pred - diff) % max_pic_num if idc == 0 else (
+            pred + diff
+        ) % max_pic_num
+        pred = nowrap
+        pic_num = nowrap - max_pic_num if nowrap > frame_num else nowrap
+        k = frame_num - 1 - pic_num
+        if not 0 <= k < n_refs:
+            raise ValueError(
+                f"list modification names PicNum {pic_num}: no such "
+                "short-term reference picture"
+            )
+        # insert at the running position, drop the LATER duplicate
+        # (8.2.4.3.1's shift-and-filter; earlier duplicates are legal)
+        lst = lst[:ins] + [k] + [x for x in lst[ins:] if x != k]
+        ins += 1
+    return lst
+
+
 def decode_p_slice(
     nal: bytes,
     sps: dict,
@@ -1337,7 +1423,7 @@ def decode_p_slice(
     if slice_type % 5 != 0:
         raise ValueError(f"slice_type {slice_type} invalid in a non-IDR NAL")
     r.ue("pic_parameter_set_id")
-    r.u(sps["log2_max_frame_num"], "frame_num")
+    frame_num = r.u(sps["log2_max_frame_num"], "frame_num")
     if sps.get("poc_type", 2) == 0:
         r.u(sps["log2_max_poc_lsb"], "pic_order_cnt_lsb")
     n_active = 1
@@ -1351,7 +1437,11 @@ def decode_p_slice(
             f"{len(refs)} available"
         )
     if r.u(1, "ref_pic_list_modification_flag_l0"):
-        raise NotImplementedError("reference picture list modification")
+        order = _apply_l0_modification(
+            r, frame_num, 1 << sps["log2_max_frame_num"], len(refs)
+        )
+        refs = [refs[k] for k in order]
+        ref_y, ref_cb, ref_cr = refs[0]
     # explicit weighted prediction (PPS weighted_pred_flag, which the
     # caller resolves — GopDecoder reads it from the avcC's PPS)
     wp = _parse_pred_weight_table(r, n_active) if weighted else None

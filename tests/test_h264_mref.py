@@ -158,7 +158,8 @@ def test_hostile_ref_counts_classify():
     with pytest.raises(ValueError, match="ref_idx_l0"):
         decode_p_slice(rbsp_to_nal(0x41, wr.rbsp_trailing()), sps, refs3)
 
-    # list modification still classifies as a capability boundary
+    # list modification DECODES since round 5 (tests/test_h264_listmod)
+    # — but a LONG-TERM command still classifies as the boundary
     wr = _BitWriter()
     wr.ue(0)
     wr.ue(5)
@@ -166,5 +167,7 @@ def test_hostile_ref_counts_classify():
     wr.u(1, 4)
     wr.u(0, 1)
     wr.u(1, 1)  # ref_pic_list_modification_flag_l0
-    with pytest.raises(NotImplementedError, match="modification"):
+    wr.ue(2)  # modification_of_pic_nums_idc: long_term_pic_num
+    wr.ue(0)
+    with pytest.raises(NotImplementedError, match="long-term"):
         decode_p_slice(rbsp_to_nal(0x41, wr.rbsp_trailing()), sps, ref)
