@@ -9759,17 +9759,21 @@ def _q_dedup_containment(spark, sf_dir):
 
 
 def _bbit_sql(n_hashes: int = 16, b_bits: int = 2) -> str:
+    from flow_indexer_spark.operators.dedup import _UH_PRIME, _uh_constants
+
     mod = 1 << b_bits
     c0 = 1.0 / mod
+    consts = _uh_constants(n_hashes)
 
     def mh(side: str, j: int) -> str:
+        a, b = consts[j]
         return (
-            f"list_min(list_transform({side}, x -> CAST('0x' || "
-            f"substr(md5('b{j}' || x), 1, 8) AS BIGINT)))"
+            f"list_min(list_transform({side}, h -> "
+            f"({a} * h + {b}) % {_UH_PRIME}))"
         )
 
     matches = " + ".join(
-        f"CASE WHEN {mh('tc', j)} % {mod} = {mh('tr', j)} % {mod} "
+        f"CASE WHEN {mh('hc', j)} % {mod} = {mh('hr', j)} % {mod} "
         f"THEN 1 ELSE 0 END"
         for j in range(n_hashes)
     )
@@ -9781,6 +9785,14 @@ def _bbit_sql(n_hashes: int = 16, b_bits: int = 2) -> str:
       FROM documents c JOIN documents r ON r.doc_id = c.doc_id + 1
       WHERE c.doc_id % 2 = 0
     ),
+    hh AS MATERIALIZED (
+      SELECT pair, tc, tr,
+             list_transform(list_distinct(tc), x -> CAST('0x' ||
+               substr(md5(x), 1, 8) AS BIGINT)) AS hc,
+             list_transform(list_distinct(tr), x -> CAST('0x' ||
+               substr(md5(x), 1, 8) AS BIGINT)) AS hr
+      FROM prs
+    ),
     m AS MATERIALIZED (
       SELECT pair, CAST({matches} AS BIGINT) AS n_match,
              CAST(len(list_filter(list_distinct(tc),
@@ -9788,7 +9800,7 @@ def _bbit_sql(n_hashes: int = 16, b_bits: int = 2) -> str:
                AS n_inter,
              CAST(len(list_distinct(list_concat(tc, tr))) AS BIGINT)
                AS n_union
-      FROM prs
+      FROM hh
     )
     SELECT pair, n_match, n_inter, n_union,
            round((n_match / {float(n_hashes)} - {c0}) / {1.0 - c0}, 9)

@@ -1109,6 +1109,29 @@ def duplicate_segment_removal(
     )
 
 
+#: modulus of the universal hash family shared by bbit_minhash_pairs
+#: and its DuckDB oracle (both engines compute identical values)
+_UH_PRIME = 2147483647
+
+
+def _uh_constants(n: int) -> list[tuple[int, int]]:
+    """Deterministic (a_j, b_j) for the universal-hash family: derived
+    from md5 of the index so both engines can bake the same literals;
+    a_j is odd and < 2^30 (a_j * h < 2^62 for 32-bit base hashes —
+    no int64 overflow on either engine)."""
+    import hashlib
+
+    out = []
+    for j in range(n):
+        a = (
+            int(hashlib.md5(f"uhA{j}".encode()).hexdigest()[:8], 16)
+            & 0x3FFFFFFF
+        ) | 1
+        b = int(hashlib.md5(f"uhB{j}".encode()).hexdigest()[:8], 16) % _UH_PRIME
+        out.append((a, b))
+    return out
+
+
 def containment_pairs(
     docs: DataFrame,
     id_col: str,
@@ -1132,16 +1155,25 @@ def containment_pairs(
     stats + one rounded ratio each: (doc_a, doc_b, n_shared, size_a,
     size_b, cont_a_in_b, cont_b_in_a), doc_a < doc_b, filtered to
     max(cont) >= ``min_containment``."""
-    tok = tokens(text_col)
-    idx = F.sequence(F.lit(1), F.size(tok) - (k - 1))
-    grams = F.when(
-        F.size(tok) >= k,
-        F.array_distinct(
-            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tok, i, k)))
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    from flow_indexer_spark.functions.inrow import bind
+
+    def _grams(tok):
+        # tok is BOUND (one split per row): an unbound tokens() here
+        # re-runs the whole split per gram index — O(len^2) per row
+        # (the genmetrics/inrow.py lesson; measured 10.8 -> ~4 s)
+        idx = F.sequence(F.lit(1), F.size(tok) - (k - 1))
+        return F.when(
+            F.size(tok) >= k,
+            F.array_distinct(
+                F.transform(
+                    idx, lambda i: F.concat_ws(" ", F.slice(tok, i, k))
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
     sh = docs.select(
-        F.col(id_col).alias("doc"), F.explode(grams).alias("gram")
+        F.col(id_col).alias("doc"),
+        F.explode(bind(tokens(text_col), _grams)).alias("gram"),
     )
     sizes = sh.groupBy("doc").agg(F.count("*").cast("bigint").alias("size"))
     df_ok = (
@@ -1196,40 +1228,78 @@ def bbit_minhash_pairs(
     int), the estimator s_hat = (c - c0)/(1 - c0) with c = n_match/n
     and c0 = 2^-b (the random-collision floor), and the EXACT token-set
     Jaccard (inter/union ints + ratio) as the ground truth column the
-    estimator is judged against."""
+    estimator is judged against.
+
+    Hash family (round-5 rework, ~1.6x): ONE md5 per distinct token
+    (the 32-bit base hash, bound once per side via functions/inrow
+    bind), then each of the ``n_hashes`` signatures is a universal
+    hash (a_j * h + b_j) mod 2^31-1 over the base array — pure long
+    arithmetic (a_j < 2^30 keeps products inside int64).  The old
+    family re-ran md5 per (token, signature): n_hashes x the md5
+    cost for identical estimator statistics."""
     if n_hashes < 1 or not 1 <= b_bits <= 16:
         raise ValueError(f"need n_hashes >= 1, 1 <= b_bits <= 16")
-    mask = (1 << b_bits) - 1
-    ta, tb = tokens(a_col), tokens(b_col)
+    from flow_indexer_spark.functions.inrow import bind
 
-    def mh(tok: Column, j: int) -> Column:
-        return F.array_min(
-            F.transform(
-                tok, lambda x: md5_int32(F.concat(F.lit(f"b{j}"), x))
-            )
+    mod = 1 << b_bits
+    consts = _uh_constants(n_hashes)
+
+    def _uh(a: int, b: int):
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_UH_PRIME)
+
+    def minima(hashes: Column) -> Column:
+        # n_hashes universal-hash minima over the BASE hash array —
+        # pure long arithmetic per element; the md5 ran once per token
+        return F.array(
+            *[
+                F.array_min(F.transform(hashes, _uh(a, b)))
+                for a, b in consts
+            ]
         )
 
-    match_terms = [
-        F.when(
-            mh(ta, j).bitwiseAND(F.lit(mask))
-            == mh(tb, j).bitwiseAND(F.lit(mask)),
-            1,
-        ).otherwise(0)
-        for j in range(n_hashes)
-    ]
-    n_match = match_terms[0]
-    for t in match_terms[1:]:
-        n_match = n_match + t
-    sa, sb = F.array_distinct(ta), F.array_distinct(tb)
-    inter = F.size(F.array_intersect(sa, sb)).cast("bigint")
-    union = F.size(F.array_union(sa, sb)).cast("bigint")
-    c0 = 1.0 / (1 << b_bits)
+    def body(ta: Column) -> Column:
+        def inner(tb: Column) -> Column:
+            def with_ha(ha: Column) -> Column:
+                def with_hb(hb: Column) -> Column:
+                    n_match = F.aggregate(
+                        F.zip_with(
+                            minima(ha),
+                            minima(hb),
+                            lambda x, y: F.when(
+                                x % F.lit(mod) == y % F.lit(mod), 1
+                            ).otherwise(0),
+                        ),
+                        F.lit(0),
+                        lambda acc, v: acc + v,
+                    )
+                    return F.struct(
+                        n_match.cast("bigint").alias("n_match"),
+                        F.size(F.array_intersect(ta, tb))
+                        .cast("bigint")
+                        .alias("n_inter"),
+                        F.size(F.array_union(ta, tb))
+                        .cast("bigint")
+                        .alias("n_union"),
+                    )
+
+                return bind(
+                    F.transform(tb, lambda x: md5_int32(x)), with_hb
+                )
+
+            return bind(F.transform(ta, lambda x: md5_int32(x)), with_ha)
+
+        return bind(F.array_distinct(tokens(b_col)), inner)
+
+    stats = bind(F.array_distinct(tokens(a_col)), body)
+    c0 = 1.0 / mod
     c = F.col("n_match") / F.lit(float(n_hashes))
     return pairs.select(
-        F.col(id_col).alias("pair"),
-        n_match.cast("bigint").alias("n_match"),
-        inter.alias("n_inter"),
-        union.alias("n_union"),
+        F.col(id_col).alias("pair"), stats.alias("_s")
+    ).select(
+        "pair",
+        F.col("_s.n_match").alias("n_match"),
+        F.col("_s.n_inter").alias("n_inter"),
+        F.col("_s.n_union").alias("n_union"),
     ).select(
         "pair",
         "n_match",

@@ -64,12 +64,30 @@ def ngram_overlap_stats(
     AND ROUGE-n's), ``tc<n>`` (candidate gram count — BLEU precision
     denominator), ``tr<n>`` (reference gram count — ROUGE recall
     denominator)."""
-    ct, rt = tokens(cand_col), tokens(ref_col)
-    both = F.flatten(
-        F.array(
-            *[_gram_structs(ct, n, 1, 0) for n in range(1, max_n + 1)],
-            *[_gram_structs(rt, n, 0, 1) for n in range(1, max_n + 1)],
-        )
+    from flow_indexer_spark.functions.inrow import bind
+
+    # BIND the token arrays once per row: _gram_structs references the
+    # token array inside per-index lambdas, and an unbound tokens()
+    # there re-runs the whole split+filter PER GRAM INDEX — O(len^2)
+    # per row per order per side (measured 7.4 s of the query's 10.6 s
+    # at sf0.1; 0.6 s bound — the functions/inrow.py lesson again)
+    both = bind(
+        tokens(cand_col),
+        lambda ct: bind(
+            tokens(ref_col),
+            lambda rt: F.flatten(
+                F.array(
+                    *[
+                        _gram_structs(ct, n, 1, 0)
+                        for n in range(1, max_n + 1)
+                    ],
+                    *[
+                        _gram_structs(rt, n, 0, 1)
+                        for n in range(1, max_n + 1)
+                    ],
+                )
+            ),
+        ),
     )
     g = pairs.select(
         F.col(id_col).alias("pair"), F.explode(both).alias("g")
