@@ -636,6 +636,17 @@ _B_PART_MODES = (
 _B_PART_GEOM_16x8 = ((0, 0, 16, 8, "16x8t"), (0, 8, 16, 8, "16x8b"))
 _B_PART_GEOM_8x16 = ((0, 0, 8, 16, "8x16l"), (8, 0, 8, 16, "8x16r"))
 
+#: Table 7-18 B sub_mb_type -> (_predict mode int 1=L0/2=L1/3=Bi,
+#: _SUB_PARTS shape key 0=8x8/1=8x4/2=4x8/3=4x4).  sub_mb_type 0
+#: (B_Direct_8x8) CLASSIFIES: per-quadrant direct needs the 8.4.1.2
+#: derivation at sub-macroblock granularity this decoder doesn't model.
+_B_SUB_MODES = {
+    1: (1, 0), 2: (2, 0), 3: (3, 0),
+    4: (1, 1), 5: (1, 2), 6: (2, 1), 7: (2, 2), 8: (3, 1), 9: (3, 2),
+    10: (1, 3), 11: (2, 3), 12: (3, 3),
+}
+_B_SUB_CODE = {v: k for k, v in _B_SUB_MODES.items()}
+
 
 def _predict_b_parts(refs, mx, my, parts):
     """Assemble one B macroblock's (py, pcb, pcr) prediction from
@@ -1627,6 +1638,7 @@ def encode_b_slice(
     direct_temporal: bool = False,
     ref_pocs: tuple[int, int] | None = None,
     stats: dict | None = None,
+    partitions: bool = False,
 ):
     """Current planes + BOTH reference reconstructions (ref0 = the
     past picture in display order, list 0; ref1 = the future, list 1)
@@ -1648,7 +1660,12 @@ def encode_b_slice(
     (poc_ref0, poc_ref1) and ``col_motion`` carrying RefPicList1[0]'s
     L0 motion — the current POC is ``poc[0]`` (lsb values must BE the
     POCs, i.e. no wrap inside the GOP, which these closed fixtures
-    guarantee)."""
+    guarantee).  ``partitions=True`` enables the Table 7-14
+    two-partition types 4..21 AND B_8x8 with Table 7-18 sub_mb_types
+    1..12 in the mode decision (per-quadrant joint (shape, mode)
+    search, strict-inequality adoption); the default False keeps the
+    bitstream byte-identical to the pre-partition B encoder — the
+    same stability discipline as the P encoder's flag."""
     mb_h, mb_w = y.shape[0] // 16, y.shape[1] // 16
     if (
         y.shape != (mb_h * 16, mb_w * 16)
@@ -1756,7 +1773,7 @@ def encode_b_slice(
                     mv0, mv1 = d_mvs[0], d_mvs[1]
                     pred = d_planes
             use_split = None
-            if not use_direct:
+            if partitions and not use_direct:
                 # two-partition candidates (Table 7-14 types 4..21):
                 # per partition the best of L0 / L1 / Bi under SAD +
                 # the _MV_PENALTY bits proxy; a split must be STRICTLY
@@ -1806,6 +1823,106 @@ def encode_b_slice(
                         use_split is None or total < use_split[0]
                     ):
                         use_split = (total, shape_bit, cand_parts)
+                # B_8x8 candidate: per quadrant the jointly best
+                # (shape, prediction mode) — Table 7-18 signals ONE
+                # mode per quadrant shared by its sub-partitions
+                total8 = _MV_PENALTY
+                quads = []
+                for qx, qy in _QUADS:
+                    best_q = None
+                    for shape in (0, 1, 2, 3):
+                        per_mode = {1: 0, 2: 0, 3: 0}
+                        mvs_sh = []
+                        for sx, sy, pw, ph in _SUB_PARTS[shape]:
+                            px_ = 16 * mx + qx + sx
+                            py_ = 16 * my + qy + sy
+                            blk = y[py_ : py_ + ph, px_ : px_ + pw]
+                            m0x, m0y, s0 = _search_block(
+                                blk, ref0[0], px_, py_, search_range,
+                                quarter,
+                            )
+                            m1x, m1y, s1 = _search_block(
+                                blk, ref1[0], px_, py_, search_range,
+                                quarter,
+                            )
+                            pb0 = mc_luma(
+                                ref0[0], 4 * px_ + m0x, 4 * py_ + m0y,
+                                ph, pw,
+                            )
+                            pb1 = mc_luma(
+                                ref1[0], 4 * px_ + m1x, 4 * py_ + m1y,
+                                ph, pw,
+                            )
+                            sbi = _sad(blk, _bi_avg(pb0, pb1))
+                            per_mode[1] += s0 + _MV_PENALTY
+                            per_mode[2] += s1 + _MV_PENALTY
+                            per_mode[3] += sbi + 2 * _MV_PENALTY
+                            mvs_sh.append(((m0x, m0y), (m1x, m1y)))
+                        for pm in (1, 2, 3):
+                            key = (per_mode[pm], shape, pm)
+                            if best_q is None or key < best_q[0]:
+                                best_q = (key, pm, shape, mvs_sh)
+                    total8 += best_q[0][0]
+                    quads.append((qx, qy, best_q[1], best_q[2], best_q[3]))
+                if total8 < best16_cost and (
+                    use_split is None or total8 < use_split[0]
+                ):
+                    use_split = (total8, "8x8", quads)
+            if use_split is not None and use_split[1] == "8x8":
+                _, _, quads = use_split
+                if stats is not None:
+                    stats["part_mbs"] = stats.get("part_mbs", 0) + 1
+                    stats["b8x8_mbs"] = stats.get("b8x8_mbs", 0) + 1
+                parts, mvds = [], {0: [], 1: []}
+                for qx, qy, pm, shape, mvs_sh in quads:
+                    for (sx, sy, pw, ph), (mva, mvb) in zip(
+                        _SUB_PARTS[shape], mvs_sh
+                    ):
+                        ox, oy = qx + sx, qy + sy
+                        x4, y4 = 4 * mx + ox // 4, 4 * my + oy // 4
+                        w4, h4 = pw // 4, ph // 4
+                        pmvs = {}
+                        for lx, mv in ((0, mva), (1, mvb)):
+                            if pm == 3 or pm == 1 + lx:
+                                mvp = mv_pred_part(
+                                    m4s[lx], x4, y4, w4, h4, 0, "sub"
+                                )
+                                mvds[lx].append(
+                                    (mv[0] - mvp[0], mv[1] - mvp[1])
+                                )
+                                m4s[lx].fill(x4, y4, w4, h4, mv, 0)
+                                pmvs[lx] = mv
+                            else:
+                                m4s[lx].fill(x4, y4, w4, h4, (0, 0), -1)
+                        parts.append((ox, oy, pw, ph, pm, pmvs))
+                pred = _predict_b_parts(refs, mx, my, parts)
+                cbp, luma_levels, cdcs, cacs = _residual(
+                    cur_y, pred, mx, my
+                )
+                w.ue(skip_run)
+                skip_run = 0
+                w.ue(22)  # mb_type B_8x8
+                for qx, qy, pm, shape, _m in quads:
+                    w.ue(_B_SUB_CODE[(pm, shape)])
+                for lx in (0, 1):  # 7.3.5.2: all L0 mvds, then all L1
+                    for d in mvds[lx]:
+                        w.se(d[0])
+                        w.se(d[1])
+                w.ue(_CBP_INTER_CODE[cbp])
+                if cbp:
+                    w.se(0)  # mb_qp_delta
+                    _emit_inter_residual(
+                        w, cbp, luma_levels, cdcs, cacs, mx, my, nzc
+                    )
+                    rec = _recon_inter_mb(
+                        *pred, cbp, luma_levels, cdcs, cacs, qp, qpc
+                    )
+                else:
+                    rec = pred
+                ry[16 * my : 16 * my + 16, 16 * mx : 16 * mx + 16] = rec[0]
+                rcb[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8] = rec[1]
+                rcr[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8] = rec[2]
+                continue
             if use_split is not None:
                 _, shape_bit, cand_parts = use_split
                 pair_idx = _B_PART_MODES.index(
@@ -2036,11 +2153,6 @@ def decode_b_slice(
                 m4s[lx].fill(4 * mx, 4 * my, 4, 4, (0, 0), -1)
             addr += 1
             continue
-        if mb_type == 22:
-            raise NotImplementedError(
-                "B_8x8 sub-macroblock partitions: per-8x8 sub_mb_type "
-                "syntax not implemented"
-            )
         mvs = {}
         part_pred = None
         if mb_type == 0:  # B_Direct_16x16: derived motion, no MVDs
@@ -2056,7 +2168,7 @@ def decode_b_slice(
                     )
                     mvd = (r.se("mvd x"), r.se("mvd y"))
                     mvs[lx] = (mvp[0] + mvd[0], mvp[1] + mvd[1])
-        else:  # Table 7-14 two-partition types 4..21 (16x8 / 8x16)
+        elif mb_type <= 21:  # Table 7-14 two-partition types (16x8/8x16)
             k = mb_type - 4
             pmodes = _B_PART_MODES[k // 2]
             geom = _B_PART_GEOM_8x16 if k % 2 else _B_PART_GEOM_16x8
@@ -2086,6 +2198,48 @@ def decode_b_slice(
                     else:
                         m4s[lx].fill(x4, y4, w4, h4, (0, 0), -1)
                 parts.append((ox, oy, pw, ph, pmodes[pi], pmvs))
+            part_pred = _predict_b_parts(refs, mx, my, parts)
+            mvs = None
+        else:  # B_8x8: per-quadrant sub_mb_type (Table 7-18)
+            subs = []
+            for qx, qy in _QUADS:
+                st = r.ue("sub_mb_type")
+                if st > 12:
+                    raise ValueError(f"B sub_mb_type {st} > 12 (Table 7-18)")
+                if st == 0:
+                    raise NotImplementedError(
+                        "B_Direct_8x8: sub-macroblock direct derivation"
+                    )
+                subs.append((qx, qy, *_B_SUB_MODES[st]))
+            # single reference per list: no ref_idx syntax.  7.3.5.2
+            # order: every L0 mvd quadrant-major sub-part order, then
+            # every L1 mvd
+            mvd = {0: [], 1: []}
+            for lx in (0, 1):
+                for qx, qy, pm, shape in subs:
+                    if pm == 3 or pm == 1 + lx:
+                        for _ in _SUB_PARTS[shape]:
+                            mvd[lx].append((r.se("mvd x"), r.se("mvd y")))
+            pos = {0: 0, 1: 0}
+            parts = []
+            for qx, qy, pm, shape in subs:
+                for sx, sy, pw, ph in _SUB_PARTS[shape]:
+                    ox, oy = qx + sx, qy + sy
+                    x4, y4 = 4 * mx + ox // 4, 4 * my + oy // 4
+                    w4, h4 = pw // 4, ph // 4
+                    pmvs = {}
+                    for lx in (0, 1):
+                        if pm == 3 or pm == 1 + lx:
+                            mvp = mv_pred_part(
+                                m4s[lx], x4, y4, w4, h4, 0, "sub"
+                            )
+                            d = mvd[lx][pos[lx]]
+                            pos[lx] += 1
+                            pmvs[lx] = (mvp[0] + d[0], mvp[1] + d[1])
+                            m4s[lx].fill(x4, y4, w4, h4, pmvs[lx], 0)
+                        else:
+                            m4s[lx].fill(x4, y4, w4, h4, (0, 0), -1)
+                    parts.append((ox, oy, pw, ph, pm, pmvs))
             part_pred = _predict_b_parts(refs, mx, my, parts)
             mvs = None
         code = r.ue("coded_block_pattern")
@@ -2168,6 +2322,7 @@ def encode_frame_sample_b(
     direct_temporal: bool = False,
     ref_pocs: tuple[int, int] | None = None,
     stats: dict | None = None,
+    partitions: bool = False,
 ) -> bytes:
     """RGB frame + both anchor reconstructions (past, future) -> one
     length-prefixed non-reference B-slice MP4 sample. No recon is
@@ -2185,6 +2340,7 @@ def encode_frame_sample_b(
         search_range=search_range, code_residual=code_residual,
         quarter=quarter, direct=direct, col_motion=col_motion,
         direct_temporal=direct_temporal, ref_pocs=ref_pocs, stats=stats,
+        partitions=partitions,
     )
     return len(nal).to_bytes(4, "big") + nal
 

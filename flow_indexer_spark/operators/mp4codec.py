@@ -341,6 +341,7 @@ def encode_mp4_h264_bgop(
     direct: bool = True,
     direct_mode: str = "spatial",
     min_part_mbs: int = 0,
+    partitions: bool = False,
 ) -> bytes:
     """Write frames as a B-frame H.264 GOP (IBBP...): within each
     closed ``gop``-frame GOP, anchor pictures sit every ``b_frames``+1
@@ -427,6 +428,7 @@ def encode_mp4_h264_bgop(
                         # POC = 2 x display offset throughout this GOP
                         ref_pocs=(2 * ap, 2 * ac),
                         stats=b_stats,
+                        partitions=partitions,
                     )
                 )
                 ct_offsets.append(0)
@@ -885,11 +887,12 @@ def mp4_frames(
     (Motion JPEG) and ``avc1`` over the implemented H.264 subset —
     I_PCM / Intra_16x16 / I_4x4 IDR slices, P_Skip / P_L0_16x16 P
     slices, and B slices — B_Skip / B_Direct_16x16 under spatial OR
-    temporal direct, 16x16 modes, and the Table 7-14 16x8/8x16
-    two-partition types (operators/h264codec + h264intra + h264inter;
-    the classifier parses the real NAL/slice syntax, so B_8x8
-    sub-partitions, weighted bi-prediction and CABAC raise
-    NotImplementedError from the bitstream itself, not the fourcc)."""
+    temporal direct, 16x16 modes, the Table 7-14 16x8/8x16
+    two-partition types, and B_8x8 with Table 7-18 sub_mb_types 1..12
+    (operators/h264codec + h264intra + h264inter; the classifier
+    parses the real NAL/slice syntax, so B_Direct_8x8, weighted
+    bi-prediction and CABAC raise NotImplementedError from the
+    bitstream itself, not the fourcc)."""
     from flow_indexer_spark.operators.jpegcodec import _jpeg_pixels
 
     info = parse_mp4(payload)
@@ -1482,7 +1485,7 @@ def make_h264_bparts_bytes(i: int, qp: int = 10, gop: int = 4) -> bytes:
     return encode_mp4_h264_bgop(
         frames, fps=VIDEO_FPS, qp=qp, gop=gop, b_frames=2,
         search_range=6, code_residual=True, quarter=False,
-        min_part_mbs=1,
+        min_part_mbs=1, partitions=True,
     )
 
 

@@ -611,7 +611,7 @@ def test_b_partition_roundtrip_byte_exact(parts, want_mb_type, exact):
     cur = _parts_planes(refs, 3, 2, lambda mx, my: list(parts))
     nal, recon = P.encode_b_slice(
         *cur, ref0, ref1, frame_num=2, poc=POC, return_recon=True,
-        code_residual=True,
+        code_residual=True, partitions=True,
     )
     types = _wire_mb_types(nal, sps)
     assert types[0] == want_mb_type
@@ -645,7 +645,7 @@ def test_b_partition_mv_prediction_crosses_partitions():
     cur = _parts_planes(refs, 4, 3, parts_of)
     nal, recon = P.encode_b_slice(
         *cur, ref0, ref1, frame_num=2, poc=POC, return_recon=True,
-        code_residual=True,
+        code_residual=True, partitions=True,
     )
     dec = P.decode_b_slice(nal, sps, ref0, ref1)
     for a, b in zip(recon, dec):
@@ -681,4 +681,125 @@ def test_bparts_fixture_asserts_emission():
     assert len(make_h264_bparts_bytes(1)) > 0  # emits, or would raise
     still = [np.zeros((16, 16, 3), dtype=np.uint8) for _ in range(4)]
     with pytest.raises(ValueError, match="partitioned B macroblocks"):
-        encode_mp4_h264_bgop(still, gop=4, b_frames=2, min_part_mbs=1)
+        encode_mp4_h264_bgop(
+            still, gop=4, b_frames=2, min_part_mbs=1, partitions=True
+        )
+
+
+# --- B_8x8 sub-macroblock partitions (Table 7-18) ----------------------------
+
+
+def test_b8x8_roundtrip_byte_exact_and_wire():
+    """Per-quadrant motion (each 8x8 quadrant of every MB moves
+    differently, alternating L0/L1) forces B_8x8 on the wire with the
+    expected Table 7-18 sub_mb_types; decode equals recon equals the
+    source byte-exactly."""
+    rng = np.random.default_rng(61)
+    sps = _sps(48, 32)
+    ref0 = _rand_planes(rng)
+    ref1 = _rand_planes(rng)
+    refs = (ref0, ref1)
+    qmv = {  # (quadrant) -> (pmode, mv)
+        (0, 0): (1, (8, 0)),
+        (8, 0): (2, (0, 8)),
+        (0, 8): (1, (-8, 4)),
+        (8, 8): (2, (4, -8)),
+    }
+
+    def parts_of(mx, my):
+        return [
+            (qx, qy, 8, 8, pm, {0: mv} if pm == 1 else {1: mv})
+            for (qx, qy), (pm, mv) in qmv.items()
+        ]
+
+    cur = _parts_planes(refs, 3, 2, parts_of)
+    nal, recon = P.encode_b_slice(
+        *cur, ref0, ref1, frame_num=2, poc=POC, return_recon=True,
+        code_residual=True, partitions=True,
+    )
+    # wire: first MB is B_8x8 with (L0,L1,L0,L1) 8x8 sub types (1/2)
+    _, rbsp = H.nal_to_rbsp(nal)
+    r = P._BitReader(rbsp)
+    r.ue("first_mb")
+    assert r.ue("slice_type") % 5 == 1
+    r.ue("pps")
+    r.u(sps["log2_max_frame_num"], "fn")
+    r.u(sps["log2_max_poc_lsb"], "poc")
+    r.u(4, "flags")
+    r.se("qp_delta")
+    assert r.ue("skip_run") == 0
+    assert r.ue("mb_type") == 22
+    assert [r.ue("sub") for _ in range(4)] == [1, 2, 1, 2]
+    dec = P.decode_b_slice(nal, sps, ref0, ref1)
+    for a, b in zip(recon, dec):
+        assert (a == b).all()
+    for a, b in zip(cur, dec):
+        assert (a == b).all()
+
+
+def test_b8x8_4x4_subparts_roundtrip():
+    """4x4 sub-partitions: quadrant content moves per 4x4 cell; the
+    encoder lands sub_mb_type 10/11 (L0_4x4/L1_4x4) and the roundtrip
+    is byte-exact (prediction chain crosses sub-part fills)."""
+    rng = np.random.default_rng(62)
+    sps = _sps(32, 32)
+    ref0 = _rand_planes(rng, 32, 32)
+    ref1 = _rand_planes(rng, 32, 32)
+    refs = (ref0, ref1)
+
+    def parts_of(mx, my):
+        out = []
+        for qx, qy in ((0, 0), (8, 0), (0, 8), (8, 8)):
+            pm = 1 if (qx + qy) % 16 == 0 else 2
+            for i, (sx, sy) in enumerate(((0, 0), (4, 0), (0, 4), (4, 4))):
+                mv = (4 * (i + 1) * (1 if pm == 1 else -1), 4 * i)
+                out.append(
+                    (qx + sx, qy + sy, 4, 4, pm, {0: mv} if pm == 1 else {1: mv})
+                )
+        return out
+
+    cur = _parts_planes(refs, 2, 2, parts_of)
+    nal, recon = P.encode_b_slice(
+        *cur, ref0, ref1, frame_num=2, poc=POC, return_recon=True,
+        code_residual=True, partitions=True,
+    )
+    dec = P.decode_b_slice(nal, sps, ref0, ref1)
+    for a, b in zip(recon, dec):
+        assert (a == b).all()
+    for a, b in zip(cur, dec):
+        assert (a == b).all()
+
+
+def test_b8x8_classification_boundaries():
+    sps = _sps(32, 32)
+    rng = np.random.default_rng(63)
+    ref = _rand_planes(rng, 32, 32)
+
+    def _hdr(w):
+        w.ue(0)
+        w.ue(6)
+        w.ue(0)
+        w.u(2, 4)
+        w.u(POC[0], POC[1])
+        w.u(1, 1)
+        w.u(0, 1)
+        w.u(0, 1)
+        w.u(0, 1)
+        w.se(0)
+
+    # B_Direct_8x8 (sub type 0) classifies
+    w = H._BitWriter()
+    _hdr(w)
+    w.ue(0)
+    w.ue(22)
+    w.ue(0)  # sub_mb_type 0 in quadrant 0
+    with pytest.raises(NotImplementedError, match="B_Direct_8x8"):
+        P.decode_b_slice(H.rbsp_to_nal(0x01, w.rbsp_trailing()), sps, ref, ref)
+    # sub type > 12 is corrupt
+    w = H._BitWriter()
+    _hdr(w)
+    w.ue(0)
+    w.ue(22)
+    w.ue(13)
+    with pytest.raises(ValueError, match="> 12"):
+        P.decode_b_slice(H.rbsp_to_nal(0x01, w.rbsp_trailing()), sps, ref, ref)
