@@ -516,6 +516,7 @@ BENCH_QUERY_NAMES = [
     "graph_connected_components",
     "media_h264_tdirect",
     "media_h264_bparts",
+    "media_h264_listmod",
 ]
 
 

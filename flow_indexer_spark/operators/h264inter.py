@@ -2289,6 +2289,7 @@ def encode_frame_sample_p(
     partitions: bool = False,
     return_stats: bool = False,
     weights: dict | None = None,
+    l0_reorder: tuple | None = None,
 ):
     """RGB frame + previous reconstruction -> (length-prefixed P-slice
     MP4 sample, this frame's reconstruction for the next P[, this
@@ -2302,6 +2303,7 @@ def encode_frame_sample_p(
         intra_mbs=intra_mbs, return_recon=True, code_residual=code_residual,
         poc=poc, quarter=quarter, return_motion=return_motion,
         partitions=partitions, return_stats=return_stats, weights=weights,
+        l0_reorder=l0_reorder,
     )
     sample = len(out[0]).to_bytes(4, "big") + out[0]
     return (sample, *out[1:])

@@ -221,6 +221,7 @@ def encode_mp4_h264_gop(
     min_ref1_mbs: int = 0,
     weights_for=None,
     min_skip_mbs: int = 0,
+    l0_reorder_for=None,
 ) -> bytes:
     """Write frames as a real IDR+P H.264 GOP: every ``gop``-th frame
     is an IDR (``idr='ipcm'`` lossless, or ``'i16'`` intra-predicted,
@@ -288,6 +289,11 @@ def encode_mp4_h264_gop(
                 search_range=search_range, code_residual=code_residual,
                 partitions=partitions, return_stats=True, quarter=quarter,
                 weights=weights,
+                l0_reorder=(
+                    l0_reorder_for(k, len(ref_list))
+                    if l0_reorder_for is not None
+                    else None
+                ),
             )
             n_part = sum(stats["mb_types"].get(t, 0) for t in (1, 2, 3))
             if n_part < min_part_mbs:
@@ -1415,6 +1421,69 @@ def make_h264_res_media(spark, n: int = 24) -> DataFrame:
 def make_h264_part_media(spark, n: int = 24) -> DataFrame:
     """Executor-side synthesis of partitioned-motion GOP payloads."""
     return _media_gen(spark, n, "v", make_h264_part_bytes)
+
+
+def make_h264_listmod_bytes(i: int, qp: int = 10, gop: int = 6) -> bytes:
+    """Reference-LIST-MODIFICATION GOP family over :func:`mref_scene`:
+    the same two-phase content that predicts well only from two frames
+    back — but instead of signalling ref_idx 1, every P slice with two
+    stored references carries the 7.3.3.1 modification commands that
+    move the older picture to list position 0 (``l0_reorder=(1, 0)``)
+    and codes plain ref_idx 0.  The builder asserts per frame that
+    ref_idx 0 genuinely carried the prediction and ref_idx 1 went
+    unused: a decoder that skipped the 8.2.4.3.1 replay would
+    motion-compensate the WRONG PHASE entirely (the oracle's mean
+    gates catch it downstream)."""
+    n, w, h = video_params(i)
+    frames = [mref_scene(i, t) for t in range(n)]
+    from flow_indexer_spark.operators import h264codec as h264
+    from flow_indexer_spark.operators.h264inter import encode_frame_sample_p
+    from flow_indexer_spark.operators.h264intra import encode_idr_i16
+
+    samples, sync = [], []
+    recon = None
+    window: list[tuple] = []
+    for k, f in enumerate(frames):
+        if k % gop == 0:
+            y, cb, cr = h264.frame_to_planes(f)
+            nal = h264.encode_idr_ipcm(y, cb, cr, idr_pic_id=k % 65536)
+            recon = (y, cb, cr)
+            samples.append(len(nal).to_bytes(4, "big") + nal)
+            sync.append(k)
+            window = [recon]
+        else:
+            ref_list = list(reversed(window))[:2]
+            reorder = (1, 0) if len(ref_list) == 2 else None
+            sample, recon, stats = encode_frame_sample_p(
+                f, ref_list, frame_num=k % gop, qp=qp, search_range=6,
+                code_residual=True, return_stats=True, quarter=False,
+                l0_reorder=reorder,
+            )
+            if reorder is not None:
+                used0 = stats["ref_idx"].get(0, 0)
+                used1 = stats["ref_idx"].get(1, 0)
+                if used0 < 1 or used1 > 0:
+                    raise AssertionError(
+                        f"frame {k}: modified-list ref_idx usage "
+                        f"{{0: {used0}, 1: {used1}}} — the reorder no "
+                        f"longer carries the prediction: {stats}"
+                    )
+            samples.append(sample)
+            window = (window + [recon])[-2:]
+    avcc = _box(
+        b"avcC",
+        h264.make_avcc(h264.make_sps(w, h, ref_frames=2), h264.make_pps()),
+    )
+    return _encode_mp4(
+        samples, w, h, VIDEO_FPS,
+        _visual_entry(b"avc1", w, h, b"h264 lmod", avcc),
+        sync_samples=sync,
+    )
+
+
+def make_h264_listmod_media(spark, n: int = 24) -> DataFrame:
+    """Executor-side synthesis of list-modification GOP payloads."""
+    return _media_gen(spark, n, "v", make_h264_listmod_bytes)
 
 
 def make_h264_mref_media(spark, n: int = 24) -> DataFrame:
