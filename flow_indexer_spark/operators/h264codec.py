@@ -290,7 +290,11 @@ def parse_sps(nal: bytes) -> dict:
     }
 
 
-def make_pps(weighted_pred: bool = False) -> bytes:
+def make_pps(
+    weighted_pred: bool = False, weighted_bipred_idc: int = 0
+) -> bytes:
+    if weighted_bipred_idc not in (0, 1, 2):
+        raise ValueError("weighted_bipred_idc must be 0, 1 or 2")
     w = _BitWriter()
     w.ue(0)  # pic_parameter_set_id
     w.ue(0)  # seq_parameter_set_id
@@ -300,7 +304,7 @@ def make_pps(weighted_pred: bool = False) -> bytes:
     w.ue(0)  # num_ref_idx_l0_default_active_minus1
     w.ue(0)  # num_ref_idx_l1_default_active_minus1
     w.u(1 if weighted_pred else 0, 1)  # weighted_pred_flag
-    w.u(0, 2)  # weighted_bipred_idc
+    w.u(weighted_bipred_idc, 2)  # weighted_bipred_idc
     w.se(0)  # pic_init_qp_minus26
     w.se(0)  # pic_init_qs_minus26
     w.se(0)  # chroma_qp_index_offset

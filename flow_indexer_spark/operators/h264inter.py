@@ -556,6 +556,100 @@ def _read_ref_idx(r, n_active: int) -> int:
     return ri
 
 
+def _wp_bi_block(
+    p0: np.ndarray, p1: np.ndarray, e0, e1, logwd: int
+) -> np.ndarray:
+    """Explicit weighted BI-prediction for one block (spec 8.4.2.3.2,
+    weighted_bipred_idc 1): Clip1(((p0*w0 + p1*w1 + 2^logWD) >>
+    (logWD + 1)) + ((o0 + o1 + 1) >> 1)).  ``e0``/``e1`` = (weight,
+    offset) for list 0 / list 1."""
+    w0, o0 = e0
+    w1, o1 = e1
+    v = (
+        p0.astype(np.int64) * w0 + p1.astype(np.int64) * w1 + (1 << logwd)
+    ) >> (logwd + 1)
+    return np.clip(v + ((o0 + o1 + 1) >> 1), 0, 255).astype(np.uint8)
+
+
+def _emit_pred_weight_table_b(w, wp) -> None:
+    """pred_weight_table for a B slice (7.3.3.2): denoms, then the
+    list-0 entry, then the list-1 entry (one active picture per
+    list).  ``wp`` = {"luma_denom", "chroma_denom", "l0": entry,
+    "l1": entry} with entry = (lw, lo, (cw0, cw1), (co0, co1))."""
+    w.ue(wp["luma_denom"])
+    w.ue(wp["chroma_denom"])
+    dl, dc = 1 << wp["luma_denom"], 1 << wp["chroma_denom"]
+    for entry in (wp["l0"], wp["l1"]):
+        lw, lo, cw, co = entry
+        if (lw, lo) == (dl, 0):
+            w.u(0, 1)
+        else:
+            w.u(1, 1)
+            w.se(lw)
+            w.se(lo)
+        if tuple(cw) == (dc, dc) and tuple(co) == (0, 0):
+            w.u(0, 1)
+        else:
+            w.u(1, 1)
+            for j in (0, 1):
+                w.se(cw[j])
+                w.se(co[j])
+
+
+def _parse_pred_weight_table_b(r) -> dict:
+    ld = r.ue("luma_log2_weight_denom")
+    cd = r.ue("chroma_log2_weight_denom")
+    if ld > 7 or cd > 7:
+        raise ValueError(f"log2 weight denom {max(ld, cd)} > 7")
+    entries = []
+    for lx in (0, 1):
+        lw, lo = 1 << ld, 0
+        if r.u(1, f"luma_weight_l{lx}_flag"):
+            lw = r.se(f"luma_weight_l{lx}")
+            lo = r.se(f"luma_offset_l{lx}")
+        cw, co = [1 << cd, 1 << cd], [0, 0]
+        if r.u(1, f"chroma_weight_l{lx}_flag"):
+            for j in (0, 1):
+                cw[j] = r.se(f"chroma_weight_l{lx}")
+                co[j] = r.se(f"chroma_offset_l{lx}")
+        for v in (lw, lo, *cw, *co):
+            if not -128 <= v <= 127:
+                raise ValueError(f"weight/offset {v} out of range -128..127")
+        entries.append((lw, lo, tuple(cw), tuple(co)))
+    return {
+        "luma_denom": ld,
+        "chroma_denom": cd,
+        "l0": entries[0],
+        "l1": entries[1],
+    }
+
+
+def _predict_b_mb_wp(refs, mx, my, mode, mv0, mv1, wp):
+    """Weighted twin of :func:`_predict_b_mb` (explicit B weights):
+    single-list modes weight per 8.4.2.3.1, bi per 8.4.2.3.2."""
+    if wp is None:
+        return _predict_b_mb(refs, mx, my, mode, mv0, mv1)
+    ld, cdn = wp["luma_denom"], wp["chroma_denom"]
+    if mode in (1, 2):
+        ref = refs[0] if mode == 1 else refs[1]
+        lw, lo, cw, co = wp["l0"] if mode == 1 else wp["l1"]
+        py, pcb, pcr = mc_predict_mb(*ref, mx, my, mv0 if mode == 1 else mv1)
+        return (
+            _wp_block(py, lw, lo, ld),
+            _wp_block(pcb, cw[0], co[0], cdn),
+            _wp_block(pcr, cw[1], co[1], cdn),
+        )
+    p0 = mc_predict_mb(*refs[0], mx, my, mv0)
+    p1 = mc_predict_mb(*refs[1], mx, my, mv1)
+    lw0, lo0, cw0, co0 = wp["l0"]
+    lw1, lo1, cw1, co1 = wp["l1"]
+    return (
+        _wp_bi_block(p0[0], p1[0], (lw0, lo0), (lw1, lo1), ld),
+        _wp_bi_block(p0[1], p1[1], (cw0[0], co0[0]), (cw1[0], co1[0]), cdn),
+        _wp_bi_block(p0[2], p1[2], (cw0[1], co0[1]), (cw1[1], co1[1]), cdn),
+    )
+
+
 def spatial_direct(grids, mx, my, mb_w, col_motion):
     """Spatial direct-mode motion for a whole 16x16 B macroblock (spec
     8.4.1.2.2 with one picture per list): ({0: mvL0, 1: mvL1},
@@ -648,16 +742,19 @@ _B_SUB_MODES = {
 _B_SUB_CODE = {v: k for k, v in _B_SUB_MODES.items()}
 
 
-def _predict_b_parts(refs, mx, my, parts):
+def _predict_b_parts(refs, mx, my, parts, wp=None):
     """Assemble one B macroblock's (py, pcb, pcr) prediction from
     partitions ``[(ox, oy, w, h, pmode, {lx: mv})]`` — per partition a
-    single-list MC block or the default-weighted bi average (8.4.2.3),
-    chroma at halved geometry with the shared eighth-sample MVs."""
+    single-list MC block or the bi combination (8.4.2.3), chroma at
+    halved geometry with the shared eighth-sample MVs.  ``wp`` (the B
+    explicit weight table, weighted_bipred_idc 1) applies 8.4.2.3.1
+    per single-list block and 8.4.2.3.2 per bi block AFTER
+    interpolation; None = default-weighted averaging."""
     py = np.empty((16, 16), dtype=np.uint8)
     pcb = np.empty((8, 8), dtype=np.uint8)
     pcr = np.empty((8, 8), dtype=np.uint8)
     for ox, oy, pw, ph, pmode, mvs in parts:
-        blocks = []
+        blocks, used = [], []
         for lx in (0, 1):
             if pmode == 3 or pmode == 1 + lx:
                 ry, rcb, rcr = refs[lx]
@@ -670,11 +767,32 @@ def _predict_b_parts(refs, mx, my, parts):
                         mc_chroma(rcr, xq, yq, ph // 2, pw // 2),
                     )
                 )
-        blk = (
-            blocks[0]
-            if len(blocks) == 1
-            else tuple(_bi_avg(a, b) for a, b in zip(*blocks))
-        )
+                used.append(lx)
+        if len(blocks) == 1:
+            blk = blocks[0]
+            if wp is not None:
+                lw, lo, cw, co = wp["l0"] if used[0] == 0 else wp["l1"]
+                blk = (
+                    _wp_block(blk[0], lw, lo, wp["luma_denom"]),
+                    _wp_block(blk[1], cw[0], co[0], wp["chroma_denom"]),
+                    _wp_block(blk[2], cw[1], co[1], wp["chroma_denom"]),
+                )
+        elif wp is None:
+            blk = tuple(_bi_avg(a, b) for a, b in zip(*blocks))
+        else:
+            lw0, lo0, cw0, co0 = wp["l0"]
+            lw1, lo1, cw1, co1 = wp["l1"]
+            ld, cdn = wp["luma_denom"], wp["chroma_denom"]
+            b0, b1 = blocks
+            blk = (
+                _wp_bi_block(b0[0], b1[0], (lw0, lo0), (lw1, lo1), ld),
+                _wp_bi_block(
+                    b0[1], b1[1], (cw0[0], co0[0]), (cw1[0], co1[0]), cdn
+                ),
+                _wp_bi_block(
+                    b0[2], b1[2], (cw0[1], co0[1]), (cw1[1], co1[1]), cdn
+                ),
+            )
         py[oy : oy + ph, ox : ox + pw] = blk[0]
         pcb[oy // 2 : (oy + ph) // 2, ox // 2 : (ox + pw) // 2] = blk[1]
         pcr[oy // 2 : (oy + ph) // 2, ox // 2 : (ox + pw) // 2] = blk[2]
@@ -1639,6 +1757,7 @@ def encode_b_slice(
     ref_pocs: tuple[int, int] | None = None,
     stats: dict | None = None,
     partitions: bool = False,
+    weights: dict | None = None,
 ):
     """Current planes + BOTH reference reconstructions (ref0 = the
     past picture in display order, list 0; ref1 = the future, list 1)
@@ -1679,6 +1798,17 @@ def encode_b_slice(
         raise ValueError("qp out of range")
     if direct_temporal and ref_pocs is None:
         raise ValueError("direct_temporal needs ref_pocs=(poc0, poc1)")
+    if weights is not None:
+        if not 0 <= weights["luma_denom"] <= 7 or not (
+            0 <= weights["chroma_denom"] <= 7
+        ):
+            raise ValueError("log2 weight denom out of range 0..7")
+        for lw, lo, cw, co in (weights["l0"], weights["l1"]):
+            for v in (lw, lo, *cw, *co):
+                if not -128 <= v <= 127:
+                    raise ValueError(
+                        f"weight/offset {v} out of range -128..127"
+                    )
     qpc = chroma_qp(qp)
     w = _BitWriter()
     w.ue(0)  # first_mb_in_slice
@@ -1690,6 +1820,10 @@ def encode_b_slice(
     w.u(0, 1)  # num_ref_idx_active_override_flag
     w.u(0, 1)  # ref_pic_list_modification_flag_l0
     w.u(0, 1)  # ref_pic_list_modification_flag_l1
+    if weights is not None:
+        # explicit weighted bi-prediction: the wrapping PPS must set
+        # weighted_bipred_idc = 1 (make_pps(weighted_bipred=True))
+        _emit_pred_weight_table_b(w, weights)
     # nal_ref_idc == 0: no dec_ref_pic_marking
     w.se(qp - 26)  # slice_qp_delta
     ry = np.zeros_like(y)
@@ -1702,6 +1836,32 @@ def encode_b_slice(
     nzc = NzcCtx(mb_w, mb_h)
     refs = (ref0, ref1)
     skip_run = 0
+    if weights is not None:
+        # search over PRE-weighted luma planes (exact for full-pel
+        # search; the actual prediction always weights AFTER
+        # interpolation per 8.4.2.3 — same trade as the P encoder)
+        ld = weights["luma_denom"]
+        sref = (
+            _wp_block(ref0[0], weights["l0"][0], weights["l0"][1], ld),
+            _wp_block(ref1[0], weights["l1"][0], weights["l1"][1], ld),
+        )
+    else:
+        sref = (ref0[0], ref1[0])
+
+    def _wl(p: np.ndarray, lx: int) -> np.ndarray:
+        """weighted single-list luma block (identity without weights)"""
+        if weights is None:
+            return p
+        lw, lo, _, _ = weights["l0"] if lx == 0 else weights["l1"]
+        return _wp_block(p, lw, lo, weights["luma_denom"])
+
+    def _wbi(p0: np.ndarray, p1: np.ndarray) -> np.ndarray:
+        if weights is None:
+            return _bi_avg(p0, p1)
+        return _wp_bi_block(
+            p0, p1, weights["l0"][:2], weights["l1"][:2],
+            weights["luma_denom"],
+        )
 
     def _residual(cur_y, pred, mx, my):
         cbp, luma_levels, cdcs, cacs = 0, None, None, None
@@ -1744,16 +1904,29 @@ def encode_b_slice(
                     m4s[lx].fill(4 * mx, 4 * my, 4, 4, (0, 0), -1)
                 continue
             cur_y = y[16 * my : 16 * my + 16, 16 * mx : 16 * mx + 16]
-            mv0 = _search_mv(cur_y, ref0[0], mx, my, search_range, quarter)
-            mv1 = _search_mv(cur_y, ref1[0], mx, my, search_range, quarter)
-            p0 = mc_luma(ref0[0], 64 * mx + mv0[0], 64 * my + mv0[1], 16, 16)
-            p1 = mc_luma(ref1[0], 64 * mx + mv1[0], 64 * my + mv1[1], 16, 16)
-            cand = (
-                (_sad(cur_y, _bi_avg(p0, p1)), 3),
-                (_sad(cur_y, p0), 1),
-                (_sad(cur_y, p1), 2),
+            smv0 = _search_mv(cur_y, sref[0], mx, my, search_range, quarter)
+            smv1 = _search_mv(cur_y, sref[1], mx, my, search_range, quarter)
+            p0 = mc_luma(
+                ref0[0], 64 * mx + smv0[0], 64 * my + smv0[1], 16, 16
             )
-            best_sad, mode = min(cand)
+            p1 = mc_luma(
+                ref1[0], 64 * mx + smv1[0], 64 * my + smv1[1], 16, 16
+            )
+            zz = (0, 0)
+            p0z = mc_luma(ref0[0], 64 * mx, 64 * my, 16, 16)
+            p1z = mc_luma(ref1[0], 64 * mx, 64 * my, 16, 16)
+            # the zero-MV bi pair joins the candidates: the per-list
+            # searches minimize |cur - w*refL| and a bi MIX need not be
+            # best matched by either list's own optimum (visible under
+            # explicit weights, where cur ~ w0*ref0 + w1*ref1 at rest)
+            cand = (
+                (_sad(cur_y, _wbi(p0, p1)), 3, smv0, smv1),
+                (_sad(cur_y, _wbi(p0z, p1z)), 3, zz, zz),
+                (_sad(cur_y, _wl(p0, 0)), 1, smv0, smv1),
+                (_sad(cur_y, _wl(p1, 1)), 2, smv0, smv1),
+            )
+            best = min(cand, key=lambda t: (t[0], t[1]))
+            best_sad, mode, mv0, mv1 = best
             use_direct = False
             if direct:
                 if direct_temporal:
@@ -1763,8 +1936,8 @@ def encode_b_slice(
                 else:
                     d_mvs, d_pred = spatial_direct4(m4s, mx, my, col_motion)
                 d_mode = _direct_mode(d_pred)
-                d_planes = _predict_b_mb(
-                    refs, mx, my, d_mode, d_mvs[0], d_mvs[1]
+                d_planes = _predict_b_mb_wp(
+                    refs, mx, my, d_mode, d_mvs[0], d_mvs[1], weights
                 )
                 # zero motion bits: direct wins any SAD tie
                 if _sad(cur_y, d_planes[0]) <= best_sad:
@@ -1793,10 +1966,10 @@ def encode_b_slice(
                         px_, py_ = 16 * mx + ox, 16 * my + oy
                         blk = y[py_ : py_ + ph, px_ : px_ + pw]
                         m0x, m0y, s0 = _search_block(
-                            blk, ref0[0], px_, py_, search_range, quarter
+                            blk, sref[0], px_, py_, search_range, quarter
                         )
                         m1x, m1y, s1 = _search_block(
-                            blk, ref1[0], px_, py_, search_range, quarter
+                            blk, sref[1], px_, py_, search_range, quarter
                         )
                         pb0 = mc_luma(
                             ref0[0], 4 * px_ + m0x, 4 * py_ + m0y, ph, pw
@@ -1804,7 +1977,9 @@ def encode_b_slice(
                         pb1 = mc_luma(
                             ref1[0], 4 * px_ + m1x, 4 * py_ + m1y, ph, pw
                         )
-                        sbi = _sad(blk, _bi_avg(pb0, pb1))
+                        s0 = _sad(blk, _wl(pb0, 0))
+                        s1 = _sad(blk, _wl(pb1, 1))
+                        sbi = _sad(blk, _wbi(pb0, pb1))
                         c, pm, pmvs = min(
                             (
                                 (s0 + _MV_PENALTY, 1, {0: (m0x, m0y)}),
@@ -1838,11 +2013,11 @@ def encode_b_slice(
                             py_ = 16 * my + qy + sy
                             blk = y[py_ : py_ + ph, px_ : px_ + pw]
                             m0x, m0y, s0 = _search_block(
-                                blk, ref0[0], px_, py_, search_range,
+                                blk, sref[0], px_, py_, search_range,
                                 quarter,
                             )
                             m1x, m1y, s1 = _search_block(
-                                blk, ref1[0], px_, py_, search_range,
+                                blk, sref[1], px_, py_, search_range,
                                 quarter,
                             )
                             pb0 = mc_luma(
@@ -1853,7 +2028,9 @@ def encode_b_slice(
                                 ref1[0], 4 * px_ + m1x, 4 * py_ + m1y,
                                 ph, pw,
                             )
-                            sbi = _sad(blk, _bi_avg(pb0, pb1))
+                            s0 = _sad(blk, _wl(pb0, 0))
+                            s1 = _sad(blk, _wl(pb1, 1))
+                            sbi = _sad(blk, _wbi(pb0, pb1))
                             per_mode[1] += s0 + _MV_PENALTY
                             per_mode[2] += s1 + _MV_PENALTY
                             per_mode[3] += sbi + 2 * _MV_PENALTY
@@ -1895,7 +2072,7 @@ def encode_b_slice(
                             else:
                                 m4s[lx].fill(x4, y4, w4, h4, (0, 0), -1)
                         parts.append((ox, oy, pw, ph, pm, pmvs))
-                pred = _predict_b_parts(refs, mx, my, parts)
+                pred = _predict_b_parts(refs, mx, my, parts, wp=weights)
                 cbp, luma_levels, cdcs, cacs = _residual(
                     cur_y, pred, mx, my
                 )
@@ -1947,7 +2124,7 @@ def encode_b_slice(
                         else:
                             m4s[lx].fill(x4, y4, w4, h4, (0, 0), -1)
                     parts.append((ox, oy, pw, ph, pm, pmvs))
-                pred = _predict_b_parts(refs, mx, my, parts)
+                pred = _predict_b_parts(refs, mx, my, parts, wp=weights)
                 cbp, luma_levels, cdcs, cacs = _residual(
                     cur_y, pred, mx, my
                 )
@@ -1976,7 +2153,7 @@ def encode_b_slice(
                 rcr[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8] = rec[2]
                 continue
             if not use_direct:
-                pred = _predict_b_mb(refs, mx, my, mode, mv0, mv1)
+                pred = _predict_b_mb_wp(refs, mx, my, mode, mv0, mv1, weights)
             cbp, luma_levels, cdcs, cacs = _residual(cur_y, pred, mx, my)
             if use_direct and cbp == 0 and (
                 code_residual or np.array_equal(pred[0], cur_y)
@@ -2036,6 +2213,7 @@ def decode_b_slice(
     ref1: tuple[np.ndarray, np.ndarray, np.ndarray],
     col_motion=None,
     pocs: tuple[int, int, int] | None = None,
+    weighted_bipred: bool = False,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Non-reference B-slice NAL + both reference reconstructions ->
     (y, cb, cr): B_L0/B_L1/B_Bi_16x16 through per-list median MV
@@ -2075,6 +2253,10 @@ def decode_b_slice(
         raise NotImplementedError("reference picture list modification")
     if r.u(1, "ref_pic_list_modification_flag_l1"):
         raise NotImplementedError("reference picture list modification")
+    # explicit weighted bi-prediction (PPS weighted_bipred_idc == 1;
+    # the caller resolves the PPS — GopDecoder routes idc 2 to
+    # NotImplementedError before reaching here)
+    wp = _parse_pred_weight_table_b(r) if weighted_bipred else None
     if header >> 5:  # nal_ref_idc != 0: reference B (marking present)
         if r.u(1, "adaptive_ref_pic_marking_mode_flag"):
             raise NotImplementedError("adaptive reference picture marking")
@@ -2132,8 +2314,8 @@ def decode_b_slice(
         for _ in range(run):  # B_Skip: direct motion, nothing coded
             mx, my = addr % mb_w, addr // mb_w
             d_mvs, d_pred = _direct(mx, my)
-            rec = _predict_b_mb(
-                refs, mx, my, _direct_mode(d_pred), d_mvs[0], d_mvs[1]
+            rec = _predict_b_mb_wp(
+                refs, mx, my, _direct_mode(d_pred), d_mvs[0], d_mvs[1], wp
             )
             _store(mx, my, rec, {lx: d_mvs[lx] for lx in (0, 1) if d_pred[lx]})
             addr += 1
@@ -2198,7 +2380,7 @@ def decode_b_slice(
                     else:
                         m4s[lx].fill(x4, y4, w4, h4, (0, 0), -1)
                 parts.append((ox, oy, pw, ph, pmodes[pi], pmvs))
-            part_pred = _predict_b_parts(refs, mx, my, parts)
+            part_pred = _predict_b_parts(refs, mx, my, parts, wp=wp)
             mvs = None
         else:  # B_8x8: per-quadrant sub_mb_type (Table 7-18)
             subs = []
@@ -2240,7 +2422,7 @@ def decode_b_slice(
                         else:
                             m4s[lx].fill(x4, y4, w4, h4, (0, 0), -1)
                     parts.append((ox, oy, pw, ph, pm, pmvs))
-            part_pred = _predict_b_parts(refs, mx, my, parts)
+            part_pred = _predict_b_parts(refs, mx, my, parts, wp=wp)
             mvs = None
         code = r.ue("coded_block_pattern")
         if code > 47:
@@ -2249,8 +2431,9 @@ def decode_b_slice(
         pred = (
             part_pred
             if part_pred is not None
-            else _predict_b_mb(
-                refs, mx, my, mode, mvs.get(0, (0, 0)), mvs.get(1, (0, 0))
+            else _predict_b_mb_wp(
+                refs, mx, my, mode, mvs.get(0, (0, 0)), mvs.get(1, (0, 0)),
+                wp,
             )
         )
         if cbp:
@@ -2325,6 +2508,7 @@ def encode_frame_sample_b(
     ref_pocs: tuple[int, int] | None = None,
     stats: dict | None = None,
     partitions: bool = False,
+    weights: dict | None = None,
 ) -> bytes:
     """RGB frame + both anchor reconstructions (past, future) -> one
     length-prefixed non-reference B-slice MP4 sample. No recon is
@@ -2342,7 +2526,7 @@ def encode_frame_sample_b(
         search_range=search_range, code_residual=code_residual,
         quarter=quarter, direct=direct, col_motion=col_motion,
         direct_temporal=direct_temporal, ref_pocs=ref_pocs, stats=stats,
-        partitions=partitions,
+        partitions=partitions, weights=weights,
     )
     return len(nal).to_bytes(4, "big") + nal
 
@@ -2439,10 +2623,10 @@ class GopDecoder:
                     )
                 motion = None
                 if self._slice_type(nal) == 1:  # B
-                    if self.pps.get("weighted_bipred_idc", 0) != 0:
+                    if self.pps.get("weighted_bipred_idc", 0) == 2:
                         raise NotImplementedError(
-                            "weighted bi-prediction (weighted_bipred_idc "
-                            f"{self.pps['weighted_bipred_idc']})"
+                            "IMPLICIT weighted bi-prediction "
+                            "(weighted_bipred_idc 2: POC-derived weights)"
                         )
                     if len(self._refs) < 2:
                         raise ValueError(
@@ -2457,6 +2641,9 @@ class GopDecoder:
                             (poc_cur, p0, p1)
                             if None not in (poc_cur, p0, p1)
                             else None
+                        ),
+                        weighted_bipred=(
+                            self.pps.get("weighted_bipred_idc", 0) == 1
                         ),
                     )
                 else:

@@ -348,6 +348,7 @@ def encode_mp4_h264_bgop(
     direct_mode: str = "spatial",
     min_part_mbs: int = 0,
     partitions: bool = False,
+    bi_weights: dict | None = None,
 ) -> bytes:
     """Write frames as a B-frame H.264 GOP (IBBP...): within each
     closed ``gop``-frame GOP, anchor pictures sit every ``b_frames``+1
@@ -435,6 +436,7 @@ def encode_mp4_h264_bgop(
                         ref_pocs=(2 * ap, 2 * ac),
                         stats=b_stats,
                         partitions=partitions,
+                        weights=bi_weights,
                     )
                 )
                 ct_offsets.append(0)
@@ -451,7 +453,9 @@ def encode_mp4_h264_bgop(
             h264.make_sps(
                 w, h, ref_frames=2, poc_type=0, log2_max_poc_lsb=poc_bits
             ),
-            h264.make_pps(),
+            h264.make_pps(
+                weighted_bipred_idc=1 if bi_weights is not None else 0
+            ),
         ),
     )
     return _encode_mp4(

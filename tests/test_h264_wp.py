@@ -148,3 +148,79 @@ def test_hostile_weights_classify():
         decode_p_slice(nal, sps, ref, weighted=False)
     except (ValueError, NotImplementedError):
         pass
+
+
+# --- explicit weighted BI-prediction (weighted_bipred_idc 1) -----------------
+
+
+def test_b_weighted_bipred_roundtrip_and_distinct_from_default():
+    """cur = the exact 3:1 weighted mix of the two references
+    (w0=6, w1=2, logWD=2 — spec 8.4.2.3.2): under the weight table
+    every MB codes as B_Bi with zero residual and decode is byte-exact
+    against recon AND source; the DEFAULT bi average differs from the
+    mix by construction, so unweighted decoding could not reproduce
+    it."""
+    import numpy as np
+
+    from flow_indexer_spark.operators import h264codec as H
+    from flow_indexer_spark.operators import h264inter as P
+
+    rng = np.random.default_rng(71)
+    sps = H.parse_sps(
+        H.make_sps(48, 32, ref_frames=2, poc_type=0, log2_max_poc_lsb=6)
+    )
+
+    def _planes(shift):
+        return (
+            ((rng.integers(0, 196, (32, 48)) + shift) % 256).astype(
+                np.uint8
+            ),
+            rng.integers(0, 256, (16, 24), dtype=np.uint8),
+            rng.integers(0, 256, (16, 24), dtype=np.uint8),
+        )
+
+    ref0 = _planes(60)
+    ref1 = _planes(0)
+    wp = {
+        "luma_denom": 2,
+        "chroma_denom": 2,
+        "l0": (6, 0, (6, 6), (0, 0)),
+        "l1": (2, 0, (2, 2), (0, 0)),
+    }
+    cur = (
+        P._wp_bi_block(ref0[0], ref1[0], (6, 0), (2, 0), 2),
+        P._wp_bi_block(ref0[1], ref1[1], (6, 0), (2, 0), 2),
+        P._wp_bi_block(ref0[2], ref1[2], (6, 0), (2, 0), 2),
+    )
+    default = P._bi_avg(ref0[0], ref1[0])
+    assert np.abs(default.astype(int) - cur[0].astype(int)).mean() > 5
+    nal, recon = P.encode_b_slice(
+        *cur, ref0, ref1, frame_num=2, poc=(2, 6), return_recon=True,
+        code_residual=True, weights=wp,
+    )
+    dec = P.decode_b_slice(nal, sps, ref0, ref1, weighted_bipred=True)
+    for a, b in zip(recon, dec):
+        assert (a == b).all()
+    for a, b in zip(cur, dec):
+        assert (a == b).all()
+    # single-list weighted modes: cur == weighted ref0 -> B_L0 path
+    lcur = (
+        P._wp_block(ref0[0], 6, 0, 2),
+        P._wp_block(ref0[1], 6, 0, 2),
+        P._wp_block(ref0[2], 6, 0, 2),
+    )
+    nal2, recon2 = P.encode_b_slice(
+        *lcur, ref0, ref1, frame_num=2, poc=(2, 6), return_recon=True,
+        code_residual=True, weights=wp,
+    )
+    dec2 = P.decode_b_slice(nal2, sps, ref0, ref1, weighted_bipred=True)
+    for a, b in zip(recon2, dec2):
+        assert (a == b).all()
+    # weight-table range guard
+    import pytest
+
+    bad = dict(wp, luma_denom=9)
+    with pytest.raises(ValueError, match="denom"):
+        P.encode_b_slice(
+            *cur, ref0, ref1, frame_num=2, poc=(2, 6), weights=bad
+        )
