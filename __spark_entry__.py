@@ -5369,6 +5369,89 @@ def _q_media_h264_listmod(spark, sf_dir):
 
 
 @_register(
+    "media_h264_wbipred",
+    """
+    WITH v AS (SELECT CAST(range AS INTEGER) AS i FROM range(24)),
+    p AS (
+      SELECT i, printf('v%05d', i) AS media_id,
+             6 + (i % 3) * 3 AS n_frames,
+             16 + (i % 5) * 8 AS w, 12 + (i % 3) * 8 AS h
+      FROM v
+    ),
+    f AS (
+      SELECT p.*, CAST(r.range AS INTEGER) AS frame_idx
+      FROM p, range(12) r
+      WHERE r.range < p.n_frames AND r.range % 2 = 0
+    )
+    SELECT media_id, 'avc1' AS codec,
+           CAST(n_frames AS INTEGER) AS n_frames,
+           CAST(n_frames * 100 AS BIGINT) AS duration_ms,
+           frame_idx, CAST(frame_idx * 100 AS BIGINT) AS t_ms,
+           CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           TRUE AS mean_r_ok, TRUE AS mean_g_ok, TRUE AS mean_b_ok
+    FROM f
+    ORDER BY media_id, frame_idx
+    """,
+)
+def _q_media_h264_wbipred(spark, sf_dir):
+    """EXPLICIT weighted BI-prediction (round-5, after
+    media_h264_listmod): IBP GOPs whose single B per GOP is the EXACT
+    6:2 weighted mix of its bright/dark anchors, coded under a
+    weighted_bipred_idc-1 PPS with the B pred_weight_table (denoms +
+    per-list entries) — prediction applies 8.4.2.3.2's
+    ((p0*w0 + p1*w1 + 2^logWD) >> (logWD+1)) + offset mid-rounding
+    AFTER interpolation, across 16x16, partitioned, and B_8x8 modes.
+    A decoder that ignored the table and default-averaged would miss
+    every B frame's channel means by ~15 grey levels against the +-2
+    gates (means broadcast-joined from the deterministic scene).
+    Implicit weighting (idc 2) classifies.  Reference analogue:
+    backend/pcap.go:17-54. operators/h264inter.py _wp_bi_block /
+    _parse_pred_weight_table_b, mp4codec.py make_h264_wbipred_bytes."""
+    import pandas as pd
+
+    from flow_indexer_spark.operators.mp4codec import (
+        make_h264_wbipred_media,
+        video_frame_features,
+        video_params,
+        wbipred_scene,
+    )
+
+    rows = []
+    for i in range(24):
+        n, _, _ = video_params(i)
+        for t in range(0, n, 2):
+            src = wbipred_scene(i, t)
+            rows.append(
+                {
+                    "media_id": f"v{i:05d}",
+                    "frame_idx": t,
+                    "exp_r": float(src[:, :, 0].mean()),
+                    "exp_g": float(src[:, :, 1].mean()),
+                    "exp_b": float(src[:, :, 2].mean()),
+                }
+            )
+    exp = spark.createDataFrame(pd.DataFrame(rows))
+    d = video_frame_features(make_h264_wbipred_media(spark, 24), every_n=2)
+    return (
+        d.join(F.broadcast(exp), ["media_id", "frame_idx"])
+        .select(
+            "media_id",
+            "codec",
+            "n_frames",
+            "duration_ms",
+            "frame_idx",
+            "t_ms",
+            "width",
+            "height",
+            (F.abs(F.col("mean_r") - F.col("exp_r")) < 2.0).alias("mean_r_ok"),
+            (F.abs(F.col("mean_g") - F.col("exp_g")) < 2.0).alias("mean_g_ok"),
+            (F.abs(F.col("mean_b") - F.col("exp_b")) < 2.0).alias("mean_b_ok"),
+        )
+        .orderBy("media_id", "frame_idx")
+    )
+
+
+@_register(
     "media_h264_mref",
     """
     WITH v AS (SELECT CAST(range AS INTEGER) AS i FROM range(24)),

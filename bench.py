@@ -517,6 +517,7 @@ BENCH_QUERY_NAMES = [
     "media_h264_tdirect",
     "media_h264_bparts",
     "media_h264_listmod",
+    "media_h264_wbipred",
 ]
 
 

@@ -1485,6 +1485,72 @@ def make_h264_listmod_bytes(i: int, qp: int = 10, gop: int = 6) -> bytes:
     )
 
 
+_WBIPRED_WEIGHTS = {
+    "luma_denom": 2,
+    "chroma_denom": 2,
+    "l0": (6, 0, (6, 6), (0, 0)),
+    "l1": (2, 0, (2, 2), (0, 0)),
+}
+
+
+def wbipred_scene(i: int, t: int) -> np.ndarray:
+    """Frame t of the weighted-bi fixture video i (gop 3, IBP): GOP
+    start anchors carry a +60-brightness ramp scene, end anchors the
+    same ramps at +0, and the single B between them is the EXACT
+    6:2 weighted mix (spec 8.4.2.3.2 with logWD 2, zero offsets) of
+    the two anchor scenes — 45 levels above the dark anchor where the
+    DEFAULT bi average sits at 30: a decoder that ignored the weight
+    table misses the B frames' means by ~15 grey levels, far outside
+    the +-2 oracle gate."""
+    from flow_indexer_spark.operators.h264inter import _wp_bi_block
+
+    n, w, h = video_params(i)
+
+    def _anchor(shift: int) -> np.ndarray:
+        px = np.empty((h, w, 3), dtype=np.uint8)
+        px[:, :, 0] = (7 * i + shift) % 256
+        px[:, :, 1] = ((np.arange(w, dtype=np.int64) * 3 + shift) % 256)[
+            None, :
+        ].astype(np.uint8)
+        px[:, :, 2] = ((np.arange(h, dtype=np.int64) * 5 + shift) % 256)[
+            :, None
+        ].astype(np.uint8)
+        return px
+
+    r = t % 3
+    if r == 0:
+        return _anchor(60)
+    if r == 2:
+        return _anchor(0)
+    a, b = _anchor(60), _anchor(0)
+    out = np.empty_like(a)
+    for c in range(3):
+        out[:, :, c] = _wp_bi_block(
+            a[:, :, c], b[:, :, c], (6, 0), (2, 0), 2
+        )
+    return out
+
+
+def make_h264_wbipred_bytes(i: int, qp: int = 10) -> bytes:
+    """Weighted-BI-prediction GOP family over :func:`wbipred_scene`:
+    IBP GOPs (gop 3, one B per GOP) coded with the explicit 6:2 weight
+    table — the B content IS the weighted mix of its anchors, so the
+    weighted prediction is exact where the default average is ~15
+    levels off."""
+    n, w, h = video_params(i)
+    frames = [wbipred_scene(i, t) for t in range(n)]
+    return encode_mp4_h264_bgop(
+        frames, fps=VIDEO_FPS, qp=qp, gop=3, b_frames=2,
+        search_range=4, code_residual=True, quarter=False,
+        bi_weights=_WBIPRED_WEIGHTS,
+    )
+
+
+def make_h264_wbipred_media(spark, n: int = 24) -> DataFrame:
+    """Executor-side synthesis of weighted-bi GOP payloads."""
+    return _media_gen(spark, n, "v", make_h264_wbipred_bytes)
+
+
 def make_h264_listmod_media(spark, n: int = 24) -> DataFrame:
     """Executor-side synthesis of list-modification GOP payloads."""
     return _media_gen(spark, n, "v", make_h264_listmod_bytes)
