@@ -10034,6 +10034,104 @@ def _q_curation_priority_sample(spark, sf_dir):
 
 
 @_register(
+    "tool_loop_detection",
+    """
+    WITH t AS (
+      SELECT CAST(user_id AS VARCHAR) AS c,
+             CAST(event_id AS INTEGER) AS i,
+             CASE CAST((event_id // 8) % 3 AS INTEGER)
+               WHEN 0 THEN 'search' WHEN 1 THEN 'fetch' ELSE 'calc'
+             END AS tl
+      FROM events
+    ),
+    r AS (
+      SELECT c, i, tl, ROW_NUMBER() OVER (PARTITION BY c ORDER BY i) AS rn
+      FROM t
+    ),
+    m AS (
+      SELECT c, rn, 1 AS p,
+             CASE WHEN lag(tl, 1) OVER (PARTITION BY c ORDER BY rn) = tl
+                  THEN 1 ELSE 0 END AS m
+      FROM r
+      UNION ALL
+      SELECT c, rn, 2 AS p,
+             CASE WHEN lag(tl, 2) OVER (PARTITION BY c ORDER BY rn) = tl
+                  THEN 1 ELSE 0 END AS m
+      FROM r
+      UNION ALL
+      SELECT c, rn, 3 AS p,
+             CASE WHEN lag(tl, 3) OVER (PARTITION BY c ORDER BY rn) = tl
+                  THEN 1 ELSE 0 END AS m
+      FROM r
+      UNION ALL
+      SELECT c, rn, 4 AS p,
+             CASE WHEN lag(tl, 4) OVER (PARTITION BY c ORDER BY rn) = tl
+                  THEN 1 ELSE 0 END AS m
+      FROM r
+    ),
+    runs AS (
+      SELECT c, p, rn, m,
+             SUM(1 - m) OVER (PARTITION BY c, p ORDER BY rn) AS brk
+      FROM m
+    ),
+    pr AS (
+      SELECT c, p, brk, CAST(SUM(m) AS BIGINT) AS r FROM runs
+      GROUP BY 1, 2, 3
+    ),
+    pp AS (SELECT c, p, MAX(r) AS rmax FROM pr GROUP BY 1, 2),
+    cy AS (SELECT c, p, CAST((rmax + p) // p AS BIGINT) AS cyc FROM pp),
+    wide AS (
+      SELECT c,
+             COALESCE(MAX(CASE WHEN p = 1 THEN cyc END), 1) AS cyc1,
+             COALESCE(MAX(CASE WHEN p = 2 THEN cyc END), 1) AS cyc2,
+             COALESCE(MAX(CASE WHEN p = 3 THEN cyc END), 1) AS cyc3,
+             COALESCE(MAX(CASE WHEN p = 4 THEN cyc END), 1) AS cyc4
+      FROM cy GROUP BY c
+    ),
+    nt AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS n_tool_turns
+           FROM t GROUP BY c),
+    fin AS (
+      SELECT wide.c, nt.n_tool_turns, cyc1, cyc2, cyc3, cyc4,
+             greatest(cyc1, cyc2, cyc3, cyc4) AS max_cycles
+      FROM wide JOIN nt USING (c)
+    )
+    SELECT c AS conv_id, n_tool_turns, cyc1, cyc2, cyc3, cyc4,
+           max_cycles,
+           CASE WHEN cyc1 = max_cycles THEN 1
+                WHEN cyc2 = max_cycles THEN 2
+                WHEN cyc3 = max_cycles THEN 3
+                ELSE 4 END AS loop_period,
+           max_cycles >= 3 AS is_looping
+    FROM fin ORDER BY conv_id
+    """,
+)
+def _q_tool_loop_detection(spark, sf_dir):
+    """Agent stuck-LOOP detection: per conversation the longest run of
+    period-p repetition (p = 1..4) in the ordered tool-call sequence —
+    a maximal run of r consecutive 'tool equals the tool p tool-turns
+    earlier' matches spans (r + p) / p cycle repetitions.  The
+    agent-ops health gate that catches same-tool and short-cycle
+    thrash BEFORE retry budgets burn, complementing
+    tool_retry_chains' failure-driven view with a content-driven one.
+    Shape: one conversation window (all four lags in one pass), one
+    (conv, period)-partitioned run-break window, two map-combined
+    groupBys; all-integer output.
+    operators/transcripts.py tool_loop_report."""
+    from flow_indexer_spark.operators.transcripts import tool_loop_report
+
+    ev = _t(spark, sf_dir, "events")
+    t = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        F.when((F.expr("event_id div 8") % 3).cast("int") == 0, "search")
+        .when((F.expr("event_id div 8") % 3).cast("int") == 1, "fetch")
+        .otherwise("calc")
+        .alias("tool"),
+    )
+    return tool_loop_report(t).orderBy("conv_id")
+
+
+@_register(
     "tool_retry_chains",
     """
     WITH t AS (

@@ -518,6 +518,7 @@ BENCH_QUERY_NAMES = [
     "media_h264_bparts",
     "media_h264_listmod",
     "media_h264_wbipred",
+    "tool_loop_detection",
 ]
 
 

@@ -564,3 +564,107 @@ def context_eviction_report(
         "kept_longest",
         frac("tok_longest").alias("retained_longest"),
     )
+
+
+def tool_loop_report(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    tool_col: str = "tool",
+    max_period: int = 4,
+) -> DataFrame:
+    """Agent LOOP detection: per conversation, the longest run of
+    period-``p`` repetition in the ordered tool-call sequence for each
+    p in 1..``max_period`` — 'the agent is calling the same tool (or
+    the same short cycle of tools) over and over', the stuck-loop
+    health gate agent-ops wants BEFORE retry budgets burn.  A turn
+    position matches period p when its tool equals the tool p
+    tool-turns earlier; a maximal run of r consecutive matches spans
+    r + p positions = (r + p) / p cycle repetitions.
+
+    Output per conversation: ``n_tool_turns``, ``cyc<p>`` (max cycle
+    count at period p, >= 1), ``max_cycles``, ``loop_period`` (the
+    SMALLEST period achieving max_cycles — deterministic), and
+    ``is_looping`` (max_cycles >= 3: the cycle repeated at least
+    thrice).
+
+    Shape: one conversation-window pass computing all ``max_period``
+    lags, an in-row melt to (conv, period, match) long form, ONE
+    (conv, period)-partitioned window for the run-break counter, and
+    two map-side-combined groupBys — nothing corpus-global, rows
+    bounded by max_period x tool turns.  All-integer output:
+    hash-exact on both engines."""
+    w = Window.partitionBy("c").orderBy("i")
+    t = (
+        df.filter(
+            F.col(tool_col).isNotNull() & (F.col(tool_col) != F.lit(""))
+        )
+        .select(
+            F.col(conv_col).alias("c"),
+            F.col(idx_col).alias("i"),
+            F.col(tool_col).alias("tl"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+    )
+    lags = t.select(
+        "c",
+        "rn",
+        F.array(
+            *[
+                F.struct(
+                    F.lit(p).alias("p"),
+                    F.coalesce(
+                        (F.lag("tl", p).over(w) == F.col("tl")).cast("int"),
+                        F.lit(0),
+                    ).alias("m"),
+                )
+                for p in range(1, max_period + 1)
+            ]
+        ).alias("_ms"),
+    )
+    long = lags.select(
+        "c", "rn", F.explode("_ms").alias("pm")
+    ).select("c", "rn", F.col("pm.p").alias("p"), F.col("pm.m").alias("m"))
+    wpp = (
+        Window.partitionBy("c", "p")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    runs = long.withColumn("brk", F.sum(1 - F.col("m")).over(wpp))
+    per_run = runs.groupBy("c", "p", "brk").agg(
+        F.sum("m").cast("bigint").alias("r")
+    )
+    per_p = per_run.groupBy("c", "p").agg(F.max("r").alias("rmax"))
+    cyc = per_p.select(
+        "c",
+        "p",
+        F.expr("(rmax + p) div p").cast("bigint").alias("cyc"),
+    )
+    wide = cyc.groupBy("c").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("p") == p, F.col("cyc"))), F.lit(1)
+            )
+            .cast("bigint")
+            .alias(f"cyc{p}")
+            for p in range(1, max_period + 1)
+        ]
+    )
+    n_turns = t.groupBy("c").agg(
+        F.count("*").cast("bigint").alias("n_tool_turns")
+    )
+    mx = F.greatest(*[F.col(f"cyc{p}") for p in range(1, max_period + 1)])
+    out = wide.join(n_turns, "c").withColumn("max_cycles", mx)
+    period_pick = F.lit(None).cast("bigint")
+    for p in range(max_period, 0, -1):  # smallest period wins
+        period_pick = F.when(
+            F.col(f"cyc{p}") == F.col("max_cycles"), F.lit(p).cast("bigint")
+        ).otherwise(period_pick)
+    return out.select(
+        F.col("c").alias(conv_col),
+        "n_tool_turns",
+        *[f"cyc{p}" for p in range(1, max_period + 1)],
+        "max_cycles",
+        period_pick.alias("loop_period"),
+        (F.col("max_cycles") >= 3).alias("is_looping"),
+    )

@@ -120,3 +120,31 @@ def test_context_eviction_policies(spark):
 
     with _pt.raises(ValueError):
         context_eviction_report(df, budget=-1)
+
+
+def test_tool_loop_report_hand_cycles(spark):
+    """Hand-built cycles: ABAB... is a period-2 loop, AAA a period-1
+    loop, distinct tools no loop; empty-tool turns are ignored."""
+    from flow_indexer_spark.operators.transcripts import tool_loop_report
+
+    rows = (
+        [("A", i, "sf"[i % 2]) for i in range(6)]       # s f s f s f
+        + [("B", 0, "s"), ("B", 1, "s"), ("B", 2, "s")]  # s s s
+        + [("C", 0, "a"), ("C", 1, "b"), ("C", 2, "c")]
+        + [("D", 0, "x"), ("D", 1, ""), ("D", 2, "x"), ("D", 3, "x")]
+    )
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, tool string"
+    )
+    got = {r["conv_id"]: r.asDict() for r in tool_loop_report(df).collect()}
+    a = got["A"]
+    assert a["cyc2"] == 3 and a["cyc1"] == 1
+    assert a["max_cycles"] == 3 and a["loop_period"] == 2
+    assert a["is_looping"] is True
+    b = got["B"]
+    assert b["cyc1"] == 3 and b["loop_period"] == 1 and b["is_looping"]
+    c = got["C"]
+    assert c["max_cycles"] == 1 and c["loop_period"] == 1
+    assert c["is_looping"] is False
+    d = got["D"]  # empty tool dropped: x x x -> period-1 run of 2
+    assert d["n_tool_turns"] == 3 and d["cyc1"] == 3
