@@ -10034,6 +10034,54 @@ def _q_curation_priority_sample(spark, sf_dir):
 
 
 @_register(
+    "routing_rendezvous_churn",
+    f"""
+    WITH t AS ({_SYNTH_SQL}),
+    k AS (SELECT DISTINCT {_SYNTH_IP_KEY_SQL} AS ky FROM t),
+    routed AS (
+      SELECT ky,
+             list_extract(['sink-00', 'sink-01', 'sink-02', 'sink-03'], list_position(list_transform(['sink-00', 'sink-01', 'sink-02', 'sink-03'], s -> CAST('0x' || substr(md5('rv|' || ky || '|' || s), 1, 8) AS BIGINT)), list_max(list_transform(['sink-00', 'sink-01', 'sink-02', 'sink-03'], s -> CAST('0x' || substr(md5('rv|' || ky || '|' || s), 1, 8) AS BIGINT))))) AS sink_before,
+             list_extract(['sink-00', 'sink-01', 'sink-02', 'sink-03', 'sink-04'], list_position(list_transform(['sink-00', 'sink-01', 'sink-02', 'sink-03', 'sink-04'], s -> CAST('0x' || substr(md5('rv|' || ky || '|' || s), 1, 8) AS BIGINT)), list_max(list_transform(['sink-00', 'sink-01', 'sink-02', 'sink-03', 'sink-04'], s -> CAST('0x' || substr(md5('rv|' || ky || '|' || s), 1, 8) AS BIGINT))))) AS sink_after
+      FROM k
+    )
+    SELECT sink_before, sink_after,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           sink_before <> sink_after AS moved
+    FROM routed GROUP BY 1, 2
+    ORDER BY sink_before, sink_after
+    """,
+)
+def _q_routing_rendezvous_churn(spark, sf_dir):
+    """Rendezvous (highest-random-weight) sink routing churn audit
+    (Thaler & Ravishankar 1998): route every distinct extracted IP key
+    under 4 sinks and under 4+1, and aggregate the transition matrix —
+    the K2 routed-sink lifecycle question 'what moves when a shard is
+    added?'.  The HRW guarantee reads off the result: every moved
+    key's sink_after IS the new sink (minimal disruption, ~1/5 of
+    keys), where a bucket-mod router would scatter arbitrarily.
+    Routing is a pure in-row md5-argmax projection (fuses into the
+    scan at 100 TB; zero shuffles before the report's one groupBy);
+    oracle recomputes the identical argmax in SQL.
+    operators/routing.py rendezvous_sink / rendezvous_churn."""
+    from flow_indexer_spark.functions.extractors import extract_entities
+    from flow_indexer_spark.operators.routing import rendezvous_churn
+
+    t = synth_transcripts(spark, sf_dir)
+    ips = (
+        extract_entities(t)
+        .filter(F.col("entity_class") == "ip")
+        .select(F.col("entity_key").alias("ky"))
+        .distinct()
+    )
+    return rendezvous_churn(
+        ips,
+        "ky",
+        ["sink-00", "sink-01", "sink-02", "sink-03"],
+        ["sink-00", "sink-01", "sink-02", "sink-03", "sink-04"],
+    )
+
+
+@_register(
     "tool_loop_detection",
     """
     WITH t AS (

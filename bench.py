@@ -519,6 +519,7 @@ BENCH_QUERY_NAMES = [
     "media_h264_listmod",
     "media_h264_wbipred",
     "tool_loop_detection",
+    "routing_rendezvous_churn",
 ]
 
 
