@@ -5452,6 +5452,90 @@ def _q_media_h264_wbipred(spark, sf_dir):
 
 
 @_register(
+    "media_h264_wbimplicit",
+    """
+    WITH v AS (SELECT CAST(range AS INTEGER) AS i FROM range(24)),
+    p AS (
+      SELECT i, printf('v%05d', i) AS media_id,
+             6 + (i % 3) * 3 AS n_frames,
+             16 + (i % 5) * 8 AS w, 12 + (i % 3) * 8 AS h
+      FROM v
+    ),
+    f AS (
+      SELECT p.*, CAST(r.range AS INTEGER) AS frame_idx
+      FROM p, range(12) r
+      WHERE r.range < p.n_frames AND r.range % 2 = 0
+    )
+    SELECT media_id, 'avc1' AS codec,
+           CAST(n_frames AS INTEGER) AS n_frames,
+           CAST(n_frames * 100 AS BIGINT) AS duration_ms,
+           frame_idx, CAST(frame_idx * 100 AS BIGINT) AS t_ms,
+           CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           TRUE AS mean_r_ok, TRUE AS mean_g_ok, TRUE AS mean_b_ok
+    FROM f
+    ORDER BY media_id, frame_idx
+    """,
+)
+def _q_media_h264_wbimplicit(spark, sf_dir):
+    """IMPLICIT weighted BI-prediction (round-5, after
+    media_h264_wbipred — the idc-2 half of 8.4.2.3.1): IBBP GOPs with
+    NO weight syntax anywhere; each B's (w0, w1) derives from
+    picture-order-count distances (the DistScaleFactor recursion with
+    the 32/32 fallback outside [-64, 128]) — the B one frame after its
+    past anchor mixes 43:21 toward it, the next 22:42 toward the
+    future.  GopDecoder supplies the POCs it tracks from the slice
+    headers; the decoder CLASSIFIES without that context.  A
+    default-averaging decoder misses every B's means by ~10 grey
+    levels against the +-2 gates.  Implicit weights apply ONLY to
+    bi-predicted partitions (single-list stays default), matching the
+    spec's scope.  Reference analogue: backend/pcap.go:17-54.
+    operators/h264inter.py implicit_bi_weights,
+    mp4codec.py make_h264_wbimplicit_bytes."""
+    import pandas as pd
+
+    from flow_indexer_spark.operators.mp4codec import (
+        make_h264_wbimplicit_media,
+        video_frame_features,
+        video_params,
+        wbimplicit_scene,
+    )
+
+    rows = []
+    for i in range(24):
+        n, _, _ = video_params(i)
+        for t in range(0, n, 2):
+            src = wbimplicit_scene(i, t)
+            rows.append(
+                {
+                    "media_id": f"v{i:05d}",
+                    "frame_idx": t,
+                    "exp_r": float(src[:, :, 0].mean()),
+                    "exp_g": float(src[:, :, 1].mean()),
+                    "exp_b": float(src[:, :, 2].mean()),
+                }
+            )
+    exp = spark.createDataFrame(pd.DataFrame(rows))
+    d = video_frame_features(make_h264_wbimplicit_media(spark, 24), every_n=2)
+    return (
+        d.join(F.broadcast(exp), ["media_id", "frame_idx"])
+        .select(
+            "media_id",
+            "codec",
+            "n_frames",
+            "duration_ms",
+            "frame_idx",
+            "t_ms",
+            "width",
+            "height",
+            (F.abs(F.col("mean_r") - F.col("exp_r")) < 2.0).alias("mean_r_ok"),
+            (F.abs(F.col("mean_g") - F.col("exp_g")) < 2.0).alias("mean_g_ok"),
+            (F.abs(F.col("mean_b") - F.col("exp_b")) < 2.0).alias("mean_b_ok"),
+        )
+        .orderBy("media_id", "frame_idx")
+    )
+
+
+@_register(
     "media_h264_mref",
     """
     WITH v AS (SELECT CAST(range AS INTEGER) AS i FROM range(24)),

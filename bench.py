@@ -520,6 +520,7 @@ BENCH_QUERY_NAMES = [
     "media_h264_wbipred",
     "tool_loop_detection",
     "routing_rendezvous_churn",
+    "media_h264_wbimplicit",
 ]
 
 

@@ -624,11 +624,46 @@ def _parse_pred_weight_table_b(r) -> dict:
     }
 
 
+def implicit_bi_weights(
+    poc_cur: int, poc0: int, poc1: int
+) -> tuple[int, int]:
+    """IMPLICIT weighted-bi weights (spec 8.4.2.3.1,
+    weighted_bipred_idc 2): (w0, w1) derived from picture-order-count
+    distances — the 8.4.1.2.3 DistScaleFactor recursion with the
+    default fallback w0 = w1 = 32 when td is zero or the scale leaves
+    [-64, 128] after >> 2.  logWD is fixed at 5 and offsets at 0; a B
+    frame closer to its future anchor weights list 1 harder, exactly
+    distance-proportional."""
+    clip3 = lambda lo, hi, v: max(lo, min(hi, v))  # noqa: E731
+    tb = clip3(-128, 127, poc_cur - poc0)
+    td = clip3(-128, 127, poc1 - poc0)
+    if td == 0:
+        return 32, 32
+    tx = _div_trunc(16384 + abs(td) // 2, td)
+    dsf = clip3(-1024, 1023, (tb * tx + 32) >> 6)
+    w1 = dsf >> 2
+    if w1 < -64 or w1 > 128:
+        return 32, 32
+    return 64 - w1, w1
+
+
 def _predict_b_mb_wp(refs, mx, my, mode, mv0, mv1, wp):
     """Weighted twin of :func:`_predict_b_mb` (explicit B weights):
     single-list modes weight per 8.4.2.3.1, bi per 8.4.2.3.2."""
     if wp is None:
         return _predict_b_mb(refs, mx, my, mode, mv0, mv1)
+    if wp.get("implicit"):
+        # implicit weighting applies ONLY to bi-predicted partitions;
+        # single-list prediction stays default (8.4.2.3.1)
+        if mode in (1, 2):
+            return _predict_b_mb(refs, mx, my, mode, mv0, mv1)
+        w0, w1 = wp["w0"], wp["w1"]
+        p0 = mc_predict_mb(*refs[0], mx, my, mv0)
+        p1 = mc_predict_mb(*refs[1], mx, my, mv1)
+        return tuple(
+            _wp_bi_block(a, b, (w0, 0), (w1, 0), 5)
+            for a, b in zip(p0, p1)
+        )
     ld, cdn = wp["luma_denom"], wp["chroma_denom"]
     if mode in (1, 2):
         ref = refs[0] if mode == 1 else refs[1]
@@ -770,7 +805,9 @@ def _predict_b_parts(refs, mx, my, parts, wp=None):
                 used.append(lx)
         if len(blocks) == 1:
             blk = blocks[0]
-            if wp is not None:
+            if wp is not None and wp.get("implicit"):
+                pass  # implicit weights never touch single-list blocks
+            elif wp is not None:
                 lw, lo, cw, co = wp["l0"] if used[0] == 0 else wp["l1"]
                 blk = (
                     _wp_block(blk[0], lw, lo, wp["luma_denom"]),
@@ -779,6 +816,12 @@ def _predict_b_parts(refs, mx, my, parts, wp=None):
                 )
         elif wp is None:
             blk = tuple(_bi_avg(a, b) for a, b in zip(*blocks))
+        elif wp.get("implicit"):
+            w0, w1 = wp["w0"], wp["w1"]
+            blk = tuple(
+                _wp_bi_block(a, b, (w0, 0), (w1, 0), 5)
+                for a, b in zip(*blocks)
+            )
         else:
             lw0, lo0, cw0, co0 = wp["l0"]
             lw1, lo1, cw1, co1 = wp["l1"]
@@ -1758,6 +1801,7 @@ def encode_b_slice(
     stats: dict | None = None,
     partitions: bool = False,
     weights: dict | None = None,
+    implicit_bi: bool = False,
 ):
     """Current planes + BOTH reference reconstructions (ref0 = the
     past picture in display order, list 0; ref1 = the future, list 1)
@@ -1799,6 +1843,8 @@ def encode_b_slice(
     if direct_temporal and ref_pocs is None:
         raise ValueError("direct_temporal needs ref_pocs=(poc0, poc1)")
     if weights is not None:
+        if implicit_bi:
+            raise ValueError("weights and implicit_bi are exclusive")
         if not 0 <= weights["luma_denom"] <= 7 or not (
             0 <= weights["chroma_denom"] <= 7
         ):
@@ -1809,6 +1855,15 @@ def encode_b_slice(
                     raise ValueError(
                         f"weight/offset {v} out of range -128..127"
                     )
+    if implicit_bi:
+        # implicit weighting (wrapping PPS: weighted_bipred_idc = 2):
+        # NO table syntax — weights come from POC distances
+        if ref_pocs is None:
+            raise ValueError("implicit_bi needs ref_pocs=(poc0, poc1)")
+        w0i, w1i = implicit_bi_weights(poc[0], *ref_pocs)
+        wp_int: dict | None = {"implicit": True, "w0": w0i, "w1": w1i}
+    else:
+        wp_int = weights
     qpc = chroma_qp(qp)
     w = _BitWriter()
     w.ue(0)  # first_mb_in_slice
@@ -1856,8 +1911,12 @@ def encode_b_slice(
         return _wp_block(p, lw, lo, weights["luma_denom"])
 
     def _wbi(p0: np.ndarray, p1: np.ndarray) -> np.ndarray:
-        if weights is None:
+        if wp_int is None:
             return _bi_avg(p0, p1)
+        if wp_int.get("implicit"):
+            return _wp_bi_block(
+                p0, p1, (wp_int["w0"], 0), (wp_int["w1"], 0), 5
+            )
         return _wp_bi_block(
             p0, p1, weights["l0"][:2], weights["l1"][:2],
             weights["luma_denom"],
@@ -1937,7 +1996,7 @@ def encode_b_slice(
                     d_mvs, d_pred = spatial_direct4(m4s, mx, my, col_motion)
                 d_mode = _direct_mode(d_pred)
                 d_planes = _predict_b_mb_wp(
-                    refs, mx, my, d_mode, d_mvs[0], d_mvs[1], weights
+                    refs, mx, my, d_mode, d_mvs[0], d_mvs[1], wp_int
                 )
                 # zero motion bits: direct wins any SAD tie
                 if _sad(cur_y, d_planes[0]) <= best_sad:
@@ -2072,7 +2131,7 @@ def encode_b_slice(
                             else:
                                 m4s[lx].fill(x4, y4, w4, h4, (0, 0), -1)
                         parts.append((ox, oy, pw, ph, pm, pmvs))
-                pred = _predict_b_parts(refs, mx, my, parts, wp=weights)
+                pred = _predict_b_parts(refs, mx, my, parts, wp=wp_int)
                 cbp, luma_levels, cdcs, cacs = _residual(
                     cur_y, pred, mx, my
                 )
@@ -2124,7 +2183,7 @@ def encode_b_slice(
                         else:
                             m4s[lx].fill(x4, y4, w4, h4, (0, 0), -1)
                     parts.append((ox, oy, pw, ph, pm, pmvs))
-                pred = _predict_b_parts(refs, mx, my, parts, wp=weights)
+                pred = _predict_b_parts(refs, mx, my, parts, wp=wp_int)
                 cbp, luma_levels, cdcs, cacs = _residual(
                     cur_y, pred, mx, my
                 )
@@ -2153,7 +2212,7 @@ def encode_b_slice(
                 rcr[8 * my : 8 * my + 8, 8 * mx : 8 * mx + 8] = rec[2]
                 continue
             if not use_direct:
-                pred = _predict_b_mb_wp(refs, mx, my, mode, mv0, mv1, weights)
+                pred = _predict_b_mb_wp(refs, mx, my, mode, mv0, mv1, wp_int)
             cbp, luma_levels, cdcs, cacs = _residual(cur_y, pred, mx, my)
             if use_direct and cbp == 0 and (
                 code_residual or np.array_equal(pred[0], cur_y)
@@ -2213,7 +2272,7 @@ def decode_b_slice(
     ref1: tuple[np.ndarray, np.ndarray, np.ndarray],
     col_motion=None,
     pocs: tuple[int, int, int] | None = None,
-    weighted_bipred: bool = False,
+    weighted_bipred: int = 0,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Non-reference B-slice NAL + both reference reconstructions ->
     (y, cb, cr): B_L0/B_L1/B_Bi_16x16 through per-list median MV
@@ -2253,10 +2312,22 @@ def decode_b_slice(
         raise NotImplementedError("reference picture list modification")
     if r.u(1, "ref_pic_list_modification_flag_l1"):
         raise NotImplementedError("reference picture list modification")
-    # explicit weighted bi-prediction (PPS weighted_bipred_idc == 1;
-    # the caller resolves the PPS — GopDecoder routes idc 2 to
-    # NotImplementedError before reaching here)
-    wp = _parse_pred_weight_table_b(r) if weighted_bipred else None
+    # weighted bi-prediction per the PPS idc the caller resolves:
+    # 1 = explicit (pred_weight_table in the slice header), 2 =
+    # implicit (no syntax — weights derived from POC distances, which
+    # the caller owns; GopDecoder tracks them)
+    if weighted_bipred == 2:
+        if pocs is None:
+            raise NotImplementedError(
+                "implicit weighted bi-prediction needs POC context: "
+                "pass pocs=(poc_cur, poc_ref0, poc_ref1)"
+            )
+        w0i, w1i = implicit_bi_weights(*pocs)
+        wp = {"implicit": True, "w0": w0i, "w1": w1i}
+    elif weighted_bipred:
+        wp = _parse_pred_weight_table_b(r)
+    else:
+        wp = None
     if header >> 5:  # nal_ref_idc != 0: reference B (marking present)
         if r.u(1, "adaptive_ref_pic_marking_mode_flag"):
             raise NotImplementedError("adaptive reference picture marking")
@@ -2509,6 +2580,7 @@ def encode_frame_sample_b(
     stats: dict | None = None,
     partitions: bool = False,
     weights: dict | None = None,
+    implicit_bi: bool = False,
 ) -> bytes:
     """RGB frame + both anchor reconstructions (past, future) -> one
     length-prefixed non-reference B-slice MP4 sample. No recon is
@@ -2526,7 +2598,7 @@ def encode_frame_sample_b(
         search_range=search_range, code_residual=code_residual,
         quarter=quarter, direct=direct, col_motion=col_motion,
         direct_temporal=direct_temporal, ref_pocs=ref_pocs, stats=stats,
-        partitions=partitions, weights=weights,
+        partitions=partitions, weights=weights, implicit_bi=implicit_bi,
     )
     return len(nal).to_bytes(4, "big") + nal
 
@@ -2623,11 +2695,6 @@ class GopDecoder:
                     )
                 motion = None
                 if self._slice_type(nal) == 1:  # B
-                    if self.pps.get("weighted_bipred_idc", 0) == 2:
-                        raise NotImplementedError(
-                            "IMPLICIT weighted bi-prediction "
-                            "(weighted_bipred_idc 2: POC-derived weights)"
-                        )
                     if len(self._refs) < 2:
                         raise ValueError(
                             "B slice with fewer than two reference pictures"
@@ -2642,8 +2709,8 @@ class GopDecoder:
                             if None not in (poc_cur, p0, p1)
                             else None
                         ),
-                        weighted_bipred=(
-                            self.pps.get("weighted_bipred_idc", 0) == 1
+                        weighted_bipred=self.pps.get(
+                            "weighted_bipred_idc", 0
                         ),
                     )
                 else:

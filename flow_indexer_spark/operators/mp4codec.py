@@ -349,6 +349,7 @@ def encode_mp4_h264_bgop(
     min_part_mbs: int = 0,
     partitions: bool = False,
     bi_weights: dict | None = None,
+    implicit_bi: bool = False,
 ) -> bytes:
     """Write frames as a B-frame H.264 GOP (IBBP...): within each
     closed ``gop``-frame GOP, anchor pictures sit every ``b_frames``+1
@@ -437,6 +438,7 @@ def encode_mp4_h264_bgop(
                         stats=b_stats,
                         partitions=partitions,
                         weights=bi_weights,
+                        implicit_bi=implicit_bi,
                     )
                 )
                 ct_offsets.append(0)
@@ -454,7 +456,9 @@ def encode_mp4_h264_bgop(
                 w, h, ref_frames=2, poc_type=0, log2_max_poc_lsb=poc_bits
             ),
             h264.make_pps(
-                weighted_bipred_idc=1 if bi_weights is not None else 0
+                weighted_bipred_idc=(
+                    2 if implicit_bi else 1 if bi_weights is not None else 0
+                )
             ),
         ),
     )
@@ -898,10 +902,11 @@ def mp4_frames(
     I_PCM / Intra_16x16 / I_4x4 IDR slices, P_Skip / P_L0_16x16 P
     slices, and B slices — B_Skip / B_Direct_16x16 under spatial OR
     temporal direct, 16x16 modes, the Table 7-14 16x8/8x16
-    two-partition types, and B_8x8 with Table 7-18 sub_mb_types 1..12
-    (operators/h264codec + h264intra + h264inter; the classifier
-    parses the real NAL/slice syntax, so B_Direct_8x8, weighted
-    bi-prediction and CABAC raise NotImplementedError from the
+    two-partition types, and B_8x8 with Table 7-18 sub_mb_types 1..12,
+    under default, EXPLICIT (idc 1) or IMPLICIT (idc 2) weighted
+    bi-prediction (operators/h264codec + h264intra + h264inter; the
+    classifier parses the real NAL/slice syntax, so B_Direct_8x8,
+    B-list modification and CABAC raise NotImplementedError from the
     bitstream itself, not the fourcc)."""
     from flow_indexer_spark.operators.jpegcodec import _jpeg_pixels
 
@@ -1544,6 +1549,66 @@ def make_h264_wbipred_bytes(i: int, qp: int = 10) -> bytes:
         search_range=4, code_residual=True, quarter=False,
         bi_weights=_WBIPRED_WEIGHTS,
     )
+
+
+def wbimplicit_scene(i: int, t: int) -> np.ndarray:
+    """Frame t of the IMPLICIT weighted-bi fixture (gop 4, IBBP):
+    bright (+60) start anchors, dark end anchors, and each B carries
+    the POC-IMPLICIT mix of its anchors — B at display offset 1 mixes
+    43:21 toward the past anchor, offset 2 mixes 22:42 toward the
+    future (implicit_bi_weights(2d, 0, 6)).  A default-averaging
+    decoder is ~10 grey levels off on every B; an explicit-table
+    decoder has no table to read (idc 2 codes none)."""
+    from flow_indexer_spark.operators.h264inter import (
+        _wp_bi_block,
+        implicit_bi_weights,
+    )
+
+    n, w, h = video_params(i)
+
+    def _anchor(shift: int) -> np.ndarray:
+        px = np.empty((h, w, 3), dtype=np.uint8)
+        px[:, :, 0] = (7 * i + shift) % 256
+        px[:, :, 1] = ((np.arange(w, dtype=np.int64) * 3 + shift) % 256)[
+            None, :
+        ].astype(np.uint8)
+        px[:, :, 2] = ((np.arange(h, dtype=np.int64) * 5 + shift) % 256)[
+            :, None
+        ].astype(np.uint8)
+        return px
+
+    r = t % 4
+    if r == 0:
+        return _anchor(60)
+    if r == 3:
+        return _anchor(0)
+    w0, w1 = implicit_bi_weights(2 * r, 0, 6)
+    a, b = _anchor(60), _anchor(0)
+    out = np.empty_like(a)
+    for c in range(3):
+        out[:, :, c] = _wp_bi_block(
+            a[:, :, c], b[:, :, c], (w0, 0), (w1, 0), 5
+        )
+    return out
+
+
+def make_h264_wbimplicit_bytes(i: int, qp: int = 10) -> bytes:
+    """Implicit weighted-bi GOP family over :func:`wbimplicit_scene`:
+    IBBP GOPs under a weighted_bipred_idc-2 PPS — no weight syntax
+    anywhere; both encoder and decoder derive the per-B weights from
+    the POCs the GopDecoder tracks."""
+    n, w, h = video_params(i)
+    frames = [wbimplicit_scene(i, t) for t in range(n)]
+    return encode_mp4_h264_bgop(
+        frames, fps=VIDEO_FPS, qp=qp, gop=4, b_frames=2,
+        search_range=4, code_residual=True, quarter=False,
+        implicit_bi=True,
+    )
+
+
+def make_h264_wbimplicit_media(spark, n: int = 24) -> DataFrame:
+    """Executor-side synthesis of implicit weighted-bi payloads."""
+    return _media_gen(spark, n, "v", make_h264_wbimplicit_bytes)
 
 
 def make_h264_wbipred_media(spark, n: int = 24) -> DataFrame:

@@ -224,3 +224,63 @@ def test_b_weighted_bipred_roundtrip_and_distinct_from_default():
         P.encode_b_slice(
             *cur, ref0, ref1, frame_num=2, poc=(2, 6), weights=bad
         )
+
+
+def test_b_implicit_bipred_roundtrip_and_poc_proportionality():
+    """IMPLICIT weights (idc 2): POC (2, 0, 6) derives (w0, w1) =
+    (43, 21) — the B close to its past anchor weights it harder; the
+    same content roundtrips byte-exact, the POC midpoint degenerates
+    to 32/32 == the default average, and decoding without POC context
+    CLASSIFIES."""
+    import numpy as np
+
+    from flow_indexer_spark.operators import h264codec as H
+    from flow_indexer_spark.operators import h264inter as P
+
+    assert P.implicit_bi_weights(2, 0, 6) == (43, 21)
+    assert P.implicit_bi_weights(4, 0, 6) == (22, 42)
+    assert P.implicit_bi_weights(3, 0, 6) == (32, 32)
+    assert P.implicit_bi_weights(2, 2, 2) == (32, 32)  # td 0 fallback
+    rng = np.random.default_rng(73)
+    sps = H.parse_sps(
+        H.make_sps(48, 32, ref_frames=2, poc_type=0, log2_max_poc_lsb=6)
+    )
+
+    def _planes():
+        return (
+            rng.integers(0, 256, (32, 48), dtype=np.uint8),
+            rng.integers(0, 256, (16, 24), dtype=np.uint8),
+            rng.integers(0, 256, (16, 24), dtype=np.uint8),
+        )
+
+    ref0, ref1 = _planes(), _planes()
+    cur = tuple(
+        P._wp_bi_block(a, b, (43, 0), (21, 0), 5)
+        for a, b in zip(ref0, ref1)
+    )
+    # the 43:21 mix is NOT the default average
+    assert (
+        np.abs(
+            P._bi_avg(ref0[0], ref1[0]).astype(int) - cur[0].astype(int)
+        ).mean()
+        > 3
+    )
+    nal, recon = P.encode_b_slice(
+        *cur, ref0, ref1, frame_num=2, poc=(2, 6), return_recon=True,
+        code_residual=True, implicit_bi=True, ref_pocs=(0, 6),
+    )
+    dec = P.decode_b_slice(
+        nal, sps, ref0, ref1, pocs=(2, 0, 6), weighted_bipred=2
+    )
+    for a, b in zip(recon, dec):
+        assert (a == b).all()
+    for a, b in zip(cur, dec):
+        assert (a == b).all()
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="implicit"):
+        P.decode_b_slice(nal, sps, ref0, ref1, weighted_bipred=2)
+    with pytest.raises(ValueError, match="ref_pocs"):
+        P.encode_b_slice(
+            *cur, ref0, ref1, frame_num=2, poc=(2, 6), implicit_bi=True
+        )
